@@ -1,0 +1,883 @@
+"""Fluent pipeline builder that compiles to Spark DataFrame plans.
+
+API parity with the reference's ``etl(...)`` builder (etielle/fluent.py):
+``goto/goto_root/each/map_to/link_to/backlink/build_index/load/run``.  The
+decisive architectural difference: the reference *interprets* the pipeline
+per JSON node in Python (etielle/executor.py:217-437); this engine
+*compiles* it into declarative DataFrame operations —
+
+- ``goto``      -> nested column access
+- ``each``      -> ``posexplode`` (lists) / map-entries explode (dicts)
+- ``map_to``    -> projection (+ groupBy for ``join_on`` keyed merge)
+- merge policy  -> aggregate function over a synthesized arrival order
+- ``link_to``   -> equi join (FK population); ``backlink`` -> explode+join+collect_list
+- ``build_index``/``lookup`` -> broadcast map probe
+- ``load``      -> topologically ordered writes
+
+so Catalyst gets the whole plan (pushdown, pruning, broadcast, AQE) and the
+same pipeline definition scales from one JSON doc to a 100 TB DataFrame of
+docs: ``etl(df_of_documents)`` treats every row as a root.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field as dc_field
+from difflib import get_close_matches
+from typing import Any, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from .core import (
+    CompileEnv,
+    Field,
+    LevelEnv,
+    TempField,
+    Transform,
+    parse_path,
+    resolve_path,
+)
+from .policies import LastWriteWinsPolicy, MergePolicy
+from .utils import topological_order
+
+_ORD = "__ord"
+_SEQ = "__seq"
+
+
+# ---------------------------------------------------------------------------
+# Specs recorded by the builder (IR #1 — reference: etielle/fluent.py:295-301)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class EmissionSpec:
+    seq: int
+    root_index: int
+    iter_points: list[tuple[list, str]]  # (relative path segments, mode)
+    trailing: list  # path segments after the last each()
+    table: str
+    fields: list[Union[Field, TempField]]
+    join_on: Optional[list[str]]
+    schema: Optional[T.StructType]
+    errors: Optional[str]
+
+
+@dataclass
+class LinkSpec:
+    child: str
+    parent: str
+    by: dict[str, str]  # child_field -> parent_field
+    fk: Optional[str]
+    required: bool
+
+
+@dataclass
+class BacklinkSpec:
+    parent: str
+    child: str
+    attr: str
+    by: dict[str, str]  # parent_list_field -> child_field
+    fail_on_missing: bool
+
+
+@dataclass
+class IndexSpec:
+    name: str
+    from_dict: Optional[dict] = None
+    # traversal-built index:
+    root_index: int = 0
+    iter_points: list = dc_field(default_factory=list)
+    trailing: list = dc_field(default_factory=list)
+    key: Optional[Transform] = None
+    value: Optional[Transform] = None
+
+
+# ---------------------------------------------------------------------------
+# Root handling
+# ---------------------------------------------------------------------------
+
+
+def _df_from_obj(spark: SparkSession, obj: Any) -> tuple[DataFrame, T.DataType]:
+    """One in-memory JSON root -> a single-row DataFrame with column __n0.
+
+    The root is wrapped so top-level lists/scalars stay a single node
+    (spark.read.json would otherwise explode a top-level array into rows).
+    """
+    payload = json.dumps({"__root__": obj})
+    jdf = spark.read.json(spark.sparkContext.parallelize([payload], 1))
+    if "__root__" not in jdf.columns:
+        # e.g. root == {} or None: no inferable schema
+        df = spark.range(1).select(F.lit(None).alias("__n0"))
+        return df, T.NullType()
+    dtype = jdf.schema["__root__"].dataType
+    return jdf.select(F.col("__root__").alias("__n0")), dtype
+
+
+def _root_env(
+    spark: SparkSession,
+    root: Any,
+    indices: dict[str, dict],
+    order_col: Optional[str],
+) -> tuple[DataFrame, CompileEnv, Column]:
+    """Returns (df, env, row_order_column)."""
+    if isinstance(root, DataFrame):
+        row_ord = F.col(order_col).cast("long") if order_col else F.lit(0).cast("long")
+        df = root.select(
+            F.struct(*[F.col(c) for c in root.columns]).alias("__n0"),
+            row_ord.alias("__roword"),
+        )
+        dtype: T.DataType = T.StructType(root.schema.fields)
+    else:
+        df, dtype = _df_from_obj(spark, root)
+        df = df.withColumn("__roword", F.lit(0).cast("long"))
+    env = CompileEnv(levels=[LevelEnv(node=F.col("__n0"), dtype=dtype)], indices=indices)
+    return df, env, F.col("__roword")
+
+
+# ---------------------------------------------------------------------------
+# Traversal compilation: each() -> explode
+# ---------------------------------------------------------------------------
+
+
+def _explode_level(
+    df: DataFrame, env: CompileEnv, rel_path: list, mode: str, lvl: int
+) -> tuple[DataFrame, CompileEnv]:
+    """Compile one ``each()`` level (reference executor:24-140).
+
+    auto mode by node type: list -> indexed iteration, dict -> key/value
+    iteration, scalar -> single, missing/None -> zero rows.  Ancestor node /
+    key / pos columns are carried through the explode so that
+    ``get_from_parent``/``parent_key``/``parent_index`` compile to plain
+    column references (SURVEY.md §7 hard part #2).
+    """
+    nav, dtype = resolve_path(env.current.node, env.current.dtype, rel_path)
+    n, k, p = f"__n{lvl}", f"__k{lvl}", f"__p{lvl}"
+
+    if isinstance(dtype, T.NullType):
+        # statically-missing path: zero rows
+        df2 = df.filter(F.lit(False)).select("*", F.lit(None).alias(n))
+        env.levels.append(LevelEnv(node=F.col(n), dtype=T.NullType()))
+        return df2, env
+
+    if mode == "single" or (
+        mode == "auto"
+        and not isinstance(dtype, (T.ArrayType, T.MapType, T.StructType))
+    ):
+        df2 = df.filter(nav.isNotNull()).select("*", nav.alias(n))
+        env.levels.append(LevelEnv(node=F.col(n), dtype=dtype))
+        return df2, env
+
+    if isinstance(dtype, T.ArrayType):
+        df2 = df.select("*", F.posexplode(nav).alias(p, n))
+        env.levels.append(
+            LevelEnv(node=F.col(n), dtype=dtype.elementType, pos=F.col(p).cast("long"))
+        )
+        return df2, env
+
+    if isinstance(dtype, T.MapType):
+        e = f"__e{lvl}"
+        df2 = df.select("*", F.posexplode(F.map_entries(nav)).alias(p, e))
+        df2 = df2.select(
+            "*",
+            F.col(e).getField("key").alias(k),
+            F.col(e).getField("value").alias(n),
+        ).drop(e)
+        env.levels.append(
+            LevelEnv(
+                node=F.col(n),
+                dtype=dtype.valueType,
+                key=F.col(k),
+                pos=F.col(p).cast("long"),
+            )
+        )
+        return df2, env
+
+    if isinstance(dtype, T.StructType):
+        # dict-with-known-keys iteration: entries in schema order.  Spark
+        # coerces entry values to a common type; genuinely heterogeneous
+        # dicts should be read as MapType instead.
+        e = f"__e{lvl}"
+        entries = F.when(
+            nav.isNotNull(),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(fld.name).alias("key"),
+                        nav.getField(fld.name).alias("value"),
+                    )
+                    for fld in dtype.fields
+                ]
+            ),
+        )
+        df2 = df.select("*", F.posexplode(entries).alias(p, e))
+        df2 = df2.select(
+            "*",
+            F.col(e).getField("key").alias(k),
+            F.col(e).getField("value").alias(n),
+        ).drop(e)
+        value_type = df2.schema[n].dataType
+        env.levels.append(
+            LevelEnv(
+                node=F.col(n),
+                dtype=value_type,
+                key=F.col(k),
+                pos=F.col(p).cast("long"),
+            )
+        )
+        return df2, env
+
+    raise TypeError(f"each(): cannot iterate node of type {dtype.simpleString()}")
+
+
+def _trailing_level(
+    df: DataFrame, env: CompileEnv, trail: list, lvl: int
+) -> tuple[DataFrame, CompileEnv]:
+    """Trailing ``goto`` after the last ``each``: navigate without iterating
+    (single-mode level; None -> zero rows)."""
+    nav, dtype = resolve_path(env.current.node, env.current.dtype, trail)
+    n = f"__n{lvl}"
+    if isinstance(dtype, T.NullType):
+        df2 = df.filter(F.lit(False)).select("*", F.lit(None).alias(n))
+        env.levels.append(LevelEnv(node=F.col(n), dtype=T.NullType()))
+        return df2, env
+    df2 = df.filter(nav.isNotNull()).select("*", nav.alias(n))
+    env.levels.append(LevelEnv(node=F.col(n), dtype=dtype))
+    return df2, env
+
+
+# ---------------------------------------------------------------------------
+# Pipeline result
+# ---------------------------------------------------------------------------
+
+
+class PipelineResult:
+    """Output tables as DataFrames (reference: PipelineResult/tables proxy,
+    etielle/fluent.py:181-282)."""
+
+    def __init__(
+        self,
+        tables: dict[str, DataFrame],
+        internal: dict[str, DataFrame],
+        errors: dict[str, DataFrame],
+        write_order: list[str],
+    ):
+        self.tables = tables
+        self._internal = internal
+        self.errors = errors
+        self.write_order = write_order
+
+    def __getitem__(self, name: str) -> DataFrame:
+        return self.tables[name]
+
+    def rows(self, name: str, ordered: bool = False) -> list[dict]:
+        """Collect a table as a list of dicts; ``ordered=True`` restores the
+        reference's traversal-arrival order (executor.py:371-375)."""
+        if ordered:
+            df = self._internal[name].orderBy(_SEQ)
+            keep = self.tables[name].columns
+            return [r.asDict(recursive=True) for r in df.select(*keep).collect()]
+        return [r.asDict(recursive=True) for r in self.tables[name].collect()]
+
+    def row_set(self, name: str, *cols: str) -> set[tuple]:
+        df = self.tables[name]
+        use = list(cols) if cols else df.columns
+        out = set()
+        for r in df.select(*use).collect():
+            out.add(tuple(tuple(v) if isinstance(v, list) else v for v in r))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# The builder
+# ---------------------------------------------------------------------------
+
+
+class PipelineBuilder:
+    def __init__(
+        self,
+        *roots: Any,
+        spark: Optional[SparkSession] = None,
+        errors: str = "collect",
+        order_col: Optional[str] = None,
+    ):
+        if not roots:
+            raise ValueError("etl() requires at least one root")
+        self._roots = list(roots)
+        self._spark = spark
+        self._errors_mode = errors
+        self._order_col = order_col
+
+        self._root_index = 0
+        self._iter_points: list[tuple[list, str]] = []
+        self._pending: list = []
+        self._emissions: list[EmissionSpec] = []
+        self._links: list[LinkSpec] = []
+        self._backlinks: list[BacklinkSpec] = []
+        self._index_specs: list[IndexSpec] = []
+        self._last_table: Optional[str] = None
+        self._sink = None
+        self._eager_tables: set[str] = set()
+
+    # -- navigation ---------------------------------------------------------
+
+    def goto(self, path: Union[str, Sequence]) -> "PipelineBuilder":
+        """Append path segments (etielle/fluent.py:432-451)."""
+        self._pending.extend(parse_path(path))
+        return self
+
+    def goto_root(self, index: int = 0) -> "PipelineBuilder":
+        """Jump to root *i*; resets navigation (etielle/fluent.py:403-430)."""
+        if not (0 <= index < len(self._roots)):
+            raise IndexError(
+                f"goto_root({index}): pipeline has {len(self._roots)} root(s)"
+            )
+        self._root_index = index
+        self._iter_points = []
+        self._pending = []
+        return self
+
+    def each(self, mode: str = "auto") -> "PipelineBuilder":
+        """Iterate the container at the current path
+        (etielle/fluent.py:453-479); modes auto/items/single."""
+        if mode not in ("auto", "items", "single"):
+            raise ValueError(f"each(): unknown mode {mode!r}")
+        self._iter_points.append((self._pending, mode))
+        self._pending = []
+        return self
+
+    # -- emission -----------------------------------------------------------
+
+    def map_to(
+        self,
+        table: str,
+        fields: Sequence[Union[Field, TempField]],
+        join_on: Optional[Sequence[str]] = None,
+        errors: Optional[str] = None,
+        schema: Optional[Union[str, T.StructType]] = None,
+    ) -> "PipelineBuilder":
+        """Emit rows to ``table`` from the current traversal position
+        (etielle/fluent.py:531-576).  ``schema`` (DDL string or StructType)
+        opts into typed validation — the Spark equivalent of the reference's
+        model classes (etielle/instances.py:189-224)."""
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        if schema is not None:
+            known = {f.name for f in schema.fields}
+            for f in fields:
+                if not f.is_temp and f.name not in known:
+                    sugg = get_close_matches(f.name, sorted(known), n=3, cutoff=0.6)
+                    hint = f"; did you mean {', '.join(sugg)}?" if sugg else ""
+                    raise ValueError(
+                        f"Unknown field '{f.name}' for table '{table}'{hint}"
+                    )
+        spec = EmissionSpec(
+            seq=len(self._emissions),
+            root_index=self._root_index,
+            iter_points=[(list(p), m) for p, m in self._iter_points],
+            trailing=list(self._pending),
+            table=table,
+            fields=list(fields),
+            join_on=list(join_on) if join_on else None,
+            schema=schema,
+            errors=errors,
+        )
+        field_names = {f.name for f in spec.fields}
+        if spec.join_on:
+            missing = [k for k in spec.join_on if k not in field_names]
+            if missing:
+                raise ValueError(
+                    f"join_on fields {missing} not among fields of '{table}'"
+                )
+        self._emissions.append(spec)
+        self._last_table = table
+        return self
+
+    # -- relationships ------------------------------------------------------
+
+    def link_to(
+        self,
+        parent: str,
+        *,
+        by: dict[str, str],
+        fk: Optional[str] = None,
+        required: bool = False,
+        child: Optional[str] = None,
+    ) -> "PipelineBuilder":
+        """Many-to-one child->parent (etielle/fluent.py:578-640): equi join.
+        ``fk`` adds a child column carrying the parent's ``id``."""
+        child_table = child or self._last_table
+        if child_table is None:
+            raise ValueError("link_to() before any map_to()")
+        self._links.append(LinkSpec(child_table, parent, dict(by), fk, required))
+        return self
+
+    def backlink(
+        self,
+        parent: str,
+        child: str,
+        attr: str,
+        *,
+        by: dict[str, str],
+        fail_on_missing: bool = False,
+    ) -> "PipelineBuilder":
+        """Many-to-many parent.attr = [child rows] (etielle/fluent.py:642-714):
+        explode id list -> join children -> collect_list of row structs."""
+        self._backlinks.append(
+            BacklinkSpec(parent, child, attr, dict(by), fail_on_missing)
+        )
+        return self
+
+    def build_index(
+        self,
+        name: str,
+        from_dict: Optional[dict] = None,
+        *,
+        key: Optional[Transform] = None,
+        value: Optional[Transform] = None,
+    ) -> "PipelineBuilder":
+        """Seed a named lookup index from a dict, or build it by traversal
+        (last-write-wins on duplicate keys) — etielle/fluent.py:481-529."""
+        if from_dict is not None:
+            self._index_specs.append(IndexSpec(name=name, from_dict=dict(from_dict)))
+        else:
+            if key is None or value is None:
+                raise ValueError("build_index: provide from_dict or key+value")
+            self._index_specs.append(
+                IndexSpec(
+                    name=name,
+                    root_index=self._root_index,
+                    iter_points=[(list(p), m) for p, m in self._iter_points],
+                    trailing=list(self._pending),
+                    key=key,
+                    value=value,
+                )
+            )
+        return self
+
+    def load(self, sink) -> "PipelineBuilder":
+        """Attach a sink; run() writes tables parents-first
+        (etielle/fluent.py:716-782 + topological flush 1596-1626)."""
+        self._sink = sink
+        return self
+
+    def load_eager(self, table: str) -> "PipelineBuilder":
+        """Mark a shared dimension table (etielle/fluent.py:784-807) — in
+        Spark terms: written first, cached/broadcast into later joins."""
+        self._eager_tables.add(table)
+        return self
+
+    # -- execution ----------------------------------------------------------
+
+    def _get_spark(self) -> SparkSession:
+        if self._spark is not None:
+            return self._spark
+        for r in self._roots:
+            if isinstance(r, DataFrame):
+                return r.sparkSession
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            return active
+        from .session import get_spark
+
+        return get_spark()
+
+    def _resolve_indices(self, spark: SparkSession) -> dict[str, dict]:
+        indices: dict[str, dict] = {}
+        for spec in self._index_specs:
+            if spec.from_dict is not None:
+                indices[spec.name] = spec.from_dict
+                continue
+            df, env, _ = _root_env(spark, self._roots[spec.root_index], indices, self._order_col)
+            for i, (pth, mode) in enumerate(spec.iter_points, start=1):
+                df, env = _explode_level(df, env, pth, mode, i)
+            if spec.trailing:
+                df, env = _trailing_level(df, env, spec.trailing, len(spec.iter_points) + 1)
+            kcol = spec.key.compile(env)
+            vcol = spec.value.compile(env)
+            ordc = _ord_struct([F.lit(0)], [lv.pos for lv in env.levels if lv.pos is not None], 0, F.lit(0))
+            pairs = (
+                df.select(kcol.alias("k"), vcol.alias("v"), ordc.alias(_ORD))
+                .groupBy("k")
+                .agg(F.max_by("v", F.col(_ORD)).alias("v"))
+                .collect()
+            )
+            indices[spec.name] = {r["k"]: r["v"] for r in pairs}
+        return indices
+
+    def _compile_emission(
+        self, spark: SparkSession, em: EmissionSpec, indices: dict, max_pos: int
+    ) -> DataFrame:
+        df, env, row_ord = _root_env(spark, self._roots[em.root_index], indices, self._order_col)
+        lvl = 0
+        for pth, mode in em.iter_points:
+            lvl += 1
+            df, env = _explode_level(df, env, pth, mode, lvl)
+        if em.trailing:
+            df, env = _trailing_level(df, env, em.trailing, lvl + 1)
+
+        sel: list[Column] = []
+        for f in em.fields:
+            col, _ = f.transform.compile_typed(env)
+            sel.append(col.alias(f.name))
+        pos_cols = [lv.pos for lv in env.levels if lv.pos is not None]
+        ordc = _ord_struct([F.lit(em.root_index)], pos_cols, max_pos, row_ord, em.seq)
+        return df.select(*sel, ordc.alias(_ORD))
+
+    def run(self) -> PipelineResult:
+        spark = self._get_spark()
+        indices = self._resolve_indices(spark)
+
+        max_pos = 0
+        for em in self._emissions:
+            max_pos = max(max_pos, len(em.iter_points))
+
+        by_table: dict[str, list[tuple[EmissionSpec, DataFrame]]] = {}
+        for em in self._emissions:
+            frame = self._compile_emission(spark, em, indices, max_pos)
+            by_table.setdefault(em.table, []).append((em, frame))
+
+        internal: dict[str, DataFrame] = {}
+        public: dict[str, DataFrame] = {}
+        errors: dict[str, DataFrame] = {}
+        for table, pairs in by_table.items():
+            internal_df, public_cols, err_df = _assemble_table(table, pairs)
+            internal[table] = internal_df
+            public[table] = internal_df.select(*public_cols)
+            if err_df is not None:
+                errors[table] = err_df
+
+        # fail-fast error mode (reference: fluent.py:2042-2049)
+        if self._errors_mode == "fail_fast":
+            for table, err in errors.items():
+                first = err.limit(1).collect()
+                if first:
+                    r = first[0]
+                    raise ValueError(
+                        f"Validation error in table '{table}': field "
+                        f"{r['field']}: {r['message']}"
+                    )
+
+        # relationships
+        internal, public, errors = _apply_links(
+            self._links, internal, public, errors
+        )
+        internal, public = _apply_backlinks(self._backlinks, internal, public)
+
+        # write ordering: parents before children
+        deps: dict[str, set[str]] = {}
+        for l in self._links:
+            deps.setdefault(l.child, set()).add(l.parent)
+        nodes = set(public.keys())
+        order = topological_order(nodes, deps)
+        # eager tables first within the order
+        order = [t for t in order if t in self._eager_tables] + [
+            t for t in order if t not in self._eager_tables
+        ]
+
+        result = PipelineResult(public, internal, errors, order)
+        if self._sink is not None:
+            for t in order:
+                self._sink.write(t, public[t])
+        return result
+
+
+def _ord_struct(
+    prefix: list[Column],
+    pos_cols: list[Column],
+    max_pos: int,
+    row_ord: Column,
+    seq: int | None = None,
+) -> Column:
+    """Synthesized arrival-order key: (root, row, emission, pos...) — the
+    distributed stand-in for the reference's single-threaded traversal order
+    (SURVEY.md §7 hard part #1).  Structs compare lexicographically."""
+    fields = [prefix[0].cast("long").alias("r"), row_ord.cast("long").alias("w")]
+    fields.append(F.lit(seq if seq is not None else 0).cast("long").alias("e"))
+    for i in range(max_pos):
+        c = pos_cols[i] if i < len(pos_cols) else F.lit(0)
+        fields.append(c.cast("long").alias(f"p{i}"))
+    return F.struct(*fields)
+
+
+def _null_empty_key_filter(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Rows with any None/"" key part are skipped (executor.py:189-191)."""
+    cond = F.lit(True)
+    for k in keys:
+        c = F.col(k)
+        cond = cond & c.isNotNull() & (c.cast("string") != F.lit(""))
+    return df.filter(cond)
+
+
+def _assemble_table(
+    table: str, pairs: list[tuple[EmissionSpec, DataFrame]]
+) -> tuple[DataFrame, list[str], Optional[DataFrame]]:
+    """Merge all emissions targeting one table.
+
+    Keyed emissions (join_on) merge via groupBy with per-field policies over
+    arrival order; auto-key emissions append (union) — reference semantics
+    at executor.py:181-196 / 272-353 and fluent.py:1339-1371.
+
+    Returns (internal_df_with_temp_and_seq, public_columns, errors_df).
+    """
+    keyed = [(em, df) for em, df in pairs if em.join_on]
+    autos = [(em, df) for em, df in pairs if not em.join_on]
+
+    # stable field order: first appearance across emissions
+    field_order: list[str] = []
+    temp_names: set[str] = set()
+    policies: dict[str, MergePolicy] = {}
+    for em, _ in pairs:
+        for f in em.fields:
+            if f.name not in field_order:
+                field_order.append(f.name)
+            if f.is_temp:
+                temp_names.add(f.name)
+            if f.merge is not None:
+                policies[f.name] = f.merge
+
+    join_on = keyed[0][0].join_on if keyed else None
+    if keyed:
+        for em, _ in keyed:
+            if em.join_on != join_on:
+                raise ValueError(
+                    f"table '{table}': all keyed map_to calls must share join_on"
+                )
+
+    parts: list[DataFrame] = []
+    if keyed:
+        marked = []
+        for em, df in keyed:
+            df = _null_empty_key_filter(df, em.join_on)
+            supplied = {f.name for f in em.fields}
+            cols = [F.col(_ORD)]
+            for name in field_order:
+                if name in supplied:
+                    cols.append(F.col(name))
+                    cols.append(F.col(_ORD).alias(f"__o_{name}"))
+                else:
+                    cols.append(F.lit(None).alias(name))
+                    cols.append(F.lit(None).cast(df.schema[_ORD].dataType).alias(f"__o_{name}"))
+            marked.append(df.select(*cols))
+        unioned = marked[0]
+        for m in marked[1:]:
+            unioned = unioned.unionByName(m, allowMissingColumns=True)
+
+        aggs: list[Column] = []
+        for name in field_order:
+            if name in join_on:
+                continue
+            pol = policies.get(name, LastWriteWinsPolicy())
+            dtype = unioned.schema[name].dataType
+            aggs.append(pol.agg(F.col(name), F.col(f"__o_{name}"), dtype).alias(name))
+        aggs.append(F.min(F.col(_ORD)).alias(_ORD))
+
+        grouped = unioned.groupBy(*[F.col(k) for k in join_on]).agg(*aggs)
+        # restore declared column order
+        grouped = grouped.select(*field_order, _ORD)
+        parts.append(grouped)
+
+    for em, df in autos:
+        supplied = {f.name for f in em.fields}
+        cols = []
+        for name in field_order:
+            cols.append(F.col(name) if name in supplied else F.lit(None).alias(name))
+        cols.append(F.col(_ORD))
+        parts.append(df.select(*cols))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+
+    # id injection for single-part user keys (executor.py:363-370)
+    public_names = [n for n in field_order if n not in temp_names]
+    if join_on and len(join_on) == 1 and "id" not in public_names:
+        out = out.withColumn("id", F.col(join_on[0]))
+        public_names = ["id"] + public_names
+
+    out = out.withColumnRenamed(_ORD, _SEQ)
+
+    # typed validation (reference model-class validation, instances.py:189-224)
+    err_df = None
+    schemas = [em.schema for em, _ in pairs if em.schema is not None]
+    if schemas:
+        schema = schemas[0]
+        checks = []
+        casts = {}
+        for fld in schema.fields:
+            if fld.name in out.columns:
+                src = F.col(fld.name)
+                tgt = src.cast(fld.dataType)
+                bad = src.isNotNull() & tgt.isNull()
+                checks.append(
+                    F.when(
+                        bad,
+                        F.concat(
+                            F.lit(f"field {fld.name}: cannot cast '"),
+                            src.cast("string"),
+                            F.lit(f"' to {fld.dataType.simpleString()}"),
+                        ),
+                    ).alias(f"__err_{fld.name}")
+                )
+                casts[fld.name] = tgt
+        if checks:
+            with_errs = out.select("*", *checks)
+            err_cols = [c for c in with_errs.columns if c.startswith("__err_")]
+            err_arr = F.array_compact(F.array(*[F.col(c) for c in err_cols]))
+            with_errs = with_errs.withColumn("__errs", err_arr).drop(*err_cols)
+            key_col = (
+                F.concat_ws("|", *[F.col(k).cast("string") for k in join_on])
+                if join_on
+                else F.lit(None)
+            )
+            err_df = (
+                with_errs.filter(F.size("__errs") > 0)
+                .select(
+                    key_col.alias("key"),
+                    F.explode("__errs").alias("message"),
+                )
+                .select(
+                    "key",
+                    F.regexp_extract("message", r"^field (\w+):", 1).alias("field"),
+                    "message",
+                )
+            )
+            ok = with_errs.filter(F.size("__errs") == 0).drop("__errs")
+            for name, cast_col in casts.items():
+                ok = ok.withColumn(name, F.col(name).cast(schema[name].dataType))
+            out = ok
+
+    return out, public_names, err_df
+
+
+def _apply_links(
+    links: list[LinkSpec],
+    internal: dict[str, DataFrame],
+    public: dict[str, DataFrame],
+    errors: dict[str, DataFrame],
+):
+    """link_to -> left equi join for FK population; required -> anti-join
+    errors (etielle/relationships.py:14-152,461-538)."""
+    for spec in links:
+        if spec.child not in internal or spec.parent not in internal:
+            raise ValueError(
+                f"link_to: unknown table in {spec.child} -> {spec.parent}"
+            )
+        child_int = internal[spec.child]
+        parent_pub = public[spec.parent]
+        (cf, pf), *rest = spec.by.items()
+        if rest:
+            raise ValueError("link_to: composite `by` not supported (reference limits to one pair)")
+
+        if spec.fk:
+            parent_side = parent_pub.select(
+                F.col(pf).alias("__lk_pf"),
+                F.col("id").alias(spec.fk) if "id" in parent_pub.columns else F.col(pf).alias(spec.fk),
+            ).dropDuplicates(["__lk_pf"])
+            joined = child_int.join(
+                F.broadcast(parent_side),
+                child_int[cf] == parent_side["__lk_pf"],
+                "left",
+            ).drop("__lk_pf")
+            internal[spec.child] = joined
+            pub_cols = public[spec.child].columns
+            if spec.fk not in pub_cols:
+                pub_cols = pub_cols + [spec.fk]
+            public[spec.child] = joined.select(*pub_cols)
+
+        if spec.required:
+            parent_keys = parent_pub.select(F.col(pf).alias("__lk_pf")).dropDuplicates()
+            missing = (
+                child_int.filter(F.col(cf).isNotNull())
+                .join(
+                    F.broadcast(parent_keys),
+                    child_int[cf] == parent_keys["__lk_pf"],
+                    "left_anti",
+                )
+                .select(
+                    F.col(cf).cast("string").alias("key"),
+                    F.lit(cf).alias("field"),
+                    F.concat(
+                        F.lit(f"missing parent in '{spec.parent}' for {spec.child}.{cf}="),
+                        F.col(cf).cast("string"),
+                    ).alias("message"),
+                )
+            )
+            if spec.child in errors:
+                errors[spec.child] = errors[spec.child].unionByName(missing)
+            else:
+                errors[spec.child] = missing
+    return internal, public, errors
+
+
+def _apply_backlinks(
+    backlinks: list[BacklinkSpec],
+    internal: dict[str, DataFrame],
+    public: dict[str, DataFrame],
+):
+    """backlink -> explode id list, join children, collect_list of row
+    structs in id-list order (etielle/relationships.py:368-458)."""
+    for spec in backlinks:
+        parent_int = internal[spec.parent]
+        child_pub = public[spec.child]
+        (plf, cf), *rest = spec.by.items()
+        if rest:
+            raise ValueError("backlink: single `by` pair only")
+
+        child_struct = F.struct(*[F.col(c) for c in child_pub.columns])
+        child_side = child_pub.select(
+            F.col(cf).alias("__bl_cid"), child_struct.alias("__bl_child")
+        )
+        exploded = parent_int.select(
+            F.col(_SEQ).alias("__bl_seq"),
+            F.posexplode(F.col(plf)).alias("__bl_pos", "__bl_id"),
+        )
+        matched = exploded.join(
+            child_side, exploded["__bl_id"] == child_side["__bl_cid"], "inner"
+        )
+        collected = matched.groupBy("__bl_seq").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("__bl_pos").alias("o"), F.col("__bl_child").alias("v"))
+                    )
+                ),
+                lambda s: s.getField("v"),
+            ).alias(spec.attr)
+        )
+        elem_type = collected.schema[spec.attr].dataType
+        joined = parent_int.join(
+            collected, parent_int[_SEQ] == collected["__bl_seq"], "left"
+        ).drop("__bl_seq")
+        joined = joined.withColumn(
+            spec.attr, F.coalesce(F.col(spec.attr), F.lit(None).cast(elem_type))
+        )
+        joined = joined.withColumn(
+            spec.attr,
+            F.when(F.col(spec.attr).isNull(), F.array().cast(elem_type)).otherwise(
+                F.col(spec.attr)
+            ),
+        )
+        internal[spec.parent] = joined
+        pub_cols = public[spec.parent].columns
+        if spec.attr not in pub_cols:
+            pub_cols = pub_cols + [spec.attr]
+        public[spec.parent] = joined.select(*pub_cols)
+    return internal, public
+
+
+def etl(
+    *roots: Any,
+    spark: Optional[SparkSession] = None,
+    errors: str = "collect",
+    order_col: Optional[str] = None,
+) -> PipelineBuilder:
+    """Entry point (etielle/fluent.py:2125-2152).
+
+    Roots may be in-memory JSON objects (reference parity) or DataFrames —
+    a DataFrame root treats **every row as a root document**, which is the
+    100 TB path: one plan compiled once, executed distributed.
+    ``order_col`` names a column that defines cross-row arrival order for
+    deterministic last-write-wins merges on DataFrame roots.
+    """
+    return PipelineBuilder(*roots, spark=spark, errors=errors, order_col=order_col)

@@ -1,0 +1,319 @@
+"""The scalar transform library, compiled to Spark Column expressions.
+
+Parity surface: etielle/transforms.py (get, get_from_root, get_from_parent,
+key, index, parent_key, parent_index, literal, concat, format_id, coalesce,
+len_of, apply, lookup) plus fluent.py's node()/parent_index()/@transform.
+Everything except ``apply``/``@transform`` stays JVM-side (no Python UDFs):
+``map_column`` is the preferred escape hatch because it composes built-in
+pyspark.sql.functions at compile time (whole-stage codegen, vectorized).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Union
+
+from pyspark.sql import Column, functions as F
+from pyspark.sql import types as T
+
+from .core import (
+    NULL,
+    CompileEnv,
+    PathSeg,
+    Transform,
+    ensure_transform,
+    parse_path,
+    resolve_path,
+)
+
+__all__ = [
+    "get",
+    "get_from_root",
+    "get_from_parent",
+    "key",
+    "index",
+    "parent_key",
+    "parent_index",
+    "node",
+    "literal",
+    "concat",
+    "format_id",
+    "coalesce",
+    "len_of",
+    "apply",
+    "map_column",
+    "lookup",
+    "transform",
+]
+
+
+def get(path: Union[str, Sequence[PathSeg]]) -> Transform:
+    """Path relative to the current node (etielle/transforms.py:83-114)."""
+    segs = parse_path(path)
+
+    def _c(env: CompileEnv):
+        cur = env.current
+        return resolve_path(cur.node, cur.dtype, segs)
+
+    return Transform(_c)
+
+
+def get_from_root(path: Union[str, Sequence[PathSeg]]) -> Transform:
+    """Path resolved from the JSON root (etielle/transforms.py:117-128)."""
+    segs = parse_path(path)
+
+    def _c(env: CompileEnv):
+        root = env.levels[0]
+        return resolve_path(root.node, root.dtype, segs)
+
+    return Transform(_c)
+
+
+def get_from_parent(path: Union[str, Sequence[PathSeg]] = "", depth: int = 1) -> Transform:
+    """Path from the ancestor node ``depth`` levels up
+    (etielle/transforms.py:131-148); exceeding the chain yields NULL."""
+    segs = parse_path(path)
+
+    def _c(env: CompileEnv):
+        anc = env.ancestor(depth)
+        if anc is None:
+            return F.lit(None), NULL
+        return resolve_path(anc.node, anc.dtype, segs)
+
+    return Transform(_c)
+
+
+def key() -> Transform:
+    """Current dict-iteration key, stringified (etielle/transforms.py:69-73)."""
+
+    def _c(env: CompileEnv):
+        cur = env.current
+        if cur.key is None:
+            return F.lit(None), NULL
+        return cur.key.cast("string"), T.StringType()
+
+    return Transform(_c)
+
+
+def index() -> Transform:
+    """Current list-iteration index (etielle/transforms.py:76-80).
+
+    Dict iteration exposes ``key()``, not ``index()`` (reference Context
+    keeps them mutually exclusive).
+    """
+
+    def _c(env: CompileEnv):
+        cur = env.current
+        if cur.pos is None or cur.key is not None:
+            return F.lit(None), NULL
+        return cur.pos, T.IntegerType()
+
+    return Transform(_c)
+
+
+def parent_key(depth: int = 1) -> Transform:
+    """Ancestor's dict key (etielle/transforms.py:151-158)."""
+
+    def _c(env: CompileEnv):
+        anc = env.ancestor(depth)
+        if anc is None or anc.key is None:
+            return F.lit(None), NULL
+        return anc.key.cast("string"), T.StringType()
+
+    return Transform(_c)
+
+
+def parent_index(depth: int = 1) -> Transform:
+    """Ancestor's list index (etielle/fluent.py:138-161)."""
+
+    def _c(env: CompileEnv):
+        anc = env.ancestor(depth)
+        if anc is None or anc.pos is None or anc.key is not None:
+            return F.lit(None), NULL
+        return anc.pos, T.IntegerType()
+
+    return Transform(_c)
+
+
+def node() -> Transform:
+    """The current node value itself (etielle/fluent.py:122-135)."""
+
+    def _c(env: CompileEnv):
+        cur = env.current
+        return cur.node, cur.dtype
+
+    return Transform(_c)
+
+
+def literal(value: Any) -> Transform:
+    """Constant (etielle/transforms.py:55-66)."""
+    return ensure_transform(value)
+
+
+def concat(*parts: Any) -> Transform:
+    """Stringify each part (None -> ""), concatenate
+    (etielle/transforms.py:173-180)."""
+    ts = [ensure_transform(p) for p in parts]
+
+    def _c(env: CompileEnv):
+        cols = [F.coalesce(t.compile(env).cast("string"), F.lit("")) for t in ts]
+        return F.concat(*cols), T.StringType()
+
+    return Transform(_c)
+
+
+def format_id(*parts: Any, sep: str = "_") -> Transform:
+    """Join stringified parts skipping None and "" (transforms.py:183-192)."""
+    ts = [ensure_transform(p) for p in parts]
+
+    def _c(env: CompileEnv):
+        cols = []
+        for t in ts:
+            c = t.compile(env).cast("string")
+            # concat_ws skips NULLs but not empty strings; map "" -> NULL
+            cols.append(F.when(c.isNotNull() & (c != F.lit("")), c))
+        return F.concat_ws(sep, *cols), T.StringType()
+
+    return Transform(_c)
+
+
+def coalesce(*inners: Any) -> Transform:
+    """First non-None result (etielle/transforms.py:195-203)."""
+    ts = [ensure_transform(t) for t in inners]
+
+    def _c(env: CompileEnv):
+        compiled = [t.compile_typed(env) for t in ts]
+        dtype = next(
+            (d for _, d in compiled if d is not None and not isinstance(d, T.NullType)),
+            None,
+        )
+        return F.coalesce(*[c for c, _ in compiled]), dtype
+
+    return Transform(_c)
+
+
+def len_of(inner: Transform) -> Transform:
+    """Length of list/dict/str else None (etielle/transforms.py:161-170)."""
+
+    def _c(env: CompileEnv):
+        col, dtype = inner.compile_typed(env)
+        if isinstance(dtype, (T.ArrayType, T.MapType)):
+            return F.size(col).cast("int"), T.IntegerType()
+        if isinstance(dtype, T.StructType):
+            return F.when(col.isNotNull(), F.lit(len(dtype.fields))), T.IntegerType()
+        if isinstance(dtype, T.StringType) or dtype is None:
+            return F.length(col.cast("string")).cast("int"), T.IntegerType()
+        return F.lit(None), NULL
+
+    return Transform(_c)
+
+
+def map_column(
+    fn: Callable[..., Column],
+    *inners: Any,
+    dtype: Optional[T.DataType] = None,
+) -> Transform:
+    """JVM-side escape hatch: apply a Column->Column function at compile
+    time, e.g. ``map_column(F.upper, get("name"))`` or
+    ``map_column(lambda a, b: a + b, get("x"), get("y"))``.
+
+    This replaces most uses of the reference's ``apply`` without leaving
+    whole-stage codegen.
+    """
+    ts = [ensure_transform(t) for t in inners]
+
+    def _c(env: CompileEnv):
+        return fn(*[t.compile(env) for t in ts]), dtype
+
+    return Transform(_c)
+
+
+def apply(
+    func: Callable[[Any], Any],
+    inner: Any,
+    *,
+    return_type: Union[str, T.DataType] = "string",
+) -> Transform:
+    """Arbitrary Python function over a transform's result
+    (etielle/transforms.py:206-212).
+
+    Row-at-a-time Python UDF — the slow path.  ``return_type`` must be
+    declared (the reference is dynamically typed; Spark is not).  Prefer
+    ``map_column`` with built-in functions wherever possible.
+    """
+    inner_t = ensure_transform(inner)
+    udf = F.udf(func, return_type)
+
+    def _c(env: CompileEnv):
+        col, _ = inner_t.compile_typed(env)
+        dt = return_type if isinstance(return_type, T.DataType) else None
+        return udf(col), dt
+
+    return Transform(_c)
+
+
+def _lit_type(v: Any) -> T.DataType:
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, int):
+        return T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    return T.StringType()
+
+
+def lookup(index_name: str, key_transform: Transform, *, default: Any = None) -> Transform:
+    """Probe a named index (etielle/transforms.py:215-248).
+
+    Compiled as a map-literal probe, i.e. the index ships with the plan to
+    every executor exactly like a broadcast hash-join build side.  Missing
+    index name raises at compile time (reference raises ValueError at row
+    time); missing key yields ``default``.  Indices are bounded,
+    dimension-sized structures; unbounded lookups belong in ``link_to``
+    (a real join).
+    """
+
+    def _c(env: CompileEnv):
+        if index_name not in env.indices:
+            available = list(env.indices.keys())
+            raise ValueError(
+                f"Index '{index_name}' not found. Available indices: {available}"
+            )
+        mapping = env.indices[index_name]
+        kcol = key_transform.compile(env)
+        if not mapping:
+            return (F.lit(default), _lit_type(default)) if default is not None else (F.lit(None), NULL)
+        items: list[Column] = []
+        for k, v in mapping.items():
+            items.append(F.lit(k))
+            items.append(F.lit(v))
+        m = F.create_map(*items)
+        key_type = _lit_type(next(iter(mapping.keys())))
+        probe = F.try_element_at(m, kcol.cast(key_type))
+        if default is not None:
+            probe = F.coalesce(probe, F.lit(default))
+        return probe, None
+
+    return Transform(_c)
+
+
+def transform(func: Callable) -> Callable[..., Transform]:
+    """Decorator for user-defined transforms (etielle/fluent.py:82-119).
+
+    The reference passes a per-row ``Context`` first; here the function
+    receives the current *node value* (plus curried args) and runs as a
+    Python UDF.  Declare the Spark return type via ``returns=``:
+
+        @transform
+        def shout(value, suffix="!"):
+            return str(value).upper() + suffix
+
+        .map_to(..., fields=[Field("loud", shout(suffix="?!", returns="string"))])
+    """
+
+    def factory(*args: Any, returns: Union[str, T.DataType] = "string", **kwargs: Any) -> Transform:
+        def fn(value: Any) -> Any:
+            return func(value, *args, **kwargs)
+
+        return apply(fn, node(), return_type=returns)
+
+    return factory
