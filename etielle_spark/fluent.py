@@ -495,7 +495,8 @@ class PipelineBuilder:
                 df, env = _trailing_level(df, env, spec.trailing, len(spec.iter_points) + 1)
             kcol = spec.key.compile(env)
             vcol = spec.value.compile(env)
-            ordc = _ord_struct([F.lit(0)], [lv.pos for lv in env.levels if lv.pos is not None], 0, F.lit(0))
+            pos_cols = [lv.pos for lv in env.levels if lv.pos is not None]
+            ordc = _ord_struct([F.lit(0)], pos_cols, len(pos_cols), F.lit(0))
             pairs = (
                 df.select(kcol.alias("k"), vcol.alias("v"), ordc.alias(_ORD))
                 .groupBy("k")

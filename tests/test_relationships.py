@@ -1,0 +1,235 @@
+"""F6/F12 — link_to, backlink, junction pattern, lookup index
+(FIXTURES.md; reference etielle/relationships.py + fluent.py:481-714)."""
+
+import pytest
+
+from etielle_spark import (
+    Field,
+    TempField,
+    etl,
+    get,
+    get_from_parent,
+    lookup,
+    node,
+)
+
+
+def qdata():
+    return {
+        "questions": [
+            {"id": "Q1", "text": "Pick one", "choice_ids": ["c1", "c2"]},
+            {"id": "Q2", "text": "Pick two", "choice_ids": ["c2", "c3"]},
+        ],
+        "choices": [
+            {"id": "c1", "text": "Red"},
+            {"id": "c2", "text": "Green"},
+            {"id": "c3", "text": "Blue"},
+        ],
+    }
+
+
+def build_junction(spark):
+    return (
+        etl(qdata(), spark=spark)
+        .goto("questions")
+        .each()
+        .map_to(
+            "questions",
+            fields=[
+                Field("id", get("id")),
+                Field("text", get("text")),
+                TempField("choice_ids", get("choice_ids")),
+            ],
+            join_on=["id"],
+        )
+        .goto_root(0)
+        .goto("choices")
+        .each()
+        .map_to(
+            "choices",
+            fields=[Field("id", get("id")), Field("text", get("text"))],
+            join_on=["id"],
+        )
+        .goto_root(0)
+        .goto("questions")
+        .each()
+        .goto("choice_ids")
+        .each()
+        .map_to(
+            "question_choice",
+            fields=[
+                Field("question_id", get_from_parent("id")),
+                Field("choice_id", node()),
+            ],
+        )
+    )
+
+
+def test_f6_junction_pairs(spark):
+    result = build_junction(spark).run()
+    assert result.row_set("questions", "id", "text") == {
+        ("Q1", "Pick one"),
+        ("Q2", "Pick two"),
+    }
+    assert result.row_set("choices", "id", "text") == {
+        ("c1", "Red"),
+        ("c2", "Green"),
+        ("c3", "Blue"),
+    }
+    assert result.row_set("question_choice") == {
+        ("Q1", "c1"),
+        ("Q1", "c2"),
+        ("Q2", "c2"),
+        ("Q2", "c3"),
+    }
+
+
+def test_f6_backlink(spark):
+    result = (
+        build_junction(spark)
+        .backlink("questions", "choices", "choices", by={"choice_ids": "id"})
+        .run()
+    )
+    rows = {r["id"]: r for r in result.rows("questions")}
+    assert [c["id"] for c in rows["Q1"]["choices"]] == ["c1", "c2"]
+    assert [c["id"] for c in rows["Q2"]["choices"]] == ["c2", "c3"]
+    assert [c["text"] for c in rows["Q1"]["choices"]] == ["Red", "Green"]
+
+
+def test_f6_backlink_missing_child_skipped(spark):
+    data = qdata()
+    data["questions"][0]["choice_ids"] = ["c1", "ghost", "c2"]
+    result = (
+        etl(data, spark=spark)
+        .goto("questions")
+        .each()
+        .map_to(
+            "questions",
+            fields=[Field("id", get("id")), TempField("choice_ids", get("choice_ids"))],
+            join_on=["id"],
+        )
+        .goto_root(0)
+        .goto("choices")
+        .each()
+        .map_to(
+            "choices",
+            fields=[Field("id", get("id")), Field("text", get("text"))],
+            join_on=["id"],
+        )
+        .backlink("questions", "choices", "choices", by={"choice_ids": "id"})
+        .run()
+    )
+    rows = {r["id"]: r for r in result.rows("questions")}
+    # missing child ids silently skipped (relationships.py:434-441)
+    assert [c["id"] for c in rows["Q1"]["choices"]] == ["c1", "c2"]
+
+
+def test_link_to_fk_population(spark):
+    data = {
+        "users": [{"id": "u1", "name": "A"}, {"id": "u2", "name": "B"}],
+        "posts": [
+            {"id": "p1", "user": "u1"},
+            {"id": "p2", "user": "u2"},
+            {"id": "p3", "user": "zz"},
+        ],
+    }
+    result = (
+        etl(data, spark=spark)
+        .goto("users")
+        .each()
+        .map_to(
+            "users",
+            fields=[Field("id", get("id")), Field("name", get("name"))],
+            join_on=["id"],
+        )
+        .goto_root(0)
+        .goto("posts")
+        .each()
+        .map_to(
+            "posts",
+            fields=[Field("id", get("id")), Field("user_id", get("user"))],
+            join_on=["id"],
+        )
+        .link_to("users", by={"user_id": "id"}, fk="user_fk", required=True)
+        .run()
+    )
+    assert result.row_set("posts", "id", "user_id", "user_fk") == {
+        ("p1", "u1", "u1"),
+        ("p2", "u2", "u2"),
+        ("p3", "zz", None),
+    }
+    errs = result.errors["posts"].collect()
+    assert len(errs) == 1 and errs[0]["key"] == "zz"
+    # write order: parents before children
+    assert result.write_order.index("users") < result.write_order.index("posts")
+
+
+def test_f12_lookup_from_dict(spark):
+    data = {"questions": [{"id": "Q1"}, {"id": "Q2"}, {"id": "Q9"}]}
+    result = (
+        etl(data, spark=spark)
+        .build_index("db_ids", from_dict={"Q1": 42, "Q2": 43})
+        .goto("questions")
+        .each()
+        .map_to(
+            "q",
+            fields=[
+                Field("id", get("id")),
+                Field("db_id", lookup("db_ids", get("id"))),
+                Field("db_id_dflt", lookup("db_ids", get("id"), default=-1)),
+            ],
+        )
+        .run()
+    )
+    assert result.row_set("q") == {
+        ("Q1", 42, 42),
+        ("Q2", 43, 43),
+        ("Q9", None, -1),
+    }
+
+
+def test_f12_lookup_missing_index_raises(spark):
+    with pytest.raises(ValueError, match="Index 'nope' not found"):
+        (
+            etl({"a": [1]}, spark=spark)
+            .goto("a")
+            .each()
+            .map_to("t", fields=[Field("v", lookup("nope", node()))])
+            .run()
+        )
+
+
+def test_f12_traversal_built_index(spark):
+    # build_index(key=node(), value=get_from_parent("id")): duplicate keys
+    # last-write-wins (tests/test_fluent.py:2684 in the reference)
+    data = {
+        "groups": [
+            {"id": "g1", "members": ["alice", "bob"]},
+            {"id": "g2", "members": ["bob", "carol"]},
+        ],
+        "people": [{"name": "alice"}, {"name": "bob"}, {"name": "carol"}],
+    }
+    result = (
+        etl(data, spark=spark)
+        .goto("groups")
+        .each()
+        .goto("members")
+        .each()
+        .build_index("member_group", key=node(), value=get_from_parent("id"))
+        .goto_root(0)
+        .goto("people")
+        .each()
+        .map_to(
+            "people",
+            fields=[
+                Field("name", get("name")),
+                Field("group", lookup("member_group", get("name"))),
+            ],
+        )
+        .run()
+    )
+    assert result.row_set("people") == {
+        ("alice", "g1"),
+        ("bob", "g2"),  # last write wins
+        ("carol", "g2"),
+    }
