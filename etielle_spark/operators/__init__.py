@@ -1,0 +1,45 @@
+"""Large-scale training-data pipeline operators.
+
+Beyond the reference's ETL surface (SURVEY.md §2), these are the operators a
+100 TB data pipeline needs: deduplication (exact / MinHash-LSH / SimHash /
+n-gram Jaccard / embedding cosine), similarity search, text analysis, and
+multimodal column plumbing.  All are compositions of built-in DataFrame
+operators (JVM-side, whole-stage codegen) except where a Pandas UDF is the
+honest tool (multimodal decode).
+"""
+
+from .dedup import (
+    exact_dedup,
+    exact_dedup_by_content,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_df,
+    simhash,
+)
+from .similarity import brute_force_topk, cosine_pairs, lsh_bucket_topk
+from .text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    token_stats,
+)
+
+__all__ = [
+    "exact_dedup",
+    "exact_dedup_by_content",
+    "shingle_df",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "jaccard_pairs",
+    "simhash",
+    "brute_force_topk",
+    "cosine_pairs",
+    "lsh_bucket_topk",
+    "token_count",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+]

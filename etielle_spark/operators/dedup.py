@@ -1,0 +1,254 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design notes for 100 TB:
+
+- Exact dedup is a hash aggregation on a digest of the content column —
+  one shuffle on a short key instead of the full text.
+- MinHash signatures use md5-based permutations (deterministic and
+  cross-engine reproducible, so a SQL oracle can verify them).  The LSH
+  band join turns O(n²) pairing into a shuffle on band buckets; only
+  candidate pairs pay the exact-Jaccard verification join.
+- Everything is built-in expressions (explode / groupBy / join) — no
+  Python in the hot path, so whole-stage codegen applies and AQE handles
+  skewed buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Keep one row per distinct combination of ``cols`` (hash groupBy)."""
+    return df.dropDuplicates(cols)
+
+
+def exact_dedup_by_content(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the smallest-id row per exact content digest.
+
+    Grouping on md5(text) instead of the raw text keeps the shuffle key at
+    32 bytes regardless of document size.
+    """
+    digest = F.md5(F.col(text_col)).alias("__digest")
+    return (
+        df.select("*", digest)
+        .groupBy("__digest")
+        .agg(F.min(F.col(id_col)).alias(id_col), F.count("*").alias("dup_count"))
+        .drop("__digest")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling / MinHash / LSH
+# ---------------------------------------------------------------------------
+
+
+def _normalize(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of normalized text (empty tokens removed)."""
+    return F.filter(F.split(_normalize(text), " "), lambda t: t != "")
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string>."""
+    toks = tokens_col(text)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), count - F.lit(1)),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    short = F.when(F.size(toks) > 0, F.array(F.array_join(toks, " "))).otherwise(
+        F.array().cast("array<string>")
+    )
+    return F.array_distinct(F.when(count > 0, grams).otherwise(short))
+
+
+def shingle_df(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) exploded pairs — the substrate for MinHash & Jaccard."""
+    return df.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """Per-document MinHash signature as ``array<string>`` of length
+    ``num_hashes``.
+
+    Permutation *h* is "md5 of h-prefixed shingle"; the minimum digest per
+    permutation is a standard MinHash estimator and — unlike xxhash/murmur —
+    reproducible in any engine with md5, which makes the result
+    oracle-checkable.  One explode + one groupBy; no UDFs.
+    """
+    pairs = shingle_df(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle")))).alias(f"__h{h}")
+        for h in range(num_hashes)
+    ]
+    sig = pairs.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__h{h}") for h in range(num_hashes)]).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH over MinHash signatures.
+
+    Documents sharing any band digest become a candidate pair; the join is
+    an equi-join on (band index, band digest) — a shuffle on tiny keys, the
+    scale-out replacement for all-pairs comparison.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.array_join(
+                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                            "|",
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_digest"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col(f"l.band") == F.col("r.band"))
+            & (F.col("l.band_digest") == F.col("r.band_digest"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.0,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for document pairs.
+
+    With ``candidates`` (id_a, id_b) only those pairs are scored (the LSH
+    path); otherwise all pairs sharing at least one shingle are scored —
+    the shingle join already prunes disjoint pairs, so this is
+    O(sum of bucket²), not O(n²).
+    """
+    pairs = shingle_df(df, id_col, text_col, n)
+    sizes = pairs.groupBy(id_col).agg(F.count("*").alias("sz"))
+
+    a = pairs.select(F.col(id_col).alias("id_a"), "shingle")
+    b = pairs.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0.0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32) -> DataFrame:
+    """Per-document SimHash as a ``bits``-length bit string.
+
+    Token hash bits come from md5 hex nibbles (cross-engine reproducible);
+    each bit position sums +1/-1 over tokens and takes the sign.  Output
+    column ``simhash`` is e.g. '1011...'; Hamming distance between two
+    documents is the count of differing positions.
+    """
+    assert bits % 4 == 0
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    ).withColumn("hex", F.md5(F.col("tok")))
+    bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    with_bits = toks.select(F.col(id_col), F.col("hex"), bit_idx)
+    nibble = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.col("hex"), (F.col("bit") / 4).cast("int") + 1, 1),
+        )
+        - 1
+    )
+    # bit (3 - bit%4) of the nibble, via arithmetic so the shift amount can
+    # be a column (and so a SQL oracle can reproduce it verbatim)
+    bitval = F.floor(nibble / F.pow(F.lit(2.0), (3 - F.col("bit") % 4))).cast("int") % 2
+    contrib = (bitval * 2 - 1).alias("contrib")
+    summed = (
+        with_bits.select(F.col(id_col), F.col("bit"), contrib)
+        .groupBy(id_col, "bit")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return (
+        summed.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("bit").alias("o"),
+                                F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")).alias("v"),
+                            )
+                        )
+                    ),
+                    lambda p: p.getField("v"),
+                ),
+                "",
+            ).alias("simhash")
+        )
+    )

@@ -1,0 +1,93 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The convention (SURVEY-level design, no reference equivalent): a modality
+column is ``binary`` payload plus a ``struct`` metadata column
+(mime/width/height/duration/...).  Decode and feature extraction run as
+Arrow-batched ``mapInPandas`` operators so the heavy Python (PIL/ffmpeg/...)
+touches each partition's rows exactly once, in batches.
+
+The actual codec libraries are NOT available in this environment, so the
+decode step is stubbed: ``decode_stub=True`` produces deterministic fake
+features (so the Spark-side plumbing — schema, batching, partitioning —
+is real and testable), while ``decode_stub=False`` raises
+NotImplementedError where the codec call would go.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, text_col: str, *, mime: str = "application/octet-stream") -> DataFrame:
+    """Build a (payload binary, media_meta struct) pair from a source column.
+
+    In production the payload comes from the lake (parquet binary / object
+    store); here it is synthesized so the downstream plumbing is exercised
+    with real bytes.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    meta = F.struct(
+        F.lit(mime).alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("bigint").alias("duration_ms"),
+    )
+    return df.withColumn("payload", payload).withColumn("media_meta", meta)
+
+
+FEATURE_SCHEMA = "id bigint, byte_len bigint, digest string, feat array<double>"
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    *,
+    feat_dim: int = 8,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Per-payload feature extraction via Arrow-batched ``mapInPandas``.
+
+    The batch shape is the part that matters at scale: one Python worker
+    per partition, Arrow record batches in/out, no per-row serde.  The
+    deterministic stub derives ``feat`` from the payload digest; swap the
+    stub branch for a real decoder (PIL / torchaudio / pyav) when the
+    codec libraries are present.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decode requires codec libraries not present "
+                    "in this environment; run with decode_stub=True"
+                )
+            payloads = pdf[payload_col]
+            digests = payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            feats = digests.map(
+                lambda h: [int(h[2 * i : 2 * i + 2], 16) / 255.0 for i in range(feat_dim)]
+            )
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "byte_len": payloads.map(len),
+                    "digest": digests,
+                    "feat": feats,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(op, FEATURE_SCHEMA)

