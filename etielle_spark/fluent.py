@@ -541,10 +541,14 @@ class PipelineBuilder:
         internal: dict[str, DataFrame] = {}
         public: dict[str, DataFrame] = {}
         errors: dict[str, DataFrame] = {}
+        table_keys: dict[str, list[str]] = {}
         for table, pairs in by_table.items():
             internal_df, public_cols, err_df = _assemble_table(table, pairs)
             internal[table] = internal_df
             public[table] = internal_df.select(*public_cols)
+            keyed_specs = [em.join_on for em, _ in pairs if em.join_on]
+            if keyed_specs and len(keyed_specs) == len(pairs):
+                table_keys[table] = keyed_specs[0]
             if err_df is not None:
                 errors[table] = err_df
 
@@ -563,7 +567,9 @@ class PipelineBuilder:
         internal, public, errors = _apply_links(
             self._links, internal, public, errors
         )
-        internal, public = _apply_backlinks(self._backlinks, internal, public)
+        internal, public = _apply_backlinks(
+            self._backlinks, internal, public, table_keys
+        )
 
         # write ordering: parents before children
         deps: dict[str, set[str]] = {}
@@ -624,18 +630,26 @@ def _assemble_table(
     keyed = [(em, df) for em, df in pairs if em.join_on]
     autos = [(em, df) for em, df in pairs if not em.join_on]
 
-    # stable field order: first appearance across emissions
+    # stable field order: first appearance across emissions.  Temp-ness is
+    # per-emission in the reference (TempField values land in the shadow
+    # store only — executor.py:296-352): a field is public if ANY emission
+    # declares it non-temp, and only non-temp declarations supply its value.
     field_order: list[str] = []
-    temp_names: set[str] = set()
+    declared_temp: dict[str, set[int]] = {}
+    declared_any: dict[str, set[int]] = {}
     policies: dict[str, MergePolicy] = {}
     for em, _ in pairs:
         for f in em.fields:
             if f.name not in field_order:
                 field_order.append(f.name)
+            declared_any.setdefault(f.name, set()).add(em.seq)
             if f.is_temp:
-                temp_names.add(f.name)
+                declared_temp.setdefault(f.name, set()).add(em.seq)
             if f.merge is not None:
                 policies[f.name] = f.merge
+    temp_names = {
+        n for n in field_order if declared_temp.get(n) == declared_any.get(n)
+    }
 
     join_on = keyed[0][0].join_on if keyed else None
     if keyed:
@@ -650,15 +664,28 @@ def _assemble_table(
         marked = []
         for em, df in keyed:
             df = _null_empty_key_filter(df, em.join_on)
-            supplied = {f.name for f in em.fields}
+            # the frame carries every declared column (join keys must be real
+            # for the groupBy), but supplies a field's VALUE to the merge
+            # only where the declaration is non-temp (or the field is
+            # internal-only, i.e. temp everywhere)
+            declared = {f.name for f in em.fields}
+            supplies_value = {
+                f.name
+                for f in em.fields
+                if (not f.is_temp) or f.name in temp_names
+            }
             cols = [F.col(_ORD)]
             for name in field_order:
-                if name in supplied:
+                if name in declared:
                     cols.append(F.col(name))
-                    cols.append(F.col(_ORD).alias(f"__o_{name}"))
                 else:
                     cols.append(F.lit(None).alias(name))
-                    cols.append(F.lit(None).cast(df.schema[_ORD].dataType).alias(f"__o_{name}"))
+                if name in supplies_value:
+                    cols.append(F.col(_ORD).alias(f"__o_{name}"))
+                else:
+                    cols.append(
+                        F.lit(None).cast(df.schema[_ORD].dataType).alias(f"__o_{name}")
+                    )
             marked.append(df.select(*cols))
         unioned = marked[0]
         for m in marked[1:]:
@@ -815,9 +842,15 @@ def _apply_backlinks(
     backlinks: list[BacklinkSpec],
     internal: dict[str, DataFrame],
     public: dict[str, DataFrame],
+    table_keys: dict[str, list[str]],
 ):
     """backlink -> explode id list, join children, collect_list of row
-    structs in id-list order (etielle/relationships.py:368-458)."""
+    structs in id-list order (etielle/relationships.py:368-458).
+
+    Parent rows are identified by their join keys (keyed tables); the
+    traversal-order column is only a fallback for single-doc roots, where
+    it is unique per row.
+    """
     for spec in backlinks:
         parent_int = internal[spec.parent]
         child_pub = public[spec.child]
@@ -825,18 +858,20 @@ def _apply_backlinks(
         if rest:
             raise ValueError("backlink: single `by` pair only")
 
+        rid_cols = table_keys.get(spec.parent, [_SEQ])
         child_struct = F.struct(*[F.col(c) for c in child_pub.columns])
         child_side = child_pub.select(
             F.col(cf).alias("__bl_cid"), child_struct.alias("__bl_child")
         )
         exploded = parent_int.select(
-            F.col(_SEQ).alias("__bl_seq"),
+            *[F.col(c).alias(f"__bl_k_{i}") for i, c in enumerate(rid_cols)],
             F.posexplode(F.col(plf)).alias("__bl_pos", "__bl_id"),
         )
         matched = exploded.join(
             child_side, exploded["__bl_id"] == child_side["__bl_cid"], "inner"
         )
-        collected = matched.groupBy("__bl_seq").agg(
+        grp = [f"__bl_k_{i}" for i in range(len(rid_cols))]
+        collected = matched.groupBy(*grp).agg(
             F.transform(
                 F.array_sort(
                     F.collect_list(
@@ -847,9 +882,11 @@ def _apply_backlinks(
             ).alias(spec.attr)
         )
         elem_type = collected.schema[spec.attr].dataType
-        joined = parent_int.join(
-            collected, parent_int[_SEQ] == collected["__bl_seq"], "left"
-        ).drop("__bl_seq")
+        cond = None
+        for i, c in enumerate(rid_cols):
+            piece = parent_int[c] == collected[f"__bl_k_{i}"]
+            cond = piece if cond is None else (cond & piece)
+        joined = parent_int.join(collected, cond, "left").drop(*grp)
         joined = joined.withColumn(
             spec.attr, F.coalesce(F.col(spec.attr), F.lit(None).cast(elem_type))
         )
