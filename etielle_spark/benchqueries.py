@@ -717,3 +717,419 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ===========================================================================
+# Training-data operators (SURVEY extension): text analysis, dedup,
+# similarity search, multimodal plumbing — on documents/embeddings
+# ===========================================================================
+
+# Shared DuckDB fragments replicating operators/dedup.py tokenization
+_TOKS = (
+    "list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), "
+    "t -> t <> '')"
+)
+_SHINGLES3 = (
+    "list_distinct(CASE WHEN len(t) >= 3 THEN "
+    "[array_to_string(t[i+1:i+3], ' ') for i in range(len(t)-2)] "
+    "WHEN len(t) > 0 THEN [array_to_string(t, ' ')] ELSE [] END)"
+)
+_DOCS_PLUS_CLONES = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20"
+)
+
+
+def _docs_plus_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = (
+        docs.filter(F.col("doc_id") < 20)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    return docs.union(clones)
+
+
+@q(
+    "q22_token_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+    SELECT doc_id,
+           len(t)::BIGINT AS n_tokens,
+           len(list_distinct(t))::BIGINT AS n_distinct_tokens,
+           round(CASE WHEN len(t) > 0
+                 THEN list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)
+                 END, 4) AS avg_token_len,
+           ceil(length(text) / 4)::BIGINT AS est_bpe_tokens
+    FROM toks
+    """,
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q(
+    "q23_quality_score",
+    f"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+    m AS (
+      SELECT doc_id,
+             length(text)::DOUBLE AS nc,
+             length(regexp_replace(text, '[^.,;:!?''"()\\[\\]]', '', 'g'))::DOUBLE AS np,
+             length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE AS nu,
+             len(list_filter(t, x -> x IN ('the','and','of','to','in','is','that','it','with','for','der','die','das','und','ist','nicht','mit','ein','zu','von','le','la','les','et','est','pas','pour','que','une','dans','el','los','las','es','no','por','una','para'))) AS ns,
+             len(t) AS nt
+      FROM toks
+    )
+    SELECT doc_id,
+           nc::BIGINT AS n_chars,
+           nt::BIGINT AS n_tokens,
+           round(CASE WHEN nc > 0 THEN np / nc ELSE 0 END, 6) AS punct_ratio,
+           round(CASE WHEN nc > 0 THEN nu / nc ELSE 0 END, 6) AS upper_ratio,
+           round(CASE WHEN nt > 0 THEN ns::DOUBLE / nt ELSE 0 END, 6) AS stopword_ratio,
+           round(least(nt / 100.0, 1.0) * 0.4
+                 + (CASE WHEN nt > 0 THEN ns::DOUBLE / nt ELSE 0 END) * 0.4
+                 + (1.0 - least((CASE WHEN nc > 0 THEN np / nc ELSE 0 END) * 10.0, 1.0)) * 0.2,
+                 6) AS quality_score
+    FROM m
+    """,
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q(
+    "q24_lang_id",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    hits AS (
+      SELECT doc_id,
+        len(list_filter(t, x -> x IN ('the','and','of','to','in','is','that','it','with','for'))) AS h_en,
+        len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','von'))) AS h_de,
+        len(list_filter(t, x -> x IN ('le','la','les','et','est','pas','pour','que','une','dans'))) AS h_fr,
+        len(list_filter(t, x -> x IN ('el','la','los','las','es','no','por','que','una','para'))) AS h_es
+      FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+                WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                ELSE 'de' END AS pred_lang,
+           greatest(h_en, h_de, h_fr, h_es)::BIGINT AS marker_hits
+    FROM hits
+    """,
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q(
+    "q25_fingerprint",
+    """
+    WITH n AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    )
+    SELECT doc_id, md5(norm) AS fingerprint,
+           md5(substr(norm, 1, 64)) AS head_fp,
+           md5(substr(reverse(norm), 1, 64)) AS tail_fp,
+           length(norm)::BIGINT AS norm_len
+    FROM n
+    """,
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import doc_fingerprint
+
+    return doc_fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q(
+    "q26_exact_dedup_docs",
+    f"""
+    WITH all_docs AS ({_DOCS_PLUS_CLONES})
+    SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM all_docs GROUP BY md5(text)
+    """,
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup_by_content
+
+    return exact_dedup_by_content(_docs_plus_clones(spark, sf_dir), "doc_id", "text")
+
+
+@q(
+    "q27_minhash_signatures",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM toks),
+    mins AS (
+      SELECT doc_id,
+             min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+             min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+             min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+             min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+      FROM sh GROUP BY doc_id
+    )
+    SELECT doc_id, h0 || '|' || h1 || '|' || h2 || '|' || h3 || '|' || h4 || '|' || h5 || '|' || h6 || '|' || h7 AS sig
+    FROM mins
+    """,
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_signatures
+
+    sig = minhash_signatures(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=8
+    )
+    return sig.select("doc_id", F.array_join("signature", "|").alias("sig"))
+
+
+@q(
+    "q28_lsh_candidate_pairs",
+    f"""
+    WITH all_docs AS ({_DOCS_PLUS_CLONES}),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM all_docs),
+    sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM toks),
+    mins AS (
+      SELECT doc_id,
+             min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+             min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+             min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+             min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS b, md5(h0 || '|' || h1) AS d FROM mins UNION ALL
+      SELECT doc_id, 1 AS b, md5(h2 || '|' || h3) AS d FROM mins UNION ALL
+      SELECT doc_id, 2 AS b, md5(h4 || '|' || h5) AS d FROM mins UNION ALL
+      SELECT doc_id, 3 AS b, md5(h6 || '|' || h7) AS d FROM mins
+    )
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM bands l JOIN bands r ON l.b = r.b AND l.d = r.d AND l.doc_id < r.doc_id
+    """,
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(
+        _docs_plus_clones(spark, sf_dir), "doc_id", "text", num_hashes=8, bands=4
+    )
+
+
+@q(
+    "q29_ngram_jaccard",
+    f"""
+    WITH all_docs AS ({_DOCS_PLUS_CLONES}),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM all_docs),
+    sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+    WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 6) >= 0.3
+    """,
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import jaccard_pairs
+
+    out = jaccard_pairs(_docs_plus_clones(spark, sf_dir), "doc_id", "text")
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).filter(F.round(F.col("jaccard"), 6) >= 0.3)
+
+
+@q(
+    "q30_simhash",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents) s(doc_id, text, t)),
+    h AS (SELECT doc_id, md5(tok) AS hex FROM (SELECT doc_id, tok FROM toks) _),
+    bits AS (
+      SELECT doc_id, b,
+             instr('0123456789abcdef', substr(hex, (b // 4) + 1, 1)) - 1 AS nib
+      FROM h, (SELECT unnest(range(0, 32)) AS b) r
+    ),
+    contrib AS (
+      SELECT doc_id, b,
+             (floor(nib / power(2, 3 - b % 4))::INT % 2) * 2 - 1 AS c
+      FROM bits
+    ),
+    summed AS (SELECT doc_id, b, sum(c) AS s FROM contrib GROUP BY doc_id, b)
+    SELECT doc_id,
+           string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+    FROM summed GROUP BY doc_id
+    """,
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=32)
+
+
+@q(
+    "q31_cosine_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.v * c.v) AS dot
+      FROM (SELECT * FROM e WHERE vec_id < 5) q
+      JOIN e c USING (i)
+      WHERE c.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+      FROM dots JOIN norms nq ON query_id = nq.vec_id
+                JOIN norms nc ON neighbor_id = nc.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q_side = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("qv")
+    )
+    c_side = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").cast("array<double>").alias("cv")
+    )
+    scored = (
+        c_side.crossJoin(F.broadcast(q_side))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+@q(
+    "q32_embedding_neardup",
+    """
+    WITH e AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
+    WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.35
+    """,
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_pairs
+
+    out = cosine_pairs(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=-1.0)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine")).filter(
+        F.round(F.col("cosine"), 6) >= 0.35
+    )
+
+
+@q(
+    "q33_multimodal_features",
+    """
+    SELECT doc_id AS id, octet_length(encode(text))::BIGINT AS byte_len,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload plumbing: encode -> mapInPandas feature extraction
+    (Arrow batches); the oracle checks the deterministic parts."""
+    from .operators.multimodal import attach_payload, extract_features
+
+    docs = attach_payload(_t(spark, sf_dir, "documents"), "text")
+    feats = extract_features(docs, "doc_id", feat_dim=4)
+    return feats.select("id", "byte_len", "digest")
+
+
+@q(
+    "q34_scalar_transforms",
+    """
+    SELECT 'C_' || c_custkey::VARCHAR AS cid,
+           c_name || '-' || c_mktsegment AS descr,
+           c_mktsegment AS seg_or_name,
+           length(c_name)::INT AS name_len
+    FROM customer
+    """,
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar transform surface: format_id/concat/coalesce/len_of
+    (reference transforms.py:161-203)."""
+    from .transforms import coalesce as t_coalesce, concat, format_id, len_of
+
+    cust = _t(spark, sf_dir, "customer")
+    result = (
+        etl(cust, spark=spark)
+        .map_to(
+            "t",
+            fields=[
+                Field("cid", format_id(literal("C"), get("c_custkey"))),
+                Field("descr", concat(get("c_name"), literal("-"), get("c_mktsegment"))),
+                Field("seg_or_name", t_coalesce(get("no_such_col"), get("c_mktsegment"))),
+                Field("name_len", len_of(get("c_name"))),
+            ],
+        )
+        .run()
+    )
+    return result["t"]
+
+
+@q(
+    "q35_apply_udf",
+    """
+    SELECT c_custkey, upper(c_name) AS shout FROM customer
+    """,
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """apply() escape hatch: arbitrary Python over a transform result
+    (reference transforms.py:206-212) — a row-at-a-time UDF."""
+    from .transforms import apply
+
+    cust = _t(spark, sf_dir, "customer")
+    result = (
+        etl(cust, spark=spark)
+        .map_to(
+            "t",
+            fields=[
+                Field("c_custkey", get("c_custkey")),
+                Field("shout", apply(lambda s: s.upper() if s else None, get("c_name"))),
+            ],
+        )
+        .run()
+    )
+    return result["t"]
