@@ -725,10 +725,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 # Shared DuckDB fragments replicating operators/dedup.py tokenization
-_TOKS = (
-    "list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), "
-    "t -> t <> '')"
-)
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
 _SHINGLES3 = (
     "list_distinct(CASE WHEN len(t) >= 3 THEN "
     "[array_to_string(t[i+1:i+3], ' ') for i in range(len(t)-2)] "

@@ -52,29 +52,52 @@ def _normalize(text: Column) -> Column:
 
 
 def tokens_col(text: Column) -> Column:
-    """Whitespace tokens of normalized text (empty tokens removed)."""
-    return F.filter(F.split(_normalize(text), " "), lambda t: t != "")
+    """Whitespace tokens of lowercased, trimmed text.
+
+    A single regex split (codegen'd) — trimming first means no empty
+    tokens, so no interpreted higher-order filter pass is needed.
+    """
+    return F.split(F.lower(F.trim(text)), r"\s+")
 
 
-def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string>."""
-    toks = tokens_col(text)
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(0), count - F.lit(1)),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
+def grams_of(toks: Column, n: int) -> Column:
+    """Distinct word n-grams of a token-array column, built by zipping the
+    array with its shifted selves.
+
+    Deliberately avoids ``slice(toks, i, n)`` inside a per-element lambda:
+    Catalyst's CollapseProject inlines the token expression into the
+    lambda, re-evaluating the tokenizer once per element — O(T^2) per
+    document.  ``zip_with`` over pre-shifted arrays evaluates each shift
+    once per row, keeping the pass linear.
+    """
+    gram = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        # zip_with pads the shorter array with NULL; concat propagates the
+        # NULL, and array_compact below drops the incomplete tail grams.
+        gram = F.zip_with(gram, shifted, lambda g, t: F.concat(g, F.lit(" "), t))
+    grams = F.array_compact(gram)
     short = F.when(F.size(toks) > 0, F.array(F.array_join(toks, " "))).otherwise(
         F.array().cast("array<string>")
     )
-    return F.array_distinct(F.when(count > 0, grams).otherwise(short))
+    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(short))
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string> (single-expression
+    form; prefer shingle_df for the staged, non-quadratic plan)."""
+    return grams_of(tokens_col(text), n)
 
 
 def shingle_df(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) exploded pairs — the substrate for MinHash & Jaccard."""
-    return df.select(
-        F.col(id_col), F.explode(shingles_col(F.col(text_col), n)).alias("shingle")
-    )
+    """(id, shingle) exploded pairs — the substrate for MinHash & Jaccard.
+
+    Tokens and grams are staged as real columns between selects so each
+    pass over the text runs once per document.
+    """
+    toks = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("__toks"))
+    arr = toks.select(F.col(id_col), grams_of(F.col("__toks"), n).alias("__sh"))
+    return arr.select(F.col(id_col), F.explode("__sh").alias("shingle"))
 
 
 def minhash_signatures(
