@@ -123,11 +123,15 @@ def _root_env(
     """Returns (df, env, row_order_column)."""
     if isinstance(root, DataFrame):
         row_ord = F.col(order_col).cast("long") if order_col else F.lit(0).cast("long")
+        # the order column is arrival metadata, not part of the document
+        node_cols = [c for c in root.columns if c != order_col]
         df = root.select(
-            F.struct(*[F.col(c) for c in root.columns]).alias("__n0"),
+            F.struct(*[F.col(c) for c in node_cols]).alias("__n0"),
             row_ord.alias("__roword"),
         )
-        dtype: T.DataType = T.StructType(root.schema.fields)
+        dtype: T.DataType = T.StructType(
+            [f for f in root.schema.fields if f.name != order_col]
+        )
     else:
         df, dtype = _df_from_obj(spark, root)
         df = df.withColumn("__roword", F.lit(0).cast("long"))
@@ -525,16 +529,24 @@ class PipelineBuilder:
         ordc = _ord_struct([F.lit(em.root_index)], pos_cols, max_pos, row_ord, em.seq)
         return df.select(*sel, ordc.alias(_ORD))
 
-    def run(self) -> PipelineResult:
+    def run(self, table_filter: Optional[set[str]] = None) -> PipelineResult:
+        """``table_filter`` restricts the pass to a subset of output tables
+        (reference executor.py:260-262) — unselected plan branches are
+        simply never built."""
         spark = self._get_spark()
         indices = self._resolve_indices(spark)
 
+        emissions = [
+            em
+            for em in self._emissions
+            if table_filter is None or em.table in table_filter
+        ]
         max_pos = 0
-        for em in self._emissions:
+        for em in emissions:
             max_pos = max(max_pos, len(em.iter_points))
 
         by_table: dict[str, list[tuple[EmissionSpec, DataFrame]]] = {}
-        for em in self._emissions:
+        for em in emissions:
             frame = self._compile_emission(spark, em, indices, max_pos)
             by_table.setdefault(em.table, []).append((em, frame))
 
@@ -563,17 +575,21 @@ class PipelineBuilder:
                         f"{r['field']}: {r['message']}"
                     )
 
-        # relationships
-        internal, public, errors = _apply_links(
-            self._links, internal, public, errors
-        )
-        internal, public = _apply_backlinks(
-            self._backlinks, internal, public, table_keys
-        )
+        # relationships (only those whose tables are in scope)
+        links = [
+            l for l in self._links if l.child in public and l.parent in public
+        ]
+        backlinks = [
+            b
+            for b in self._backlinks
+            if b.parent in public and b.child in public
+        ]
+        internal, public, errors = _apply_links(links, internal, public, errors)
+        internal, public = _apply_backlinks(backlinks, internal, public, table_keys)
 
         # write ordering: parents before children
         deps: dict[str, set[str]] = {}
-        for l in self._links:
+        for l in links:
             deps.setdefault(l.child, set()).add(l.parent)
         nodes = set(public.keys())
         order = topological_order(nodes, deps)

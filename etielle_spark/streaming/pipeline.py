@@ -1,0 +1,269 @@
+"""Chunked streaming execution with flush strategies.
+
+Reference lifecycle (etielle/fluent.py:1987-2026): per chunk — map, validate
+relationship-completeness, bind, flush via strategy, evict.  Here a chunk's
+roots become rows of one DataFrame (so the chunk's keyed merges are one
+groupBy with a correct cross-root arrival order), the compiled plan is
+reused, and "evict" is just micro-batch scope.
+
+Flush strategies (reference: etielle/chunking.py:281-677):
+- KeyCompleteFlushStrategy: plain append.
+- UpsertFlushStrategy("update"): key conflict -> replace whole row.
+- UpsertFlushStrategy("skip"):   key conflict -> keep existing row.
+- BufferedKeyFlushStrategy: the reference's bounded-LRU re-merge; with a
+  real table store the LRU bound is unnecessary (state lives in the store,
+  not the driver), so it behaves as "update".  At cluster scale the same
+  semantics come from Delta MERGE or dropDuplicatesWithinWatermark.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..fluent import PipelineBuilder, PipelineResult
+from .chunks import Chunk, ChunkSource, RelationshipIncompleteError
+
+
+class TableStore:
+    """Accumulated output tables across chunk flushes.
+
+    In-memory DataFrame store for tests/drivers; a production sink swaps
+    this for Delta/JDBC while keeping the same strategy semantics.
+    """
+
+    def __init__(self) -> None:
+        self._tables: dict[str, DataFrame] = {}
+
+    def get(self, name: str) -> Optional[DataFrame]:
+        return self._tables.get(name)
+
+    def put(self, name: str, df: DataFrame) -> None:
+        self._tables[name] = df
+
+    @property
+    def tables(self) -> dict[str, DataFrame]:
+        return dict(self._tables)
+
+
+class FlushStrategy:
+    def flush(
+        self,
+        store: TableStore,
+        name: str,
+        df: DataFrame,
+        keys: Optional[list[str]],
+    ) -> None:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class KeyCompleteFlushStrategy(FlushStrategy):
+    """Append-only (chunking.py:281-315); the default."""
+
+    def flush(self, store, name, df, keys):
+        old = store.get(name)
+        store.put(name, df if old is None else old.unionByName(df, allowMissingColumns=True))
+
+
+class UpsertFlushStrategy(FlushStrategy):
+    """'update': PK conflict -> overwrite whole row (chunking.py:361-501);
+    'skip': PK conflict -> keep existing row (chunking.py:503-540)."""
+
+    def __init__(self, mode: str = "update"):
+        if mode not in ("update", "skip"):
+            raise ValueError(f"UpsertFlushStrategy: unknown mode {mode!r}")
+        self.mode = mode
+
+    def flush(self, store, name, df, keys):
+        old = store.get(name)
+        if old is None or not keys:
+            KeyCompleteFlushStrategy().flush(store, name, df, keys)
+            return
+        if self.mode == "update":
+            kept_old = old.join(df.select(*keys).dropDuplicates(), keys, "left_anti")
+            store.put(name, kept_old.unionByName(df, allowMissingColumns=True))
+        else:
+            fresh = df.join(old.select(*keys).dropDuplicates(), keys, "left_anti")
+            store.put(name, old.unionByName(fresh, allowMissingColumns=True))
+
+
+class BufferedKeyFlushStrategy(UpsertFlushStrategy):
+    """Reference semantics: bounded LRU of recently-flushed keys whose
+    re-appearance becomes an UPDATE (chunking.py:543-677).  With a table
+    store the state bound is the store itself, so this is 'update' with
+    full key coverage — strictly more complete than the LRU cut-off."""
+
+    def __init__(self, max_keys: int = 0):
+        super().__init__("update")
+        self.max_keys = max_keys  # kept for API parity; not a limit here
+
+
+class StreamResult:
+    def __init__(self, tables: dict[str, DataFrame], n_chunks: int):
+        self.tables = tables
+        self.n_chunks = n_chunks
+
+    def __getitem__(self, name: str) -> DataFrame:
+        return self.tables[name]
+
+
+class StreamPipeline(PipelineBuilder):
+    """``stream(source).goto(...).each().map_to(...).run()``
+    (reference: etielle/fluent.py:2155-2195)."""
+
+    def __init__(
+        self,
+        source: ChunkSource,
+        *,
+        spark: Optional[SparkSession] = None,
+        eager_roots: Sequence[Any] = (),
+        flush_strategy: Optional[FlushStrategy] = None,
+        errors: str = "collect",
+    ):
+        super().__init__(object(), spark=spark, errors=errors)
+        self._source = source
+        self._eager_roots = list(eager_roots)
+        self._strategy = flush_strategy or KeyCompleteFlushStrategy()
+
+    # -- helpers ------------------------------------------------------------
+
+    def _clone_with_roots(self, roots: list, order_col: Optional[str]) -> PipelineBuilder:
+        b = PipelineBuilder(*roots, spark=self._spark, errors=self._errors_mode, order_col=order_col)
+        b._emissions = self._emissions
+        b._links = self._links
+        b._backlinks = self._backlinks
+        b._index_specs = [s for s in self._index_specs if s.from_dict is not None]
+        b._eager_tables = self._eager_tables
+        return b
+
+    def _combined_root_df(self, spark: SparkSession, roots: tuple) -> DataFrame:
+        """Sequential chunk: roots become rows of one DataFrame with an
+        arrival-order column, so cross-root keyed merges see reference
+        ordering (fluent.py:1406-1433)."""
+        payloads = [json.dumps({"__roword": i, **_as_obj(r)}) for i, r in enumerate(roots)]
+        return spark.read.json(spark.sparkContext.parallelize(payloads, 1))
+
+    def _run_chunk(self, spark: SparkSession, chunk: Chunk) -> PipelineResult:
+        if chunk.sequential:
+            if any(em.root_index != 0 for em in self._emissions):
+                raise ValueError(
+                    "sequential chunks require a single-root pipeline "
+                    "(reference fluent.py:1797-1829)"
+                )
+            root_df = self._combined_root_df(spark, chunk.roots)
+            b = self._clone_with_roots([root_df], order_col="__roword")
+        else:
+            b = self._clone_with_roots(list(chunk.roots), order_col=None)
+        return b.run()
+
+    def _validate_completeness(
+        self,
+        result: PipelineResult,
+        eager_store: dict[str, DataFrame],
+    ) -> None:
+        """Every child's parent must be in the chunk or eager
+        (reference relationships.py:545-616)."""
+        for spec in self._links:
+            if spec.child not in result.tables:
+                continue
+            child = result.tables[spec.child]
+            (cf, pf), *_ = spec.by.items()
+            parents = []
+            if spec.parent in result.tables:
+                parents.append(result.tables[spec.parent].select(F.col(pf).alias("__p")))
+            if spec.parent in eager_store:
+                parents.append(eager_store[spec.parent].select(F.col(pf).alias("__p")))
+            if not parents:
+                missing = child.filter(F.col(cf).isNotNull()).limit(1).collect()
+                if missing:
+                    raise RelationshipIncompleteError(
+                        f"chunk has {spec.child}.{cf} but no '{spec.parent}' rows "
+                        f"(and '{spec.parent}' is not eager)"
+                    )
+                continue
+            pool = parents[0]
+            for p in parents[1:]:
+                pool = pool.unionByName(p)
+            orphan = (
+                child.filter(F.col(cf).isNotNull())
+                .join(F.broadcast(pool.dropDuplicates()), child[cf] == pool["__p"], "left_anti")
+                .limit(3)
+                .collect()
+            )
+            if orphan:
+                hints = [r[cf] for r in orphan]
+                raise RelationshipIncompleteError(
+                    f"chunk-incomplete relationship {spec.child}.{cf} -> "
+                    f"{spec.parent}.{pf}: missing parent keys {hints}"
+                )
+
+    # -- execution ----------------------------------------------------------
+
+    def run(self) -> StreamResult:
+        spark = self._get_spark()
+        store = TableStore()
+        eager_store: dict[str, DataFrame] = {}
+
+        if self._eager_tables:
+            if not self._eager_roots:
+                raise ValueError("load_eager() requires stream(eager_roots=...)")
+            eager_b = self._clone_with_roots(list(self._eager_roots), order_col=None)
+            eager_res = eager_b.run(table_filter=set(self._eager_tables))
+            for t in self._eager_tables:
+                if t in eager_res.tables:
+                    df = eager_res.tables[t].cache()
+                    df.count()  # materialize the dimension once
+                    eager_store[t] = df
+                    store.put(t, df)
+
+        table_keys = self._table_key_map()
+        n = 0
+        for chunk in self._source.chunks():
+            n += 1
+            result = self._run_chunk(spark, chunk)
+            self._validate_completeness(result, eager_store)
+            for name, df in result.tables.items():
+                if name in self._eager_tables:
+                    continue
+                self._strategy.flush(store, name, df, table_keys.get(name))
+            if self._sink is not None:
+                for name, df in result.tables.items():
+                    if name not in self._eager_tables:
+                        self._sink.write(name, df)
+        return StreamResult(store.tables, n)
+
+    def _table_key_map(self) -> dict[str, list[str]]:
+        keys: dict[str, list[str]] = {}
+        for em in self._emissions:
+            if em.join_on:
+                keys.setdefault(em.table, em.join_on)
+        return keys
+
+
+def _as_obj(root: Any) -> dict:
+    if isinstance(root, dict):
+        return root
+    raise TypeError(
+        "sequential chunk roots must be JSON objects (dicts); got "
+        f"{type(root).__name__}"
+    )
+
+
+def stream(
+    source: ChunkSource,
+    *,
+    spark: Optional[SparkSession] = None,
+    eager_roots: Sequence[Any] = (),
+    flush_strategy: Optional[FlushStrategy] = None,
+    errors: str = "collect",
+) -> StreamPipeline:
+    """Streaming entry point (reference: etielle/fluent.py:2155-2195)."""
+    return StreamPipeline(
+        source,
+        spark=spark,
+        eager_roots=eager_roots,
+        flush_strategy=flush_strategy,
+        errors=errors,
+    )

@@ -1,0 +1,122 @@
+"""Native Structured Streaming surface: foreachBatch adapter + event-time
+windows (tumbling/sliding/session) with watermarks.
+
+The reference has NO time-based semantics (SURVEY.md §2.8: its only
+late-data handling is an LRU key cache); these helpers are the Spark-native
+extension declared in the survey.  They work identically on batch
+DataFrames and on ``readStream`` sources, which is how the tests verify
+streaming output against a batch oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    width: str,
+    *aggs: Column,
+    keys: list[str] | None = None,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Fixed windows; with ``watermark`` set, works on streams in append
+    mode (late rows beyond the watermark are dropped)."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    group = [F.window(ts_col, width).alias("w")] + [F.col(k) for k in (keys or [])]
+    return (
+        df.groupBy(*group)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *[F.col(k) for k in (keys or [])],
+            *[F.col(c) for c in _agg_names(aggs)],
+        )
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    width: str,
+    slide: str,
+    *aggs: Column,
+    keys: list[str] | None = None,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    group = [F.window(ts_col, width, slide).alias("w")] + [F.col(k) for k in (keys or [])]
+    return (
+        df.groupBy(*group)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *[F.col(k) for k in (keys or [])],
+            *[F.col(c) for c in _agg_names(aggs)],
+        )
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    *aggs: Column,
+    keys: list[str] | None = None,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Session windows (dynamic length, closed after ``gap`` of silence).
+    Streaming requires a watermark; batch works without."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    group = [F.session_window(ts_col, gap).alias("w")] + [F.col(k) for k in (keys or [])]
+    return (
+        df.groupBy(*group)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *[F.col(k) for k in (keys or [])],
+            *[F.col(c) for c in _agg_names(aggs)],
+        )
+    )
+
+
+def _agg_names(aggs) -> list[str]:
+    names = []
+    for a in aggs:
+        # Column metadata: rely on the alias the caller set
+        name = a._jc.toString().split(" AS ")[-1].strip("`")
+        names.append(name)
+    return names
+
+
+def for_each_batch(
+    build: Callable[[DataFrame, int], dict[str, DataFrame]],
+    sink,
+) -> Callable[[DataFrame, int], None]:
+    """Adapt a per-batch pipeline to ``writeStream.foreachBatch``.
+
+    ``build(batch_df, batch_id)`` returns {table: DataFrame}; every table
+    is written through ``sink.write(name, df)`` — the exactly-once seam
+    (reference FlushStrategy protocol, chunking.py:235-277).
+
+    Example::
+
+        q = (events.writeStream
+             .foreachBatch(for_each_batch(my_pipeline, ParquetSink(out)))
+             .trigger(availableNow=True).start())
+    """
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        for name, df in build(batch_df, batch_id).items():
+            sink.write(name, df)
+
+    return fn

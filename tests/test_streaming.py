@@ -1,0 +1,245 @@
+"""F9/F10 — streaming parity: chunked == resident (the differential oracle
+from reference tests/test_issue_75.py:88), relationship-completeness,
+flush strategies, eager dimensions, and native Structured Streaming."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etielle_spark import AddPolicy, Field, TempField, etl, get, literal
+from etielle_spark.streaming import (
+    Chunk,
+    GroupByChunkSource,
+    OneRecordPerChunkSource,
+    PreSegmentedChunkSource,
+    RelationshipIncompleteError,
+    UpsertFlushStrategy,
+    partitioned_chunks,
+    stream,
+    tumbling_agg,
+)
+
+
+def records():
+    # each record is a parent subtree: orders + their items (FIXTURES F9)
+    return [
+        {
+            "orders": [{"id": i, "customer": f"c{i % 3}"}],
+            "items": [
+                {"id": i * 10 + j, "order_id": i, "sku": f"sku{j}"}
+                for j in range(i % 3 + 1)
+            ],
+        }
+        for i in range(1, 8)
+    ]
+
+
+def build(pipeline):
+    return (
+        pipeline.goto("orders")
+        .each()
+        .map_to(
+            "orders",
+            fields=[Field("id", get("id")), Field("customer", get("customer"))],
+            join_on=["id"],
+        )
+        .goto_root(0)
+        .goto("items")
+        .each()
+        .map_to(
+            "items",
+            fields=[
+                Field("id", get("id")),
+                Field("order_id", get("order_id")),
+                Field("sku", get("sku")),
+            ],
+            join_on=["id"],
+        )
+        .link_to("orders", by={"order_id": "id"})
+    )
+
+
+def resident_tables(spark):
+    merged = {
+        "orders": [o for r in records() for o in r["orders"]],
+        "items": [i for r in records() for i in r["items"]],
+    }
+    res = build(etl(merged, spark=spark)).run()
+    return {
+        "orders": res.row_set("orders", "id", "customer"),
+        "items": res.row_set("items", "id", "order_id", "sku"),
+    }
+
+
+def as_sets(stream_result):
+    out = {}
+    for name in ("orders", "items"):
+        df = stream_result[name]
+        cols = ["id", "customer"] if name == "orders" else ["id", "order_id", "sku"]
+        out[name] = {tuple(r) for r in df.select(*cols).collect()}
+    return out
+
+
+def test_chunked_equals_resident(spark):
+    """THE differential oracle (reference test_issue_75.py:88)."""
+    expected = resident_tables(spark)
+    got = as_sets(build(stream(OneRecordPerChunkSource(records()), spark=spark)).run())
+    assert got == expected
+
+
+def test_presegmented_and_groupby_sources(spark):
+    expected = resident_tables(spark)
+    seg = PreSegmentedChunkSource([records()[:3], records()[3:]])
+    assert as_sets(build(stream(seg, spark=spark)).run()) == expected
+
+    grouped = GroupByChunkSource(records(), key=lambda r: r["orders"][0]["customer"])
+    got = as_sets(build(stream(grouped, spark=spark)).run())
+    assert got == expected
+
+
+def test_partitioned_chunks_unsorted_input(spark):
+    """ExternalPartition replacement: unsorted input, one chunk per key
+    in first-appearance order (reference test_issue_77.py:85-103)."""
+    recs = records()
+    shuffled = [recs[i] for i in (3, 0, 5, 1, 6, 2, 4)]
+    chunks = list(partitioned_chunks(shuffled, key=lambda r: r["orders"][0]["customer"]))
+    assert len(chunks) == 3  # 3 distinct customers
+    src = PreSegmentedChunkSource(chunks)
+    assert as_sets(build(stream(src, spark=spark)).run()) == resident_tables(spark)
+
+
+def test_relationship_incomplete_raises(spark):
+    bad = [{"orders": [], "items": [{"id": 99, "order_id": 42, "sku": "x"}]}]
+    with pytest.raises(RelationshipIncompleteError):
+        build(stream(OneRecordPerChunkSource(bad), spark=spark)).run()
+
+
+def test_eager_dimension(spark):
+    """F10: eager dims mapped once, children across all chunks resolve
+    (reference test_issue_75.py:360-405)."""
+    tags_root = {"tags": [{"id": "t1", "name": "red"}, {"id": "t2", "name": "blue"}]}
+    item_records = [
+        {"items": [{"id": 1, "tag_id": "t1"}]},
+        {"items": [{"id": 2, "tag_id": "t2"}]},
+        {"items": [{"id": 3, "tag_id": "t1"}]},
+    ]
+    pipe = (
+        stream(
+            OneRecordPerChunkSource(item_records),
+            spark=spark,
+            eager_roots=[tags_root],
+        )
+        .goto("tags")
+        .each()
+        .map_to(
+            "tags",
+            fields=[Field("id", get("id")), Field("name", get("name"))],
+            join_on=["id"],
+        )
+        .load_eager("tags")
+        .goto_root(0)
+        .goto("items")
+        .each()
+        .map_to(
+            "items",
+            fields=[Field("id", get("id")), Field("tag_id", get("tag_id"))],
+            join_on=["id"],
+        )
+        .link_to("tags", by={"tag_id": "id"})
+    )
+    result = pipe.run()
+    assert {tuple(r) for r in result["tags"].select("id", "name").collect()} == {
+        ("t1", "red"),
+        ("t2", "blue"),
+    }
+    assert result["items"].count() == 3
+    # a chunk referencing an absent, non-eager tag still fails
+    bad = stream(
+        OneRecordPerChunkSource([{"items": [{"id": 9, "tag_id": "ghost"}]}]),
+        spark=spark,
+        eager_roots=[tags_root],
+    )
+    bad = (
+        bad.goto("tags").each()
+        .map_to("tags", fields=[Field("id", get("id"))], join_on=["id"])
+        .load_eager("tags")
+        .goto_root(0)
+        .goto("items").each()
+        .map_to("items", fields=[Field("id", get("id")), Field("tag_id", get("tag_id"))], join_on=["id"])
+        .link_to("tags", by={"tag_id": "id"})
+    )
+    with pytest.raises(RelationshipIncompleteError):
+        bad.run()
+
+
+def test_upsert_strategies(spark):
+    recs = [
+        {"users": [{"id": "u1", "v": 1}]},
+        {"users": [{"id": "u1", "v": 2}, {"id": "u2", "v": 5}]},
+    ]
+
+    def pipe(strategy):
+        return (
+            stream(OneRecordPerChunkSource(recs), spark=spark, flush_strategy=strategy)
+            .goto("users")
+            .each()
+            .map_to(
+                "users",
+                fields=[Field("id", get("id")), Field("v", get("v"))],
+                join_on=["id"],
+            )
+        )
+
+    update = pipe(UpsertFlushStrategy("update")).run()
+    assert {tuple(r) for r in update["users"].select("id", "v").collect()} == {
+        ("u1", 2),
+        ("u2", 5),
+    }
+    skip = pipe(UpsertFlushStrategy("skip")).run()
+    assert {tuple(r) for r in skip["users"].select("id", "v").collect()} == {
+        ("u1", 1),
+        ("u2", 5),
+    }
+
+
+def test_structured_streaming_windows(spark):
+    """Drive a real readStream (availableNow over the events parquet) and
+    check the windowed aggregation equals the batch computation."""
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = "/root/testdata/sf0.001/events.parquet"
+    # FileStreamSource wants a directory of files
+    path = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(src, f"{path}/part-0.parquet")
+    static = spark.read.parquet(path)
+    schema = static.schema
+    fix = lambda df: df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+    batch = tumbling_agg(
+        fix(static), "ts", "1 hour", F.count("*").alias("n"), keys=["event_type"]
+    )
+
+    events = spark.readStream.schema(schema).parquet(path)
+    agg = tumbling_agg(
+        fix(events),
+        "ts",
+        "1 hour",
+        F.count("*").alias("n"),
+        keys=["event_type"],
+        watermark="1 minute",
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT window_start, event_type, n FROM win_out")
+    want = batch.select("window_start", "event_type", "n")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
