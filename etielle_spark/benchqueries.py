@@ -1130,3 +1130,143 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
         .run()
     )
     return result["t"]
+
+
+# ===========================================================================
+# Spark-native SQL surface extensions (SURVEY §2.3/§2.6 declared set):
+# JSON functions, running windows, cube/rollup, pivot, validation channel
+# ===========================================================================
+
+
+@q(
+    "q36_json_extract",
+    """
+    SELECT event_id, json_extract(props, '$.k')::BIGINT AS k,
+           event_type
+    FROM events
+    WHERE json_extract(props, '$.k')::BIGINT > 50
+    """,
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions over a string column (get_json_object/from_json) —
+    the engine's `apply`-escape-hatch cases come free in Spark."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_id", k.alias("k"), "event_type")
+        .filter(F.col("k") > 50)
+    )
+
+
+@q(
+    "q37_running_window",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), 4) AS running_spend,
+           lag(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order
+    FROM orders
+    """,
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("running_spend"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+    )
+
+
+@q(
+    "q38_cube",
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           count(*) AS n, round(sum(l_quantity), 4) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n",
+            "qty",
+        )
+    )
+
+
+@q(
+    "q39_pivot",
+    """
+    SELECT o_orderpriority,
+           round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 0), 4) AS status_O,
+           round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 0), 4) AS status_F,
+           round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 0), 4) AS status_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .sum("o_totalprice")
+    )
+    return out.select(
+        "o_orderpriority",
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 4).alias("status_O"),
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 4).alias("status_F"),
+        F.round(F.coalesce(F.col("P"), F.lit(0.0)), 4).alias("status_P"),
+    )
+
+
+@q(
+    "q40_validation_errors",
+    """
+    SELECT concat('C_', c_custkey::VARCHAR) AS key,
+           'age' AS field,
+           concat('field age: cannot cast ''', raw_age, ''' to int') AS message
+    FROM (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN 'not-a-number'
+                  ELSE (c_custkey % 80)::VARCHAR END AS raw_age
+      FROM customer
+    ) WHERE c_custkey % 5 = 0
+    """,
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-row validation-error channel (FIXTURES F11; reference
+    errors='collect', fluent.py:2042-2049): bad rows land in the errors
+    DataFrame, good rows proceed — the job never fails."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "raw_age",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("not-a-number")).otherwise(
+            (F.col("c_custkey") % 80).cast("string")
+        ),
+    ).withColumn("ckey", F.concat(F.lit("C_"), F.col("c_custkey").cast("string")))
+    result = (
+        etl(cust, spark=spark)
+        .map_to(
+            "people",
+            fields=[
+                Field("key", get("ckey")),
+                Field("age", get("raw_age")),
+            ],
+            join_on=["key"],
+            schema="key string, age int",
+        )
+        .run()
+    )
+    return result.errors["people"]
