@@ -1,0 +1,94 @@
+"""M4 surface: sinks + topological flush order, stats via observe,
+error modes, graph utils (SURVEY §2.7/§2.9)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etielle_spark import Field, TempField, etl, get
+from etielle_spark.sources import CollectSink, ParquetSink
+from etielle_spark.utils import connected_components, topological_order
+
+
+def three_table_pipeline(spark, sink=None):
+    data = {
+        "regions": [{"id": "r1", "name": "na"}],
+        "users": [{"id": "u1", "region": "r1"}],
+        "posts": [{"id": "p1", "user": "u1"}],
+    }
+    p = (
+        etl(data, spark=spark)
+        .goto("posts")
+        .each()
+        .map_to(
+            "posts",
+            fields=[Field("id", get("id")), Field("user_id", get("user"))],
+            join_on=["id"],
+        )
+        .link_to("users", by={"user_id": "id"})
+        .goto_root(0)
+        .goto("users")
+        .each()
+        .map_to(
+            "users",
+            fields=[Field("id", get("id")), Field("region_id", get("region"))],
+            join_on=["id"],
+        )
+        .link_to("regions", by={"region_id": "id"})
+        .goto_root(0)
+        .goto("regions")
+        .each()
+        .map_to(
+            "regions",
+            fields=[Field("id", get("id")), Field("name", get("name"))],
+            join_on=["id"],
+        )
+    )
+    if sink is not None:
+        p = p.load(sink)
+    return p
+
+
+def test_topological_flush_order(spark):
+    sink = CollectSink()
+    result = three_table_pipeline(spark, sink).run()
+    written = list(sink.tables.keys())
+    assert written.index("regions") < written.index("users") < written.index("posts")
+    assert result.write_order == written
+
+
+def test_parquet_sink_roundtrip(spark, tmp_path):
+    sink = ParquetSink(str(tmp_path))
+    three_table_pipeline(spark, sink).run()
+    back = spark.read.parquet(str(tmp_path / "posts"))
+    assert [tuple(r) for r in back.select("id", "user_id").collect()] == [("p1", "u1")]
+
+
+def test_cycle_detection():
+    with pytest.raises(ValueError, match="cycle"):
+        topological_order({"a", "b"}, {"a": {"b"}, "b": {"a"}})
+
+
+def test_connected_components():
+    comps = connected_components(
+        {"a", "b", "c", "d"}, {("a", "b"), ("c", "d")}
+    )
+    assert comps == [["a", "b"], ["c", "d"]]
+
+
+def test_observe_stats(spark):
+    """TableStats equivalent: df.observe metrics collected on write
+    (reference fluent.py:164-178)."""
+    from pyspark.sql import Observation
+
+    data = {"users": [{"id": "u1"}, {"id": "u2"}, {"id": None}]}
+    result = (
+        etl(data, spark=spark)
+        .goto("users")
+        .each()
+        .map_to("users", fields=[Field("id", get("id"))], join_on=["id"])
+        .run()
+    )
+    obs = Observation("stats")
+    df = result["users"].observe(obs, F.count(F.lit(1)).alias("mapped"))
+    df.collect()
+    assert obs.get["mapped"] == 2  # null-key row skipped
