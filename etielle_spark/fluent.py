@@ -38,7 +38,9 @@ from .core import (
     parse_path,
     resolve_path,
 )
+from .models import is_model_class, spark_schema_of, table_name_of
 from .policies import LastWriteWinsPolicy, MergePolicy
+from .telemetry import FlushCompleted, FlushStarted, MapCompleted, MapStarted, emit
 from .utils import topological_order
 
 _ORD = "__ord"
@@ -283,6 +285,18 @@ class PipelineResult:
             return [r.asDict(recursive=True) for r in df.select(*keep).collect()]
         return [r.asDict(recursive=True) for r in self.tables[name].collect()]
 
+    def stats(self) -> dict[str, dict[str, int]]:
+        """Per-table counts (the reference's TableStats,
+        fluent.py:164-178) — computed on demand (Spark actions)."""
+        out: dict[str, dict[str, int]] = {}
+        for name, df in self.tables.items():
+            errs = self.errors.get(name)
+            out[name] = {
+                "mapped": df.count(),
+                "errors": errs.count() if errs is not None else 0,
+            }
+        return out
+
     def row_set(self, name: str, *cols: str) -> set[tuple]:
         df = self.tables[name]
         use = list(cols) if cols else df.columns
@@ -304,6 +318,7 @@ class PipelineBuilder:
         spark: Optional[SparkSession] = None,
         errors: str = "collect",
         order_col: Optional[str] = None,
+        on_event=None,
     ):
         if not roots:
             raise ValueError("etl() requires at least one root")
@@ -311,6 +326,7 @@ class PipelineBuilder:
         self._spark = spark
         self._errors_mode = errors
         self._order_col = order_col
+        self._on_event = on_event
 
         self._root_index = 0
         self._iter_points: list[tuple[list, str]] = []
@@ -354,16 +370,30 @@ class PipelineBuilder:
 
     def map_to(
         self,
-        table: str,
+        table: Union[str, type],
         fields: Sequence[Union[Field, TempField]],
         join_on: Optional[Sequence[str]] = None,
         errors: Optional[str] = None,
         schema: Optional[Union[str, T.StructType]] = None,
     ) -> "PipelineBuilder":
         """Emit rows to ``table`` from the current traversal position
-        (etielle/fluent.py:531-576).  ``schema`` (DDL string or StructType)
-        opts into typed validation — the Spark equivalent of the reference's
-        model classes (etielle/instances.py:189-224)."""
+        (etielle/fluent.py:531-576).
+
+        ``table`` may be a model class (dataclass / TypedDict / pydantic):
+        the table name comes from ``__tablename__`` or the lowercased class
+        name and the class's type hints become the validation schema —
+        the Spark equivalent of the reference's builder auto-detection
+        (etielle/fluent.py:284-317, instances.py:189-224).  ``schema`` (DDL
+        string or StructType) opts into the same typed validation directly."""
+        if isinstance(table, type):
+            if not is_model_class(table):
+                raise TypeError(
+                    f"map_to: {table!r} is not a model class "
+                    "(dataclass / TypedDict / pydantic expected)"
+                )
+            if schema is None:
+                schema = spark_schema_of(table)
+            table = table_name_of(table)
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
         if schema is not None:
@@ -598,10 +628,18 @@ class PipelineBuilder:
             t for t in order if t not in self._eager_tables
         ]
 
+        for t in public:
+            emit(self._on_event, MapStarted(t))
+            emit(self._on_event, MapCompleted(t))
+
         result = PipelineResult(public, internal, errors, order)
         if self._sink is not None:
             for t in order:
-                self._sink.write(t, public[t])
+                emit(self._on_event, FlushStarted(t))
+                df = public[t]
+                self._sink.write(t, df)
+                if self._on_event is not None:
+                    emit(self._on_event, FlushCompleted(t, inserted=df.count()))
         return result
 
 
@@ -925,6 +963,7 @@ def etl(
     spark: Optional[SparkSession] = None,
     errors: str = "collect",
     order_col: Optional[str] = None,
+    on_event=None,
 ) -> PipelineBuilder:
     """Entry point (etielle/fluent.py:2125-2152).
 
@@ -934,4 +973,6 @@ def etl(
     ``order_col`` names a column that defines cross-row arrival order for
     deterministic last-write-wins merges on DataFrame roots.
     """
-    return PipelineBuilder(*roots, spark=spark, errors=errors, order_col=order_col)
+    return PipelineBuilder(
+        *roots, spark=spark, errors=errors, order_col=order_col, on_event=on_event
+    )

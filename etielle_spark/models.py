@@ -1,0 +1,128 @@
+"""Typed output tables: model classes -> Spark schemas, field selectors.
+
+The reference accepts Pydantic/SQLModel/SQLAlchemy/TypedDict/dataclass
+models in ``map_to(table=Cls)`` (builder auto-detection,
+etielle/fluent.py:284-317).  Here the stdlib-expressible subset —
+dataclasses and TypedDicts — maps onto Spark ``StructType`` schemas
+(validation = try-cast + errors DataFrame, the §2.9 channel); Pydantic
+classes are honored when the library is importable (duck-typed on
+``model_fields``), otherwise unneeded.
+
+``field_of(Model, lambda u: u.email)`` resolves a field name from a typed
+lambda, rejecting calls/indexing/chained access exactly like the
+reference's tracer object (etielle/core.py:73-152).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing
+from typing import Any, Callable, Optional, Union, get_args, get_origin, get_type_hints
+
+from pyspark.sql import types as T
+
+
+def _spark_type(py: Any) -> T.DataType:
+    origin = get_origin(py)
+    if origin is Union or str(origin) == "typing.Union":
+        args = [a for a in get_args(py) if a is not type(None)]
+        if len(args) == 1:
+            return _spark_type(args[0])
+        return T.StringType()
+    if origin in (list, typing.List):
+        (elem,) = get_args(py) or (str,)
+        return T.ArrayType(_spark_type(elem))
+    if origin in (dict, typing.Dict):
+        args = get_args(py) or (str, str)
+        return T.MapType(_spark_type(args[0]), _spark_type(args[1]))
+    if py is bool:
+        return T.BooleanType()
+    if py is int:
+        return T.LongType()
+    if py is float:
+        return T.DoubleType()
+    if py is bytes:
+        return T.BinaryType()
+    import datetime
+
+    if py is datetime.datetime:
+        return T.TimestampType()
+    if py is datetime.date:
+        return T.DateType()
+    return T.StringType()
+
+
+def is_model_class(obj: Any) -> bool:
+    if not isinstance(obj, type):
+        return False
+    return (
+        dataclasses.is_dataclass(obj)
+        or hasattr(obj, "__annotations__")
+        and (
+            hasattr(obj, "__total__")  # TypedDict
+            or hasattr(obj, "model_fields")  # pydantic v2 (duck-typed)
+            or hasattr(obj, "__tablename__")
+        )
+    )
+
+
+def table_name_of(cls: type) -> str:
+    """__tablename__ if present else lowercased class name
+    (reference attr inference, fluent.py:1634-1638)."""
+    return getattr(cls, "__tablename__", cls.__name__.lower())
+
+
+def spark_schema_of(cls: type) -> T.StructType:
+    if hasattr(cls, "model_fields"):  # pydantic v2
+        hints = {k: f.annotation for k, f in cls.model_fields.items()}
+    else:
+        hints = get_type_hints(cls)
+    fields = [T.StructField(name, _spark_type(py), True) for name, py in hints.items()]
+    return T.StructType(fields)
+
+
+class _FieldTracer:
+    """Attribute probe that records exactly one access
+    (reference etielle/core.py:73-152)."""
+
+    def __init__(self) -> None:
+        self.accessed: Optional[str] = None
+
+    def __getattr__(self, name: str):
+        if name.startswith("__"):
+            raise AttributeError(name)
+        if self.accessed is not None:
+            raise ValueError(
+                "field_of: chained attribute access is not allowed; "
+                "select exactly one field"
+            )
+        self.accessed = name
+        return _Terminal()
+
+
+class _Terminal:
+    def __getattr__(self, name: str):
+        if name.startswith("__"):
+            raise AttributeError(name)
+        raise ValueError("field_of: chained attribute access is not allowed")
+
+    def __call__(self, *a, **k):
+        raise ValueError("field_of: method calls are not allowed")
+
+    def __getitem__(self, item):
+        raise ValueError("field_of: indexing is not allowed")
+
+
+def field_of(model: type, selector: Callable[[Any], Any]) -> str:
+    """Resolve a field name from a typed lambda:
+    ``field_of(User, lambda u: u.email) == "email"``."""
+    tracer = _FieldTracer()
+    selector(tracer)
+    if tracer.accessed is None:
+        raise ValueError("field_of: selector must access exactly one field")
+    known = set(spark_schema_of(model).fieldNames()) if is_model_class(model) else None
+    if known is not None and tracer.accessed not in known:
+        raise ValueError(
+            f"field_of: '{tracer.accessed}' is not a field of {model.__name__}"
+        )
+    return tracer.accessed
