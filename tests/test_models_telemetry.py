@@ -86,3 +86,27 @@ def test_telemetry_callback_errors_swallowed(spark):
         .run()
     )
     assert result["users"].count() == 1
+
+
+def test_pydantic_model_class(spark):
+    pydantic = pytest.importorskip("pydantic")
+
+    class Person(pydantic.BaseModel):
+        pid: str
+        score: Optional[float] = None
+
+    data = {"people": [{"pid": "a", "score": "1.5"}, {"pid": "b", "score": "oops"}]}
+    result = (
+        etl(data, spark=spark)
+        .goto("people")
+        .each()
+        .map_to(
+            Person,
+            fields=[Field("pid", get("pid")), Field("score", get("score"))],
+            join_on=["pid"],
+        )
+        .run()
+    )
+    rows = {r["pid"]: r["score"] for r in result.rows("person")}
+    assert rows == {"a": 1.5}
+    assert result.errors["person"].count() == 1

@@ -1,0 +1,160 @@
+"""F5/F7/F8 variants: 3-level list nesting, mixed each/goto/each,
+cross-root merge ordering, items/single modes
+(reference tests/test_nested_iteration.py:191-574)."""
+
+from etielle_spark import (
+    Field,
+    TempField,
+    etl,
+    get,
+    get_from_parent,
+    index,
+    node,
+    parent_index,
+)
+
+
+def test_three_level_list_nesting(spark):
+    data = {"cube": [[[1, 2], [3]], [[4]]]}
+    result = (
+        etl(data, spark=spark)
+        .goto("cube")
+        .each()
+        .each()
+        .each()
+        .map_to(
+            "cells",
+            fields=[
+                Field("i", parent_index(2)),
+                Field("j", parent_index(1)),
+                Field("k", index()),
+                Field("v", node()),
+            ],
+        )
+        .run()
+    )
+    assert result.row_set("cells") == {
+        (0, 0, 0, 1),
+        (0, 0, 1, 2),
+        (0, 1, 0, 3),
+        (1, 0, 0, 4),
+    }
+
+
+def test_mixed_each_goto_each(spark):
+    data = {
+        "teams": [
+            {"name": "t1", "roster": {"members": ["a", "b"]}},
+            {"name": "t2", "roster": {"members": ["c"]}},
+            {"name": "t3", "roster": {}},
+        ]
+    }
+    result = (
+        etl(data, spark=spark)
+        .goto("teams")
+        .each()
+        .goto("roster.members")
+        .each()
+        .map_to(
+            "members",
+            fields=[
+                Field("team", get_from_parent("name")),
+                Field("member", node()),
+                Field("pos", index()),
+            ],
+        )
+        .run()
+    )
+    assert result.row_set("members") == {
+        ("t1", "a", 0),
+        ("t1", "b", 1),
+        ("t2", "c", 0),
+    }
+
+
+def test_strings_are_scalars_not_char_lists(spark):
+    # reference test_nested_iteration.py:305 — each() on a string yields
+    # the string once (single mode), not its characters
+    data = {"vals": ["ab", "cd"]}
+    result = (
+        etl(data, spark=spark)
+        .goto("vals")
+        .each()
+        .map_to("t", fields=[Field("v", node())])
+        .run()
+    )
+    assert result.row_set("t") == {("ab",), ("cd",)}
+
+
+def test_cross_root_merge_order(spark):
+    """Multi-root keyed merge: later root wins field-wise
+    (reference fluent.py:1339-1371)."""
+    root0 = {"users": [{"id": "u1", "name": "from-root-0", "a": 1}]}
+    root1 = {"users": [{"id": "u1", "name": "from-root-1", "b": 2}]}
+    result = (
+        etl(root0, root1, spark=spark)
+        .goto("users")
+        .each()
+        .map_to(
+            "users",
+            fields=[
+                Field("id", get("id")),
+                Field("name", get("name")),
+                Field("a", get("a")),
+            ],
+            join_on=["id"],
+        )
+        .goto_root(1)
+        .goto("users")
+        .each()
+        .map_to(
+            "users",
+            fields=[
+                TempField("id", get("id")),
+                Field("name", get("name")),
+                Field("b", get("b")),
+            ],
+            join_on=["id"],
+        )
+        .run()
+    )
+    rows = result.rows("users")
+    assert len(rows) == 1
+    r = rows[0]
+    # name overwritten by the later root; disjoint fields merged
+    assert (r["name"], r["a"], r["b"]) == ("from-root-1", 1, 2)
+
+
+def test_items_mode_on_list_and_single_mode_on_list(spark):
+    data = {"xs": [10, 20]}
+    items = (
+        etl(data, spark=spark)
+        .goto("xs")
+        .each(mode="items")
+        .map_to("t", fields=[Field("v", node())])
+        .run()
+    )
+    assert items.row_set("t") == {(10,), (20,)}
+
+    single = (
+        etl(data, spark=spark)
+        .goto("xs")
+        .each(mode="single")
+        .map_to("t2", fields=[Field("n", __import__("etielle_spark").len_of(node()))])
+        .run()
+    )
+    # single mode: the list itself is the node
+    assert single.row_set("t2") == {(2,)}
+
+
+def test_empty_containers_yield_zero_rows(spark):
+    data = {"a": [], "b": {}, "c": None}
+    for path in ("a", "b", "c"):
+        result = (
+            etl(data, spark=spark)
+            .goto(path)
+            .each()
+            .map_to("t", fields=[Field("v", node())])
+            .run()
+        )
+        assert result.row_set("t") == set(), path
