@@ -1,0 +1,73 @@
+"""Skew-aware aggregation: two-stage salted groupBy.
+
+A single hot key (one customer with 10% of all rows, one near-empty
+document shingle) serializes a plain ``groupBy(key)`` onto one reducer.
+Salting splits each key across ``salt`` sub-groups for a partial
+aggregate, then combines partials — both stages shuffle, but no single
+task sees more than ~1/salt of the hot key.
+
+Only algebraic aggregates compose this way; supported: sum, count, min,
+max, collect_list-free. (Spark's own partial aggregation already does
+map-side combine; salting additionally bounds the REDUCE side, which
+partial aggregation cannot.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_MERGE = {
+    "sum": F.sum,
+    "count": F.sum,  # counts combine by summing partial counts
+    "min": F.min,
+    "max": F.max,
+}
+
+_PARTIAL = {
+    "sum": F.sum,
+    "count": lambda c: F.count(c),
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def with_salt(df: DataFrame, salt: int = 16) -> DataFrame:
+    """Add a uniform __salt column derived from a deterministic hash of the
+    whole row (stable across retries, unlike rand())."""
+    return df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    salt: int = 16,
+) -> DataFrame:
+    """Two-stage skew-proof aggregation.
+
+    ``aggs`` maps output column -> (input column, fn) with fn in
+    {sum, count, min, max}::
+
+        salted_agg(li, ["l_orderkey"],
+                   {"qty": ("l_quantity", "sum"), "n": ("*", "count")})
+    """
+    for name, (col, fn) in aggs.items():
+        if fn not in _PARTIAL:
+            raise ValueError(f"salted_agg: non-algebraic aggregate {fn!r} for {name}")
+
+    salted = with_salt(df, salt)
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[
+            _PARTIAL[fn](F.lit(1) if col == "*" else F.col(col)).alias(f"__p_{name}")
+            for name, (col, fn) in aggs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            _MERGE[fn](F.col(f"__p_{name}")).alias(name)
+            for name, (col, fn) in aggs.items()
+        ]
+    )

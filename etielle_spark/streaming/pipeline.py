@@ -31,16 +31,25 @@ class TableStore:
     """Accumulated output tables across chunk flushes.
 
     In-memory DataFrame store for tests/drivers; a production sink swaps
-    this for Delta/JDBC while keeping the same strategy semantics.
+    this for Delta/JDBC while keeping the same strategy semantics.  Every
+    ``checkpoint_every`` puts, the accumulated plan is truncated with
+    ``localCheckpoint`` — otherwise hundreds of chunk flushes build a
+    union/anti-join lineage that overwhelms the optimizer.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, checkpoint_every: int = 16) -> None:
         self._tables: dict[str, DataFrame] = {}
+        self._puts: dict[str, int] = {}
+        self._checkpoint_every = checkpoint_every
 
     def get(self, name: str) -> Optional[DataFrame]:
         return self._tables.get(name)
 
     def put(self, name: str, df: DataFrame) -> None:
+        n = self._puts.get(name, 0) + 1
+        self._puts[name] = n
+        if self._checkpoint_every and n % self._checkpoint_every == 0:
+            df = df.localCheckpoint(eager=True)
         self._tables[name] = df
 
     @property

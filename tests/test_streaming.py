@@ -243,3 +243,55 @@ def test_structured_streaming_windows(spark):
     want = batch.select("window_start", "event_type", "n")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_many_chunks_lineage_bounded(spark):
+    """Long chunk streams must not build unbounded plan lineage
+    (TableStore localCheckpoints periodically)."""
+    recs = [{"users": [{"id": f"u{i}", "v": i}]} for i in range(40)]
+    pipe = (
+        stream(
+            OneRecordPerChunkSource(recs),
+            spark=spark,
+            flush_strategy=UpsertFlushStrategy("update"),
+        )
+        .goto("users")
+        .each()
+        .map_to(
+            "users",
+            fields=[Field("id", get("id")), Field("v", get("v"))],
+            join_on=["id"],
+        )
+    )
+    result = pipe.run()
+    assert result.n_chunks == 40
+    assert result["users"].count() == 40
+
+
+def test_drop_duplicates_within_watermark(spark):
+    """Spark-native late-duplicate handling — the streaming twin of the
+    reference's BufferedKeyFlushStrategy LRU (chunking.py:543-677)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    path = tempfile.mkdtemp(prefix="dupe_stream_")
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:00:30"), (2, "2024-01-01 10:01:00")],
+        "k long, ts_s string",
+    ).withColumn("ts", F2.col("ts_s").cast("timestamp")).drop("ts_s").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+    src = spark.readStream.schema("k long, ts timestamp").parquet(path)
+    deduped = src.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(["k"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dd_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT k FROM dd_out").count() == 2
