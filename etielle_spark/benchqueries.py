@@ -1270,3 +1270,103 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
         .run()
     )
     return result.errors["people"]
+
+
+# ===========================================================================
+# Additional TPC-H-style analytics (join-heavy bench credibility)
+# ===========================================================================
+
+
+@q(
+    "q41_nation_volume_share",
+    """
+    WITH volumes AS (
+      SELECT n.n_name AS nation,
+             extract('year' FROM o.o_orderdate)::BIGINT AS yr,
+             l.l_extendedprice * (1 - l.l_discount) AS vol
+      FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    )
+    SELECT nation, yr, round(sum(vol), 4) AS volume
+    FROM volumes GROUP BY nation, yr
+    """,
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol"),
+        )
+        .groupBy("nation", "yr")
+        .agg(F.round(F.sum("vol"), 4).alias("volume"))
+    )
+
+
+@q(
+    "q42_part_type_profit",
+    """
+    SELECT p.p_type AS ptype,
+           round(sum(l.l_extendedprice * (1 - l.l_discount) - 0.8 * l.l_quantity * p.p_retailprice), 4) AS profit,
+           count(*) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size > 20
+    GROUP BY p.p_type
+    """,
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") > 20)
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.8 * F.col(
+        "l_quantity"
+    ) * F.col("p_retailprice")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_type").alias("ptype"))
+        .agg(F.round(F.sum(profit), 4).alias("profit"), F.count("*").alias("n"))
+    )
+
+
+@q(
+    "q43_returned_customers",
+    """
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           n.n_name AS nation
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "nation")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

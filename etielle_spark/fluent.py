@@ -594,9 +594,13 @@ class PipelineBuilder:
             if err_df is not None:
                 errors[table] = err_df
 
-        # fail-fast error mode (reference: fluent.py:2042-2049)
-        if self._errors_mode == "fail_fast":
-            for table, err in errors.items():
+        # fail-fast error mode, pipeline-wide or per-map_to override
+        # (reference: fluent.py:2042-2049,473-485)
+        fail_fast_tables = {
+            em.table for em in emissions if em.errors == "fail_fast"
+        }
+        for table, err in errors.items():
+            if self._errors_mode == "fail_fast" or table in fail_fast_tables:
                 first = err.limit(1).collect()
                 if first:
                     r = first[0]

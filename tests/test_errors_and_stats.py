@@ -68,3 +68,20 @@ def test_strict_unknown_field_suggestion(spark):
                 schema="pid string, age int",
             )
         )
+
+
+def test_per_map_to_fail_fast_override(spark):
+    with pytest.raises(ValueError, match="age"):
+        (
+            etl(people_data(), spark=spark)  # pipeline default: collect
+            .goto("people")
+            .each()
+            .map_to(
+                "people",
+                fields=[Field("pid", get("pid")), Field("age", get("age"))],
+                join_on=["pid"],
+                schema="pid string, age int",
+                errors="fail_fast",
+            )
+            .run()
+        )
