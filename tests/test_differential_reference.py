@@ -1,0 +1,230 @@
+"""Differential oracle against the reference implementation itself.
+
+The reference (etielle) is pure Python with zero dependencies; when a
+checkout is present at /root/reference, build the SAME pipeline in both
+engines over seeded-random nested data and compare output tables row for
+row.  Skipped cleanly when no reference checkout exists (the repo stays
+standalone).
+
+This is the strongest parity check available: not a hand-written
+expectation, but the reference's own executor.
+"""
+
+import random
+import sys
+
+import pytest
+
+REF_PATH = "/root/reference"
+
+
+def _load_reference():
+    if REF_PATH not in sys.path:
+        sys.path.insert(0, REF_PATH)
+    try:
+        import etielle as ref  # noqa: F401
+        from etielle.fluent import Field as RField
+        from etielle.fluent import TempField as RTempField
+        from etielle.fluent import etl as ref_etl
+        from etielle.transforms import get as r_get
+        from etielle.transforms import get_from_parent as r_gfp
+        from etielle.transforms import index as r_index
+        from etielle.transforms import key as r_key
+        from etielle.fluent import node as r_node
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference not importable: {e}")
+    return {
+        "etl": ref_etl,
+        "Field": RField,
+        "TempField": RTempField,
+        "get": r_get,
+        "get_from_parent": r_gfp,
+        "index": r_index,
+        "key": r_key,
+        "node": r_node,
+    }
+
+
+def random_users_data(rng: random.Random) -> dict:
+    users = []
+    for i in range(rng.randint(0, 8)):
+        user = {"id": f"u{i}", "name": rng.choice(["ann", "bob", None, "cal"])}
+        if rng.random() < 0.8:
+            user["posts"] = [
+                {"id": f"p{i}_{j}", "title": rng.choice(["x", "y", None])}
+                for j in range(rng.randint(0, 4))
+            ]
+        users.append(user)
+    return {"users": users}
+
+
+def random_merge_data(rng: random.Random) -> dict:
+    ids = [f"k{i}" for i in range(rng.randint(1, 6))] + ["", None]
+    return {
+        "a": [
+            {"id": rng.choice(ids), "x": rng.choice([rng.randint(0, 9), None])}
+            for _ in range(rng.randint(0, 10))
+        ],
+        "b": [
+            {"ref": rng.choice(ids), "y": rng.choice(["p", "q", None])}
+            for _ in range(rng.randint(0, 10))
+        ],
+    }
+
+
+def norm_rows(rows):
+    # The reference emits ragged dicts (a field merged from only one path
+    # is simply absent); a DataFrame is rectangular (absent -> NULL).
+    # Absent == NULL is the documented mapping (SURVEY §1.2), so None
+    # fields are dropped on both sides before comparing.
+    out = set()
+    for r in rows:
+        out.add(tuple(sorted((k, str(v)) for k, v in r.items() if v is not None)))
+    return out
+
+
+def ref_tables(ref, result, table):
+    rows = list(result.tables[table].values())
+    return norm_rows(dict(r) for r in rows)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_differential_nested_extraction(spark, seed):
+    ref = _load_reference()
+    from etielle_spark import Field, etl, get, get_from_parent
+
+    data = random_users_data(random.Random(seed))
+
+    r = (
+        ref["etl"](data)
+        .goto("users")
+        .each()
+        .map_to(table="users", fields=[ref["Field"]("id", ref["get"]("id")), ref["Field"]("name", ref["get"]("name"))])
+        .goto("posts")
+        .each()
+        .map_to(
+            table="posts",
+            fields=[
+                ref["Field"]("id", ref["get"]("id")),
+                ref["Field"]("user_id", ref["get_from_parent"]("id")),
+                ref["Field"]("title", ref["get"]("title")),
+            ],
+        )
+        .run()
+    )
+    s = (
+        etl(data, spark=spark)
+        .goto("users")
+        .each()
+        .map_to("users", fields=[Field("id", get("id")), Field("name", get("name"))])
+        .goto("posts")
+        .each()
+        .map_to(
+            "posts",
+            fields=[
+                Field("id", get("id")),
+                Field("user_id", get_from_parent("id")),
+                Field("title", get("title")),
+            ],
+        )
+        .run()
+    )
+    for table in ("users", "posts"):
+        want = ref_tables(ref, r, table) if table in r.tables else set()
+        got = norm_rows(s.rows(table)) if table in s.tables else set()
+        assert got == want, f"seed={seed} table={table}"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_differential_keyed_merge(spark, seed):
+    ref = _load_reference()
+    from etielle_spark import Field, TempField, etl, get
+
+    data = random_merge_data(random.Random(100 + seed))
+
+    r = (
+        ref["etl"](data)
+        .goto("a")
+        .each()
+        .map_to(
+            table="t",
+            fields=[ref["Field"]("id", ref["get"]("id")), ref["Field"]("x", ref["get"]("x"))],
+            join_on=["id"],
+        )
+        .goto_root(0)
+        .goto("b")
+        .each()
+        .map_to(
+            table="t",
+            fields=[
+                ref["TempField"]("id", ref["get"]("ref")),
+                ref["Field"]("y", ref["get"]("y")),
+            ],
+            join_on=["id"],
+        )
+        .run()
+    )
+    s = (
+        etl(data, spark=spark)
+        .goto("a")
+        .each()
+        .map_to(
+            "t",
+            fields=[Field("id", get("id")), Field("x", get("x"))],
+            join_on=["id"],
+        )
+        .goto_root(0)
+        .goto("b")
+        .each()
+        .map_to(
+            "t",
+            fields=[TempField("id", get("ref")), Field("y", get("y"))],
+            join_on=["id"],
+        )
+        .run()
+    )
+    want = ref_tables(ref, r, "t") if "t" in r.tables else set()
+    got = norm_rows(s.rows("t")) if "t" in s.tables else set()
+    assert got == want, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_differential_dict_iteration(spark, seed):
+    ref = _load_reference()
+    from etielle_spark import Field, etl, node, parent_key
+
+    rng = random.Random(200 + seed)
+    data = {
+        "qc": {
+            f"Q{i}": [f"c{rng.randint(0, 5)}" for _ in range(rng.randint(0, 3))]
+            for i in range(rng.randint(0, 5))
+        }
+    }
+
+    from etielle.transforms import parent_key as r_parent_key
+
+    r = (
+        ref["etl"](data)
+        .goto("qc")
+        .each()
+        .each()
+        .map_to(
+            table="qc",
+            fields=[
+                ref["Field"]("q", r_parent_key()),
+                ref["Field"]("c", ref["node"]()),
+            ],
+        )
+        .run()
+    )
+    s = (
+        etl(data, spark=spark)
+        .goto("qc")
+        .each()
+        .each()
+        .map_to("qc", fields=[Field("q", parent_key()), Field("c", node())])
+        .run()
+    )
+    want = ref_tables(ref, r, "qc") if "qc" in r.tables else set()
+    got = norm_rows(s.rows("qc")) if "qc" in s.tables else set()
+    assert got == want, f"seed={seed}"
