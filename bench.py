@@ -37,6 +37,8 @@ HEADLINE = [
     "q28_lsh_candidate_pairs",
     "q30_simhash",
     "q31_cosine_topk",
+    "q41_nation_volume_share",
+    "q43_returned_customers",
 ]
 
 

@@ -1370,3 +1370,79 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# ===========================================================================
+# Declared Spark-native function surface (SURVEY §2.3: date/string) + §2.6
+# ===========================================================================
+
+
+@q(
+    "q44_date_functions",
+    """
+    SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d %H:%M:%S') AS due_date,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95,
+           extract('year' FROM o_orderdate)::BIGINT AS yr,
+           extract('quarter' FROM o_orderdate)::BIGINT AS qtr
+    FROM orders
+    """,
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "order_month"
+        ),
+        _ts(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).cast("bigint").alias("days_since_95"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+    )
+
+
+@q(
+    "q45_string_functions",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           lower(c_mktsegment) AS lseg,
+           substr(c_name, 1, 8) AS prefix,
+           concat_ws('|', c_name, c_mktsegment) AS joined,
+           length(trim(c_name))::INT AS trimmed_len,
+           replace(c_name, '#', '-') AS replaced,
+           CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one
+    FROM customer
+    """,
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lower("c_mktsegment").alias("lseg"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+        F.length(F.trim(F.col("c_name"))).cast("int").alias("trimmed_len"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("replaced"),
+        F.when(F.col("c_name").like("%1%"), F.lit(1)).otherwise(F.lit(0)).alias("has_one"),
+    )
+
+
+@q(
+    "q46_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o.intersect(f)
