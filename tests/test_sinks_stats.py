@@ -92,3 +92,39 @@ def test_observe_stats(spark):
     df = result["users"].observe(obs, F.count(F.lit(1)).alias("mapped"))
     df.collect()
     assert obs.get["mapped"] == 2  # null-key row skipped
+
+
+def test_two_phase_fk_write(spark, tmp_path):
+    """Two-phase FK against generated parent IDs (SURVEY §7 hard part #4)."""
+    from etielle_spark.sources.twophase import (
+        populate_child_fk,
+        write_parents_with_generated_ids,
+    )
+
+    parents = spark.createDataFrame(
+        [("alice",), ("bob",), ("carol",)], "username string"
+    )
+    children = spark.createDataFrame(
+        [("p1", "alice"), ("p2", "bob"), ("p3", "alice"), ("p4", "ghost")],
+        "post string, author string",
+    )
+    written = write_parents_with_generated_ids(
+        spark, parents, str(tmp_path / "users"), natural_key=["username"]
+    )
+    assert {r["username"]: r["gen_id"] for r in written.collect()} == {
+        "alice": 1,
+        "bob": 2,
+        "carol": 3,
+    }
+    linked = populate_child_fk(
+        children, written, by={"author": "username"}, fk_col="user_id"
+    )
+    got = {r["post"]: r["user_id"] for r in linked.collect()}
+    assert got == {"p1": 1, "p2": 2, "p3": 1, "p4": None}
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="unwritten parents"):
+        populate_child_fk(
+            children, written, by={"author": "username"}, fk_col="user_id", required=True
+        )
