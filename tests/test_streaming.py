@@ -295,3 +295,40 @@ def test_drop_duplicates_within_watermark(spark):
     )
     q.awaitTermination(120)
     assert spark.sql("SELECT k FROM dd_out").count() == 2
+
+
+def test_stateful_running_counts_across_batches(spark):
+    """applyInPandasWithState: per-key state survives micro-batches
+    (maxFilesPerTrigger=1 forces multiple batches)."""
+    import tempfile
+
+    from etielle_spark.streaming.stateful import running_counts
+
+    src = tempfile.mkdtemp(prefix="state_src_")
+    spark.createDataFrame([(1, 10.0), (2, 5.0)], "k long, v double").write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b1")
+    spark.createDataFrame([(1, 7.0)], "k long, v double").write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b2")
+
+    stream_df = (
+        spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    out = running_counts(stream_df, "k", "v")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT k, max(running_count) c, max(running_sum) s FROM state_out GROUP BY k"
+    ).collect()
+    got = {r["k"]: (r["c"], r["s"]) for r in rows}
+    assert got[1] == (2, 17.0)
+    assert got[2] == (1, 5.0)
