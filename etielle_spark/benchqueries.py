@@ -1446,3 +1446,51 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return o.intersect(f)
+
+
+@q(
+    "q47_json_roundtrip_etl",
+    """
+    SELECT o_orderkey AS okey, o_custkey AS custkey,
+           round(o_totalprice, 4) AS price
+    FROM orders
+    """,
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core use case at relational scale: serialize rows
+    to JSON documents, parse them back (from_json), and run the fluent
+    JSON->relational pipeline over the parsed docs — one compiled plan,
+    no driver-side loops."""
+    orders = _t(spark, sf_dir, "orders")
+    payloads = orders.select(
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("okey"),
+                F.col("o_custkey").alias("custkey"),
+                F.struct(F.col("o_totalprice").alias("amount")).alias("pricing"),
+            )
+        ).alias("payload")
+    )
+    parsed = payloads.select(
+        F.from_json(
+            "payload", "okey bigint, custkey bigint, pricing struct<amount:double>"
+        ).alias("doc")
+    )
+    result = (
+        etl(parsed, spark=spark)
+        .goto("doc")
+        .each(mode="single")
+        .map_to(
+            "orders_t",
+            fields=[
+                Field("okey", get("okey")),
+                Field("custkey", get("custkey")),
+                Field("price", get("pricing.amount")),
+            ],
+            join_on=["okey"],
+        )
+        .run()
+    )
+    return result["orders_t"].select(
+        "okey", "custkey", F.round("price", 4).alias("price")
+    )

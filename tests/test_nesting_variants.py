@@ -158,3 +158,22 @@ def test_empty_containers_yield_zero_rows(spark):
             .run()
         )
         assert result.row_set("t") == set(), path
+
+
+def test_map_type_iteration_dataframe_root(spark):
+    """each() over a real MapType column (explicit schemas at scale, as
+    opposed to JSON-inferred structs)."""
+    from etielle_spark import key as t_key
+
+    df = spark.createDataFrame(
+        [({"a": 1, "b": 2},), ({"c": 3},)],
+        "m map<string,int>",
+    )
+    result = (
+        etl(df, spark=spark)
+        .goto("m")
+        .each()
+        .map_to("t", fields=[Field("k", t_key()), Field("v", node())])
+        .run()
+    )
+    assert result.row_set("t") == {("a", 1), ("b", 2), ("c", 3)}
