@@ -42,6 +42,57 @@ HEADLINE = [
 ]
 
 
+def reference_workload(spark) -> float:
+    """The reference's own benchmark shape (BASELINE.md: 8,000 users +
+    8,000 posts with one link_to, 2.4 s resident single-process): the same
+    pipeline through this engine's compiled plans.  Returned seconds are
+    directly comparable to the published resident wall time."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from etielle_spark import Field, TempField, etl, get, get_from_parent
+
+    n = 8000
+    users = spark.range(n).select(
+        F.concat(F.lit("u"), F.col("id")).alias("uid"),
+        F.concat(F.lit("name-"), F.col("id")).alias("name"),
+        F.array(
+            F.struct(
+                F.concat(F.lit("p"), F.col("id"), F.lit("_0")).alias("pid"),
+                F.repeat(F.lit("x"), 2048).alias("body"),
+            )
+        ).alias("posts"),
+    )
+    t0 = _t.perf_counter()
+    result = (
+        etl(users, spark=spark)
+        .map_to(
+            "users",
+            fields=[Field("id", get("uid")), Field("name", get("name"))],
+            join_on=["id"],
+        )
+        .goto_root(0)
+        .goto("posts")
+        .each()
+        .map_to(
+            "posts",
+            fields=[
+                Field("id", get("pid")),
+                Field("user_id", get_from_parent("uid")),
+                Field("body", get("body")),
+            ],
+            join_on=["id"],
+        )
+        .link_to("users", by={"user_id": "id"})
+        .run()
+    )
+    rows = result["users"].count() + result["posts"].count()
+    dt = _t.perf_counter() - t0
+    assert rows == 2 * n, rows
+    return dt
+
+
 def main() -> None:
     from etielle_spark.benchqueries import QUERIES
     from etielle_spark.session import get_spark
@@ -62,6 +113,10 @@ def main() -> None:
         dt = time.perf_counter() - t0
         times[name] = round(dt, 3)
         total += dt
+
+    ref_dt = reference_workload(spark)
+    times["ref_workload_users_posts_8k"] = round(ref_dt, 3)
+    total += ref_dt
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
