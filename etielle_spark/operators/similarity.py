@@ -121,13 +121,18 @@ def lsh_bucket_topk(
     k: int = 10,
     planes: int = 8,
     dim: int | None = None,
+    probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: sign-random-projection buckets, then exact cosine
-    within the query's bucket.
+    within the query's probed buckets.
 
     At 100 TB the bucket join replaces the full corpus scan per query with
-    a hash-partitioned equi-join on the bucket signature; recall is tuned
-    by ``planes`` (fewer planes -> bigger buckets -> higher recall).
+    a hash-partitioned equi-join on the bucket signature.  Recall is tuned
+    by ``planes`` (fewer planes -> bigger buckets) and ``probes``:
+    multi-probe additionally searches buckets at Hamming distance < probes
+    from the query's bucket (probes=2 -> flip each single bit), trading
+    |probed buckets| x bucket-size work for recall — the standard
+    multi-probe LSH recipe.
     """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
@@ -148,10 +153,22 @@ def lsh_bucket_topk(
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).withColumn("bucket", bucket(F.col("qv")))
 
+    if probes > 1:
+        # expand each query to its bucket + all Hamming-1 neighbors
+        def flip(b: Column, i: int) -> Column:
+            flipped = F.when(F.substring(b, i + 1, 1) == "1", F.lit("0")).otherwise(
+                F.lit("1")
+            )
+            return F.concat(F.substring(b, 1, i), flipped, F.substring(b, i + 2, planes - i - 1))
+
+        probe_buckets = F.array(F.col("bucket"), *[flip(F.col("bucket"), i) for i in range(planes)])
+        q = q.withColumn("bucket", F.explode(probe_buckets))
+
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

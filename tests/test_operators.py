@@ -180,3 +180,22 @@ def test_multimodal_stub_raises_without_codecs(spark, docs):
     with_payload = attach_payload(docs.limit(2), "text")
     with pytest.raises(Exception):
         extract_features(with_payload, "doc_id", decode_stub=False).collect()
+
+
+def test_lsh_multiprobe_improves_recall(spark, emb):
+    """Multi-probe LSH searches Hamming-1 neighbor buckets; recall vs the
+    exact top-k must be at least as high as single-probe."""
+    queries = emb.limit(5)
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    def recall(probes):
+        approx = lsh_bucket_topk(
+            emb, queries, "vec_id", "embedding", k=5, planes=6, probes=probes
+        )
+        got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        return len(got & truth) / len(truth)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1
+    assert r2 > 0
