@@ -725,7 +725,9 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 # Shared DuckDB fragments replicating operators/dedup.py tokenization
-_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+_TOKS = ("CASE WHEN length(trim(text)) > 0 "
+         "THEN string_split_regex(lower(trim(text)), '\\s+') "
+         "ELSE []::VARCHAR[] END")
 _SHINGLES3 = (
     "list_distinct(CASE WHEN len(t) >= 3 THEN "
     "[array_to_string(t[i+1:i+3], ' ') for i in range(len(t)-2)] "

@@ -116,14 +116,26 @@ def _df_from_obj(spark: SparkSession, obj: Any) -> tuple[DataFrame, T.DataType]:
     return jdf.select(F.col("__root__").alias("__n0")), dtype
 
 
+_ROOT_CACHE_ATTR = "__etielle_root_cache"
+
+
 def _root_env(
     spark: SparkSession,
     root: Any,
     indices: dict[str, dict],
     order_col: Optional[str],
+    cache: Optional[dict] = None,
 ) -> tuple[DataFrame, CompileEnv, Column]:
-    """Returns (df, env, row_order_column)."""
-    if isinstance(root, DataFrame):
+    """Returns (df, env, row_order_column).
+
+    ``cache`` (keyed by id(root)) reuses the wrapped frame across the
+    emissions of one run — for in-memory JSON roots this avoids one
+    spark.read.json schema-inference job per map_to call.
+    """
+    key = id(root)
+    if cache is not None and key in cache:
+        df, dtype = cache[key]
+    elif isinstance(root, DataFrame):
         row_ord = F.col(order_col).cast("long") if order_col else F.lit(0).cast("long")
         # the order column is arrival metadata, not part of the document
         node_cols = [c for c in root.columns if c != order_col]
@@ -131,12 +143,14 @@ def _root_env(
             F.struct(*[F.col(c) for c in node_cols]).alias("__n0"),
             row_ord.alias("__roword"),
         )
-        dtype: T.DataType = T.StructType(
-            [f for f in root.schema.fields if f.name != order_col]
-        )
+        dtype = T.StructType([f for f in root.schema.fields if f.name != order_col])
+        if cache is not None:
+            cache[key] = (df, dtype)
     else:
         df, dtype = _df_from_obj(spark, root)
         df = df.withColumn("__roword", F.lit(0).cast("long"))
+        if cache is not None:
+            cache[key] = (df, dtype)
     env = CompileEnv(levels=[LevelEnv(node=F.col("__n0"), dtype=dtype)], indices=indices)
     return df, env, F.col("__roword")
 
@@ -516,13 +530,15 @@ class PipelineBuilder:
 
         return get_spark()
 
-    def _resolve_indices(self, spark: SparkSession) -> dict[str, dict]:
+    def _resolve_indices(self, spark: SparkSession, cache: Optional[dict] = None) -> dict[str, dict]:
         indices: dict[str, dict] = {}
         for spec in self._index_specs:
             if spec.from_dict is not None:
                 indices[spec.name] = spec.from_dict
                 continue
-            df, env, _ = _root_env(spark, self._roots[spec.root_index], indices, self._order_col)
+            df, env, row_ord = _root_env(
+                spark, self._roots[spec.root_index], indices, self._order_col, cache
+            )
             for i, (pth, mode) in enumerate(spec.iter_points, start=1):
                 df, env = _explode_level(df, env, pth, mode, i)
             if spec.trailing:
@@ -530,7 +546,9 @@ class PipelineBuilder:
             kcol = spec.key.compile(env)
             vcol = spec.value.compile(env)
             pos_cols = [lv.pos for lv in env.levels if lv.pos is not None]
-            ordc = _ord_struct([F.lit(0)], pos_cols, len(pos_cols), F.lit(0))
+            # arrival order includes the root-row order so last-write-wins
+            # on duplicate keys is deterministic for DataFrame roots too
+            ordc = _ord_struct([F.lit(0)], pos_cols, len(pos_cols), row_ord)
             pairs = (
                 df.select(kcol.alias("k"), vcol.alias("v"), ordc.alias(_ORD))
                 .groupBy("k")
@@ -541,9 +559,16 @@ class PipelineBuilder:
         return indices
 
     def _compile_emission(
-        self, spark: SparkSession, em: EmissionSpec, indices: dict, max_pos: int
+        self,
+        spark: SparkSession,
+        em: EmissionSpec,
+        indices: dict,
+        max_pos: int,
+        cache: Optional[dict] = None,
     ) -> DataFrame:
-        df, env, row_ord = _root_env(spark, self._roots[em.root_index], indices, self._order_col)
+        df, env, row_ord = _root_env(
+            spark, self._roots[em.root_index], indices, self._order_col, cache
+        )
         lvl = 0
         for pth, mode in em.iter_points:
             lvl += 1
@@ -564,7 +589,8 @@ class PipelineBuilder:
         (reference executor.py:260-262) — unselected plan branches are
         simply never built."""
         spark = self._get_spark()
-        indices = self._resolve_indices(spark)
+        root_cache: dict = {}
+        indices = self._resolve_indices(spark, root_cache)
 
         emissions = [
             em
@@ -577,17 +603,19 @@ class PipelineBuilder:
 
         by_table: dict[str, list[tuple[EmissionSpec, DataFrame]]] = {}
         for em in emissions:
-            frame = self._compile_emission(spark, em, indices, max_pos)
+            frame = self._compile_emission(spark, em, indices, max_pos, root_cache)
             by_table.setdefault(em.table, []).append((em, frame))
 
         internal: dict[str, DataFrame] = {}
         public: dict[str, DataFrame] = {}
+        public_map: dict[str, list[tuple[str, str]]] = {}
         errors: dict[str, DataFrame] = {}
         table_keys: dict[str, list[str]] = {}
         for table, pairs in by_table.items():
-            internal_df, public_cols, err_df = _assemble_table(table, pairs)
+            internal_df, public_pairs, err_df = _assemble_table(table, pairs)
             internal[table] = internal_df
-            public[table] = internal_df.select(*public_cols)
+            public_map[table] = public_pairs
+            public[table] = _select_public(internal_df, public_pairs)
             keyed_specs = [em.join_on for em, _ in pairs if em.join_on]
             if keyed_specs and len(keyed_specs) == len(pairs):
                 table_keys[table] = keyed_specs[0]
@@ -618,8 +646,12 @@ class PipelineBuilder:
             for b in self._backlinks
             if b.parent in public and b.child in public
         ]
-        internal, public, errors = _apply_links(links, internal, public, errors)
-        internal, public = _apply_backlinks(backlinks, internal, public, table_keys)
+        internal, public, errors = _apply_links(
+            links, internal, public, public_map, errors
+        )
+        internal, public = _apply_backlinks(
+            backlinks, internal, public, public_map, table_keys
+        )
 
         # write ordering: parents before children
         deps: dict[str, set[str]] = {}
@@ -775,11 +807,18 @@ def _assemble_table(
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
 
-    # id injection for single-part user keys (executor.py:363-370)
-    public_names = [n for n in field_order if n not in temp_names]
-    if join_on and len(join_on) == 1 and "id" not in public_names:
-        out = out.withColumn("id", F.col(join_on[0]))
-        public_names = ["id"] + public_names
+    # id injection for single-part user keys (executor.py:363-370).
+    # Public output is a (public_name -> internal_column) mapping so the
+    # injected id can coexist with a TempField('id') (whose internal
+    # column relationships still need — reference shadow-store priority).
+    public_pairs = [(n, n) for n in field_order if n not in temp_names]
+    if join_on and len(join_on) == 1 and "id" not in [p for p, _ in public_pairs]:
+        if "id" in temp_names:
+            out = out.withColumn("__inj_id", F.col(join_on[0]))
+            public_pairs = [("id", "__inj_id")] + public_pairs
+        else:
+            out = out.withColumn("id", F.col(join_on[0]))
+            public_pairs = [("id", "id")] + public_pairs
 
     out = out.withColumnRenamed(_ORD, _SEQ)
 
@@ -833,13 +872,18 @@ def _assemble_table(
                 ok = ok.withColumn(name, F.col(name).cast(schema[name].dataType))
             out = ok
 
-    return out, public_names, err_df
+    return out, public_pairs, err_df
+
+
+def _select_public(internal_df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    return internal_df.select(*[F.col(i).alias(p) for p, i in pairs])
 
 
 def _apply_links(
     links: list[LinkSpec],
     internal: dict[str, DataFrame],
     public: dict[str, DataFrame],
+    public_map: dict[str, list[tuple[str, str]]],
     errors: dict[str, DataFrame],
 ):
     """link_to -> left equi join for FK population; required -> anti-join
@@ -850,15 +894,21 @@ def _apply_links(
                 f"link_to: unknown table in {spec.child} -> {spec.parent}"
             )
         child_int = internal[spec.child]
-        parent_pub = public[spec.parent]
+        # by-fields resolve against the INTERNAL parent: TempField values
+        # take priority over public columns (reference shadow-store
+        # semantics, executor.py:406-423)
+        parent_int = internal[spec.parent]
+        ppairs = public_map[spec.parent]
         (cf, pf), *rest = spec.by.items()
         if rest:
             raise ValueError("link_to: composite `by` not supported (reference limits to one pair)")
 
         if spec.fk:
-            parent_side = parent_pub.select(
+            id_internal = dict(ppairs).get("id")
+            fk_src = F.col(id_internal) if id_internal else F.col(pf)
+            parent_side = parent_int.select(
                 F.col(pf).alias("__lk_pf"),
-                F.col("id").alias(spec.fk) if "id" in parent_pub.columns else F.col(pf).alias(spec.fk),
+                fk_src.alias(spec.fk),
             ).dropDuplicates(["__lk_pf"])
             joined = child_int.join(
                 F.broadcast(parent_side),
@@ -866,13 +916,13 @@ def _apply_links(
                 "left",
             ).drop("__lk_pf")
             internal[spec.child] = joined
-            pub_cols = public[spec.child].columns
-            if spec.fk not in pub_cols:
-                pub_cols = pub_cols + [spec.fk]
-            public[spec.child] = joined.select(*pub_cols)
+            pairs = public_map[spec.child]
+            if spec.fk not in [p for p, _ in pairs]:
+                pairs.append((spec.fk, spec.fk))
+            public[spec.child] = _select_public(joined, pairs)
 
         if spec.required:
-            parent_keys = parent_pub.select(F.col(pf).alias("__lk_pf")).dropDuplicates()
+            parent_keys = parent_int.select(F.col(pf).alias("__lk_pf")).dropDuplicates()
             missing = (
                 child_int.filter(F.col(cf).isNotNull())
                 .join(
@@ -900,6 +950,7 @@ def _apply_backlinks(
     backlinks: list[BacklinkSpec],
     internal: dict[str, DataFrame],
     public: dict[str, DataFrame],
+    public_map: dict[str, list[tuple[str, str]]],
     table_keys: dict[str, list[str]],
 ):
     """backlink -> explode id list, join children, collect_list of row
@@ -911,14 +962,17 @@ def _apply_backlinks(
     """
     for spec in backlinks:
         parent_int = internal[spec.parent]
-        child_pub = public[spec.child]
+        # child by-field resolves against the INTERNAL child (temp fields
+        # usable as match keys); the collected structs carry the PUBLIC row
+        child_int = internal[spec.child]
+        cpairs = public_map[spec.child]
         (plf, cf), *rest = spec.by.items()
         if rest:
             raise ValueError("backlink: single `by` pair only")
 
         rid_cols = table_keys.get(spec.parent, [_SEQ])
-        child_struct = F.struct(*[F.col(c) for c in child_pub.columns])
-        child_side = child_pub.select(
+        child_struct = F.struct(*[F.col(i).alias(pub) for pub, i in cpairs])
+        child_side = child_int.select(
             F.col(cf).alias("__bl_cid"), child_struct.alias("__bl_child")
         )
         exploded = parent_int.select(
@@ -955,10 +1009,10 @@ def _apply_backlinks(
             ),
         )
         internal[spec.parent] = joined
-        pub_cols = public[spec.parent].columns
-        if spec.attr not in pub_cols:
-            pub_cols = pub_cols + [spec.attr]
-        public[spec.parent] = joined.select(*pub_cols)
+        pairs = public_map[spec.parent]
+        if spec.attr not in [p for p, _ in pairs]:
+            pairs.append((spec.attr, spec.attr))
+        public[spec.parent] = _select_public(joined, pairs)
     return internal, public
 
 

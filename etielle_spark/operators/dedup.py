@@ -52,12 +52,17 @@ def _normalize(text: Column) -> Column:
 
 
 def tokens_col(text: Column) -> Column:
-    """Whitespace tokens of lowercased, trimmed text.
+    """Whitespace tokens of lowercased, trimmed text; empty or
+    whitespace-only (or NULL) text yields an empty array.
 
     A single regex split (codegen'd) — trimming first means no empty
-    tokens, so no interpreted higher-order filter pass is needed.
+    tokens mid-array, and the empty-input guard covers the one case where
+    split still emits [''].
     """
-    return F.split(F.lower(F.trim(text)), r"\s+")
+    trimmed = F.lower(F.trim(text))
+    return F.when(
+        trimmed.isNotNull() & (trimmed != ""), F.split(trimmed, r"\s+")
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def grams_of(toks: Column, n: int) -> Column:
@@ -194,14 +199,13 @@ def jaccard_pairs(
 
     a = pairs.select(F.col(id_col).alias("id_a"), "shingle")
     b = pairs.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, ["shingle"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
+    joined = a.join(b, ["shingle"]).filter(F.col("id_a") < F.col("id_b"))
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+        # prune to the LSH candidate set BEFORE the pair aggregation —
+        # this is the whole point of the candidates path (a semi-join
+        # cannot be pushed below the groupBy by Catalyst)
+        joined = joined.join(candidates, ["id_a", "id_b"], "left_semi")
+    inter = joined.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     out = (

@@ -129,13 +129,18 @@ def lsh_bucket_topk(
     At 100 TB the bucket join replaces the full corpus scan per query with
     a hash-partitioned equi-join on the bucket signature.  Recall is tuned
     by ``planes`` (fewer planes -> bigger buckets) and ``probes``:
-    multi-probe additionally searches buckets at Hamming distance < probes
-    from the query's bucket (probes=2 -> flip each single bit), trading
-    |probed buckets| x bucket-size work for recall — the standard
-    multi-probe LSH recipe.
+    ``probes=1`` searches only the query's own bucket; ``probes>1``
+    additionally searches every bucket at Hamming distance 1 (flip each
+    single bit), trading |probed buckets| x bucket-size work for recall —
+    the standard multi-probe LSH recipe.
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        first = corpus.select(vec_col).head(1)
+        if not first:
+            raise ValueError(
+                "lsh_bucket_topk: empty corpus and no explicit dim= given"
+            )
+        dim = len(first[0][0])
 
     def bucket(vec: Column) -> Column:
         bits = [

@@ -32,10 +32,13 @@ _PARTIAL = {
 
 
 def with_salt(df: DataFrame, salt: int = 16) -> DataFrame:
-    """Add a uniform __salt column derived from a deterministic hash of the
-    whole row (stable across retries, unlike rand())."""
+    """Add a uniform __salt column from a per-ROW source (monotonic id), so
+    byte-identical duplicate rows — the usual hot-key shape — still spread
+    across sub-groups.  Salt assignment need not be stable across retries:
+    the merge stage combines partials regardless of which sub-group a row
+    landed in, so correctness is unaffected."""
     return df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
     )
 
 

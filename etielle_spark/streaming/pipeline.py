@@ -218,7 +218,10 @@ class StreamPipeline(PipelineBuilder):
         if self._eager_tables:
             if not self._eager_roots:
                 raise ValueError("load_eager() requires stream(eager_roots=...)")
-            eager_b = self._clone_with_roots(list(self._eager_roots), order_col=None)
+            # all eager roots map against pipeline root 0, like a
+            # sequential chunk (multi-doc eager dimensions merge correctly)
+            eager_df = self._combined_root_df(spark, tuple(self._eager_roots))
+            eager_b = self._clone_with_roots([eager_df], order_col="__roword")
             eager_res = eager_b.run(table_filter=set(self._eager_tables))
             for t in self._eager_tables:
                 if t in eager_res.tables:

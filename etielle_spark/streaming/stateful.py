@@ -28,6 +28,8 @@ def running_counts(
     (count, total) tuple per key — O(keys) state, watermark-free.
     """
 
+    key_type = dict(zip(df.schema.names, df.schema))[key_col].dataType.simpleString()
+
     def update(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
@@ -44,7 +46,7 @@ def running_counts(
 
     return df.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=f"{key_col} long, running_count long, running_sum double",
+        outputStructType=f"{key_col} {key_type}, running_count long, running_sum double",
         stateStructType="count long, total double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -28,16 +28,8 @@ def tumbling_agg(
     if watermark:
         df = df.withWatermark(ts_col, watermark)
     group = [F.window(ts_col, width).alias("w")] + [F.col(k) for k in (keys or [])]
-    return (
-        df.groupBy(*group)
-        .agg(*aggs)
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            *[F.col(k) for k in (keys or [])],
-            *[F.col(c) for c in _agg_names(aggs)],
-        )
-    )
+    out = df.groupBy(*group).agg(*aggs)
+    return _rename_window(out, keys, "window_start", "window_end")
 
 
 def sliding_agg(
@@ -52,16 +44,8 @@ def sliding_agg(
     if watermark:
         df = df.withWatermark(ts_col, watermark)
     group = [F.window(ts_col, width, slide).alias("w")] + [F.col(k) for k in (keys or [])]
-    return (
-        df.groupBy(*group)
-        .agg(*aggs)
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            *[F.col(k) for k in (keys or [])],
-            *[F.col(c) for c in _agg_names(aggs)],
-        )
-    )
+    out = df.groupBy(*group).agg(*aggs)
+    return _rename_window(out, keys, "window_start", "window_end")
 
 
 def session_agg(
@@ -77,25 +61,21 @@ def session_agg(
     if watermark:
         df = df.withWatermark(ts_col, watermark)
     group = [F.session_window(ts_col, gap).alias("w")] + [F.col(k) for k in (keys or [])]
-    return (
-        df.groupBy(*group)
-        .agg(*aggs)
-        .select(
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            *[F.col(k) for k in (keys or [])],
-            *[F.col(c) for c in _agg_names(aggs)],
-        )
+    out = df.groupBy(*group).agg(*aggs)
+    return _rename_window(out, keys, "session_start", "session_end")
+
+
+def _rename_window(out, keys, start_name: str, end_name: str):
+    """Project the grouped result, flattening the window struct.  Aggregate
+    column names come from the RESULT schema (works on Spark Connect too —
+    no JVM Column introspection)."""
+    agg_cols = out.columns[1 + len(keys or []) :]
+    return out.select(
+        F.col("w.start").alias(start_name),
+        F.col("w.end").alias(end_name),
+        *[F.col(k) for k in (keys or [])],
+        *[F.col(c) for c in agg_cols],
     )
-
-
-def _agg_names(aggs) -> list[str]:
-    names = []
-    for a in aggs:
-        # Column metadata: rely on the alias the caller set
-        name = a._jc.toString().split(" AS ")[-1].strip("`")
-        names.append(name)
-    return names
 
 
 def for_each_batch(

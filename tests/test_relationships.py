@@ -233,3 +233,43 @@ def test_f12_traversal_built_index(spark):
         ("bob", "g2"),  # last write wins
         ("carol", "g2"),
     }
+
+
+def test_temp_id_not_clobbered_by_injection(spark):
+    """A TempField('id') used for linking keeps its computed value
+    internally while the public row shows the injected key
+    (reference shadow-store priority, executor.py:296-352 + 363-370)."""
+    data = {
+        "parents": [{"surrogate": "s1", "nk": "alpha"}, {"surrogate": "s2", "nk": "beta"}],
+        "children": [{"pref": "s1", "name": "c1"}, {"pref": "s2", "name": "c2"}],
+    }
+    result = (
+        etl(data, spark=spark)
+        .goto("parents")
+        .each()
+        .map_to(
+            "parents",
+            fields=[
+                TempField("id", get("surrogate")),
+                Field("nk", get("nk")),
+            ],
+            join_on=["nk"],
+        )
+        .goto_root(0)
+        .goto("children")
+        .each()
+        .map_to(
+            "children",
+            fields=[Field("name", get("name")), Field("pref", get("pref"))],
+        )
+        .link_to("parents", by={"pref": "id"}, fk="parent_nk")
+        .run()
+    )
+    # public parent rows: injected id == natural key
+    assert result.row_set("parents", "id", "nk") == {
+        ("alpha", "alpha"),
+        ("beta", "beta"),
+    }
+    # link matched on the TEMP surrogate ('s1'/'s2'), not the injected key
+    rows = {r["name"]: r["parent_nk"] for r in result.rows("children")}
+    assert rows == {"c1": "alpha", "c2": "beta"}
