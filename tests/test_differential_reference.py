@@ -228,3 +228,71 @@ def test_differential_dict_iteration(spark, seed):
     want = ref_tables(ref, r, "qc") if "qc" in r.tables else set()
     got = norm_rows(s.rows("qc")) if "qc" in s.tables else set()
     assert got == want, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_differential_merge_policies(spark, seed):
+    ref = _load_reference()
+    from etielle.instances import (
+        AddPolicy as RAdd,
+        AppendPolicy as RAppend,
+        MaxPolicy as RMax,
+        MinPolicy as RMin,
+    )
+
+    from etielle_spark import AddPolicy, AppendPolicy, Field, MaxPolicy, MinPolicy, etl, get
+
+    rng = random.Random(300 + seed)
+    events = [
+        {
+            "k": rng.choice(["a", "b", "c"]),
+            "n": rng.choice([rng.randint(-5, 9), None]),
+            "tag": rng.choice(["x", "y", None]),
+            "m": rng.choice([rng.randint(0, 99), None]),
+        }
+        for _ in range(rng.randint(1, 14))
+    ]
+    data = {"events": events}
+
+    r = (
+        ref["etl"](data)
+        .goto("events")
+        .each()
+        .map_to(
+            table="out",
+            fields=[
+                ref["Field"]("k", ref["get"]("k")),
+                ref["Field"]("total", ref["get"]("n"), merge=RAdd()),
+                ref["Field"]("tags", ref["get"]("tag"), merge=RAppend()),
+                ref["Field"]("lo", ref["get"]("m"), merge=RMin()),
+                ref["Field"]("hi", ref["get"]("m"), merge=RMax()),
+            ],
+            join_on=["k"],
+        )
+        .run()
+    )
+    s = (
+        etl(data, spark=spark)
+        .goto("events")
+        .each()
+        .map_to(
+            "out",
+            fields=[
+                Field("k", get("k")),
+                Field("total", get("n"), merge=AddPolicy()),
+                Field("tags", get("tag"), merge=AppendPolicy()),
+                Field("lo", get("m"), merge=MinPolicy()),
+                Field("hi", get("m"), merge=MaxPolicy()),
+            ],
+            join_on=["k"],
+        )
+        .run()
+    )
+    want = {}
+    for row in r.tables["out"].values():
+        d = dict(row)
+        want[d["k"]] = (d.get("total"), tuple(d.get("tags") or ()), d.get("lo"), d.get("hi"))
+    got = {}
+    for d in s.rows("out"):
+        got[d["k"]] = (d["total"], tuple(d["tags"] or ()), d["lo"], d["hi"])
+    assert got == want, f"seed={seed}"
