@@ -1496,3 +1496,90 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result["orders_t"].select(
         "okey", "custkey", F.round("price", 4).alias("price")
     )
+
+
+# ===========================================================================
+# Temporal joins Spark lacks natively (operators/temporal.py)
+# ===========================================================================
+
+
+@q(
+    "q48_asof_join",
+    """
+    WITH e AS (
+      SELECT event_id, user_id,
+             to_timestamp(788918400 + (floor(epoch(ts))::BIGINT - 1704067200) * 80) AS ets
+      FROM events
+    ),
+    o AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS okey
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, o.okey AS last_okey,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_orderdate
+    FROM e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ets
+    """,
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union-and-window, fully codegen'd) — for each event,
+    the user's most recent order at or before the event time.  Event
+    timestamps are affinely mapped into the order-date era so the match
+    varies per event; the DuckDB oracle uses its native ASOF JOIN."""
+    from .operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    # 788918400 = epoch('1995-01-01'), 1704067200 = epoch('2024-01-01')
+    ev = ev.select(
+        "event_id",
+        "user_id",
+        F.timestamp_seconds(
+            F.lit(788918400) + (F.col("ts").cast("long") - F.lit(1704067200)) * 80
+        ).alias("ets"),
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("okey"))
+    )
+    out = asof_join(
+        ev,
+        orders.select(F.col("o_custkey").alias("user_id"), "o_orderdate", "okey"),
+        on="user_id",
+        left_ts="ets",
+        right_ts="o_orderdate",
+        right_cols=["okey", "o_orderdate"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("okey").alias("last_okey"),
+        _ts("o_orderdate").alias("last_orderdate"),
+    )
+
+
+@q(
+    "q49_range_join",
+    """
+    WITH bands(band, lo, hi) AS (
+      VALUES ('low', 0.0, 150000.0), ('mid', 150000.0, 300000.0),
+             ('high', 300000.0, 1000000000.0)
+    )
+    SELECT b.band, count(*) AS n, round(sum(o.o_totalprice), 4) AS total
+    FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: broadcast interval table + band predicate."""
+    from .operators.temporal import range_join
+
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 150000.0), ("mid", 150000.0, 300000.0), ("high", 300000.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    out = range_join(orders, bands, value_col="o_totalprice", lo_col="lo", hi_col="hi")
+    return out.groupBy("band").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+    )

@@ -199,3 +199,34 @@ def test_lsh_multiprobe_improves_recall(spark, emb):
     r1, r2 = recall(1), recall(2)
     assert r2 >= r1
     assert r2 > 0
+
+
+def test_asof_join_tolerance_and_ties(spark):
+    from etielle_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:05:00"), (2, "2024-01-01 09:00:00")],
+        "k long, lts string",
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:59:00", "a"),
+            (1, "2024-01-01 10:00:00", "b"),  # exact tie matches (<=)
+            (2, "2024-01-01 10:00:00", "c"),  # after the left row: no match
+        ],
+        "k long, rts string, val string",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts", right_cols=["val"])
+    got = {(r["k"], str(r["lts"])): r["val"] for r in out.collect()}
+    assert got[(1, "2024-01-01 10:00:00")] == "b"
+    assert got[(1, "2024-01-01 10:05:00")] == "b"
+    assert got[(2, "2024-01-01 09:00:00")] is None
+
+    tol = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        right_cols=["val"], tolerance_seconds=60,
+    )
+    got_tol = {(r["k"], str(r["lts"])): r["val"] for r in tol.collect()}
+    assert got_tol[(1, "2024-01-01 10:05:00")] is None  # 5 min > tolerance
+    assert got_tol[(1, "2024-01-01 10:00:00")] == "b"
