@@ -197,7 +197,12 @@ def len_of(inner: Transform) -> Transform:
     def _c(env: CompileEnv):
         col, dtype = inner.compile_typed(env)
         if isinstance(dtype, (T.ArrayType, T.MapType)):
-            return F.size(col).cast("int"), T.IntegerType()
+            # size(NULL) is -1 under legacy non-ANSI semantics; the
+            # reference returns None for None containers
+            return (
+                F.when(col.isNotNull(), F.size(col)).cast("int"),
+                T.IntegerType(),
+            )
         if isinstance(dtype, T.StructType):
             return F.when(col.isNotNull(), F.lit(len(dtype.fields))), T.IntegerType()
         if isinstance(dtype, T.StringType) or dtype is None:

@@ -296,3 +296,71 @@ def test_differential_merge_policies(spark, seed):
     for d in s.rows("out"):
         got[d["k"]] = (d["total"], tuple(d["tags"] or ()), d["lo"], d["hi"])
     assert got == want, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_differential_scalar_transforms(spark, seed):
+    """concat/format_id/coalesce/len_of over messy values (None, "", ints,
+    strings, lists) — reference vs compiled columns."""
+    ref = _load_reference()
+    from etielle.transforms import (
+        coalesce as r_coalesce,
+        concat as r_concat,
+        format_id as r_format_id,
+        len_of as r_len_of,
+    )
+
+    from etielle_spark import (
+        Field,
+        coalesce as s_coalesce,
+        concat as s_concat,
+        etl,
+        format_id as s_format_id,
+        get,
+        len_of as s_len_of,
+    )
+
+    rng = random.Random(400 + seed)
+    scalars = ["x", "", None, "42", "long-ish value", "a b"]
+    rows = [
+        {
+            "i": i,
+            "a": rng.choice(scalars),
+            "b": rng.choice(scalars),
+            "n": rng.choice([rng.randint(-3, 99), None]),
+            "xs": rng.choice([[1, 2, 3], [], None, [7]]),
+        }
+        for i in range(rng.randint(1, 12))
+    ]
+    data = {"rows": rows}
+
+    def fields(F_, get_, concat_, format_id_, coalesce_, len_of_):
+        return [
+            F_("i", get_("i")),
+            F_("cat", concat_(get_("a"), "|", get_("b"), get_("n"))),
+            F_("fid", format_id_(get_("a"), get_("b"), get_("n"), sep="-")),
+            F_("co", coalesce_(get_("a"), get_("b"))),
+            F_("ln", len_of_(get_("xs"))),
+            F_("ls", len_of_(get_("a"))),
+        ]
+
+    r = (
+        ref["etl"](data)
+        .goto("rows")
+        .each()
+        .map_to(
+            table="t",
+            fields=fields(ref["Field"], ref["get"], r_concat, r_format_id, r_coalesce, r_len_of),
+        )
+        .run()
+    )
+    s = (
+        etl(data, spark=spark)
+        .goto("rows")
+        .each()
+        .map_to("t", fields=fields(Field, get, s_concat, s_format_id, s_coalesce, s_len_of))
+        .run()
+    )
+    want = ref_tables(ref, r, "t")
+    got = norm_rows(s.rows("t"))
+    assert got == want, f"seed={seed}"
