@@ -136,12 +136,19 @@ def lsh_candidate_pairs(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over MinHash signatures.
 
     Documents sharing any band digest become a candidate pair; the join is
     an equi-join on (band index, band digest) — a shuffle on tiny keys, the
     scale-out replacement for all-pairs comparison.
+
+    ``max_bucket_size`` is the scale guard: a band bucket with B members
+    yields B² candidate pairs, so one boilerplate-heavy bucket can
+    dominate the whole join.  Buckets above the cap are dropped (the
+    standard LSH stop-list: such documents are "too common to pair" here
+    and are caught by the other bands or by exact dedup).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -162,6 +169,20 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_digest"),
     )
+    # materialize the (id, band, digest) rows once: the bucket-size window
+    # and the self-join would otherwise each execute the whole
+    # shingle+minhash pipeline again (Spark does not reuse the exchange
+    # across the two aliased join sides)
+    banded = banded.localCheckpoint(eager=True)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_digest")
+        banded = (
+            banded.withColumn("__bsz", F.count("*").over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
