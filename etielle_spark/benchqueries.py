@@ -1583,3 +1583,41 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("band").agg(
         F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
     )
+
+
+@q(
+    "q50_array_map_functions",
+    """
+    WITH arrs AS (
+      SELECT l_orderkey,
+             list_sort(list(l_linenumber::BIGINT)) AS lns,
+             list_sort(list(DISTINCT l_returnflag)) AS flags
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(lns)::BIGINT AS n_lines,
+           list_contains(lns, 1) AS has_first,
+           lns[1] AS first_ln,
+           array_to_string(lns, ',') AS lns_csv,
+           array_to_string(flags, ',') AS flags_csv,
+           len(flatten([lns, lns]))::BIGINT AS doubled_len
+    FROM arrs
+    """,
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface (size/sort/contains/element_at/flatten) —
+    the §2.3 declared Spark-native set over collected arrays."""
+    li = _t(spark, sf_dir, "lineitem")
+    arrs = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.col("l_linenumber").cast("bigint"))).alias("lns"),
+        F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+    )
+    return arrs.select(
+        "l_orderkey",
+        F.size("lns").cast("bigint").alias("n_lines"),
+        F.array_contains("lns", 1).alias("has_first"),
+        F.try_element_at("lns", F.lit(1)).alias("first_ln"),
+        F.array_join(F.transform("lns", lambda x: x.cast("string")), ",").alias("lns_csv"),
+        F.array_join("flags", ",").alias("flags_csv"),
+        F.size(F.flatten(F.array("lns", "lns"))).cast("bigint").alias("doubled_len"),
+    )
