@@ -1621,3 +1621,39 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("flags", ",").alias("flags_csv"),
         F.size(F.flatten(F.array("lns", "lns"))).cast("bigint").alias("doubled_len"),
     )
+
+
+@q(
+    "q51_map_column_json",
+    """
+    SELECT event_id,
+           upper(event_type) AS etype,
+           json_extract(props, '$.k')::BIGINT * 2 AS k2
+    FROM events
+    """,
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_column: the JVM-side escape hatch (compile-time Column
+    functions instead of Python UDFs) inside an engine pipeline."""
+    from .transforms import map_column
+
+    ev = _events(spark, sf_dir)
+    result = (
+        etl(ev, spark=spark)
+        .map_to(
+            "t",
+            fields=[
+                Field("event_id", get("event_id")),
+                Field("etype", map_column(F.upper, get("event_type"))),
+                Field(
+                    "k2",
+                    map_column(
+                        lambda c: F.get_json_object(c, "$.k").cast("bigint") * 2,
+                        get("props"),
+                    ),
+                ),
+            ],
+        )
+        .run()
+    )
+    return result["t"]

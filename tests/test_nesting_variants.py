@@ -177,3 +177,47 @@ def test_map_type_iteration_dataframe_root(spark):
         .run()
     )
     assert result.row_set("t") == {("a", 1), ("b", 2), ("c", 3)}
+
+
+def test_int_segment_paths(spark):
+    """get('a.0.b') — digit segments index lists; out-of-bounds -> NULL
+    (reference transforms.py:88-114)."""
+    data = {
+        "rows": [
+            {"pair": [{"v": "first"}, {"v": "second"}]},
+            {"pair": [{"v": "only"}]},
+        ]
+    }
+    result = (
+        etl(data, spark=spark)
+        .goto("rows")
+        .each()
+        .map_to(
+            "t",
+            fields=[
+                Field("a", get("pair.0.v")),
+                Field("b", get("pair.1.v")),
+                Field("z", get(["pair", -1, "v"])),
+                Field("oob", get("pair.9.v")),
+            ],
+        )
+        .run()
+    )
+    assert result.row_set("t") == {
+        ("first", "second", "second", None),
+        ("only", None, "only", None),
+    }
+
+
+def test_arrival_order_preserved(spark):
+    """rows(ordered=True) restores traversal arrival order
+    (reference executor.py:371-375)."""
+    data = {"xs": [{"v": "c"}, {"v": "a"}, {"v": "b"}]}
+    result = (
+        etl(data, spark=spark)
+        .goto("xs")
+        .each()
+        .map_to("t", fields=[Field("v", get("v"))])
+        .run()
+    )
+    assert [r["v"] for r in result.rows("t", ordered=True)] == ["c", "a", "b"]
