@@ -281,11 +281,13 @@ class PipelineResult:
         internal: dict[str, DataFrame],
         errors: dict[str, DataFrame],
         write_order: list[str],
+        public_map: Optional[dict[str, list[tuple[str, str]]]] = None,
     ):
         self.tables = tables
         self._internal = internal
         self.errors = errors
         self.write_order = write_order
+        self._public_map = public_map or {}
 
     def __getitem__(self, name: str) -> DataFrame:
         return self.tables[name]
@@ -295,8 +297,14 @@ class PipelineResult:
         reference's traversal-arrival order (executor.py:371-375)."""
         if ordered:
             df = self._internal[name].orderBy(_SEQ)
-            keep = self.tables[name].columns
-            return [r.asDict(recursive=True) for r in df.select(*keep).collect()]
+            pairs = self._public_map.get(
+                name, [(c, c) for c in self.tables[name].columns]
+            )
+            # relationship-added columns (fk/backlink attrs) are present in
+            # the internal frame under their public names already
+            have = set(df.columns)
+            sel = [F.col(i).alias(pub) for pub, i in pairs if i in have]
+            return [r.asDict(recursive=True) for r in df.select(*sel).collect()]
         return [r.asDict(recursive=True) for r in self.tables[name].collect()]
 
     def stats(self) -> dict[str, dict[str, int]]:
@@ -584,7 +592,11 @@ class PipelineBuilder:
         ordc = _ord_struct([F.lit(em.root_index)], pos_cols, max_pos, row_ord, em.seq)
         return df.select(*sel, ordc.alias(_ORD))
 
-    def run(self, table_filter: Optional[set[str]] = None) -> PipelineResult:
+    def run(
+        self,
+        table_filter: Optional[set[str]] = None,
+        extra_parents: Optional[dict[str, DataFrame]] = None,
+    ) -> PipelineResult:
         """``table_filter`` restricts the pass to a subset of output tables
         (reference executor.py:260-262) — unselected plan branches are
         simply never built."""
@@ -638,19 +650,25 @@ class PipelineBuilder:
                     )
 
         # relationships (only those whose tables are in scope)
-        links = [
-            l for l in self._links if l.child in public and l.parent in public
-        ]
         backlinks = [
             b
             for b in self._backlinks
             if b.parent in public and b.child in public
         ]
+        links = [
+            l
+            for l in self._links
+            if l.child in public
+            and (l.parent in public or (extra_parents and l.parent in extra_parents))
+        ]
         internal, public, errors = _apply_links(
-            links, internal, public, public_map, errors
+            links, internal, public, public_map, errors, extra_parents
         )
+        seq_unique = not any(
+            isinstance(r, DataFrame) for r in self._roots
+        ) or self._order_col is not None
         internal, public = _apply_backlinks(
-            backlinks, internal, public, public_map, table_keys
+            backlinks, internal, public, public_map, table_keys, seq_unique
         )
 
         # write ordering: parents before children
@@ -668,7 +686,7 @@ class PipelineBuilder:
             emit(self._on_event, MapStarted(t))
             emit(self._on_event, MapCompleted(t))
 
-        result = PipelineResult(public, internal, errors, order)
+        result = PipelineResult(public, internal, errors, order, public_map)
         if self._sink is not None:
             for t in order:
                 emit(self._on_event, FlushStarted(t))
@@ -832,7 +850,13 @@ def _assemble_table(
         for fld in schema.fields:
             if fld.name in out.columns:
                 src = F.col(fld.name)
-                tgt = src.cast(fld.dataType)
+                # try_cast keeps collect-mode semantics under ANSI sessions
+                # (plain cast would throw on the first bad value)
+                tgt = (
+                    src.try_cast(fld.dataType)
+                    if hasattr(src, "try_cast")
+                    else src.cast(fld.dataType)
+                )
                 bad = src.isNotNull() & tgt.isNull()
                 checks.append(
                     F.when(
@@ -869,7 +893,13 @@ def _assemble_table(
             )
             ok = with_errs.filter(F.size("__errs") == 0).drop("__errs")
             for name, cast_col in casts.items():
-                ok = ok.withColumn(name, F.col(name).cast(schema[name].dataType))
+                c = F.col(name)
+                ok = ok.withColumn(
+                    name,
+                    c.try_cast(schema[name].dataType)
+                    if hasattr(c, "try_cast")
+                    else c.cast(schema[name].dataType),
+                )
             out = ok
 
     return out, public_pairs, err_df
@@ -885,20 +915,34 @@ def _apply_links(
     public: dict[str, DataFrame],
     public_map: dict[str, list[tuple[str, str]]],
     errors: dict[str, DataFrame],
+    extra_parents: Optional[dict[str, DataFrame]] = None,
 ):
     """link_to -> left equi join for FK population; required -> anti-join
     errors (etielle/relationships.py:14-152,461-538)."""
+    extra_parents = extra_parents or {}
     for spec in links:
-        if spec.child not in internal or spec.parent not in internal:
+        if spec.child not in internal or (
+            spec.parent not in internal and spec.parent not in extra_parents
+        ):
             raise ValueError(
                 f"link_to: unknown table in {spec.child} -> {spec.parent}"
             )
         child_int = internal[spec.child]
         # by-fields resolve against the INTERNAL parent: TempField values
         # take priority over public columns (reference shadow-store
-        # semantics, executor.py:406-423)
-        parent_int = internal[spec.parent]
-        ppairs = public_map[spec.parent]
+        # semantics, executor.py:406-423).  Eager/static parent frames
+        # (streaming dimensions) union in with the chunk-local rows.
+        parent_int = internal.get(spec.parent)
+        if spec.parent in extra_parents:
+            extra = extra_parents[spec.parent]
+            parent_int = (
+                extra
+                if parent_int is None
+                else parent_int.unionByName(extra, allowMissingColumns=True)
+            )
+        ppairs = public_map.get(
+            spec.parent, [(c, c) for c in parent_int.columns if not c.startswith("__")]
+        )
         (cf, pf), *rest = spec.by.items()
         if rest:
             raise ValueError("link_to: composite `by` not supported (reference limits to one pair)")
@@ -952,6 +996,7 @@ def _apply_backlinks(
     public: dict[str, DataFrame],
     public_map: dict[str, list[tuple[str, str]]],
     table_keys: dict[str, list[str]],
+    seq_unique: bool = True,
 ):
     """backlink -> explode id list, join children, collect_list of row
     structs in id-list order (etielle/relationships.py:368-458).
@@ -970,7 +1015,17 @@ def _apply_backlinks(
         if rest:
             raise ValueError("backlink: single `by` pair only")
 
-        rid_cols = table_keys.get(spec.parent, [_SEQ])
+        rid_cols = table_keys.get(spec.parent)
+        if rid_cols is None:
+            if not seq_unique:
+                raise ValueError(
+                    f"backlink('{spec.parent}', ...): parent table has no "
+                    "join_on keys and the pipeline uses DataFrame roots "
+                    "without order_col, so rows have no stable identity — "
+                    "add join_on to the parent map_to or pass "
+                    "etl(..., order_col=...)"
+                )
+            rid_cols = [_SEQ]
         child_struct = F.struct(*[F.col(i).alias(pub) for pub, i in cpairs])
         child_side = child_int.select(
             F.col(cf).alias("__bl_cid"), child_struct.alias("__bl_child")
@@ -979,6 +1034,24 @@ def _apply_backlinks(
             *[F.col(c).alias(f"__bl_k_{i}") for i, c in enumerate(rid_cols)],
             F.posexplode(F.col(plf)).alias("__bl_pos", "__bl_id"),
         )
+        if spec.fail_on_missing:
+            orphan = (
+                exploded.filter(F.col("__bl_id").isNotNull())
+                .join(
+                    child_side.select(F.col("__bl_cid").alias("__bl_id")).dropDuplicates(),
+                    "__bl_id",
+                    "left_anti",
+                )
+                .limit(3)
+                .collect()
+            )
+            if orphan:
+                missing = [r["__bl_id"] for r in orphan]
+                raise ValueError(
+                    f"backlink('{spec.parent}'->'{spec.child}'): missing child "
+                    f"ids {missing} (fail_on_missing=True; reference "
+                    "relationships.py:434-441)"
+                )
         matched = exploded.join(
             child_side, exploded["__bl_id"] == child_side["__bl_cid"], "inner"
         )

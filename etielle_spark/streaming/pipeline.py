@@ -110,9 +110,15 @@ class BufferedKeyFlushStrategy(UpsertFlushStrategy):
 
 
 class StreamResult:
-    def __init__(self, tables: dict[str, DataFrame], n_chunks: int):
+    def __init__(
+        self,
+        tables: dict[str, DataFrame],
+        n_chunks: int,
+        errors: Optional[dict[str, DataFrame]] = None,
+    ):
         self.tables = tables
         self.n_chunks = n_chunks
+        self.errors = errors or {}
 
     def __getitem__(self, name: str) -> DataFrame:
         return self.tables[name]
@@ -135,6 +141,7 @@ class StreamPipeline(PipelineBuilder):
         self._source = source
         self._eager_roots = list(eager_roots)
         self._strategy = flush_strategy or KeyCompleteFlushStrategy()
+        self._eager_internal: dict[str, DataFrame] = {}
 
     # -- helpers ------------------------------------------------------------
 
@@ -143,7 +150,7 @@ class StreamPipeline(PipelineBuilder):
         b._emissions = self._emissions
         b._links = self._links
         b._backlinks = self._backlinks
-        b._index_specs = [s for s in self._index_specs if s.from_dict is not None]
+        b._index_specs = self._index_specs
         b._eager_tables = self._eager_tables
         return b
 
@@ -151,7 +158,14 @@ class StreamPipeline(PipelineBuilder):
         """Sequential chunk: roots become rows of one DataFrame with an
         arrival-order column, so cross-root keyed merges see reference
         ordering (fluent.py:1406-1433)."""
-        payloads = [json.dumps({"__roword": i, **_as_obj(r)}) for i, r in enumerate(roots)]
+        objs = [_as_obj(r) for r in roots]
+        for o in objs:
+            if "__roword" in o:
+                raise ValueError(
+                    "sequential chunk roots must not contain a '__roword' key "
+                    "(reserved for the synthetic arrival order)"
+                )
+        payloads = [json.dumps({"__roword": i, **o}) for i, o in enumerate(objs)]
         return spark.read.json(spark.sparkContext.parallelize(payloads, 1))
 
     def _run_chunk(self, spark: SparkSession, chunk: Chunk) -> PipelineResult:
@@ -165,7 +179,7 @@ class StreamPipeline(PipelineBuilder):
             b = self._clone_with_roots([root_df], order_col="__roword")
         else:
             b = self._clone_with_roots(list(chunk.roots), order_col=None)
-        return b.run()
+        return b.run(extra_parents=self._eager_internal or None)
 
     def _validate_completeness(
         self,
@@ -177,13 +191,16 @@ class StreamPipeline(PipelineBuilder):
         for spec in self._links:
             if spec.child not in result.tables:
                 continue
-            child = result.tables[spec.child]
+            # internal frames: TempField by-fields are valid match keys
+            child = result._internal[spec.child]
             (cf, pf), *_ = spec.by.items()
             parents = []
-            if spec.parent in result.tables:
-                parents.append(result.tables[spec.parent].select(F.col(pf).alias("__p")))
-            if spec.parent in eager_store:
-                parents.append(eager_store[spec.parent].select(F.col(pf).alias("__p")))
+            if spec.parent in result._internal:
+                parents.append(result._internal[spec.parent].select(F.col(pf).alias("__p")))
+            if spec.parent in self._eager_internal:
+                parents.append(
+                    self._eager_internal[spec.parent].select(F.col(pf).alias("__p"))
+                )
             if not parents:
                 missing = child.filter(F.col(cf).isNotNull()).limit(1).collect()
                 if missing:
@@ -212,8 +229,16 @@ class StreamPipeline(PipelineBuilder):
 
     def run(self) -> StreamResult:
         spark = self._get_spark()
+        if any(spec.from_dict is None for spec in self._index_specs):
+            raise ValueError(
+                "streaming pipelines cannot use traversal-built build_index "
+                "(reference restriction, fluent.py:1797-1829); seed the "
+                "index with from_dict or use link_to"
+            )
         store = TableStore()
         eager_store: dict[str, DataFrame] = {}
+        eager_internal: dict[str, DataFrame] = {}
+        errors_store: dict[str, DataFrame] = {}
 
         if self._eager_tables:
             if not self._eager_roots:
@@ -228,8 +253,11 @@ class StreamPipeline(PipelineBuilder):
                     df = eager_res.tables[t].cache()
                     df.count()  # materialize the dimension once
                     eager_store[t] = df
+                    internal_df = eager_res._internal[t].cache()
+                    eager_internal[t] = internal_df
                     store.put(t, df)
 
+        self._eager_internal = eager_internal
         table_keys = self._table_key_map()
         n = 0
         for chunk in self._source.chunks():
@@ -240,11 +268,18 @@ class StreamPipeline(PipelineBuilder):
                 if name in self._eager_tables:
                     continue
                 self._strategy.flush(store, name, df, table_keys.get(name))
-            if self._sink is not None:
-                for name, df in result.tables.items():
-                    if name not in self._eager_tables:
-                        self._sink.write(name, df)
-        return StreamResult(store.tables, n)
+            for name, err in result.errors.items():
+                old = errors_store.get(name)
+                errors_store[name] = (
+                    err if old is None else old.unionByName(err, allowMissingColumns=True)
+                )
+        if self._sink is not None:
+            # the sink receives the strategy-resolved final tables (incl.
+            # eager dimensions); per-micro-batch exactly-once writes belong
+            # to the foreachBatch adapter (streaming/windows.py)
+            for name, df in store.tables.items():
+                self._sink.write(name, df)
+        return StreamResult(store.tables, n, errors_store)
 
     def _table_key_map(self) -> dict[str, list[str]]:
         keys: dict[str, list[str]] = {}

@@ -332,3 +332,90 @@ def test_stateful_running_counts_across_batches(spark):
     got = {r["k"]: (r["c"], r["s"]) for r in rows}
     assert got[1] == (2, 17.0)
     assert got[2] == (1, 5.0)
+
+
+def test_eager_parent_fk_resolves_across_chunks(spark):
+    """Children in chunks pick up FK values from an eager dimension that
+    the chunk itself never emits (the corrupt-NULL-FK regression)."""
+    tags_root = {"tags": [{"id": "t1"}, {"id": "t2"}]}
+    recs = [
+        {"items": [{"id": 1, "tag_id": "t1"}]},
+        {"items": [{"id": 2, "tag_id": "t2"}]},
+    ]
+    pipe = (
+        stream(OneRecordPerChunkSource(recs), spark=spark, eager_roots=[tags_root])
+        .goto("tags")
+        .each()
+        .map_to("tags", fields=[Field("id", get("id"))], join_on=["id"])
+        .load_eager("tags")
+        .goto_root(0)
+        .goto("items")
+        .each()
+        .map_to(
+            "items",
+            fields=[Field("id", get("id")), Field("tag_id", get("tag_id"))],
+            join_on=["id"],
+        )
+        .link_to("tags", by={"tag_id": "id"}, fk="tag_fk")
+    )
+    result = pipe.run()
+    got = {r["id"]: r["tag_fk"] for r in result["items"].collect()}
+    assert got == {1: "t1", 2: "t2"}
+
+
+def test_stream_errors_collected(spark):
+    recs = [
+        {"users": [{"id": "u1", "age": "30"}]},
+        {"users": [{"id": "u2", "age": "bad"}]},
+    ]
+    result = (
+        stream(OneRecordPerChunkSource(recs), spark=spark)
+        .goto("users")
+        .each()
+        .map_to(
+            "users",
+            fields=[Field("id", get("id")), Field("age", get("age"))],
+            join_on=["id"],
+            schema="id string, age int",
+        )
+        .run()
+    )
+    assert result["users"].count() == 1
+    assert "users" in result.errors
+    errs = result.errors["users"].collect()
+    assert len(errs) == 1 and errs[0]["key"] == "u2"
+
+
+def test_stream_sink_gets_final_tables_including_eager(spark):
+    from etielle_spark.sources import CollectSink
+
+    tags_root = {"tags": [{"id": "t1"}]}
+    recs = [{"items": [{"id": 1, "tag_id": "t1"}]}]
+    sink = CollectSink()
+    pipe = (
+        stream(OneRecordPerChunkSource(recs), spark=spark, eager_roots=[tags_root])
+        .goto("tags").each()
+        .map_to("tags", fields=[Field("id", get("id"))], join_on=["id"])
+        .load_eager("tags")
+        .goto_root(0)
+        .goto("items").each()
+        .map_to("items", fields=[Field("id", get("id")), Field("tag_id", get("tag_id"))], join_on=["id"])
+        .link_to("tags", by={"tag_id": "id"})
+        .load(sink)
+    )
+    pipe.run()
+    assert "tags" in sink.tables and "items" in sink.tables
+
+
+def test_stream_rejects_traversal_index(spark):
+    from etielle_spark import node as t_node
+
+    pipe = (
+        stream(OneRecordPerChunkSource([{"a": [1]}]), spark=spark)
+        .goto("a")
+        .each()
+        .build_index("idx", key=t_node(), value=t_node())
+        .map_to("t", fields=[Field("v", get("x"))])
+    )
+    with pytest.raises(ValueError, match="traversal-built"):
+        pipe.run()
