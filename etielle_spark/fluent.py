@@ -253,15 +253,13 @@ def _explode_level(
 def _trailing_level(
     df: DataFrame, env: CompileEnv, trail: list, lvl: int
 ) -> tuple[DataFrame, CompileEnv]:
-    """Trailing ``goto`` after the last ``each``: navigate without iterating
-    (single-mode level; None -> zero rows)."""
+    """Trailing ``goto`` after the last ``each``: navigate without
+    iterating.  A missing/None trailing node still emits its row with
+    NULL fields (verified against the reference executor — unlike
+    ``each()``, trailing navigation never filters)."""
     nav, dtype = resolve_path(env.current.node, env.current.dtype, trail)
     n = f"__n{lvl}"
-    if isinstance(dtype, T.NullType):
-        df2 = df.filter(F.lit(False)).select("*", F.lit(None).alias(n))
-        env.levels.append(LevelEnv(node=F.col(n), dtype=T.NullType()))
-        return df2, env
-    df2 = df.filter(nav.isNotNull()).select("*", nav.alias(n))
+    df2 = df.select("*", nav.alias(n))
     env.levels.append(LevelEnv(node=F.col(n), dtype=dtype))
     return df2, env
 

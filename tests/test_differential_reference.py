@@ -364,3 +364,53 @@ def test_differential_scalar_transforms(spark, seed):
     want = ref_tables(ref, r, "t")
     got = norm_rows(s.rows("t"))
     assert got == want, f"seed={seed}"
+
+
+def test_differential_trailing_goto_context(spark):
+    """Trailing goto creates a single-mode context: index()=None,
+    parent_index()=enclosing list index, node()=trailing node."""
+    ref = _load_reference()
+    from etielle.fluent import parent_index as r_parent_index
+
+    from etielle_spark import Field, etl, get, index, node, parent_index
+
+    data = {
+        "users": [
+            {"id": "u1", "profile": {"email": "a@x"}},
+            {"id": "u2", "profile": {"email": "b@y"}},
+            {"id": "u3"},  # no profile -> zero rows
+        ]
+    }
+    r = (
+        ref["etl"](data)
+        .goto("users")
+        .each()
+        .goto("profile")
+        .map_to(
+            table="t",
+            fields=[
+                ref["Field"]("e", ref["get"]("email")),
+                ref["Field"]("i", ref["index"]()),
+                ref["Field"]("pi", r_parent_index()),
+            ],
+        )
+        .run()
+    )
+    s = (
+        etl(data, spark=spark)
+        .goto("users")
+        .each()
+        .goto("profile")
+        .map_to(
+            "t",
+            fields=[
+                Field("e", get("email")),
+                Field("i", index()),
+                Field("pi", parent_index()),
+            ],
+        )
+        .run()
+    )
+    want = ref_tables(ref, r, "t")
+    got = norm_rows(s.rows("t"))
+    assert got == want

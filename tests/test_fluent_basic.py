@@ -312,5 +312,6 @@ def test_trailing_goto_after_each(spark):
         )
         .run()
     )
-    # u2 has no profile -> zero rows for it
-    assert rows(result, "profiles") == {("a@x", "u1")}
+    # u2 has no profile -> its row still emits with NULL fields
+    # (reference: trailing goto never filters; verified differentially)
+    assert rows(result, "profiles") == {("a@x", "u1"), (None, "u2")}
