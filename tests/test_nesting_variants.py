@@ -221,3 +221,24 @@ def test_arrival_order_preserved(spark):
         .run()
     )
     assert [r["v"] for r in result.rows("t", ordered=True)] == ["c", "a", "b"]
+
+
+def test_get_from_root_inside_iteration(spark):
+    from etielle_spark import get_from_root
+
+    data = {"meta": {"v": 7}, "xs": [1, 2]}
+    result = (
+        etl(data, spark=spark)
+        .goto("xs")
+        .each()
+        .map_to(
+            "t",
+            fields=[
+                Field("x", node()),
+                Field("mv", get_from_root("meta.v")),
+                Field("missing", get_from_root("nope.deep")),
+            ],
+        )
+        .run()
+    )
+    assert result.row_set("t") == {(1, 7, None), (2, 7, None)}
