@@ -143,6 +143,14 @@ class StreamPipeline(PipelineBuilder):
         self._strategy = flush_strategy or KeyCompleteFlushStrategy()
         self._eager_internal: dict[str, DataFrame] = {}
 
+    def goto_root(self, index: int = 0) -> "StreamPipeline":
+        """Root count is a per-chunk property for streams; grow the
+        placeholder list so the batch builder's bounds check passes
+        (actual arity is validated when each chunk runs)."""
+        while len(self._roots) <= index:
+            self._roots.append(object())
+        return super().goto_root(index)
+
     # -- helpers ------------------------------------------------------------
 
     def _clone_with_roots(self, roots: list, order_col: Optional[str]) -> PipelineBuilder:

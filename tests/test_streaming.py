@@ -419,3 +419,50 @@ def test_stream_rejects_traversal_index(spark):
     )
     with pytest.raises(ValueError, match="traversal-built"):
         pipe.run()
+
+
+def test_multiroot_nonsequential_chunks(spark):
+    """Chunk(sequential=False): root i feeds goto_root(i)
+    (reference chunking.py:24-33)."""
+    from etielle_spark.streaming import CallableChunkSource
+
+    def make_chunks():
+        for i in range(1, 4):
+            yield Chunk(
+                roots=(
+                    {"orders": [{"id": i, "customer": f"c{i}"}]},
+                    {"items": [{"id": i * 10, "order_id": i}]},
+                ),
+                sequential=False,
+            )
+
+    pipe = (
+        stream(CallableChunkSource(make_chunks), spark=spark)
+        .goto("orders")
+        .each()
+        .map_to(
+            "orders",
+            fields=[Field("id", get("id")), Field("customer", get("customer"))],
+            join_on=["id"],
+        )
+        .goto_root(1)
+        .goto("items")
+        .each()
+        .map_to(
+            "items",
+            fields=[Field("id", get("id")), Field("order_id", get("order_id"))],
+            join_on=["id"],
+        )
+        .link_to("orders", by={"order_id": "id"}, fk="ofk")
+        .run()
+    )
+    assert {tuple(r) for r in pipe["orders"].select("id", "customer").collect()} == {
+        (1, "c1"),
+        (2, "c2"),
+        (3, "c3"),
+    }
+    assert {tuple(r) for r in pipe["items"].select("id", "ofk").collect()} == {
+        (10, 1),
+        (20, 2),
+        (30, 3),
+    }
