@@ -293,9 +293,15 @@ def lookup(index_name: str, key_transform: Transform, *, default: Any = None) ->
             items.append(F.lit(v))
         m = F.create_map(*items)
         key_type = _lit_type(next(iter(mapping.keys())))
-        probe = F.try_element_at(m, kcol.cast(key_type))
+        key_cast = kcol.cast(key_type)
+        probe = F.try_element_at(m, key_cast)
         if default is not None:
-            probe = F.coalesce(probe, F.lit(default))
+            # the default applies only when the KEY is absent; a stored
+            # None value stays None (reference: dict.get semantics,
+            # transforms.py:236-247)
+            probe = F.when(F.map_contains_key(m, key_cast), probe).otherwise(
+                F.lit(default)
+            )
         return probe, None
 
     return Transform(_c)

@@ -273,3 +273,24 @@ def test_temp_id_not_clobbered_by_injection(spark):
     # link matched on the TEMP surrogate ('s1'/'s2'), not the injected key
     rows = {r["name"]: r["parent_nk"] for r in result.rows("children")}
     assert rows == {"c1": "alpha", "c2": "beta"}
+
+
+def test_lookup_default_only_for_missing_keys(spark):
+    """dict.get semantics: a stored None value returns None, not the
+    default (differentially verified against the reference)."""
+    data = {"rows": [{"k": "a"}, {"k": "b"}, {"k": "zz"}]}
+    result = (
+        etl(data, spark=spark)
+        .build_index("idx", from_dict={"a": 1, "b": None})
+        .goto("rows")
+        .each()
+        .map_to(
+            "t",
+            fields=[
+                Field("k", get("k")),
+                Field("v", lookup("idx", get("k"), default=-1)),
+            ],
+        )
+        .run()
+    )
+    assert result.row_set("t") == {("a", 1), ("b", None), ("zz", -1)}
