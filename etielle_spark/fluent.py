@@ -214,17 +214,26 @@ def _explode_level(
         return df2, env
 
     if isinstance(dtype, T.StructType):
-        # dict-with-known-keys iteration: entries in schema order.  Spark
-        # coerces entry values to a common type; genuinely heterogeneous
-        # dicts should be read as MapType instead.
+        # dict-with-known-keys iteration: entries in schema order.  JSON
+        # dicts often have *heterogeneous* value shapes (each key's struct
+        # carries different fields); Spark's array() cannot unify those,
+        # so entry values are projected onto the union schema first
+        # (missing fields -> NULL), which is exactly what the reference's
+        # per-item dict semantics yield.
         e = f"__e{lvl}"
+        value_types = [fld.dataType for fld in dtype.fields]
+        unified = _unify_types(value_types)
+
+        def as_unified(col: Column, src: T.DataType) -> Column:
+            return _project_to(col, src, unified)
+
         entries = F.when(
             nav.isNotNull(),
             F.array(
                 *[
                     F.struct(
                         F.lit(fld.name).alias("key"),
-                        nav.getField(fld.name).alias("value"),
+                        as_unified(nav.getField(fld.name), fld.dataType).alias("value"),
                     )
                     for fld in dtype.fields
                 ]
@@ -248,6 +257,57 @@ def _explode_level(
         return df2, env
 
     raise TypeError(f"each(): cannot iterate node of type {dtype.simpleString()}")
+
+
+def _unify_types(types: list[T.DataType]) -> T.DataType:
+    """Least-common type across sibling dict values: structs merge field
+    sets recursively (missing -> nullable), arrays unify element types,
+    identical types pass through; anything else falls back to string."""
+    non_null = [t for t in types if not isinstance(t, T.NullType)]
+    if not non_null:
+        return T.NullType()
+    first = non_null[0]
+    if all(t == first for t in non_null):
+        return first
+    if all(isinstance(t, T.StructType) for t in non_null):
+        merged: dict[str, list[T.DataType]] = {}
+        order: list[str] = []
+        for st in non_null:
+            for f in st.fields:
+                if f.name not in merged:
+                    merged[f.name] = []
+                    order.append(f.name)
+                merged[f.name].append(f.dataType)
+        return T.StructType(
+            [T.StructField(nm, _unify_types(merged[nm]), True) for nm in order]
+        )
+    if all(isinstance(t, T.ArrayType) for t in non_null):
+        return T.ArrayType(_unify_types([t.elementType for t in non_null]), True)
+    return T.StringType()
+
+
+def _project_to(col: Column, src: T.DataType, dst: T.DataType) -> Column:
+    """Reshape ``col`` (of type src) onto the unified type dst."""
+    if src == dst or isinstance(src, T.NullType):
+        return col.cast(dst) if not src == dst else col
+    if isinstance(dst, T.StructType) and isinstance(src, T.StructType):
+        have = {f.name: f.dataType for f in src.fields}
+        parts = []
+        for f in dst.fields:
+            if f.name in have:
+                parts.append(
+                    _project_to(col.getField(f.name), have[f.name], f.dataType).alias(
+                        f.name
+                    )
+                )
+            else:
+                parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return F.when(col.isNotNull(), F.struct(*parts))
+    if isinstance(dst, T.ArrayType) and isinstance(src, T.ArrayType):
+        return F.transform(
+            col, lambda x: _project_to(x, src.elementType, dst.elementType)
+        )
+    return col.cast(dst)
 
 
 def _trailing_level(

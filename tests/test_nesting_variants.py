@@ -242,3 +242,67 @@ def test_get_from_root_inside_iteration(spark):
         .run()
     )
     assert result.row_set("t") == {(1, 7, None), (2, 7, None)}
+
+
+def test_mixed_auto_and_keyed_emissions_same_table(spark):
+    """Auto-key rows append; keyed rows merge among themselves
+    (reference executor.py:193-196 + 272-281)."""
+    data = {
+        "keyed": [{"id": "k1", "v": 1}, {"id": "k1", "v": 2}],
+        "loose": [{"v": 10}, {"v": 20}],
+    }
+    result = (
+        etl(data, spark=spark)
+        .goto("keyed")
+        .each()
+        .map_to(
+            "t",
+            fields=[Field("id", get("id")), Field("v", get("v"))],
+            join_on=["id"],
+        )
+        .goto_root(0)
+        .goto("loose")
+        .each()
+        .map_to("t", fields=[Field("v", get("v"))])
+        .run()
+    )
+    # k1 merged (LWW v=2); loose rows appended unmerged
+    assert result.row_set("t", "id", "v") == {
+        ("k1", 2),
+        (None, 10),
+        (None, 20),
+    }
+
+
+def test_parent_key_depth_two(spark):
+    """parent_key(depth=2) through dict>dict>list nesting."""
+    from etielle_spark import parent_key
+
+    data = {
+        "regions": {
+            "emea": {"de": ["b1", "b2"], "fr": ["p1"]},
+            "apac": {"jp": ["t1"]},
+        }
+    }
+    result = (
+        etl(data, spark=spark)
+        .goto("regions")
+        .each()
+        .each()
+        .each()
+        .map_to(
+            "cities",
+            fields=[
+                Field("region", parent_key(2)),
+                Field("country", parent_key(1)),
+                Field("city", node()),
+            ],
+        )
+        .run()
+    )
+    assert result.row_set("cities") == {
+        ("emea", "de", "b1"),
+        ("emea", "de", "b2"),
+        ("emea", "fr", "p1"),
+        ("apac", "jp", "t1"),
+    }
