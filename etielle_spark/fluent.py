@@ -100,13 +100,32 @@ class IndexSpec:
 # ---------------------------------------------------------------------------
 
 
+def _nullify_empty_dicts(obj: Any) -> Any:
+    """Make empty-dict values survive schema inference.
+
+    spark.read.json silently DROPS fields whose value is {} everywhere,
+    which would make the entry invisible to dict iteration.  A marker
+    field keeps the value struct-typed (so sibling values still unify as
+    structs); the marker is all-NULL and never referenced, so gets
+    return None and nested each() yields the marker entry with a None
+    node — matching the reference, which yields the (key, {}) item.
+    """
+    if isinstance(obj, dict):
+        if not obj:
+            return {"__empty__": None}
+        return {k: _nullify_empty_dicts(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_nullify_empty_dicts(v) for v in obj]
+    return obj
+
+
 def _df_from_obj(spark: SparkSession, obj: Any) -> tuple[DataFrame, T.DataType]:
     """One in-memory JSON root -> a single-row DataFrame with column __n0.
 
     The root is wrapped so top-level lists/scalars stay a single node
     (spark.read.json would otherwise explode a top-level array into rows).
     """
-    payload = json.dumps({"__root__": obj})
+    payload = json.dumps({"__root__": _nullify_empty_dicts(obj)})
     jdf = spark.read.json(spark.sparkContext.parallelize([payload], 1))
     if "__root__" not in jdf.columns:
         # e.g. root == {} or None: no inferable schema
@@ -221,7 +240,14 @@ def _explode_level(
         # (missing fields -> NULL), which is exactly what the reference's
         # per-item dict semantics yield.
         e = f"__e{lvl}"
-        value_types = [fld.dataType for fld in dtype.fields]
+        # "__empty__" is the serialization marker for {} (see
+        # _nullify_empty_dicts) — an empty dict iterates zero entries
+        entry_fields = [f for f in dtype.fields if f.name != "__empty__"]
+        if not entry_fields:
+            df2 = df.filter(F.lit(False)).select("*", F.lit(None).alias(n))
+            env.levels.append(LevelEnv(node=F.col(n), dtype=T.NullType()))
+            return df2, env
+        value_types = [fld.dataType for fld in entry_fields]
         unified = _unify_types(value_types)
 
         def as_unified(col: Column, src: T.DataType) -> Column:
@@ -235,7 +261,7 @@ def _explode_level(
                         F.lit(fld.name).alias("key"),
                         as_unified(nav.getField(fld.name), fld.dataType).alias("value"),
                     )
-                    for fld in dtype.fields
+                    for fld in entry_fields
                 ]
             ),
         )

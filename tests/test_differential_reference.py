@@ -414,3 +414,60 @@ def test_differential_trailing_goto_context(spark):
     want = ref_tables(ref, r, "t")
     got = norm_rows(s.rows("t"))
     assert got == want
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_differential_heterogeneous_dict_iteration(spark, seed):
+    """Dicts whose values have different shapes per key (the JSON norm):
+    iterate entries; missing subfields read as None."""
+    ref = _load_reference()
+    from etielle_spark import Field, etl, get, key as s_key
+
+    from etielle.transforms import key as r_key
+
+    rng = random.Random(500 + seed)
+    groups = {}
+    for i in range(rng.randint(1, 5)):
+        g = {}
+        if rng.random() < 0.7:
+            g["name"] = f"g{i}"
+        if rng.random() < 0.5:
+            g["size"] = rng.randint(1, 9)
+        if rng.random() < 0.4:
+            g["extra"] = {"deep": rng.randint(0, 5)}
+        groups[f"key{i}"] = g
+    data = {"groups": groups}
+
+    r = (
+        ref["etl"](data)
+        .goto("groups")
+        .each()
+        .map_to(
+            table="t",
+            fields=[
+                ref["Field"]("k", r_key()),
+                ref["Field"]("name", ref["get"]("name")),
+                ref["Field"]("size", ref["get"]("size")),
+                ref["Field"]("deep", ref["get"]("extra.deep")),
+            ],
+        )
+        .run()
+    )
+    s = (
+        etl(data, spark=spark)
+        .goto("groups")
+        .each()
+        .map_to(
+            "t",
+            fields=[
+                Field("k", s_key()),
+                Field("name", get("name")),
+                Field("size", get("size")),
+                Field("deep", get("extra.deep")),
+            ],
+        )
+        .run()
+    )
+    want = ref_tables(ref, r, "t") if "t" in r.tables else set()
+    got = norm_rows(s.rows("t")) if "t" in s.tables else set()
+    assert got == want, f"seed={seed}"
