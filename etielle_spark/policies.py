@@ -59,18 +59,16 @@ class AppendPolicy(MergePolicy):
 
 class ExtendPolicy(MergePolicy):
     def agg(self, value: Column, ord_col: Column, dtype: T.DataType | None) -> Column:
-        is_array = isinstance(dtype, T.ArrayType)
-        if is_array:
-            pairs = F.collect_list(
-                F.when(ord_col.isNotNull() & value.isNotNull(), F.struct(ord_col.alias("o"), value.alias("v")))
+        pairs = F.collect_list(
+            F.when(
+                ord_col.isNotNull() & value.isNotNull(),
+                F.struct(ord_col.alias("o"), value.alias("v")),
             )
-            vals = F.flatten(F.transform(F.array_sort(pairs), lambda p: p.getField("v")))
-        else:
-            # scalar column: extend degenerates to append (instances.py:53-55)
-            pairs = F.collect_list(
-                F.when(ord_col.isNotNull() & value.isNotNull(), F.struct(ord_col.alias("o"), value.alias("v")))
-            )
-            vals = F.transform(F.array_sort(pairs), lambda p: p.getField("v"))
+        )
+        vals = F.transform(F.array_sort(pairs), lambda p: p.getField("v"))
+        if isinstance(dtype, T.ArrayType):
+            vals = F.flatten(vals)
+        # scalar columns degenerate to append (instances.py:53-55)
         return F.when(F.count(ord_col) > 0, vals)
 
 
