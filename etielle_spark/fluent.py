@@ -286,19 +286,25 @@ def _explode_level(
 
 
 def _unify_types(types: list[T.DataType]) -> T.DataType:
-    """Least-common type across sibling dict values: structs merge field
-    sets recursively (missing -> nullable), arrays unify element types,
-    identical types pass through; anything else falls back to string."""
+    """Least-common type across sibling dict values.
+
+    Precedence mirrors what matters for extraction semantics: if ANY
+    sibling is a struct, the union is the merged struct (scalar siblings
+    then read as NULL on structured access — exactly what the reference's
+    ``get`` returns for a scalar node); else arrays unify; else identical
+    scalars pass through; else string.
+    """
     non_null = [t for t in types if not isinstance(t, T.NullType)]
     if not non_null:
         return T.NullType()
     first = non_null[0]
     if all(t == first for t in non_null):
         return first
-    if all(isinstance(t, T.StructType) for t in non_null):
+    structs = [t for t in non_null if isinstance(t, T.StructType)]
+    if structs:
         merged: dict[str, list[T.DataType]] = {}
         order: list[str] = []
-        for st in non_null:
+        for st in structs:
             for f in st.fields:
                 if f.name not in merged:
                     merged[f.name] = []
@@ -307,16 +313,24 @@ def _unify_types(types: list[T.DataType]) -> T.DataType:
         return T.StructType(
             [T.StructField(nm, _unify_types(merged[nm]), True) for nm in order]
         )
-    if all(isinstance(t, T.ArrayType) for t in non_null):
-        return T.ArrayType(_unify_types([t.elementType for t in non_null]), True)
+    arrays = [t for t in non_null if isinstance(t, T.ArrayType)]
+    if arrays:
+        return T.ArrayType(_unify_types([t.elementType for t in arrays]), True)
     return T.StringType()
 
 
 def _project_to(col: Column, src: T.DataType, dst: T.DataType) -> Column:
-    """Reshape ``col`` (of type src) onto the unified type dst."""
+    """Reshape ``col`` (of type src) onto the unified type dst.
+
+    Kind mismatches (scalar where the union is a struct/array) become
+    NULL — the reference's ``get`` likewise returns None when navigating
+    into a scalar.
+    """
     if src == dst or isinstance(src, T.NullType):
         return col.cast(dst) if not src == dst else col
-    if isinstance(dst, T.StructType) and isinstance(src, T.StructType):
+    if isinstance(dst, T.StructType):
+        if not isinstance(src, T.StructType):
+            return F.lit(None).cast(dst)
         have = {f.name: f.dataType for f in src.fields}
         parts = []
         for f in dst.fields:
@@ -329,7 +343,9 @@ def _project_to(col: Column, src: T.DataType, dst: T.DataType) -> Column:
             else:
                 parts.append(F.lit(None).cast(f.dataType).alias(f.name))
         return F.when(col.isNotNull(), F.struct(*parts))
-    if isinstance(dst, T.ArrayType) and isinstance(src, T.ArrayType):
+    if isinstance(dst, T.ArrayType):
+        if not isinstance(src, T.ArrayType):
+            return F.lit(None).cast(dst)
         return F.transform(
             col, lambda x: _project_to(x, src.elementType, dst.elementType)
         )

@@ -1,0 +1,195 @@
+"""Extended differential fuzz campaign against the reference executor.
+
+Runs the same pipeline shapes as tests/test_differential_reference.py but
+over many more seeds (the pytest suite keeps a small fixed set for CI
+speed).  Usage:
+
+    python tools/fuzz_differential.py [n_seeds_per_shape]
+
+Known representation boundary (expected rare blob-walk mismatches): when
+sibling dict entries give the SAME field both array and scalar kinds,
+one column type cannot hold both — the scalar side reads NULL.  The
+schema-union favors structs > arrays > scalars; lifting this needs
+Spark 4 VariantType columns (candidate for a later round).
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/reference")
+
+
+def norm_rows(rows):
+    out = set()
+    for r in rows:
+        out.add(tuple(sorted((k, str(v)) for k, v in r.items() if v is not None)))
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 25
+
+    from etielle.fluent import Field as RF
+    from etielle.fluent import TempField as RTF
+    from etielle.fluent import etl as retl
+    from etielle.fluent import node as rnode
+    from etielle.instances import AddPolicy as RAdd, AppendPolicy as RApp
+    from etielle.transforms import get as rget, key as rkey
+    from etielle.transforms import get_from_parent as rgfp
+
+    from etielle_spark import (
+        AddPolicy,
+        AppendPolicy,
+        Field,
+        TempField,
+        etl,
+        get,
+        get_from_parent,
+        key,
+        node,
+    )
+    from etielle_spark.session import get_spark
+
+    spark = get_spark("fuzz", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def rand_value(rng, depth=0):
+        r = rng.random()
+        if depth > 2 or r < 0.25:
+            return rng.choice([None, "", "s", 7, -1, "x y"])
+        if r < 0.5:
+            return [rand_value(rng, depth + 1) for _ in range(rng.randint(0, 3))]
+        return {
+            rng.choice(["a", "b", "c"]): rand_value(rng, depth + 1)
+            for _ in range(rng.randint(0, 3))
+        }
+
+    failures = []
+
+    def check(shape, seed, want, got):
+        if want != got:
+            failures.append((shape, seed))
+            print(f"[MISMATCH] {shape} seed={seed}")
+            print("  ref :", sorted(want)[:4])
+            print("  mine:", sorted(got)[:4])
+
+    for seed in range(n):
+        rng = random.Random(seed)
+        # shape 1: nested users/posts with messy fields
+        users = []
+        for i in range(rng.randint(0, 6)):
+            u = {"id": f"u{i}"}
+            if rng.random() < 0.8:
+                u["name"] = rng.choice(["ann", None, ""])
+            if rng.random() < 0.7:
+                u["posts"] = [
+                    {"id": f"p{i}_{j}", "t": rng.choice(["x", None])}
+                    for j in range(rng.randint(0, 3))
+                ]
+            users.append(u)
+        data = {"users": users}
+        r = (
+            retl(data)
+            .goto("users").each()
+            .map_to(table="u", fields=[RF("id", rget("id")), RF("name", rget("name"))])
+            .goto("posts").each()
+            .map_to(table="p", fields=[RF("id", rget("id")), RF("uid", rgfp("id")), RF("t", rget("t"))])
+            .run()
+        )
+        s = (
+            etl(data, spark=spark)
+            .goto("users").each()
+            .map_to("u", fields=[Field("id", get("id")), Field("name", get("name"))])
+            .goto("posts").each()
+            .map_to("p", fields=[Field("id", get("id")), Field("uid", get_from_parent("id")), Field("t", get("t"))])
+            .run()
+        )
+        for tbl in ("u", "p"):
+            want = norm_rows(dict(x) for x in r.tables[tbl].values()) if tbl in r.tables else set()
+            got = norm_rows(s.rows(tbl)) if tbl in s.tables else set()
+            check(f"nested/{tbl}", seed, want, got)
+
+        # shape 2: keyed merge with policies and dirty keys
+        rng2 = random.Random(1000 + seed)
+        evs = [
+            {
+                "k": rng2.choice(["a", "b", "", None]),
+                "n": rng2.choice([1, 2, None]),
+                "tag": rng2.choice(["t", None]),
+            }
+            for _ in range(rng2.randint(0, 12))
+        ]
+        data2 = {"evs": evs}
+        r2 = (
+            retl(data2)
+            .goto("evs").each()
+            .map_to(
+                table="t",
+                fields=[RF("k", rget("k")), RF("n", rget("n"), merge=RAdd()), RF("tags", rget("tag"), merge=RApp())],
+                join_on=["k"],
+            )
+            .run()
+        )
+        s2 = (
+            etl(data2, spark=spark)
+            .goto("evs").each()
+            .map_to(
+                "t",
+                fields=[Field("k", get("k")), Field("n", get("n"), merge=AddPolicy()), Field("tags", get("tag"), merge=AppendPolicy())],
+                join_on=["k"],
+            )
+            .run()
+        )
+        want2 = set()
+        if "t" in r2.tables:
+            for row in r2.tables["t"].values():
+                d = dict(row)
+                want2.add((d["k"], d.get("n"), tuple(d.get("tags") or ())))
+        got2 = set()
+        if "t" in s2.tables:
+            for d in s2.rows("t"):
+                got2.add((d["k"], d["n"], tuple(d["tags"] or ())))
+        check("policies", seed, want2, got2)
+
+        # shape 3: random nested blob — parity contract: iterated entry
+        # keys + scalar get() access (raw node() representations
+        # legitimately differ: ragged python vs schema-unified structs)
+        rng3 = random.Random(2000 + seed)
+        blob = {"root": {f"k{i}": rand_value(rng3, 0) for i in range(rng3.randint(0, 4))}}
+        r3 = (
+            retl(blob)
+            .goto("root").each()
+            .map_to(table="t", fields=[RF("k", rkey()), RF("a", rget("a")), RF("ab", rget("a.b"))])
+            .run()
+        )
+        s3 = (
+            etl(blob, spark=spark)
+            .goto("root").each()
+            .map_to("t", fields=[Field("k", key()), Field("a", get("a")), Field("ab", get("a.b"))])
+            .run()
+        )
+
+        def scalar_or_skip(v):
+            return v if isinstance(v, (str, int, float, bool, type(None))) else "__nonscalar__"
+
+        want3 = set()
+        if "t" in r3.tables:
+            for row in r3.tables["t"].values():
+                d = dict(row)
+                want3.add((d["k"], scalar_or_skip(d.get("a")), scalar_or_skip(d.get("ab"))))
+        got3 = set()
+        if "t" in s3.tables:
+            for d in s3.rows("t"):
+                got3.add((d["k"], scalar_or_skip(d.get("a")), scalar_or_skip(d.get("ab"))))
+        check("blob-walk", seed, want3, got3)
+
+    print(f"\nfuzz done: {n} seeds x 4 shapes, {len(failures)} mismatches")
+    if failures:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
