@@ -135,9 +135,6 @@ def _df_from_obj(spark: SparkSession, obj: Any) -> tuple[DataFrame, T.DataType]:
     return jdf.select(F.col("__root__").alias("__n0")), dtype
 
 
-_ROOT_CACHE_ATTR = "__etielle_root_cache"
-
-
 def _root_env(
     spark: SparkSession,
     root: Any,

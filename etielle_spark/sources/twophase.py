@@ -14,7 +14,6 @@ time so the full flow is exercisable anywhere.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 

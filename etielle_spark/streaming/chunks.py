@@ -9,7 +9,7 @@ that Spark's shuffle provides natively (see ``partitioned_chunks``).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from itertools import groupby
 from typing import Any, Callable, Iterable, Iterator, Sequence
 
