@@ -1680,3 +1680,39 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@q(
+    "q53_map_functions",
+    """
+    WITH per AS (
+      SELECT o_orderpriority, o_orderstatus, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ), m AS (
+      SELECT o_orderpriority,
+             map_from_entries(list_sort(list(struct_pack(k := o_orderstatus, v := n)))) AS status_counts
+      FROM per GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           array_to_string(map_keys(status_counts), ',') AS statuses,
+           coalesce(map_extract(status_counts, 'O')[1], 0) AS n_open,
+           cardinality(status_counts)::INT AS n_statuses
+    FROM m
+    """,
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function surface (map_from_entries/map_keys/element_at) —
+    the §2.3 declared map set."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority", "o_orderstatus").agg(F.count("*").alias("n"))
+    m = per.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct(F.col("o_orderstatus").alias("k"), F.col("n").alias("v"))))
+        ).alias("status_counts")
+    )
+    return m.select(
+        "o_orderpriority",
+        F.array_join(F.map_keys("status_counts"), ",").alias("statuses"),
+        F.coalesce(F.try_element_at("status_counts", F.lit("O")), F.lit(0)).alias("n_open"),
+        F.size("status_counts").cast("int").alias("n_statuses"),
+    )
