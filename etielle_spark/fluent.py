@@ -386,7 +386,17 @@ class PipelineResult:
         self.write_order = write_order
         self._public_map = public_map or {}
 
-    def __getitem__(self, name: str) -> DataFrame:
+    def __getitem__(self, name) -> DataFrame:
+        # table name or model class (reference tables proxy,
+        # etielle/fluent.py:181-282)
+        if isinstance(name, type):
+            from .models import table_name_of
+
+            name = table_name_of(name)
+        if name not in self.tables:
+            raise KeyError(
+                f"no output table {name!r}; available: {sorted(self.tables)}"
+            )
         return self.tables[name]
 
     def rows(self, name: str, ordered: bool = False) -> list[dict]:

@@ -91,3 +91,79 @@ def extract_features(
             )
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(op, FEATURE_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    *,
+    width: int = 224,
+    height: int = 224,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Image resize as an Arrow-batched operator.
+
+    Real plumbing (schema, batching, partition-at-a-time Python), stubbed
+    codec: the deterministic fake emits the target dimensions and a
+    digest-derived 'thumbnail' payload.  Swap the stub branch for
+    PIL.Image.resize when codecs are present.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "image decode requires PIL; run with decode_stub=True"
+                )
+            digests = pdf[payload_col].map(lambda b: hashlib.md5(bytes(b)).digest())
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "width": width,
+                    "height": height,
+                    "resized": digests.map(lambda d: d * (width * height // 16 + 1))
+                    .map(lambda b: b[: width * height // 8]),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op, f"id bigint, width int, height int, resized binary"
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    *,
+    n_frames: int = 4,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame
+    (mapInPandas fan-out — the batch-in, multi-row-out shape).
+
+    The stub derives per-frame digests deterministically; a real
+    implementation seeks n uniformly-spaced keyframes via pyav.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "video decode requires pyav; run with decode_stub=True"
+                )
+            rows = {"id": [], "frame_idx": [], "frame_digest": []}
+            for _, r in pdf.iterrows():
+                base = hashlib.md5(bytes(r[payload_col])).hexdigest()
+                for i in range(n_frames):
+                    rows["id"].append(r[id_col])
+                    rows["frame_idx"].append(i)
+                    rows["frame_digest"].append(
+                        hashlib.md5(f"{base}|{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op, "id bigint, frame_idx int, frame_digest string"
+    )

@@ -110,3 +110,41 @@ def test_pydantic_model_class(spark):
     rows = {r["pid"]: r["score"] for r in result.rows("person")}
     assert rows == {"a": 1.5}
     assert result.errors["person"].count() == 1
+
+
+def test_result_access_by_model_class(spark):
+    result = (
+        etl({"users": [{"id": "u1", "age": "3"}]}, spark=spark)
+        .goto("users")
+        .each()
+        .map_to(User, fields=[Field("id", get("id")), Field("age", get("age"))], join_on=["id"])
+        .run()
+    )
+    assert result[User].count() == 1  # class-based access (tables proxy)
+
+
+def test_custom_merge_policy(spark):
+    from pyspark.sql import functions as F
+
+    from etielle_spark import MergePolicy
+
+    class ProductPolicy(MergePolicy):
+        """User-defined aggregate: product of supplied values."""
+
+        def agg(self, value, ord_col, dtype):
+            return F.exp(F.sum(F.when(ord_col.isNotNull(), F.log(value))))
+
+    data = {"xs": [{"k": "a", "v": 2.0}, {"k": "a", "v": 3.0}, {"k": "a", "v": 4.0}]}
+    result = (
+        etl(data, spark=spark)
+        .goto("xs")
+        .each()
+        .map_to(
+            "t",
+            fields=[Field("k", get("k")), Field("prod", get("v"), merge=ProductPolicy())],
+            join_on=["k"],
+        )
+        .run()
+    )
+    rows = result.rows("t")
+    assert len(rows) == 1 and abs(rows[0]["prod"] - 24.0) < 1e-9

@@ -230,3 +230,20 @@ def test_asof_join_tolerance_and_ties(spark):
     got_tol = {(r["k"], str(r["lts"])): r["val"] for r in tol.collect()}
     assert got_tol[(1, "2024-01-01 10:05:00")] is None  # 5 min > tolerance
     assert got_tol[(1, "2024-01-01 10:00:00")] == "b"
+
+
+def test_multimodal_resize_and_frames(spark, docs):
+    from etielle_spark.operators.multimodal import resize_images, sample_frames
+
+    wp = attach_payload(docs.limit(5), "text")
+    resized = resize_images(wp, "doc_id", width=64, height=64).collect()
+    assert len(resized) == 5
+    assert all(r["width"] == 64 and len(r["resized"]) == 64 * 64 // 8 for r in resized)
+
+    frames = sample_frames(wp, "doc_id", n_frames=3).collect()
+    assert len(frames) == 15
+    assert {r["frame_idx"] for r in frames} == {0, 1, 2}
+    # deterministic per payload+index
+    one = [r for r in frames if r["frame_idx"] == 0][0]
+    again = [r for r in sample_frames(wp, "doc_id", n_frames=3).collect() if r["frame_idx"] == 0][0]
+    assert one["frame_digest"] == again["frame_digest"]
