@@ -34,6 +34,78 @@ def parse_path(path: Union[str, Sequence[PathSeg], None]) -> list[PathSeg]:
 
 NULL = T.NullType()
 
+# Serialization markers injected into in-memory JSON roots (see
+# fluent._prepare_obj).  "__empty__" keeps {}-valued fields alive through
+# spark.read.json inference (which silently drops them); "__keys__" records
+# each dict's OWN key set in insertion order, so dict iteration over
+# schema-unioned sibling structs emits exactly the per-row entries the
+# reference's Python dict iteration yields (no phantom (key, NULL) rows)
+# and in the original insertion order.  Both are internal: they are
+# filtered out of iteration/len_of and stripped from materialized values.
+MARKER_FIELDS = ("__empty__", "__keys__")
+
+
+def has_marker_fields(dtype: T.DataType) -> bool:
+    if isinstance(dtype, T.StructType):
+        return any(
+            f.name in MARKER_FIELDS or has_marker_fields(f.dataType)
+            for f in dtype.fields
+        )
+    if isinstance(dtype, T.ArrayType):
+        return has_marker_fields(dtype.elementType)
+    if isinstance(dtype, T.MapType):
+        return has_marker_fields(dtype.valueType)
+    return False
+
+
+def _stripped_type(dtype: T.DataType) -> T.DataType:
+    if isinstance(dtype, T.StructType):
+        keep = [f for f in dtype.fields if f.name not in MARKER_FIELDS]
+        if not keep:
+            return dtype
+        return T.StructType(
+            [T.StructField(f.name, _stripped_type(f.dataType), f.nullable) for f in keep]
+        )
+    if isinstance(dtype, T.ArrayType):
+        return T.ArrayType(_stripped_type(dtype.elementType), dtype.containsNull)
+    if isinstance(dtype, T.MapType):
+        return T.MapType(
+            dtype.keyType, _stripped_type(dtype.valueType), dtype.valueContainsNull
+        )
+    return dtype
+
+
+def strip_marker_fields(col: Column, dtype: T.DataType):
+    """Remove marker fields from a value before it is materialized
+    (emission projection, index values, Python-UDF inputs).  Returns the
+    (column, dtype) unchanged when no marker is present.  A pure-{} struct
+    (markers are its only fields) is left as-is — the representation
+    boundary for emitting an empty dict verbatim."""
+    if not has_marker_fields(dtype):
+        return col, dtype
+    if isinstance(dtype, T.StructType):
+        keep = [f for f in dtype.fields if f.name not in MARKER_FIELDS]
+        if not keep:
+            return col, dtype
+        parts = [
+            strip_marker_fields(col.getField(f.name), f.dataType)[0].alias(f.name)
+            for f in keep
+        ]
+        return F.when(col.isNotNull(), F.struct(*parts)), _stripped_type(dtype)
+    if isinstance(dtype, T.ArrayType):
+        elem_t = dtype.elementType
+        return (
+            F.transform(col, lambda x: strip_marker_fields(x, elem_t)[0]),
+            _stripped_type(dtype),
+        )
+    if isinstance(dtype, T.MapType):
+        val_t = dtype.valueType
+        return (
+            F.transform_values(col, lambda k, v: strip_marker_fields(v, val_t)[0]),
+            _stripped_type(dtype),
+        )
+    return col, dtype
+
 
 def resolve_path(col: Column, dtype: T.DataType, segments: Sequence[PathSeg]):
     """Navigate ``segments`` from a (column, dtype) pair.

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from .core import (
+    MARKER_FIELDS,
     CompileEnv,
     Field,
     LevelEnv,
@@ -37,6 +38,7 @@ from .core import (
     Transform,
     parse_path,
     resolve_path,
+    strip_marker_fields,
 )
 from .models import is_model_class, spark_schema_of, table_name_of
 from .policies import LastWriteWinsPolicy, MergePolicy
@@ -100,22 +102,51 @@ class IndexSpec:
 # ---------------------------------------------------------------------------
 
 
-def _nullify_empty_dicts(obj: Any) -> Any:
-    """Make empty-dict values survive schema inference.
+def _json_key(k: Any) -> str:
+    """The key string json.dumps would emit for a non-str dict key."""
+    if isinstance(k, str):
+        return k
+    if k is True:
+        return "true"
+    if k is False:
+        return "false"
+    if k is None:
+        return "null"
+    if isinstance(k, float):
+        return float.__repr__(k)
+    return str(k)
 
-    spark.read.json silently DROPS fields whose value is {} everywhere,
-    which would make the entry invisible to dict iteration.  A marker
-    field keeps the value struct-typed (so sibling values still unify as
-    structs); the marker is all-NULL and never referenced, so gets
-    return None and nested each() yields the marker entry with a None
-    node — matching the reference, which yields the (key, {}) item.
+
+def _prepare_obj(obj: Any) -> Any:
+    """Serialize-time markers for in-memory JSON roots.
+
+    1. {} -> {"__empty__": None}: spark.read.json silently DROPS fields
+       whose value is {} everywhere; the marker keeps the value
+       struct-typed so the entry stays visible (and iterates zero rows).
+    2. Every non-empty dict gets "__keys__": [its own keys, in insertion
+       order].  Schema inference unions sibling dicts into one struct, so
+       without presence info dict iteration would emit the UNION's keys
+       per row (phantom (key, NULL) entries) in alphabetical schema order;
+       __keys__ restores exact per-row membership and insertion order —
+       the reference's Python dict semantics.
+
+    DataFrame roots carry no markers: there the struct schema itself is
+    the document shape (a known representation boundary — every row
+    iterates the full schema).
     """
     if isinstance(obj, dict):
         if not obj:
             return {"__empty__": None}
-        return {k: _nullify_empty_dicts(v) for k, v in obj.items()}
+        out: dict[str, Any] = {}
+        keys: list[str] = []
+        for k, v in obj.items():
+            jk = _json_key(k)
+            keys.append(jk)
+            out[jk] = _prepare_obj(v)
+        out["__keys__"] = keys
+        return out
     if isinstance(obj, list):
-        return [_nullify_empty_dicts(v) for v in obj]
+        return [_prepare_obj(v) for v in obj]
     return obj
 
 
@@ -125,7 +156,7 @@ def _df_from_obj(spark: SparkSession, obj: Any) -> tuple[DataFrame, T.DataType]:
     The root is wrapped so top-level lists/scalars stay a single node
     (spark.read.json would otherwise explode a top-level array into rows).
     """
-    payload = json.dumps({"__root__": _nullify_empty_dicts(obj)})
+    payload = json.dumps({"__root__": _prepare_obj(obj)})
     jdf = spark.read.json(spark.sparkContext.parallelize([payload], 1))
     if "__root__" not in jdf.columns:
         # e.g. root == {} or None: no inferable schema
@@ -230,16 +261,16 @@ def _explode_level(
         return df2, env
 
     if isinstance(dtype, T.StructType):
-        # dict-with-known-keys iteration: entries in schema order.  JSON
-        # dicts often have *heterogeneous* value shapes (each key's struct
-        # carries different fields); Spark's array() cannot unify those,
-        # so entry values are projected onto the union schema first
-        # (missing fields -> NULL), which is exactly what the reference's
-        # per-item dict semantics yield.
+        # dict iteration.  JSON dicts often have *heterogeneous* value
+        # shapes (each key's struct carries different fields); Spark's
+        # array() cannot unify those, so entry values are projected onto
+        # the union schema first (missing fields -> NULL), which is exactly
+        # what the reference's per-item dict semantics yield.
         e = f"__e{lvl}"
-        # "__empty__" is the serialization marker for {} (see
-        # _nullify_empty_dicts) — an empty dict iterates zero entries
-        entry_fields = [f for f in dtype.fields if f.name != "__empty__"]
+        # marker fields (see _prepare_obj) are not entries; a pure-{}
+        # struct iterates zero rows
+        entry_fields = [f for f in dtype.fields if f.name not in MARKER_FIELDS]
+        has_keys = any(f.name == "__keys__" for f in dtype.fields)
         if not entry_fields:
             df2 = df.filter(F.lit(False)).select("*", F.lit(None).alias(n))
             env.levels.append(LevelEnv(node=F.col(n), dtype=T.NullType()))
@@ -250,18 +281,62 @@ def _explode_level(
         def as_unified(col: Column, src: T.DataType) -> Column:
             return _project_to(col, src, unified)
 
-        entries = F.when(
-            nav.isNotNull(),
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(fld.name).alias("key"),
-                        as_unified(nav.getField(fld.name), fld.dataType).alias("value"),
-                    )
-                    for fld in entry_fields
-                ]
-            ),
-        )
+        if has_keys and not isinstance(unified, T.NullType):
+            # in-memory root: __keys__ carries this row's OWN keys in
+            # insertion order — iterate exactly those (sibling rows whose
+            # dicts have different keys emit no phantom entries).  NULL
+            # __keys__ means the dict was empty ({} sibling) -> zero rows.
+            # kv is rebuilt per element by Catalyst (CollapseProject), but
+            # dict widths are small so the O(keys * fields) cost is noise.
+            kv = F.map_from_arrays(
+                F.array(*[F.lit(fld.name) for fld in entry_fields]),
+                F.array(
+                    *[
+                        as_unified(nav.getField(fld.name), fld.dataType)
+                        for fld in entry_fields
+                    ]
+                ),
+            )
+            keys_arr = nav.getField("__keys__")
+            entries = F.when(
+                nav.isNotNull() & keys_arr.isNotNull(),
+                F.transform(
+                    keys_arr,
+                    lambda k: F.struct(
+                        k.alias("key"), F.try_element_at(kv, k).alias("value")
+                    ),
+                ),
+            )
+        elif has_keys:
+            # all entry values are statically NULL-typed
+            keys_arr = nav.getField("__keys__")
+            entries = F.when(
+                nav.isNotNull() & keys_arr.isNotNull(),
+                F.transform(
+                    keys_arr,
+                    lambda k: F.struct(
+                        k.alias("key"), F.lit(None).alias("value")
+                    ),
+                ),
+            )
+        else:
+            # DataFrame root: no presence info — the struct schema IS the
+            # document shape; every row iterates the full schema in schema
+            # order (documented representation boundary)
+            entries = F.when(
+                nav.isNotNull(),
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(fld.name).alias("key"),
+                            as_unified(nav.getField(fld.name), fld.dataType).alias(
+                                "value"
+                            ),
+                        )
+                        for fld in entry_fields
+                    ]
+                ),
+            )
         df2 = df.select("*", F.posexplode(entries).alias(p, e))
         df2 = df2.select(
             "*",
@@ -659,7 +734,9 @@ class PipelineBuilder:
             if spec.trailing:
                 df, env = _trailing_level(df, env, spec.trailing, len(spec.iter_points) + 1)
             kcol = spec.key.compile(env)
-            vcol = spec.value.compile(env)
+            vcol, vtype = spec.value.compile_typed(env)
+            if vtype is not None:
+                vcol, _ = strip_marker_fields(vcol, vtype)
             pos_cols = [lv.pos for lv in env.levels if lv.pos is not None]
             # arrival order includes the root-row order so last-write-wins
             # on duplicate keys is deterministic for DataFrame roots too
@@ -693,7 +770,10 @@ class PipelineBuilder:
 
         sel: list[Column] = []
         for f in em.fields:
-            col, _ = f.transform.compile_typed(env)
+            col, ftype = f.transform.compile_typed(env)
+            if ftype is not None:
+                # serialization markers never leak into output values
+                col, _ = strip_marker_fields(col, ftype)
             sel.append(col.alias(f.name))
         pos_cols = [lv.pos for lv in env.levels if lv.pos is not None]
         ordc = _ord_struct([F.lit(em.root_index)], pos_cols, max_pos, row_ord, em.seq)

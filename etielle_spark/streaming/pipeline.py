@@ -23,7 +23,7 @@ from typing import Any, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..fluent import PipelineBuilder, PipelineResult
+from ..fluent import PipelineBuilder, PipelineResult, _prepare_obj
 from .chunks import Chunk, ChunkSource, RelationshipIncompleteError
 
 
@@ -173,7 +173,11 @@ class StreamPipeline(PipelineBuilder):
                     "sequential chunk roots must not contain a '__roword' key "
                     "(reserved for the synthetic arrival order)"
                 )
-        payloads = [json.dumps({"__roword": i, **o}) for i, o in enumerate(objs)]
+        # _prepare_obj injects the __keys__/__empty__ presence markers, so
+        # dict iteration over schema-unioned chunk rows stays per-row exact
+        payloads = [
+            json.dumps({"__roword": i, **_prepare_obj(o)}) for i, o in enumerate(objs)
+        ]
         return spark.read.json(spark.sparkContext.parallelize(payloads, 1))
 
     def _run_chunk(self, spark: SparkSession, chunk: Chunk) -> PipelineResult:

@@ -16,6 +16,7 @@ from pyspark.sql import Column, functions as F
 from pyspark.sql import types as T
 
 from .core import (
+    MARKER_FIELDS,
     NULL,
     CompileEnv,
     PathSeg,
@@ -23,6 +24,7 @@ from .core import (
     ensure_transform,
     parse_path,
     resolve_path,
+    strip_marker_fields,
 )
 
 __all__ = [
@@ -204,7 +206,18 @@ def len_of(inner: Transform) -> Transform:
                 T.IntegerType(),
             )
         if isinstance(dtype, T.StructType):
-            return F.when(col.isNotNull(), F.lit(len(dtype.fields))), T.IntegerType()
+            if any(f.name == "__keys__" for f in dtype.fields):
+                # in-memory dict: __keys__ is the row's own key list, so
+                # this is the exact per-row len(dict); NULL __keys__ means
+                # an {} sibling -> 0.  (size(NULL) is -1 under legacy
+                # semantics, hence the explicit branch.)
+                keys = col.getField("__keys__")
+                cnt = F.when(keys.isNotNull(), F.size(keys)).otherwise(F.lit(0))
+                return F.when(col.isNotNull(), cnt).cast("int"), T.IntegerType()
+            # DataFrame-root struct: the schema is the shape; markers are
+            # not entries (len_of({}) == 0, not 1)
+            n = len([f for f in dtype.fields if f.name not in MARKER_FIELDS])
+            return F.when(col.isNotNull(), F.lit(n)), T.IntegerType()
         if isinstance(dtype, T.StringType) or dtype is None:
             return F.length(col.cast("string")).cast("int"), T.IntegerType()
         return F.lit(None), NULL
@@ -249,7 +262,11 @@ def apply(
     udf = F.udf(func, return_type)
 
     def _c(env: CompileEnv):
-        col, _ = inner_t.compile_typed(env)
+        col, dt_in = inner_t.compile_typed(env)
+        if dt_in is not None:
+            # a Python UDF sees the value as a Row; serialization markers
+            # must not leak into user code
+            col, _ = strip_marker_fields(col, dt_in)
         dt = return_type if isinstance(return_type, T.DataType) else None
         return udf(col), dt
 

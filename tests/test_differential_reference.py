@@ -471,3 +471,136 @@ def test_differential_heterogeneous_dict_iteration(spark, seed):
     want = ref_tables(ref, r, "t") if "t" in r.tables else set()
     got = norm_rows(s.rows("t")) if "t" in s.tables else set()
     assert got == want, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_differential_sibling_dicts_differing_keys(spark, seed):
+    """Sibling dicts with DIFFERENT key sets (schema union would invent
+    phantom (key, NULL) entries without per-row presence markers)."""
+    ref = _load_reference()
+    from etielle_spark import Field, etl, get_from_parent, key as s_key, node
+
+    from etielle.transforms import key as r_key, get_from_parent as r_gfp
+
+    rng = random.Random(700 + seed)
+    keysets = [["a"], ["b"], ["a", "c"], ["d", "b"], [], ["e"]]
+    users = []
+    for i in range(rng.randint(2, 6)):
+        prefs = {k: rng.randint(0, 9) for k in rng.choice(keysets)}
+        users.append({"id": f"u{i}", "prefs": prefs})
+    data = {"users": users}
+
+    r = (
+        ref["etl"](data)
+        .goto("users")
+        .each()
+        .goto("prefs")
+        .each()
+        .map_to(
+            table="t",
+            fields=[
+                ref["Field"]("uid", r_gfp("id")),
+                ref["Field"]("k", r_key()),
+                ref["Field"]("v", ref["node"]()),
+            ],
+        )
+        .run()
+    )
+    s = (
+        etl(data, spark=spark)
+        .goto("users")
+        .each()
+        .goto("prefs")
+        .each()
+        .map_to(
+            "t",
+            fields=[
+                Field("uid", get_from_parent("id")),
+                Field("k", s_key()),
+                Field("v", node()),
+            ],
+        )
+        .run()
+    )
+    ref_rows = list(r.tables["t"].values()) if "t" in r.tables else []
+    got_rows = s.rows("t") if "t" in s.tables else []
+    # exact row COUNT (phantom (k, NULL) entries would inflate it even
+    # when None-dropping normalization hides them)
+    assert len(got_rows) == len(ref_rows), f"seed={seed}"
+    assert norm_rows(dict(x) for x in ref_rows) == norm_rows(got_rows), f"seed={seed}"
+
+
+def test_differential_dict_insertion_order(spark):
+    """Dict iteration follows insertion order, not schema/alpha order."""
+    ref = _load_reference()
+    from etielle_spark import Field, etl, key as s_key, node
+
+    from etielle.transforms import key as r_key
+
+    data = {"m": {"zeta": 1, "alpha": 2, "mid": 3}}
+    r = (
+        ref["etl"](data)
+        .goto("m")
+        .each()
+        .map_to(
+            table="t",
+            fields=[ref["Field"]("k", r_key()), ref["Field"]("v", ref["node"]())],
+        )
+        .run()
+    )
+    s = (
+        etl(data, spark=spark)
+        .goto("m")
+        .each()
+        .map_to("t", fields=[Field("k", s_key()), Field("v", node())])
+        .run()
+    )
+    want = [dict(x)["k"] for x in r.tables["t"].values()]
+    got = [x["k"] for x in s.rows("t", ordered=True)]
+    assert got == want == ["zeta", "alpha", "mid"]
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_differential_len_of_dicts(spark, seed):
+    """len_of over dict nodes: per-row key count, {} -> 0, even when
+    sibling dicts union to a wider schema."""
+    ref = _load_reference()
+    from etielle_spark import Field, etl, get, len_of
+
+    from etielle.transforms import len_of as r_len_of, get as r_get
+
+    rng = random.Random(800 + seed)
+    keys = ["a", "b", "c", "d"]
+    items = []
+    for i in range(rng.randint(1, 6)):
+        n = rng.randint(0, len(keys))
+        items.append({"id": i, "attrs": {k: rng.randint(0, 9) for k in rng.sample(keys, n)}})
+    items.append({"id": 99, "attrs": {}})
+    data = {"items": items}
+
+    r = (
+        ref["etl"](data)
+        .goto("items")
+        .each()
+        .map_to(
+            table="t",
+            fields=[
+                ref["Field"]("id", r_get("id")),
+                ref["Field"]("n", r_len_of(r_get("attrs"))),
+            ],
+        )
+        .run()
+    )
+    s = (
+        etl(data, spark=spark)
+        .goto("items")
+        .each()
+        .map_to(
+            "t",
+            fields=[Field("id", get("id")), Field("n", len_of(get("attrs")))],
+        )
+        .run()
+    )
+    want = ref_tables(ref, r, "t")
+    got = norm_rows(s.rows("t"))
+    assert got == want, f"seed={seed}"
