@@ -190,10 +190,23 @@ class Transform:
 
 def ensure_transform(value: Any) -> Transform:
     """Literal auto-wrap, as the reference does for plain values
-    (etielle/transforms.py:55-66)."""
+    (etielle/transforms.py:55-66).  Scalar literals carry their Spark type
+    so downstream dispatch (len_of, lookup key kinds) sees it."""
     if isinstance(value, Transform):
         return value
-    return Transform(lambda env, v=value: (F.lit(v), None))
+    if isinstance(value, bool):
+        dt: Optional[T.DataType] = T.BooleanType()
+    elif isinstance(value, int):
+        dt = T.LongType()
+    elif isinstance(value, float):
+        dt = T.DoubleType()
+    elif isinstance(value, str):
+        dt = T.StringType()
+    elif value is None:
+        dt = NULL
+    else:
+        dt = None
+    return Transform(lambda env, v=value, d=dt: (F.lit(v), d))
 
 
 @dataclass(frozen=True)

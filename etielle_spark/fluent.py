@@ -102,6 +102,19 @@ class IndexSpec:
 # ---------------------------------------------------------------------------
 
 
+def _plain_py(v: Any) -> Any:
+    """Collected Spark values -> plain Python (Row -> dict, recursively)."""
+    from pyspark.sql import Row
+
+    if isinstance(v, Row):
+        return {k: _plain_py(x) for k, x in v.asDict().items()}
+    if isinstance(v, dict):
+        return {k: _plain_py(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_plain_py(x) for x in v]
+    return v
+
+
 def _json_key(k: Any) -> str:
     """The key string json.dumps would emit for a non-str dict key."""
     if isinstance(k, str):
@@ -747,7 +760,10 @@ class PipelineBuilder:
                 .agg(F.max_by("v", F.col(_ORD)).alias("v"))
                 .collect()
             )
-            indices[spec.name] = {r["k"]: r["v"] for r in pairs}
+            # plain Python values (Row -> dict, recursively): index values
+            # may be structs/arrays (build_index(value=node())) and lookup
+            # ships them as a JSON literal
+            indices[spec.name] = {r["k"]: _plain_py(r["v"]) for r in pairs}
         return indices
 
     def _compile_emission(
@@ -1137,10 +1153,19 @@ def _apply_links(
         if spec.fk:
             id_internal = dict(ppairs).get("id")
             fk_src = F.col(id_internal) if id_internal else F.col(pf)
-            parent_side = parent_int.select(
-                F.col(pf).alias("__lk_pf"),
-                fk_src.alias(spec.fk),
-            ).dropDuplicates(["__lk_pf"])
+            # when multiple parents share a by-value the LAST one in
+            # traversal-arrival order wins deterministically (the
+            # reference's secondary index overwrites in arrival order,
+            # relationships.py:461-538) — not an arbitrary dropDuplicates
+            parent_side = (
+                parent_int.select(
+                    F.col(pf).alias("__lk_pf"),
+                    fk_src.alias(spec.fk),
+                    F.col(_SEQ).alias("__lk_seq"),
+                )
+                .groupBy("__lk_pf")
+                .agg(F.max_by(F.col(spec.fk), F.col("__lk_seq")).alias(spec.fk))
+            )
             joined = child_int.join(
                 F.broadcast(parent_side),
                 child_int[cf] == parent_side["__lk_pf"],

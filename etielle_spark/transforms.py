@@ -283,15 +283,109 @@ def _lit_type(v: Any) -> T.DataType:
     return T.StringType()
 
 
+# -- lookup: Python-value schema inference for index values -----------------
+
+
+def _infer_py_type(v: Any) -> T.DataType:
+    if v is None:
+        return T.NullType()
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, int):
+        return T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    if isinstance(v, dict):
+        return T.StructType(
+            [T.StructField(str(k), _infer_py_type(x), True) for k, x in v.items()]
+        )
+    if isinstance(v, (list, tuple)):
+        t: T.DataType = T.NullType()
+        for x in v:
+            t = _merge_py_types(t, _infer_py_type(x))
+        return T.ArrayType(t, True)
+    return T.StringType()
+
+
+def _merge_py_types(a: T.DataType, b: T.DataType) -> T.DataType:
+    if isinstance(a, T.NullType):
+        return b
+    if isinstance(b, T.NullType):
+        return a
+    if a == b:
+        return a
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        fields: dict[str, T.DataType] = {}
+        order: list[str] = []
+        for st in (a, b):
+            for f in st.fields:
+                if f.name not in fields:
+                    fields[f.name] = f.dataType
+                    order.append(f.name)
+                else:
+                    fields[f.name] = _merge_py_types(fields[f.name], f.dataType)
+        return T.StructType([T.StructField(n, fields[n], True) for n in order])
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return T.ArrayType(_merge_py_types(a.elementType, b.elementType), True)
+    numeric = (T.LongType, T.DoubleType)
+    if isinstance(a, numeric) and isinstance(b, numeric):
+        return T.DoubleType()
+    return T.StringType()
+
+
+def _index_key_tag(k: Any) -> str:
+    """Tagged key string preserving Python dict equality semantics:
+    numerics (incl. bool) compare across representations (1 == 1.0 == True)
+    but NEVER equal the string '1' — the reference's dict.get."""
+    if isinstance(k, bool):
+        return "n:" + str(int(k))
+    if isinstance(k, float):
+        return "n:" + (str(int(k)) if k.is_integer() else repr(k))
+    if isinstance(k, int):
+        return "n:" + str(k)
+    if k is None:
+        return "z:null"
+    return "s:" + str(k)
+
+
+def _probe_key_tag(col: Column, dtype: Optional[T.DataType]) -> Column:
+    if isinstance(dtype, T.BooleanType) or isinstance(
+        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        base = F.concat(F.lit("n:"), col.cast("long").cast("string"))
+    elif isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        d = col.cast("double")
+        base = F.concat(
+            F.lit("n:"),
+            F.when(
+                (d == F.floor(d)) & (F.abs(d) < F.lit(9.2e18)),
+                d.cast("long").cast("string"),
+            ).otherwise(d.cast("string")),
+        )
+    else:
+        # strings, and unknown-typed probes (documented: an untyped probe
+        # is compared as a string)
+        base = F.concat(F.lit("s:"), col.cast("string"))
+    return F.when(col.isNull(), F.lit("z:null")).otherwise(base)
+
+
+_LOOKUP_MAX_ENTRIES = 10_000
+
+
 def lookup(index_name: str, key_transform: Transform, *, default: Any = None) -> Transform:
     """Probe a named index (etielle/transforms.py:215-248).
 
     Compiled as a map-literal probe, i.e. the index ships with the plan to
     every executor exactly like a broadcast hash-join build side.  Missing
     index name raises at compile time (reference raises ValueError at row
-    time); missing key yields ``default``.  Indices are bounded,
-    dimension-sized structures; unbounded lookups belong in ``link_to``
-    (a real join).
+    time); missing key yields ``default``.
+
+    Keys match with Python dict equality (1 == 1.0 == True, but '1' never
+    matches 1) via kind-tagged key strings.  Values may be arbitrary JSON
+    structures (structs/arrays from ``build_index(value=node())``): they
+    ship as one JSON literal decoded by ``from_json``, not as per-value
+    ``lit``s.  Indices above {max} entries raise at compile time — an
+    unbounded index belongs in ``link_to`` (a real join), not in the plan.
     """
 
     def _c(env: CompileEnv):
@@ -301,25 +395,47 @@ def lookup(index_name: str, key_transform: Transform, *, default: Any = None) ->
                 f"Index '{index_name}' not found. Available indices: {available}"
             )
         mapping = env.indices[index_name]
-        kcol = key_transform.compile(env)
+        if len(mapping) > _LOOKUP_MAX_ENTRIES:
+            raise ValueError(
+                f"lookup('{index_name}'): index has {len(mapping)} entries "
+                f"(> {_LOOKUP_MAX_ENTRIES}); a map literal this large would "
+                "bloat the plan shipped to every task — model it as a table "
+                "and use link_to (a broadcast join) instead"
+            )
+        kcol, ktype = key_transform.compile_typed(env)
         if not mapping:
             return (F.lit(default), _lit_type(default)) if default is not None else (F.lit(None), NULL)
-        items: list[Column] = []
-        for k, v in mapping.items():
-            items.append(F.lit(k))
-            items.append(F.lit(v))
-        m = F.create_map(*items)
-        key_type = _lit_type(next(iter(mapping.keys())))
-        key_cast = kcol.cast(key_type)
-        probe = F.try_element_at(m, key_cast)
+
+        values = list(mapping.values())
+        vtype: T.DataType = T.NullType()
+        for v in values:
+            vtype = _merge_py_types(vtype, _infer_py_type(v))
+        keys_arr = F.array(*[F.lit(_index_key_tag(k)) for k in mapping.keys()])
+        if isinstance(vtype, (T.StructType, T.ArrayType)) or not all(
+            v is None or isinstance(v, (str, int, float, bool)) for v in values
+        ):
+            import json as _json
+
+            vals_arr = F.from_json(
+                F.lit(_json.dumps(values)), T.ArrayType(vtype, True)
+            )
+        elif isinstance(vtype, T.NullType):
+            vals_arr = F.array(*[F.lit(None).cast("string") for _ in values])
+            vtype = T.StringType()
+        else:
+            vals_arr = F.array(*[F.lit(v).cast(vtype) for v in values])
+        m = F.map_from_arrays(keys_arr, vals_arr)
+        probe_key = _probe_key_tag(kcol, ktype)
+        probe = F.try_element_at(m, probe_key)
         if default is not None:
             # the default applies only when the KEY is absent; a stored
             # None value stays None (reference: dict.get semantics,
             # transforms.py:236-247)
-            probe = F.when(F.map_contains_key(m, key_cast), probe).otherwise(
+            probe = F.when(F.map_contains_key(m, probe_key), probe).otherwise(
                 F.lit(default)
             )
-        return probe, None
+            return probe, None
+        return probe, vtype
 
     return Transform(_c)
 

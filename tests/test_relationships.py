@@ -6,9 +6,11 @@ import pytest
 from etielle_spark import (
     Field,
     TempField,
+    concat as es_concat,
     etl,
     get,
     get_from_parent,
+    literal,
     lookup,
     node,
 )
@@ -294,3 +296,140 @@ def test_lookup_default_only_for_missing_keys(spark):
         .run()
     )
     assert result.row_set("t") == {("a", 1), ("b", None), ("zz", -1)}
+
+
+def test_lookup_struct_values_from_traversal(spark):
+    """build_index(value=node()) stores whole nodes (structs/arrays); the
+    reference supports arbitrary index values (transforms.py:215-248)."""
+    data = {
+        "depts": [
+            {"code": "eng", "info": {"head": "ada", "size": 12}},
+            {"code": "ops", "info": {"head": "bo", "size": 3, "shift": "night"}},
+        ],
+        "rows": [{"d": "eng"}, {"d": "ops"}, {"d": "hr"}],
+    }
+    result = (
+        etl(data, spark=spark)
+        .goto("depts")
+        .each()
+        .build_index("dept_info", key=get("code"), value=get("info"))
+        .goto_root(0)
+        .goto("rows")
+        .each()
+        .map_to(
+            "t",
+            fields=[Field("d", get("d")), Field("info", lookup("dept_info", get("d")))],
+        )
+        .run()
+    )
+    rows = {r["d"]: r["info"] for r in result.rows("t")}
+    assert rows["eng"] == {"head": "ada", "size": 12, "shift": None}
+    assert rows["ops"] == {"head": "bo", "size": 3, "shift": "night"}
+    assert rows["hr"] is None
+
+
+def test_lookup_list_values(spark):
+    data = {"rows": [{"k": "a"}, {"k": "b"}]}
+    result = (
+        etl(data, spark=spark)
+        .build_index("idx", from_dict={"a": [1, 2, 3], "b": []})
+        .goto("rows")
+        .each()
+        .map_to("t", fields=[Field("k", get("k")), Field("v", lookup("idx", get("k")))])
+        .run()
+    )
+    rows = {r["k"]: r["v"] for r in result.rows("t")}
+    assert rows == {"a": [1, 2, 3], "b": []}
+
+
+def test_lookup_key_kinds_exact(spark):
+    """Python dict key equality: 1 == 1.0 == True but '1' != 1
+    (reference dict.get; no lossy string/number coercion)."""
+    data = {"rows": [{"k": 1}, {"k": 2}]}
+    result = (
+        etl(data, spark=spark)
+        .build_index("idx", from_dict={1: "int-one", "2": "str-two"})
+        .goto("rows")
+        .each()
+        .map_to(
+            "t",
+            fields=[
+                Field("kk", es_concat(literal("k="), get("k"))),
+                Field("v", lookup("idx", get("k"), default="MISS")),
+            ],
+        )
+        .run()
+    )
+    rows = {r["kk"]: r["v"] for r in result.rows("t")}
+    # long probe 1 matches int key 1; long probe 2 does NOT match the
+    # string key "2"
+    assert rows["k=1"] == "int-one"
+    assert rows["k=2"] == "MISS"
+    # string "2" matches the string key "2"; string "1" misses the int key
+    # (read back via the same JSON root: keys stay strings)
+    data2 = {"rows": [{"k": "1"}, {"k": "2"}]}
+    r2 = (
+        etl(data2, spark=spark)
+        .build_index("idx", from_dict={1: "int-one", "2": "str-two"})
+        .goto("rows")
+        .each()
+        .map_to("t", fields=[Field("k", get("k")), Field("v", lookup("idx", get("k"), default="MISS"))])
+        .run()
+    )
+    rows2 = {r["k"]: r["v"] for r in r2.rows("t")}
+    assert rows2 == {"1": "MISS", "2": "str-two"}
+
+
+def test_lookup_float_int_cross_match(spark):
+    data = {"rows": [{"k": 3.0}, {"k": 3.5}]}
+    result = (
+        etl(data, spark=spark)
+        .build_index("idx", from_dict={3: "three", 3.5: "three-and-a-half"})
+        .goto("rows")
+        .each()
+        .map_to("t", fields=[Field("k", get("k")), Field("v", lookup("idx", get("k")))])
+        .run()
+    )
+    rows = {r["k"]: r["v"] for r in result.rows("t")}
+    assert rows == {3.0: "three", 3.5: "three-and-a-half"}
+
+
+def test_lookup_size_guard(spark):
+    big = {f"k{i}": i for i in range(10_001)}
+    with pytest.raises(ValueError, match="link_to"):
+        (
+            etl({"rows": [{"k": "k1"}]}, spark=spark)
+            .build_index("big", from_dict=big)
+            .goto("rows")
+            .each()
+            .map_to("t", fields=[Field("v", lookup("big", get("k")))])
+            .run()
+        )
+
+
+def test_link_to_duplicate_parent_last_wins(spark):
+    """Multiple parent rows sharing the by-value: the LAST in arrival
+    order deterministically supplies the fk (the reference's secondary
+    index overwrites on duplicate keys, relationships.py:461-538)."""
+    data = {
+        "parents": [
+            {"id": "p1", "code": "X"},
+            {"id": "p2", "code": "X"},
+            {"id": "p3", "code": "Y"},
+        ],
+        "children": [{"name": "c1", "ref": "X"}, {"name": "c2", "ref": "Y"}],
+    }
+    result = (
+        etl(data, spark=spark)
+        .goto("parents")
+        .each()
+        .map_to("parents", fields=[Field("id", get("id")), Field("code", get("code"))])
+        .goto_root(0)
+        .goto("children")
+        .each()
+        .map_to("children", fields=[Field("name", get("name")), Field("ref", get("ref"))])
+        .link_to("parents", by={"ref": "code"}, fk="parent_id")
+        .run()
+    )
+    rows = {r["name"]: r["parent_id"] for r in result.rows("children")}
+    assert rows == {"c1": "p2", "c2": "p3"}
