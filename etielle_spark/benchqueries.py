@@ -1716,3 +1716,263 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.try_element_at("status_counts", F.lit("O")), F.lit(0)).alias("n_open"),
         F.size("status_counts").cast("int").alias("n_statuses"),
     )
+
+
+# ===========================================================================
+# Scale-path operators promoted to oracle-checked queries (round 2)
+# ===========================================================================
+
+
+@q(
+    "q54_ann_lsh_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    hp AS (
+      SELECT p, i,
+             CASE WHEN strpos('02468ace',
+                              substr(md5(p::VARCHAR || '|' || (i - 1)::VARCHAR), 1, 1)) > 0
+                  THEN 1.0 ELSE -1.0 END AS h
+      FROM (SELECT unnest(range(0, 8)) AS p) pl,
+           (SELECT unnest(range(1, 65)) AS i) dims
+    ),
+    bits AS (
+      SELECT e.vec_id, hp.p,
+             CASE WHEN sum(e.v * hp.h) >= 0 THEN '1' ELSE '0' END AS bit
+      FROM e JOIN hp USING (i)
+      GROUP BY e.vec_id, hp.p
+    ),
+    buckets AS (
+      SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+      FROM bits GROUP BY vec_id
+    ),
+    qb AS (SELECT vec_id AS query_id, bucket FROM buckets WHERE vec_id < 5),
+    qprobe AS (
+      SELECT query_id, bucket FROM qb
+      UNION
+      SELECT query_id,
+             substr(bucket, 1, j - 1)
+             || (CASE WHEN substr(bucket, j, 1) = '1' THEN '0' ELSE '1' END)
+             || substr(bucket, j + 1, 8 - j) AS bucket
+      FROM qb, (SELECT unnest(range(1, 9)) AS j) js
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+    cand AS (
+      SELECT DISTINCT qp.query_id, cb.vec_id AS neighbor_id
+      FROM qprobe qp JOIN buckets cb USING (bucket)
+      WHERE cb.vec_id <> qp.query_id
+    ),
+    dots AS (
+      SELECT c.query_id, c.neighbor_id, sum(eq.v * ec.v) AS dot
+      FROM cand c
+      JOIN e eq ON eq.vec_id = c.query_id
+      JOIN e ec ON ec.vec_id = c.neighbor_id AND ec.i = eq.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+      FROM dots JOIN norms nq ON query_id = nq.vec_id
+                JOIN norms nc ON neighbor_id = nc.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN scale path (operators/similarity.py:lsh_bucket_topk):
+    sign-random-projection buckets + Hamming-1 multi-probe, exact cosine
+    only within probed buckets.  The oracle reproduces the md5-parity
+    hyperplanes, bucketing, probing and ranking entirely in SQL."""
+    from .operators.similarity import lsh_bucket_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_bucket_topk(
+        emb, queries, "vec_id", "embedding",
+        k=10, planes=8, dim=64, probes=2, round_cosine=6,
+    )
+
+
+@q(
+    "q55_salted_agg",
+    """
+    SELECT l_returnflag AS rf, l_linestatus AS ls,
+           round(sum(l_quantity), 4) AS sum_qty,
+           count(*) AS n_rows,
+           round(min(l_extendedprice), 4) AS min_price,
+           round(max(l_extendedprice), 4) AS max_price
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-stage aggregation (plans/skew.py:salted_agg): the
+    oracle is the plain one-stage groupBy — algebraic partial/merge must
+    be exactly equivalent."""
+    from .plans.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "n_rows": ("*", "count"),
+            "min_price": ("l_extendedprice", "min"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        salt=16,
+    )
+    return out.select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        F.round("sum_qty", 4).alias("sum_qty"),
+        F.col("n_rows"),
+        F.round("min_price", 4).alias("min_price"),
+        F.round("max_price", 4).alias("max_price"),
+    )
+
+
+@q(
+    "q56_jaccard_lsh_pruned",
+    f"""
+    WITH all_docs AS ({_DOCS_PLUS_CLONES}),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM all_docs),
+    sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM toks),
+    mins AS (
+      SELECT doc_id,
+             min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+             min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+             min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+             min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS b, md5(h0 || '|' || h1) AS d FROM mins UNION ALL
+      SELECT doc_id, 1 AS b, md5(h2 || '|' || h3) AS d FROM mins UNION ALL
+      SELECT doc_id, 2 AS b, md5(h4 || '|' || h5) AS d FROM mins UNION ALL
+      SELECT doc_id, 3 AS b, md5(h6 || '|' || h7) AS d FROM mins
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r ON l.b = r.b AND l.d = r.d AND l.doc_id < r.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+    """,
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-pruned exact-Jaccard path (operators/dedup.py:jaccard_pairs
+    with candidates=): only LSH candidate pairs pay the verification
+    aggregation — the 100 TB composition of q28 + q29."""
+    from .operators.dedup import jaccard_pairs, lsh_candidate_pairs
+
+    docs = _docs_plus_clones(spark, sf_dir)
+    cand = lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=8, bands=4)
+    out = jaccard_pairs(docs, "doc_id", "text", candidates=cand)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@q(
+    "q57_extend_policy",
+    """
+    SELECT o_custkey AS ck,
+           string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey) AS okeys_csv,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtendPolicy: list-valued field merges by concatenation in arrival
+    order (reference instances.py:47-55)."""
+    from pyspark.sql import types as T
+
+    from .policies import AddPolicy as _Add, ExtendPolicy
+    from .transforms import map_column
+
+    orders = _t(spark, sf_dir, "orders").withColumn("__arr", F.col("o_orderkey"))
+    result = (
+        etl(orders, spark=spark, order_col="__arr")
+        .map_to(
+            "t",
+            fields=[
+                Field("ck", get("o_custkey")),
+                Field(
+                    "okeys",
+                    map_column(
+                        lambda k: F.array(k),
+                        get("o_orderkey"),
+                        dtype=T.ArrayType(T.LongType()),
+                    ),
+                    merge=ExtendPolicy(),
+                ),
+                Field("n_orders", literal(1), merge=_Add()),
+            ],
+            join_on=["ck"],
+        )
+        .run()
+    )
+    return result["t"].select(
+        F.col("ck"),
+        F.array_join(F.transform("okeys", lambda x: x.cast("string")), ",").alias(
+            "okeys_csv"
+        ),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+    )
+
+
+@q(
+    "q58_first_non_null_policy",
+    """
+    SELECT o_custkey AS ck,
+           min_by(o_orderkey, o_orderkey)
+             FILTER (WHERE o_totalprice > 150000) AS first_big,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FirstNonNullPolicy: the first non-None value in arrival order wins
+    (reference instances.py:83-85); later non-null writes do not
+    overwrite."""
+    from .policies import AddPolicy as _Add, FirstNonNullPolicy
+    from .transforms import map_column
+
+    orders = _t(spark, sf_dir, "orders").withColumn("__arr", F.col("o_orderkey"))
+    result = (
+        etl(orders, spark=spark, order_col="__arr")
+        .map_to(
+            "t",
+            fields=[
+                Field("ck", get("o_custkey")),
+                Field(
+                    "first_big",
+                    map_column(
+                        lambda p, k: F.when(p > 150000, k),
+                        get("o_totalprice"),
+                        get("o_orderkey"),
+                    ),
+                    merge=FirstNonNullPolicy(),
+                ),
+                Field("n_orders", literal(1), merge=_Add()),
+            ],
+            join_on=["ck"],
+        )
+        .run()
+    )
+    return result["t"].select(
+        "ck", "first_big", F.col("n_orders").cast("bigint").alias("n_orders")
+    )

@@ -122,6 +122,7 @@ def lsh_bucket_topk(
     planes: int = 8,
     dim: int | None = None,
     probes: int = 1,
+    round_cosine: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: sign-random-projection buckets, then exact cosine
     within the query's probed buckets.
@@ -169,10 +170,15 @@ def lsh_bucket_topk(
         probe_buckets = F.array(F.col("bucket"), *[flip(F.col("bucket"), i) for i in range(planes)])
         q = q.withColumn("bucket", F.explode(probe_buckets))
 
+    cos = cosine(F.col("qv"), F.col("cv"))
+    if round_cosine is not None:
+        # deterministic cross-engine ranking: ties on the rounded value
+        # break on neighbor_id in every engine
+        cos = F.round(cos, round_cosine)
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
