@@ -172,8 +172,14 @@ def lsh_candidate_pairs(
     # materialize the (id, band, digest) rows once: the bucket-size window
     # and the self-join would otherwise each execute the whole
     # shingle+minhash pipeline again (Spark does not reuse the exchange
-    # across the two aliased join sides)
-    banded = banded.localCheckpoint(eager=True)
+    # across the two aliased join sides).  persist — NOT localCheckpoint —
+    # keeps the lineage, so an executor loss on a real cluster recomputes
+    # the lost partitions instead of failing the job; memory-and-disk
+    # spills oversized band tables rather than evicting them
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded.count()
     if max_bucket_size is not None:
         from pyspark.sql import Window
 

@@ -18,6 +18,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def stage_with_generated_ids(
+    parent_df: DataFrame,
+    *,
+    natural_key: list[str],
+    gen_col: str = "gen_id",
+) -> tuple[DataFrame, DataFrame, int]:
+    """Attach dense unique ids (1..N) via per-partition offsets.
+
+    Returns ``(staged, pinned, n)``: the id-bearing frame, the persisted
+    intermediate (caller unpersists after its action), and the row count.
+    The plan contains no single-partition exchange: the row_number window
+    is partitioned by ``spark_partition_id()`` and the cumulative offsets
+    are a driver-computed map literal over |partitions| entries.
+    """
+    from pyspark.sql import Window
+
+    part = parent_df.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(*[F.col(k) for k in natural_key])
+    local = part.withColumn("__local", F.row_number().over(w))
+    # pin the partition layout: the offsets job and the downstream action
+    # must see identical __pid assignments
+    local = local.persist()
+    counts = {
+        r["__pid"]: r["n"]
+        for r in local.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    }
+    items = []
+    n_staged = 0
+    for pid in sorted(counts):
+        items.extend([F.lit(pid), F.lit(n_staged)])
+        n_staged += counts[pid]
+    if items:
+        offsets = F.create_map(*items)
+        gen = (F.element_at(offsets, F.col("__pid")) + F.col("__local")).cast("bigint")
+    else:
+        gen = F.lit(None).cast("bigint")
+    staged = local.withColumn(gen_col, gen).drop("__pid", "__local")
+    return staged, local, n_staged
+
+
 def write_parents_with_generated_ids(
     spark: SparkSession,
     parent_df: DataFrame,
@@ -28,19 +68,27 @@ def write_parents_with_generated_ids(
 ) -> DataFrame:
     """Phase 1: write parents, return the written rows WITH generated ids.
 
-    The generated id is synthesized (row_number over the natural key —
-    deterministic) where a real DB would assign IDENTITY values; the
+    Generated ids are unique and dense (1..N), synthesized with
+    per-partition offsets — a local row_number per partition plus a
+    driver-computed cumulative offset per partition (the zipWithIndex
+    recipe, DataFrame-native).  No global ``Window.orderBy``: a
+    single-partition window would funnel every parent row through one
+    task, which is a scale-killer on a wide parent table.  Ids follow
+    partition layout rather than a global natural-key sort — exactly the
+    guarantee a DB IDENTITY column gives under parallel inserts.  The
     read-back is from storage, exactly like a JDBC re-select.  Raises if
     the read-back row count mismatches the staged count (reference
     fluent.py:985-1000 row-count check).
     """
-    from pyspark.sql import Window
-
-    w = Window.orderBy(*[F.col(k) for k in natural_key])
-    staged = parent_df.withColumn(gen_col, F.row_number().over(w).cast("bigint"))
-    staged.write.mode("overwrite").parquet(path)
+    staged, local, n_staged = stage_with_generated_ids(
+        parent_df, natural_key=natural_key, gen_col=gen_col
+    )
+    try:
+        staged.write.mode("overwrite").parquet(path)
+    finally:
+        local.unpersist()
     written = spark.read.parquet(path)
-    n_staged, n_written = parent_df.count(), written.count()
+    n_written = written.count()
     if n_staged != n_written:
         raise RuntimeError(
             f"two-phase write: staged {n_staged} parent rows but read back "

@@ -111,16 +111,22 @@ def test_two_phase_fk_write(spark, tmp_path):
     written = write_parents_with_generated_ids(
         spark, parents, str(tmp_path / "users"), natural_key=["username"]
     )
-    assert {r["username"]: r["gen_id"] for r in written.collect()} == {
-        "alice": 1,
-        "bob": 2,
-        "carol": 3,
-    }
+    # ids are unique and dense 1..N (the IDENTITY guarantee); assignment
+    # order follows partition layout, like a DB under parallel inserts
+    id_of = {r["username"]: r["gen_id"] for r in written.collect()}
+    assert sorted(id_of.values()) == [1, 2, 3]
+    # no single-partition exchange in the staging plan (the point of the
+    # per-partition offset design)
     linked = populate_child_fk(
         children, written, by={"author": "username"}, fk_col="user_id"
     )
     got = {r["post"]: r["user_id"] for r in linked.collect()}
-    assert got == {"p1": 1, "p2": 2, "p3": 1, "p4": None}
+    assert got == {
+        "p1": id_of["alice"],
+        "p2": id_of["bob"],
+        "p3": id_of["alice"],
+        "p4": None,
+    }
 
     import pytest as _pytest
 
@@ -128,3 +134,21 @@ def test_two_phase_fk_write(spark, tmp_path):
         populate_child_fk(
             children, written, by={"author": "username"}, fk_col="user_id", required=True
         )
+
+
+def test_generated_ids_multi_partition_no_global_funnel(spark):
+    """Per-partition offset ids: dense 1..N across many partitions, and the
+    staging plan contains NO single-partition exchange (the round-1 global
+    Window.orderBy would have shown 'Exchange SinglePartition')."""
+    from etielle_spark.sources.twophase import stage_with_generated_ids
+
+    df = spark.range(0, 5000).selectExpr("concat('u', id) AS username").repartition(8)
+    staged, pinned, n = stage_with_generated_ids(df, natural_key=["username"])
+    try:
+        ids = [r["gen_id"] for r in staged.select("gen_id").collect()]
+        assert n == 5000
+        assert sorted(ids) == list(range(1, 5001))
+        plan = staged._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan
+    finally:
+        pinned.unpersist()
