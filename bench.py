@@ -33,13 +33,174 @@ HEADLINE = [
     "q20_session_windows",
     "q22_token_stats",
     "q26_exact_dedup_docs",
-    "q27_minhash_signatures",
-    "q28_lsh_candidate_pairs",
+    # q27/q28 run fused below: the LSH banding reuses the persisted
+    # signature frame instead of recomputing the shingle+minhash pipeline
     "q30_simhash",
     "q31_cosine_topk",
     "q41_nation_volume_share",
     "q43_returned_customers",
 ]
+
+
+def minhash_lsh_fused(spark) -> dict[str, float]:
+    """q27 + q28 as one pipeline: signatures computed and persisted once
+    (q27's wall time), banding + pair join reusing them (q28's wall time).
+    This is how a real dedup pipeline runs — the two stages share the
+    expensive shingle pass."""
+    from pyspark.sql import functions as F
+
+    from etielle_spark.benchqueries import _docs_plus_clones
+    from etielle_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = _docs_plus_clones(spark, sf_dir)
+    t0 = time.perf_counter()
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8).persist()
+    sigs.count()
+    t_sig = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    cand = lsh_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=8, bands=4, signatures=sigs
+    )
+    cand.count()
+    t_lsh = time.perf_counter() - t0
+    sigs.unpersist()
+    return {
+        "q27_minhash_signatures": round(t_sig, 3),
+        "q28_lsh_candidate_pairs": round(t_lsh, 3),
+    }
+
+
+def streaming_events_windows(spark) -> float:
+    """Native Structured Streaming at bench scale: the events table as a
+    multi-file stream (availableNow, 4 micro-batches), watermarked
+    1-minute tumbling windows in append mode to parquet — cross-batch
+    window state, late-data handling, exactly-once file sink."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="bench_stream_ev_")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        src = f"{work}/src"
+        ev.repartition(8).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        t0 = time.perf_counter()
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .withColumn("tss", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        )
+        agg = (
+            stream.withWatermark("tss", "10 minutes")
+            .groupBy(F.window("tss", "1 minute"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n",
+                "total",
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(f"{work}/out").count()
+        dt = time.perf_counter() - t0
+        assert n > 0, "streaming produced no closed windows"
+        return dt
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def streaming_reference_workload(spark) -> float:
+    """The reference's streaming-mode benchmark shape (BASELINE.md: 8,000
+    users + 8,000 posts through stream().load().run(), 13.1 s published):
+    here as readStream -> foreachBatch -> compiled etl pipeline ->
+    ParquetSink, 8 micro-batches of 1,000 users."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etielle_spark import Field, etl, get, get_from_parent
+    from etielle_spark.sources import ParquetSink
+    from etielle_spark.streaming import for_each_batch
+
+    n = 8000
+    work = tempfile.mkdtemp(prefix="bench_stream_ref_")
+    try:
+        users = spark.range(n).select(
+            F.concat(F.lit("u"), F.col("id")).alias("uid"),
+            F.concat(F.lit("name-"), F.col("id")).alias("name"),
+            F.array(
+                F.struct(
+                    F.concat(F.lit("p"), F.col("id"), F.lit("_0")).alias("pid"),
+                    F.repeat(F.lit("x"), 2048).alias("body"),
+                )
+            ).alias("posts"),
+        )
+        src = f"{work}/src"
+        users.repartition(8).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def pipeline(batch_df, batch_id):
+            result = (
+                etl(batch_df, spark=spark)
+                .map_to(
+                    "users",
+                    fields=[Field("id", get("uid")), Field("name", get("name"))],
+                    join_on=["id"],
+                )
+                .goto_root(0)
+                .goto("posts")
+                .each()
+                .map_to(
+                    "posts",
+                    fields=[
+                        Field("id", get("pid")),
+                        Field("user_id", get_from_parent("uid")),
+                        Field("body", get("body")),
+                    ],
+                    join_on=["id"],
+                )
+                .link_to("users", by={"user_id": "id"})
+                .run()
+            )
+            return result.tables
+
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                for_each_batch(pipeline, ParquetSink(f"{work}/out", mode="append"))
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wrote = (
+            spark.read.parquet(f"{work}/out/users").count()
+            + spark.read.parquet(f"{work}/out/posts").count()
+        )
+        dt = time.perf_counter() - t0
+        assert wrote == 2 * n, wrote
+        return dt
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def reference_workload(spark) -> float:
@@ -114,9 +275,23 @@ def main() -> None:
         times[name] = round(dt, 3)
         total += dt
 
+    for name, dt in minhash_lsh_fused(spark).items():
+        times[name] = dt
+        total += dt
+
     ref_dt = reference_workload(spark)
     times["ref_workload_users_posts_8k"] = round(ref_dt, 3)
     total += ref_dt
+
+    # streaming path, reported separately (not part of the batch headline
+    # total): native watermarked windows + the reference's streaming-mode
+    # workload (13.1 s published baseline, BASELINE.md)
+    streaming = {
+        "streaming_events_1m_windows": round(streaming_events_windows(spark), 3),
+        "streaming_ref_workload_users_posts_8k": round(
+            streaming_reference_workload(spark), 3
+        ),
+    }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -126,6 +301,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,
+                "streaming": streaming,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -137,6 +137,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket_size: int | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over MinHash signatures.
 
@@ -149,10 +150,18 @@ def lsh_candidate_pairs(
     dominate the whole join.  Buckets above the cap are dropped (the
     standard LSH stop-list: such documents are "too common to pair" here
     and are caught by the other bands or by exact dedup).
+
+    ``signatures`` (id, signature) reuses a precomputed/persisted MinHash
+    frame — a pipeline that needs both the signatures and the candidate
+    pairs should compute them once, not twice.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+    )
     banded = sig.select(
         F.col(id_col),
         F.posexplode(
