@@ -1239,7 +1239,8 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT concat('C_', c_custkey::VARCHAR) AS key,
            'age' AS field,
-           concat('field age: cannot cast ''', raw_age, ''' to int') AS message
+           concat('field age: cannot cast ''', raw_age, ''' to int') AS message,
+           'update' AS stage
     FROM (
       SELECT c_custkey,
              CASE WHEN c_custkey % 5 = 0 THEN 'not-a-number'

@@ -1043,11 +1043,18 @@ def _assemble_table(
 
     out = out.withColumnRenamed(_ORD, _SEQ)
 
-    # typed validation (reference model-class validation, instances.py:189-224)
+    # typed validation, two stages like the reference (instances.py:189-224):
+    # 'update' = a supplied value fails its field cast (incremental
+    # per-field error); 'finalize' = the MERGED row violates the schema
+    # (a non-nullable field is NULL) — whole-row completion error
     err_df = None
     schemas = [em.schema for em, _ in pairs if em.schema is not None]
     if schemas:
         schema = schemas[0]
+
+        def _err(stage: str, msg: Column) -> Column:
+            return F.struct(F.lit(stage).alias("stage"), msg.alias("msg"))
+
         checks = []
         casts = {}
         for fld in schema.fields:
@@ -1064,17 +1071,40 @@ def _assemble_table(
                 checks.append(
                     F.when(
                         bad,
-                        F.concat(
-                            F.lit(f"field {fld.name}: cannot cast '"),
-                            src.cast("string"),
-                            F.lit(f"' to {fld.dataType.simpleString()}"),
+                        _err(
+                            "update",
+                            F.concat(
+                                F.lit(f"field {fld.name}: cannot cast '"),
+                                src.cast("string"),
+                                F.lit(f"' to {fld.dataType.simpleString()}"),
+                            ),
                         ),
                     ).alias(f"__err_{fld.name}")
                 )
                 casts[fld.name] = tgt
+                if not fld.nullable:
+                    checks.append(
+                        F.when(
+                            src.isNull(),
+                            _err(
+                                "finalize",
+                                F.lit(
+                                    f"field {fld.name}: required field is null"
+                                ),
+                            ),
+                        ).alias(f"__errf_{fld.name}")
+                    )
+            elif not fld.nullable:
+                # required field never supplied by any emission
+                checks.append(
+                    _err(
+                        "finalize",
+                        F.lit(f"field {fld.name}: required field is missing"),
+                    ).alias(f"__errf_{fld.name}")
+                )
         if checks:
             with_errs = out.select("*", *checks)
-            err_cols = [c for c in with_errs.columns if c.startswith("__err_")]
+            err_cols = [c for c in with_errs.columns if c.startswith("__err")]
             err_arr = F.array_compact(F.array(*[F.col(c) for c in err_cols]))
             with_errs = with_errs.withColumn("__errs", err_arr).drop(*err_cols)
             key_col = (
@@ -1086,12 +1116,15 @@ def _assemble_table(
                 with_errs.filter(F.size("__errs") > 0)
                 .select(
                     key_col.alias("key"),
-                    F.explode("__errs").alias("message"),
+                    F.explode("__errs").alias("e"),
                 )
                 .select(
                     "key",
-                    F.regexp_extract("message", r"^field (\w+):", 1).alias("field"),
-                    "message",
+                    F.regexp_extract(F.col("e.msg"), r"^field (\w+):", 1).alias(
+                        "field"
+                    ),
+                    F.col("e.msg").alias("message"),
+                    F.col("e.stage").alias("stage"),
                 )
             )
             ok = with_errs.filter(F.size("__errs") == 0).drop("__errs")
@@ -1193,6 +1226,7 @@ def _apply_links(
                         F.lit(f"missing parent in '{spec.parent}' for {spec.child}.{cf}="),
                         F.col(cf).cast("string"),
                     ).alias("message"),
+                    F.lit("link").alias("stage"),
                 )
             )
             if spec.child in errors:

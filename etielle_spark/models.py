@@ -57,6 +57,7 @@ def is_model_class(obj: Any) -> bool:
         return False
     return (
         dataclasses.is_dataclass(obj)
+        or hasattr(obj, "__table__")  # SQLAlchemy / SQLModel declarative
         or hasattr(obj, "__annotations__")
         and (
             hasattr(obj, "__total__")  # TypedDict
@@ -67,12 +68,42 @@ def is_model_class(obj: Any) -> bool:
 
 
 def table_name_of(cls: type) -> str:
-    """__tablename__ if present else lowercased class name
-    (reference attr inference, fluent.py:1634-1638)."""
-    return getattr(cls, "__tablename__", cls.__name__.lower())
+    """__tablename__ / __table__.name if present else lowercased class
+    name (reference attr inference, fluent.py:1634-1638)."""
+    name = getattr(cls, "__tablename__", None)
+    if name:
+        return name
+    table = getattr(cls, "__table__", None)
+    if table is not None and getattr(table, "name", None):
+        return table.name
+    return cls.__name__.lower()
 
 
 def spark_schema_of(cls: type) -> T.StructType:
+    """Model class -> Spark schema.
+
+    SQLAlchemy/SQLModel declarative classes (duck-typed on ``__table__``,
+    reference fluent.py:284-317 + instances.py:363-411) map each Column's
+    ``python_type`` and carry its ``nullable`` flag — a non-nullable DB
+    column becomes a required field (NULL after merge -> finalize error).
+    Pydantic v2 classes use ``model_fields``; dataclasses/TypedDicts use
+    type hints.  Hint-based fields stay nullable (the engine's permissive
+    default: missing paths yield NULL, not errors).
+    """
+    table = getattr(cls, "__table__", None)
+    if table is not None and hasattr(table, "columns"):
+        fields = []
+        for col in table.columns:
+            try:
+                py = col.type.python_type
+            except Exception:
+                py = str
+            fields.append(
+                T.StructField(
+                    col.name, _spark_type(py), bool(getattr(col, "nullable", True))
+                )
+            )
+        return T.StructType(fields)
     if hasattr(cls, "model_fields"):  # pydantic v2
         hints = {k: f.annotation for k, f in cls.model_fields.items()}
     else:

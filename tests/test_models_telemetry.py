@@ -148,3 +148,113 @@ def test_custom_merge_policy(spark):
     )
     rows = result.rows("t")
     assert len(rows) == 1 and abs(rows[0]["prod"] - 24.0) < 1e-9
+
+
+class _FakeColumnType:
+    def __init__(self, py):
+        self.python_type = py
+
+
+class _FakeColumn:
+    def __init__(self, name, py, nullable=True):
+        self.name = name
+        self.type = _FakeColumnType(py)
+        self.nullable = nullable
+
+
+class _FakeTable:
+    """Duck-typed SQLAlchemy Table: .name + .columns."""
+
+    def __init__(self, name, cols):
+        self.name = name
+        self.columns = cols
+
+
+class _SAUser:
+    """Duck-typed SQLAlchemy declarative model (the library is not
+    installed here; the engine detects __table__/__tablename__ exactly as
+    it would on a real declarative class — reference fluent.py:284-317,
+    instances.py:363-411)."""
+
+    __tablename__ = "sa_users"
+    __table__ = _FakeTable(
+        "sa_users",
+        [
+            _FakeColumn("uid", str, nullable=False),
+            _FakeColumn("age", int, nullable=True),
+            _FakeColumn("score", float, nullable=True),
+        ],
+    )
+
+
+def test_sqlalchemy_model_class_detection():
+    from pyspark.sql import types as T
+
+    from etielle_spark.models import is_model_class, spark_schema_of, table_name_of
+
+    assert is_model_class(_SAUser)
+    assert table_name_of(_SAUser) == "sa_users"
+    schema = spark_schema_of(_SAUser)
+    assert schema["uid"].dataType == T.StringType() and not schema["uid"].nullable
+    assert schema["age"].dataType == T.LongType() and schema["age"].nullable
+    assert schema["score"].dataType == T.DoubleType()
+
+
+def test_sqlalchemy_model_map_to_end_to_end(spark):
+    data = {"users": [{"uid": "u1", "age": "30", "score": 1.5}, {"uid": "u2", "age": "x", "score": 2.0}]}
+    result = (
+        etl(data, spark=spark)
+        .goto("users")
+        .each()
+        .map_to(
+            _SAUser,
+            fields=[Field("uid", get("uid")), Field("age", get("age")), Field("score", get("score"))],
+            join_on=["uid"],
+        )
+        .run()
+    )
+    rows = {r["uid"]: (r["age"], r["score"]) for r in result.rows("sa_users")}
+    assert rows == {"u1": (30, 1.5)}
+    errs = result.errors["sa_users"].collect()
+    assert len(errs) == 1 and errs[0]["stage"] == "update" and errs[0]["field"] == "age"
+
+
+def test_update_vs_finalize_error_stages(spark):
+    """Two-stage validation (reference instances.py:204-224): a supplied
+    value failing its field cast is an 'update' error; a merged row whose
+    required (non-nullable) field ends up NULL is a 'finalize' error."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("pid", T.StringType(), False),
+            T.StructField("age", T.IntegerType(), False),
+            T.StructField("note", T.StringType(), True),
+        ]
+    )
+    data = {
+        "people": [
+            {"pid": "a", "age": "30", "note": "ok"},
+            {"pid": "b", "age": "bad", "note": "cast fails -> update"},
+            {"pid": "c", "note": "age never set -> finalize"},
+        ]
+    }
+    result = (
+        etl(data, spark=spark)
+        .goto("people")
+        .each()
+        .map_to(
+            "people",
+            fields=[
+                Field("pid", get("pid")),
+                Field("age", get("age")),
+                Field("note", get("note")),
+            ],
+            join_on=["pid"],
+            schema=schema,
+        )
+        .run()
+    )
+    assert {r["pid"] for r in result.rows("people")} == {"a"}
+    errs = {(r["key"], r["stage"]) for r in result.errors["people"].collect()}
+    assert errs == {("b", "update"), ("c", "finalize")}
