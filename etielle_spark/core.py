@@ -134,6 +134,19 @@ def resolve_path(col: Column, dtype: T.DataType, segments: Sequence[PathSeg]):
             key = F.lit(seg).cast(dtype.keyType)
             col = F.try_element_at(col, key)
             dtype = dtype.valueType
+        elif isinstance(dtype, T.VariantType):
+            # mixed-kind value (see fluent._unify_types): navigate inside
+            # the variant; wrong-kind or missing access yields NULL like
+            # every other branch
+            if isinstance(seg, int):
+                if seg < 0:
+                    return F.lit(None), NULL
+                path = f"$[{seg}]"
+            else:
+                escaped = str(seg).replace("'", "\\'")
+                path = f"$['{escaped}']"
+            col = F.try_variant_get(col, path, "variant")
+            dtype = T.VariantType()
         else:
             return F.lit(None), NULL
     return col, dtype

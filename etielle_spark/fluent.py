@@ -103,9 +103,16 @@ class IndexSpec:
 
 
 def _plain_py(v: Any) -> Any:
-    """Collected Spark values -> plain Python (Row -> dict, recursively)."""
+    """Collected Spark values -> plain Python (Row -> dict, VariantVal ->
+    its Python value, recursively)."""
     from pyspark.sql import Row
 
+    try:
+        from pyspark.sql.types import VariantVal
+    except ImportError:  # pragma: no cover
+        VariantVal = None
+    if VariantVal is not None and isinstance(v, VariantVal):
+        return _plain_py(v.toPython())
     if isinstance(v, Row):
         return {k: _plain_py(x) for k, x in v.asDict().items()}
     if isinstance(v, dict):
@@ -367,25 +374,44 @@ def _explode_level(
         )
         return df2, env
 
+    if isinstance(dtype, T.VariantType):
+        raise TypeError(
+            "each(): this node has mixed kinds across sibling documents "
+            "(variant-typed); iterate a consistently-shaped path, or "
+            "restructure the input so siblings agree on list vs dict vs "
+            "scalar"
+        )
     raise TypeError(f"each(): cannot iterate node of type {dtype.simpleString()}")
 
 
 def _unify_types(types: list[T.DataType]) -> T.DataType:
     """Least-common type across sibling dict values.
 
-    Precedence mirrors what matters for extraction semantics: if ANY
-    sibling is a struct, the union is the merged struct (scalar siblings
-    then read as NULL on structured access — exactly what the reference's
-    ``get`` returns for a scalar node); else arrays unify; else identical
-    scalars pass through; else string.
-    """
+    Same-kind siblings unify structurally: structs merge field-wise,
+    arrays unify element-wise, identical scalars pass through, differing
+    scalars fall back to string.  A KIND mix (the same field carrying a
+    struct in one sibling and an array or scalar in another) becomes
+    ``VariantType`` — a single column type that faithfully holds any JSON
+    value, so the scalar sibling keeps its value instead of reading NULL
+    (the round-1 representation boundary)."""
     non_null = [t for t in types if not isinstance(t, T.NullType)]
     if not non_null:
         return T.NullType()
     first = non_null[0]
     if all(t == first for t in non_null):
         return first
+    if any(isinstance(t, T.VariantType) for t in non_null):
+        return T.VariantType()
     structs = [t for t in non_null if isinstance(t, T.StructType)]
+    arrays = [t for t in non_null if isinstance(t, T.ArrayType)]
+    scalars = [
+        t
+        for t in non_null
+        if not isinstance(t, (T.StructType, T.ArrayType, T.MapType))
+    ]
+    kinds = sum(1 for group in (structs, arrays, scalars) if group)
+    if kinds > 1 or any(isinstance(t, T.MapType) for t in non_null):
+        return T.VariantType()
     if structs:
         merged: dict[str, list[T.DataType]] = {}
         order: list[str] = []
@@ -398,10 +424,17 @@ def _unify_types(types: list[T.DataType]) -> T.DataType:
         return T.StructType(
             [T.StructField(nm, _unify_types(merged[nm]), True) for nm in order]
         )
-    arrays = [t for t in non_null if isinstance(t, T.ArrayType)]
     if arrays:
         return T.ArrayType(_unify_types([t.elementType for t in arrays]), True)
     return T.StringType()
+
+
+def _contains_struct(dtype: T.DataType) -> bool:
+    if isinstance(dtype, (T.StructType, T.MapType)):
+        return True
+    if isinstance(dtype, T.ArrayType):
+        return _contains_struct(dtype.elementType)
+    return False
 
 
 def _project_to(col: Column, src: T.DataType, dst: T.DataType) -> Column:
@@ -413,6 +446,14 @@ def _project_to(col: Column, src: T.DataType, dst: T.DataType) -> Column:
     """
     if src == dst or isinstance(src, T.NullType):
         return col.cast(dst) if not src == dst else col
+    if isinstance(dst, T.VariantType):
+        # markers never enter a variant (its Python materialization is the
+        # value itself); structs and struct-bearing containers need
+        # to_variant_object, scalar/plain-array kinds cast directly
+        col, src = strip_marker_fields(col, src)
+        if isinstance(src, (T.StructType, T.MapType)) or _contains_struct(src):
+            return F.to_variant_object(col)
+        return col.cast(T.VariantType())
     if isinstance(dst, T.StructType):
         if not isinstance(src, T.StructType):
             return F.lit(None).cast(dst)
@@ -499,8 +540,14 @@ class PipelineResult:
             # the internal frame under their public names already
             have = set(df.columns)
             sel = [F.col(i).alias(pub) for pub, i in pairs if i in have]
-            return [r.asDict(recursive=True) for r in df.select(*sel).collect()]
-        return [r.asDict(recursive=True) for r in self.tables[name].collect()]
+            return [
+                {k: _plain_py(v) for k, v in r.asDict(recursive=True).items()}
+                for r in df.select(*sel).collect()
+            ]
+        return [
+            {k: _plain_py(v) for k, v in r.asDict(recursive=True).items()}
+            for r in self.tables[name].collect()
+        ]
 
     def stats(self) -> dict[str, dict[str, int]]:
         """Per-table counts (the reference's TableStats,
@@ -519,7 +566,8 @@ class PipelineResult:
         use = list(cols) if cols else df.columns
         out = set()
         for r in df.select(*use).collect():
-            out.add(tuple(tuple(v) if isinstance(v, list) else v for v in r))
+            vals = [_plain_py(v) for v in r]
+            out.add(tuple(tuple(v) if isinstance(v, list) else v for v in vals))
         return out
 
 

@@ -306,3 +306,37 @@ def test_parent_key_depth_two(spark):
         ("emea", "fr", "p1"),
         ("apac", "jp", "t1"),
     }
+
+
+def test_mixed_kind_siblings_variant_unification(spark):
+    """The same field carrying scalar / array / struct kinds across
+    siblings: each row keeps ITS OWN value (VariantType unification; the
+    round-1 boundary read NULL on the scalar side)."""
+    from etielle_spark import Field, etl, get, key, node
+
+    blob = {"root": {
+        "k0": {"a": 7},
+        "k1": {"a": [1, 2]},
+        "k2": {"a": {"b": 5}},
+        "k3": "plain",
+    }}
+    res = (
+        etl(blob, spark=spark)
+        .goto("root")
+        .each()
+        .map_to(
+            "t",
+            fields=[
+                Field("k", key()),
+                Field("a", get("a")),
+                Field("ab", get("a.b")),
+                Field("n", node()),
+            ],
+        )
+        .run()
+    )
+    rows = {r["k"]: r for r in res.rows("t")}
+    assert rows["k0"]["a"] == 7 and rows["k0"]["n"] == {"a": 7}
+    assert rows["k1"]["a"] == [1, 2]
+    assert rows["k2"]["a"] == {"b": 5} and rows["k2"]["ab"] == 5
+    assert rows["k3"]["a"] is None and rows["k3"]["n"] == "plain"

@@ -6,11 +6,9 @@ speed).  Usage:
 
     python tools/fuzz_differential.py [n_seeds_per_shape]
 
-Known representation boundary (expected rare blob-walk mismatches): when
-sibling dict entries give the SAME field both array and scalar kinds,
-one column type cannot hold both — the scalar side reads NULL.  The
-schema-union favors structs > arrays > scalars; lifting this needs
-Spark 4 VariantType columns (candidate for a later round).
+Mixed-kind sibling values (the same field carrying array/struct/scalar
+kinds across siblings) unify as VariantType since round 2, so the
+blob-walk shape is expected to run mismatch-free.
 """
 
 from __future__ import annotations
