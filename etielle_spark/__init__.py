@@ -8,7 +8,7 @@ SURVEY.md for the full capability map.
 """
 
 from .core import Field, TempField, Transform
-from .fluent import PipelineBuilder, PipelineResult, etl
+from .fluent import PipelineBuilder, PipelineResult, compile_emission, etl
 from .policies import (
     AddPolicy,
     AppendPolicy,
@@ -46,6 +46,7 @@ __all__ = [
     "Transform",
     "PipelineBuilder",
     "PipelineResult",
+    "compile_emission",
     "etl",
     "get_spark",
     "AddPolicy",

@@ -1383,6 +1383,76 @@ def _apply_backlinks(
     return internal, public
 
 
+def compile_emission(
+    root: Any,
+    *,
+    fields: Sequence[Union[Field, TempField]],
+    each: Optional[Sequence[Any]] = None,
+    trailing: Union[str, Sequence, None] = None,
+    indices: Optional[dict[str, dict]] = None,
+    spark: Optional[SparkSession] = None,
+    order_col: Optional[str] = None,
+    with_order: bool = False,
+) -> DataFrame:
+    """Plan-level entry point: compile ONE emission (traversal +
+    projection) straight to its DataFrame — the Spark equivalent of the
+    reference's core-API level (``run_mapping`` over explicit specs,
+    etielle/executor.py:217-437), so tests and power users can target the
+    compiler without the fluent builder.
+
+    - ``root``: a JSON object or a DataFrame (every row = one document).
+    - ``each``: one entry per iteration level — a path (``"users"``) or a
+      ``(path, mode)`` pair with mode in auto/items/single.
+    - ``trailing``: navigation after the last iteration, no explode.
+    - ``fields``: the projection; TempFields are projected like Fields
+      here (the plan level has no public/internal split).
+    - ``with_order=True`` appends the synthesized traversal-arrival
+      struct as column ``__seq`` (what keyed merges order by).
+
+        df = compile_emission(
+            {"users": [...]},
+            each=["users", ("posts", "auto")],
+            fields=[Field("pid", get("id")), Field("uid", get_from_parent("id"))],
+        )
+    """
+    if spark is None:
+        if isinstance(root, DataFrame):
+            spark = root.sparkSession
+        else:
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                from .session import get_spark
+
+                spark = get_spark()
+    df, env, row_ord = _root_env(spark, root, indices or {}, order_col)
+    points: list[tuple[list, str]] = []
+    for item in each or []:
+        if isinstance(item, tuple):
+            path, mode = item
+        else:
+            path, mode = item, "auto"
+        points.append((parse_path(path), mode))
+    lvl = 0
+    for pth, mode in points:
+        lvl += 1
+        df, env = _explode_level(df, env, pth, mode, lvl)
+    trail = parse_path(trailing)
+    if trail:
+        df, env = _trailing_level(df, env, trail, lvl + 1)
+    sel: list[Column] = []
+    for f in fields:
+        col, ftype = f.transform.compile_typed(env)
+        if ftype is not None:
+            col, _ = strip_marker_fields(col, ftype)
+        sel.append(col.alias(f.name))
+    if with_order:
+        pos_cols = [lv.pos for lv in env.levels if lv.pos is not None]
+        sel.append(
+            _ord_struct([F.lit(0)], pos_cols, len(pos_cols), row_ord).alias(_SEQ)
+        )
+    return df.select(*sel)
+
+
 def etl(
     *roots: Any,
     spark: Optional[SparkSession] = None,

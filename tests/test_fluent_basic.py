@@ -315,3 +315,56 @@ def test_trailing_goto_after_each(spark):
     # u2 has no profile -> its row still emits with NULL fields
     # (reference: trailing goto never filters; verified differentially)
     assert rows(result, "profiles") == {("a@x", "u1"), (None, "u2")}
+
+
+def test_compile_emission_plan_level(spark):
+    """The plan-level core API (reference executor.py:217-437 run_mapping
+    equivalent): one emission compiled straight to a DataFrame, no
+    builder."""
+    from etielle_spark import compile_emission, get, get_from_parent, index
+
+    data = {
+        "users": [
+            {"id": "u1", "posts": [{"t": "a"}, {"t": "b"}]},
+            {"id": "u2", "posts": [{"t": "c"}]},
+        ]
+    }
+    df = compile_emission(
+        data,
+        spark=spark,
+        each=["users", "posts"],
+        fields=[
+            Field("uid", get_from_parent("id")),
+            Field("t", get("t")),
+            Field("i", index()),
+        ],
+    )
+    rows = {(r["uid"], r["t"], r["i"]) for r in df.collect()}
+    assert rows == {("u1", "a", 0), ("u1", "b", 1), ("u2", "c", 0)}
+
+
+def test_compile_emission_dataframe_root_with_order(spark):
+    from etielle_spark import compile_emission, get
+
+    src = spark.createDataFrame([("x", 1), ("y", 2)], "name string, n long")
+    df = compile_emission(
+        src,
+        fields=[Field("name", get("name")), Field("n", get("n"))],
+        with_order=True,
+    )
+    assert "__seq" in df.columns
+    assert {(r["name"], r["n"]) for r in df.collect()} == {("x", 1), ("y", 2)}
+
+
+def test_compile_emission_trailing_and_modes(spark):
+    from etielle_spark import compile_emission, get, node
+
+    data = {"items": [{"meta": {"k": 1}}, {"meta": {"k": 2}}]}
+    df = compile_emission(
+        data,
+        spark=spark,
+        each=[("items", "auto")],
+        trailing="meta",
+        fields=[Field("k", get("k"))],
+    )
+    assert sorted(r["k"] for r in df.collect()) == [1, 2]
