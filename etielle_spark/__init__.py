@@ -8,6 +8,7 @@ SURVEY.md for the full capability map.
 """
 
 from .core import Field, TempField, Transform
+from .models import InstanceBuilder, field_of
 from .fluent import PipelineBuilder, PipelineResult, compile_emission, etl
 from .policies import (
     AddPolicy,
@@ -46,6 +47,8 @@ __all__ = [
     "Transform",
     "PipelineBuilder",
     "PipelineResult",
+    "InstanceBuilder",
+    "field_of",
     "compile_emission",
     "etl",
     "get_spark",

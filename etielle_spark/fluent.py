@@ -508,12 +508,14 @@ class PipelineResult:
         errors: dict[str, DataFrame],
         write_order: list[str],
         public_map: Optional[dict[str, list[tuple[str, str]]]] = None,
+        model_classes: Optional[dict[str, type]] = None,
     ):
         self.tables = tables
         self._internal = internal
         self.errors = errors
         self.write_order = write_order
         self._public_map = public_map or {}
+        self._model_classes = model_classes or {}
 
     def __getitem__(self, name) -> DataFrame:
         # table name or model class (reference tables proxy,
@@ -548,6 +550,28 @@ class PipelineResult:
             {k: _plain_py(v) for k, v in r.asDict(recursive=True).items()}
             for r in self.tables[name].collect()
         ]
+
+    def instances(
+        self,
+        name: Union[str, type],
+        *,
+        builder=None,
+        ordered: bool = False,
+    ) -> list:
+        """Materialize a table as model-class instances through an
+        ``InstanceBuilder`` (reference instances.py:93-132; custom
+        builders override ``build``).  The model class is remembered from
+        ``map_to(table=Cls)``; plain-string tables build dicts."""
+        from .models import InstanceBuilder, table_name_of
+
+        cls: Optional[type] = None
+        if isinstance(name, type):
+            cls = name
+            name = table_name_of(name)
+        else:
+            cls = self._model_classes.get(name)
+        b = builder or InstanceBuilder()
+        return b.build_all(cls, self.rows(name, ordered=ordered))
 
     def stats(self) -> dict[str, dict[str, int]]:
         """Per-table counts (the reference's TableStats,
@@ -603,6 +627,7 @@ class PipelineBuilder:
         self._last_table: Optional[str] = None
         self._sink = None
         self._eager_tables: set[str] = set()
+        self._model_classes: dict[str, type] = {}
 
     # -- navigation ---------------------------------------------------------
 
@@ -658,7 +683,9 @@ class PipelineBuilder:
                 )
             if schema is None:
                 schema = spark_schema_of(table)
+            cls = table
             table = table_name_of(table)
+            self._model_classes[table] = cls
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
         if schema is not None:
@@ -937,7 +964,9 @@ class PipelineBuilder:
             emit(self._on_event, MapStarted(t))
             emit(self._on_event, MapCompleted(t))
 
-        result = PipelineResult(public, internal, errors, order, public_map)
+        result = PipelineResult(
+            public, internal, errors, order, public_map, self._model_classes
+        )
         if self._sink is not None:
             for t in order:
                 emit(self._on_event, FlushStarted(t))

@@ -157,3 +157,39 @@ def field_of(model: type, selector: Callable[[Any], Any]) -> str:
             f"field_of: '{tracer.accessed}' is not a field of {model.__name__}"
         )
     return tracer.accessed
+
+
+class InstanceBuilder:
+    """Collect-time instance materialization (the Spark seam for the
+    reference's InstanceBuilder, etielle/instances.py:93-132).
+
+    The reference builder accumulates per-key field updates in Python and
+    finalizes instances; this engine runs the merge DISTRIBUTED (groupBy
+    + merge policies), so the builder's job shrinks to turning finalized
+    row dicts into objects at collect time.  Subclass and override
+    ``build`` to construct arbitrary objects;
+    ``PipelineResult.instances()`` drives it.
+    """
+
+    def build(self, cls: Optional[type], data: dict) -> Any:
+        """One finalized row -> an instance.  Default: dataclass /
+        pydantic / model classes get ``cls(**fields)`` (unknown keys
+        dropped); no class -> the plain dict."""
+        if cls is None:
+            return dict(data)
+        if hasattr(cls, "__total__"):  # TypedDict: instances ARE dicts
+            return dict(data)
+        known = None
+        if dataclasses.is_dataclass(cls):
+            known = {f.name for f in dataclasses.fields(cls)}
+        elif hasattr(cls, "model_fields"):
+            known = set(cls.model_fields)
+        elif is_model_class(cls):
+            known = set(spark_schema_of(cls).fieldNames())
+        kwargs = {
+            k: v for k, v in data.items() if known is None or k in known
+        }
+        return cls(**kwargs)
+
+    def build_all(self, cls: Optional[type], rows: list[dict]) -> list[Any]:
+        return [self.build(cls, r) for r in rows]

@@ -160,6 +160,7 @@ class StreamPipeline(PipelineBuilder):
         b._backlinks = self._backlinks
         b._index_specs = self._index_specs
         b._eager_tables = self._eager_tables
+        b._model_classes = self._model_classes
         return b
 
     def _combined_root_df(self, spark: SparkSession, roots: tuple) -> DataFrame:

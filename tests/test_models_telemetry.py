@@ -258,3 +258,37 @@ def test_update_vs_finalize_error_stages(spark):
     assert {r["pid"] for r in result.rows("people")} == {"a"}
     errs = {(r["key"], r["stage"]) for r in result.errors["people"].collect()}
     assert errs == {("b", "update"), ("c", "finalize")}
+
+
+def test_instance_builder_default_and_custom(spark):
+    """Collect-time InstanceBuilder (reference instances.py:93-132): the
+    finalized rows materialize as model-class instances; custom builders
+    override build()."""
+    from etielle_spark.models import InstanceBuilder
+
+    data = {"users": [{"id": "u1", "age": 30}, {"id": "u2", "age": 41}]}
+    result = (
+        etl(data, spark=spark)
+        .goto("users")
+        .each()
+        .map_to(
+            User,
+            fields=[Field("id", get("id")), Field("age", get("age"))],
+            join_on=["id"],
+        )
+        .run()
+    )
+    built = result.instances("users", ordered=True)
+    assert [type(u) for u in built] == [User, User]
+    assert [(u.id, u.age) for u in built] == [("u1", 30), ("u2", 41)]
+    # by class too
+    assert [(u.id, u.age) for u in result.instances(User, ordered=True)] == [
+        ("u1", 30),
+        ("u2", 41),
+    ]
+
+    class UpperBuilder(InstanceBuilder):
+        def build(self, cls, row):
+            return row["id"].upper()
+
+    assert result.instances("users", builder=UpperBuilder(), ordered=True) == ["U1", "U2"]
