@@ -104,7 +104,9 @@ class IndexSpec:
 
 def _plain_py(v: Any) -> Any:
     """Collected Spark values -> plain Python (Row -> dict, VariantVal ->
-    its Python value, recursively)."""
+    its Python value, recursively).  Serialization markers never surface:
+    a pure-{} dict materializes as {} (its struct representation keeps
+    the __empty__ marker column-side, see core.strip_marker_fields)."""
     from pyspark.sql import Row
 
     try:
@@ -114,11 +116,22 @@ def _plain_py(v: Any) -> Any:
     if VariantVal is not None and isinstance(v, VariantVal):
         return _plain_py(v.toPython())
     if isinstance(v, Row):
-        return {k: _plain_py(x) for k, x in v.asDict().items()}
+        return {
+            k: _plain_py(x) for k, x in v.asDict().items() if k not in MARKER_FIELDS
+        }
     if isinstance(v, dict):
-        return {k: _plain_py(x) for k, x in v.items()}
+        return {k: _plain_py(x) for k, x in v.items() if k not in MARKER_FIELDS}
     if isinstance(v, (list, tuple)):
         return [_plain_py(x) for x in v]
+    return v
+
+
+def _freeze(v: Any) -> Any:
+    """Hashable view of a collected value (for row_set comparisons)."""
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze(x) for x in v)
     return v
 
 
@@ -161,6 +174,11 @@ def _prepare_obj(obj: Any) -> Any:
         keys: list[str] = []
         for k, v in obj.items():
             jk = _json_key(k)
+            if jk in MARKER_FIELDS:
+                raise ValueError(
+                    f"in-memory roots must not contain the reserved key "
+                    f"{jk!r} (internal serialization marker)"
+                )
             keys.append(jk)
             out[jk] = _prepare_obj(v)
         out["__keys__"] = keys
@@ -590,8 +608,7 @@ class PipelineResult:
         use = list(cols) if cols else df.columns
         out = set()
         for r in df.select(*use).collect():
-            vals = [_plain_py(v) for v in r]
-            out.add(tuple(tuple(v) if isinstance(v, list) else v for v in vals))
+            out.add(tuple(_freeze(_plain_py(v)) for v in r))
         return out
 
 

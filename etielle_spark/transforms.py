@@ -240,7 +240,15 @@ def map_column(
     ts = [ensure_transform(t) for t in inners]
 
     def _c(env: CompileEnv):
-        return fn(*[t.compile(env) for t in ts]), dtype
+        cols = []
+        for t in ts:
+            col, dt_in = t.compile_typed(env)
+            if dt_in is not None:
+                # user lambdas must not see serialization markers (same
+                # hygiene as apply())
+                col, _ = strip_marker_fields(col, dt_in)
+            cols.append(col)
+        return fn(*cols), dtype
 
     return Transform(_c)
 
@@ -287,6 +295,9 @@ def _lit_type(v: Any) -> T.DataType:
 
 
 def _infer_py_type(v: Any) -> T.DataType:
+    import datetime
+    import decimal
+
     if v is None:
         return T.NullType()
     if isinstance(v, bool):
@@ -295,6 +306,14 @@ def _infer_py_type(v: Any) -> T.DataType:
         return T.LongType()
     if isinstance(v, float):
         return T.DoubleType()
+    if isinstance(v, datetime.datetime):
+        return T.TimestampType()
+    if isinstance(v, datetime.date):
+        return T.DateType()
+    if isinstance(v, decimal.Decimal):
+        return T.DoubleType()
+    if isinstance(v, (bytes, bytearray)):
+        return T.BinaryType()
     if isinstance(v, dict):
         return T.StructType(
             [T.StructField(str(k), _infer_py_type(x), True) for k, x in v.items()]
@@ -305,6 +324,9 @@ def _infer_py_type(v: Any) -> T.DataType:
             t = _merge_py_types(t, _infer_py_type(x))
         return T.ArrayType(t, True)
     return T.StringType()
+
+
+_NUM_RANK = {T.BooleanType: 0, T.LongType: 1, T.DoubleType: 2}
 
 
 def _merge_py_types(a: T.DataType, b: T.DataType) -> T.DataType:
@@ -327,49 +349,37 @@ def _merge_py_types(a: T.DataType, b: T.DataType) -> T.DataType:
         return T.StructType([T.StructField(n, fields[n], True) for n in order])
     if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
         return T.ArrayType(_merge_py_types(a.elementType, b.elementType), True)
-    numeric = (T.LongType, T.DoubleType)
-    if isinstance(a, numeric) and isinstance(b, numeric):
-        return T.DoubleType()
+    # numerics widen (bool < long < double — Python's numeric tower, where
+    # True == 1; a bool value in a long column reads as 0/1)
+    if type(a) in _NUM_RANK and type(b) in _NUM_RANK:
+        return max(a, b, key=lambda t: _NUM_RANK[type(t)])
+    if isinstance(a, (T.DateType, T.TimestampType)) and isinstance(
+        b, (T.DateType, T.TimestampType)
+    ):
+        return T.TimestampType()
     return T.StringType()
 
 
-def _index_key_tag(k: Any) -> str:
-    """Tagged key string preserving Python dict equality semantics:
-    numerics (incl. bool) compare across representations (1 == 1.0 == True)
-    but NEVER equal the string '1' — the reference's dict.get."""
-    if isinstance(k, bool):
-        return "n:" + str(int(k))
-    if isinstance(k, float):
-        return "n:" + (str(int(k)) if k.is_integer() else repr(k))
-    if isinstance(k, int):
-        return "n:" + str(k)
-    if k is None:
-        return "z:null"
-    return "s:" + str(k)
-
-
-def _probe_key_tag(col: Column, dtype: Optional[T.DataType]) -> Column:
-    if isinstance(dtype, T.BooleanType) or isinstance(
-        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-    ):
-        base = F.concat(F.lit("n:"), col.cast("long").cast("string"))
-    elif isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
-        d = col.cast("double")
-        base = F.concat(
-            F.lit("n:"),
-            F.when(
-                (d == F.floor(d)) & (F.abs(d) < F.lit(9.2e18)),
-                d.cast("long").cast("string"),
-            ).otherwise(d.cast("string")),
-        )
-    else:
-        # strings, and unknown-typed probes (documented: an untyped probe
-        # is compared as a string)
-        base = F.concat(F.lit("s:"), col.cast("string"))
-    return F.when(col.isNull(), F.lit("z:null")).otherwise(base)
-
-
 _LOOKUP_MAX_ENTRIES = 10_000
+
+
+def _values_array(values: list, vtype: T.DataType) -> tuple[Column, T.DataType]:
+    """Array column of index values.  Scalar values ship as typed lits
+    (handles date/datetime/Decimal natively); container values ship as
+    ONE JSON literal decoded by from_json (non-JSON scalars inside fall
+    back to their str form, which the target type parses back)."""
+    if isinstance(vtype, T.NullType):
+        return F.array(*[F.lit(None).cast("string") for _ in values]), T.StringType()
+    if any(isinstance(v, (dict, list, tuple)) for v in values):
+        import json as _json
+
+        return (
+            F.from_json(
+                F.lit(_json.dumps(values, default=str)), T.ArrayType(vtype, True)
+            ),
+            vtype,
+        )
+    return F.array(*[F.lit(v).cast(vtype) for v in values]), vtype
 
 
 def lookup(index_name: str, key_transform: Transform, *, default: Any = None) -> Transform:
@@ -380,15 +390,19 @@ def lookup(index_name: str, key_transform: Transform, *, default: Any = None) ->
     index name raises at compile time (reference raises ValueError at row
     time); missing key yields ``default``.
 
-    Keys match with Python dict equality (1 == 1.0 == True, but '1' never
-    matches 1) via kind-tagged key strings.  Values may be arbitrary JSON
-    structures (structs/arrays from ``build_index(value=node())``): they
-    ship as one JSON literal decoded by ``from_json``, not as per-value
-    ``lit``s.  Indices above {max} entries raise at compile time — an
-    unbounded index belongs in ``link_to`` (a real join), not in the plan.
+    Keys match with Python dict equality: the index splits into a
+    string-keyed and a number-keyed map (1 == 1.0 == True per Python's
+    numeric tower) and the probe's STATIC type picks which one to search,
+    so '1' never matches 1 and no lossy string formatting is involved.
+    An untyped probe searches the string map (documented coercion).
+    Values may be arbitrary structures (``build_index(value=node())``).
+    Indices above the entry cap raise at compile time — an unbounded
+    index belongs in ``link_to`` (a real join), not in the plan.
     """
 
     def _c(env: CompileEnv):
+        import decimal
+
         if index_name not in env.indices:
             available = list(env.indices.keys())
             raise ValueError(
@@ -406,36 +420,69 @@ def lookup(index_name: str, key_transform: Transform, *, default: Any = None) ->
         if not mapping:
             return (F.lit(default), _lit_type(default)) if default is not None else (F.lit(None), NULL)
 
-        values = list(mapping.values())
         vtype: T.DataType = T.NullType()
-        for v in values:
+        for v in mapping.values():
             vtype = _merge_py_types(vtype, _infer_py_type(v))
-        keys_arr = F.array(*[F.lit(_index_key_tag(k)) for k in mapping.keys()])
-        if isinstance(vtype, (T.StructType, T.ArrayType)) or not all(
-            v is None or isinstance(v, (str, int, float, bool)) for v in values
-        ):
-            import json as _json
 
-            vals_arr = F.from_json(
-                F.lit(_json.dumps(values)), T.ArrayType(vtype, True)
-            )
-        elif isinstance(vtype, T.NullType):
-            vals_arr = F.array(*[F.lit(None).cast("string") for _ in values])
-            vtype = T.StringType()
+        # split keys by kind: Python dict equality crosses numeric
+        # representations but never number<->string
+        str_keys: dict[str, Any] = {}
+        num_keys: dict[float, Any] = {}
+        none_entry: tuple = ()
+        for k, v in mapping.items():
+            if k is None:
+                none_entry = (v,)
+            elif isinstance(k, (bool, int, float, decimal.Decimal)):
+                num_keys[float(k)] = v
+            else:
+                str_keys[str(k)] = v
+
+        numeric_probe = isinstance(
+            ktype,
+            (
+                T.BooleanType,
+                T.ByteType,
+                T.ShortType,
+                T.IntegerType,
+                T.LongType,
+                T.FloatType,
+                T.DoubleType,
+                T.DecimalType,
+            ),
+        )
+        if numeric_probe:
+            chosen, probe_key = num_keys, kcol.cast("double")
         else:
-            vals_arr = F.array(*[F.lit(v).cast(vtype) for v in values])
-        m = F.map_from_arrays(keys_arr, vals_arr)
-        probe_key = _probe_key_tag(kcol, ktype)
-        probe = F.try_element_at(m, probe_key)
-        if default is not None:
+            chosen, probe_key = str_keys, kcol.cast("string")
+
+        dflt = (
+            F.lit(default)
+            if default is not None
+            else F.lit(None).cast(
+                vtype if not isinstance(vtype, T.NullType) else "string"
+            )
+        )
+        if chosen:
+            vals_arr, vtype = _values_array(list(chosen.values()), vtype)
+            m = F.map_from_arrays(
+                F.array(*[F.lit(k) for k in chosen.keys()]), vals_arr
+            )
+            probe = F.try_element_at(m, probe_key)
             # the default applies only when the KEY is absent; a stored
             # None value stays None (reference: dict.get semantics,
             # transforms.py:236-247)
-            probe = F.when(F.map_contains_key(m, probe_key), probe).otherwise(
-                F.lit(default)
+            probe = F.when(F.map_contains_key(m, probe_key), probe).otherwise(dflt)
+        else:
+            probe = dflt
+        if none_entry:
+            none_val, _ = _values_array(list(none_entry), vtype)
+            probe = F.when(kcol.isNull(), F.element_at(none_val, F.lit(1))).otherwise(
+                probe
             )
-            return probe, None
-        return probe, vtype
+        else:
+            probe = F.when(kcol.isNull(), dflt).otherwise(probe)
+        out_t = vtype if default is None and not isinstance(vtype, T.NullType) else None
+        return probe, out_t
 
     return Transform(_c)
 

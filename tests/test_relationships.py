@@ -433,3 +433,108 @@ def test_link_to_duplicate_parent_last_wins(spark):
     )
     rows = {r["name"]: r["parent_id"] for r in result.rows("children")}
     assert rows == {"c1": "p2", "c2": "p3"}
+
+
+def test_lookup_date_and_decimal_values(spark):
+    """Index values that are not JSON scalars (dates from a DataFrame
+    traversal) ship as typed literals, not via json.dumps."""
+    import datetime
+
+    orders = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 2)), (2, datetime.date(2024, 3, 4))],
+        "okey long, odate date",
+    )
+    probe = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    result = (
+        etl(orders, probe, spark=spark)
+        .build_index("dates", key=get("okey"), value=get("odate"))
+        .goto_root(1)
+        .map_to("t", fields=[Field("k", get("k")), Field("d", lookup("dates", get("k")))])
+        .run()
+    )
+    rows = {r["k"]: r["d"] for r in result.rows("t")}
+    assert rows == {
+        1: datetime.date(2024, 1, 2),
+        2: datetime.date(2024, 3, 4),
+        3: None,
+    }
+
+
+def test_lookup_decimal_keys_match_numeric_probe(spark):
+    """Decimal index keys live in the numeric key space (Python dict
+    equality: Decimal('3') == 3)."""
+    import decimal
+
+    data = {"rows": [{"k": 3}, {"k": 4}]}
+    result = (
+        etl(data, spark=spark)
+        .build_index("idx", from_dict={decimal.Decimal("3"): "three"})
+        .goto("rows")
+        .each()
+        .map_to("t", fields=[Field("k", get("k")), Field("v", lookup("idx", get("k"), default="MISS"))])
+        .run()
+    )
+    rows = {r["k"]: r["v"] for r in result.rows("t")}
+    assert rows == {3: "three", 4: "MISS"}
+
+
+def test_reserved_marker_key_raises(spark):
+    with pytest.raises(ValueError, match="reserved key"):
+        (
+            etl({"m": {"__keys__": 1}}, spark=spark)
+            .goto("m")
+            .each()
+            .map_to("t", fields=[Field("v", node())])
+            .run()
+        )
+
+
+def test_empty_dict_materializes_clean(spark):
+    """A {} value collects as {} — the __empty__ serialization marker
+    never surfaces in rows()."""
+    data = {"items": [{"id": 1, "meta": {}}, {"id": 2, "meta": {"a": 1}}]}
+    result = (
+        etl(data, spark=spark)
+        .goto("items")
+        .each()
+        .map_to("t", fields=[Field("id", get("id")), Field("meta", get("meta"))])
+        .run()
+    )
+    rows = {r["id"]: r["meta"] for r in result.rows("t")}
+    # markers never surface; absent keys read as None fields (the
+    # documented rectangular absent==NULL mapping, SURVEY §1.2)
+    assert rows[1] == {"a": None}
+    assert rows[2] == {"a": 1}
+    # a table whose dicts are ALL empty materializes as {}
+    only_empty = (
+        etl({"items": [{"id": 1, "meta": {}}]}, spark=spark)
+        .goto("items")
+        .each()
+        .map_to("t", fields=[Field("id", get("id")), Field("meta", get("meta"))])
+        .run()
+    )
+    assert only_empty.rows("t")[0]["meta"] == {}
+
+
+def test_map_column_strips_markers(spark):
+    """User lambdas over dict nodes must not see __keys__/__empty__."""
+    import json as _json
+
+    from etielle_spark.transforms import map_column
+
+    data = {"items": [{"id": 1, "meta": {"a": 1}}]}
+    result = (
+        etl(data, spark=spark)
+        .goto("items")
+        .each()
+        .map_to(
+            "t",
+            fields=[
+                Field("id", get("id")),
+                Field("j", map_column(lambda c: __import__("pyspark.sql.functions", fromlist=["to_json"]).to_json(c), get("meta"))),
+            ],
+        )
+        .run()
+    )
+    j = result.rows("t")[0]["j"]
+    assert _json.loads(j) == {"a": 1}
