@@ -79,3 +79,29 @@ def test_plan_quality_pushdown_and_broadcast(spark):
     plan2 = out._jdf.queryExecution().executedPlan().toString()
     assert "l_extendedprice" not in plan2  # untouched columns pruned away
     assert "PushedFilters: [IsNotNull(l_orderkey)]" in plan2
+
+
+def test_plan_quality_scale_paths(spark):
+    """The 100 TB paths keep their intended shapes: ANN broadcasts the
+    query side with no single-partition exchange; salted_agg is exactly
+    two hash exchanges (partial + merge) with no funnel."""
+    from etielle_spark.benchqueries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    ann = (
+        QUERIES["q54_ann_lsh_topk"][0](spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in ann
+    assert "SinglePartition" not in ann
+
+    salted = (
+        QUERIES["q55_salted_agg"][0](spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in salted
+    assert salted.count("Exchange ") == 2

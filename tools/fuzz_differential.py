@@ -184,7 +184,74 @@ def main() -> None:
                 got3.add((d["k"], scalar_or_skip(d.get("a")), scalar_or_skip(d.get("ab"))))
         check("blob-walk", seed, want3, got3)
 
-    print(f"\nfuzz done: {n} seeds x 4 shapes, {len(failures)} mismatches")
+        # shape 4: sibling dicts with differing key sets (presence markers)
+        rng4 = random.Random(3000 + seed)
+        keysets = [["a"], ["b"], ["a", "c"], ["d", "b"], [], ["e", "a"]]
+        users4 = []
+        for i in range(rng4.randint(1, 6)):
+            prefs = {k: rng4.randint(0, 9) for k in rng4.choice(keysets)}
+            users4.append({"id": f"u{i}", "prefs": prefs})
+        data4 = {"users": users4}
+        r4 = (
+            retl(data4)
+            .goto("users").each().goto("prefs").each()
+            .map_to(table="t", fields=[RF("uid", rgfp("id")), RF("k", rkey()), RF("v", rnode())])
+            .run()
+        )
+        s4 = (
+            etl(data4, spark=spark)
+            .goto("users").each().goto("prefs").each()
+            .map_to("t", fields=[Field("uid", get_from_parent("id")), Field("k", key()), Field("v", node())])
+            .run()
+        )
+        ref_rows4 = list(r4.tables["t"].values()) if "t" in r4.tables else []
+        got_rows4 = s4.rows("t") if "t" in s4.tables else []
+        if len(ref_rows4) != len(got_rows4):
+            failures.append(("sibling-dicts-count", seed))
+            print(f"[MISMATCH] sibling-dicts-count seed={seed}: ref {len(ref_rows4)} vs {len(got_rows4)}")
+        else:
+            check("sibling-dicts", seed,
+                  norm_rows(dict(x) for x in ref_rows4), norm_rows(got_rows4))
+
+        # shape 5: mixed-kind sibling values (variant unification) — the
+        # field 'a' carries scalar/array/dict kinds across siblings; the
+        # VALUE itself must round-trip (not just scalar-or-skip)
+        rng5 = random.Random(4000 + seed)
+        entries5 = {}
+        for i in range(rng5.randint(1, 5)):
+            kind = rng5.random()
+            if kind < 0.34:
+                a = rng5.choice([7, "s", None])
+            elif kind < 0.67:
+                a = [rng5.randint(0, 3) for _ in range(rng5.randint(0, 3))]
+            else:
+                a = {"b": rng5.randint(0, 9)}
+            entries5[f"k{i}"] = {"a": a}
+        data5 = {"root": entries5}
+        r5 = (
+            retl(data5)
+            .goto("root").each()
+            .map_to(table="t", fields=[RF("k", rkey()), RF("a", rget("a")), RF("ab", rget("a.b"))])
+            .run()
+        )
+        s5 = (
+            etl(data5, spark=spark)
+            .goto("root").each()
+            .map_to("t", fields=[Field("k", key()), Field("a", get("a")), Field("ab", get("a.b"))])
+            .run()
+        )
+        want5 = set()
+        if "t" in r5.tables:
+            for row in r5.tables["t"].values():
+                d = dict(row)
+                want5.add((d["k"], str(d.get("a")), str(d.get("ab"))))
+        got5 = set()
+        if "t" in s5.tables:
+            for d in s5.rows("t"):
+                got5.add((d["k"], str(d.get("a")), str(d.get("ab"))))
+        check("variant-mixed", seed, want5, got5)
+
+    print(f"\nfuzz done: {n} seeds x 6 shapes, {len(failures)} mismatches")
     if failures:
         sys.exit(1)
 
