@@ -1977,3 +1977,87 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result["t"].select(
         "ck", "first_big", F.col("n_orders").cast("bigint").alias("n_orders")
     )
+
+
+@q(
+    "q59_dedup_clusters",
+    f"""
+    WITH RECURSIVE all_docs AS ({_DOCS_PLUS_CLONES}),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM all_docs),
+    sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM toks),
+    mins AS (
+      SELECT doc_id,
+             min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+             min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+             min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+             min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS b, md5(h0 || '|' || h1) AS d FROM mins UNION ALL
+      SELECT doc_id, 1 AS b, md5(h2 || '|' || h3) AS d FROM mins UNION ALL
+      SELECT doc_id, 2 AS b, md5(h4 || '|' || h5) AS d FROM mins UNION ALL
+      SELECT doc_id, 3 AS b, md5(h6 || '|' || h7) AS d FROM mins
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r ON l.b = r.b AND l.d = r.d AND l.doc_id < r.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM cand
+      UNION SELECT id_b, id_a FROM cand
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    )
+    SELECT s AS id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+    """,
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster assignment: LSH candidate pairs -> connected
+    components by distributed min-label propagation
+    (operators/clusters.py:dedup_clusters); the oracle computes the same
+    components with a recursive transitive closure."""
+    from .operators.clusters import dedup_clusters
+    from .operators.dedup import lsh_candidate_pairs
+
+    docs = _docs_plus_clones(spark, sf_dir)
+    cand = lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=8, bands=4)
+    return dedup_clusters(cand)
+
+
+@q(
+    "q60_stratified_sample",
+    """
+    SELECT rf, ls, okey, ln FROM (
+      SELECT l_returnflag AS rf, l_linestatus AS ls,
+             l_orderkey AS okey, l_linenumber::BIGINT AS ln,
+             row_number() OVER (
+               PARTITION BY l_returnflag, l_linestatus
+               ORDER BY md5((l_orderkey * 10 + l_linenumber)::VARCHAR),
+                        l_orderkey * 10 + l_linenumber
+             ) AS rk
+      FROM lineitem
+    ) WHERE rk <= 20
+    """,
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deterministic stratified sampling: 20 rows per
+    (returnflag, linestatus) stratum ordered by md5 of a unique key —
+    reproducible across engines, unlike approximate sampleBy."""
+    from .operators.clusters import stratified_sample_exact
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "__sk", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    out = stratified_sample_exact(
+        li, ["l_returnflag", "l_linestatus"], 20, order_key="__sk"
+    )
+    return out.select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").cast("bigint").alias("ln"),
+    )

@@ -1,0 +1,101 @@
+"""Dedup cluster assignment and exact sampling — the steps after
+candidate-pair generation in a production dedup pipeline.
+
+``dedup_clusters`` turns near-duplicate PAIRS (from LSH/Jaccard/cosine)
+into per-document cluster ids via distributed min-label propagation —
+the connected-components step that picks one canonical document per
+duplicate group.  O(component diameter) rounds of join+groupBy; dedup
+components are shallow (near-duplicates of a common ancestor), so this
+converges in a handful of rounds at any scale.  Complements
+``etielle_spark.utils.connected_components`` (driver-side, used for
+write grouping) with a fully distributed variant.
+
+``stratified_sample_exact`` draws exactly n rows per stratum with a
+deterministic md5 ordering — reproducible across engines and runs,
+unlike ``DataFrame.sampleBy`` (approximate, seed-dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, cluster_id) for every id in ``pairs``; cluster_id is the
+    minimum id reachable through the pair graph (connected components by
+    min-label propagation).
+
+    Each round: every node takes the min label among itself and its
+    neighbors; fixpoint when no label changes.  Rounds are join+groupBy
+    on (id, label) pairs only — no adjacency lists materialize, skewed
+    hub nodes are just wide groups (AQE handles them), and each round's
+    result is persisted so lineage stays shallow.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iterations):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["id"] == neigh["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce(F.col("nlabel"), labels["label"])
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata: list[str],
+    n_per_stratum: int,
+    *,
+    order_key: str,
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per strata combination, picked by
+    md5(order_key) — deterministic, engine-reproducible, and rank-stable
+    (ties impossible for distinct keys).  One shuffle on the strata
+    columns; each stratum ranks independently (no global sort)."""
+    w = Window.partitionBy(*strata).orderBy(
+        F.md5(F.col(order_key).cast("string")), F.col(order_key)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )

@@ -247,3 +247,33 @@ def test_multimodal_resize_and_frames(spark, docs):
     one = [r for r in frames if r["frame_idx"] == 0][0]
     again = [r for r in sample_frames(wp, "doc_id", n_frames=3).collect() if r["frame_idx"] == 0][0]
     assert one["frame_digest"] == again["frame_digest"]
+
+
+def test_dedup_clusters_components(spark):
+    """Min-label propagation finds connected components: chain, pair,
+    and a diamond all collapse to their minimum id."""
+    from etielle_spark.operators.clusters import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from etielle_spark.operators.clusters import stratified_sample_exact
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").withColumn(
+        "__sk", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    s1 = stratified_sample_exact(li, ["l_returnflag"], 5, order_key="__sk")
+    counts = {r["l_returnflag"]: r["n"] for r in s1.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()}
+    assert set(counts.values()) == {5}
+    # deterministic: same rows on a second evaluation
+    s2 = stratified_sample_exact(li, ["l_returnflag"], 5, order_key="__sk")
+    assert {tuple(r) for r in s1.select("__sk").collect()} == {
+        tuple(r) for r in s2.select("__sk").collect()
+    }
