@@ -988,9 +988,21 @@ class PipelineBuilder:
             for t in order:
                 emit(self._on_event, FlushStarted(t))
                 df = public[t]
-                self._sink.write(t, df)
                 if self._on_event is not None:
-                    emit(self._on_event, FlushCompleted(t, inserted=df.count()))
+                    # observe() rides along the write job — the inserted
+                    # count costs nothing extra (the round-1 df.count()
+                    # re-executed the whole plan per table)
+                    from pyspark.sql import Observation
+
+                    obs = Observation()
+                    df = df.observe(obs, F.count(F.lit(1)).alias("inserted"))
+                    self._sink.write(t, df)
+                    emit(
+                        self._on_event,
+                        FlushCompleted(t, inserted=obs.get["inserted"]),
+                    )
+                else:
+                    self._sink.write(t, df)
         return result
 
 

@@ -98,15 +98,80 @@ class UpsertFlushStrategy(FlushStrategy):
             store.put(name, old.unionByName(fresh, allowMissingColumns=True))
 
 
-class BufferedKeyFlushStrategy(UpsertFlushStrategy):
-    """Reference semantics: bounded LRU of recently-flushed keys whose
-    re-appearance becomes an UPDATE (chunking.py:543-677).  With a table
-    store the state bound is the store itself, so this is 'update' with
-    full key coverage — strictly more complete than the LRU cut-off."""
+class BufferedKeyFlushStrategy(FlushStrategy):
+    """Bounded LRU of recently-flushed keys (chunking.py:543-677).
 
-    def __init__(self, max_keys: int = 0):
-        super().__init__("update")
-        self.max_keys = max_keys  # kept for API parity; not a limit here
+    A key still in the LRU merges onto its existing row
+    (last-non-None-write-wins per column); a key EVICTED from the LRU
+    re-inserts as a new row — the reference's documented heuristic, where
+    correctness is bounded by ``max_keys`` and the worst-case key
+    reappearance gap.  Divergence from the reference (rows have no
+    Python identity here): a cached key with earlier eviction-duplicates
+    updates ALL rows of that key, not just the cached instance.
+    Chunk key sets are collected driver-side — bounded by chunk size,
+    exactly like the reference's per-chunk instance dict."""
+
+    def __init__(self, max_keys: int = 10_000):
+        if max_keys < 1:
+            raise ValueError(f"max_keys must be >= 1, got {max_keys}")
+        self.max_keys = max_keys
+        from collections import OrderedDict
+
+        self._lru: "OrderedDict[tuple, None]" = OrderedDict()
+
+    def _record(self, name: str, keys: list[tuple]) -> None:
+        for k in keys:
+            ck = (name, k)
+            if ck in self._lru:
+                self._lru.move_to_end(ck)
+            else:
+                self._lru[ck] = None
+        while len(self._lru) > self.max_keys:
+            self._lru.popitem(last=False)
+
+    def flush(self, store, name, df, keys):
+        old = store.get(name)
+        if not keys:
+            KeyCompleteFlushStrategy().flush(store, name, df, keys)
+            return
+        incoming = [tuple(r) for r in df.select(*keys).dropDuplicates().collect()]
+        if old is None:
+            KeyCompleteFlushStrategy().flush(store, name, df, keys)
+            self._record(name, incoming)
+            return
+        cached = [k for k in incoming if (name, k) in self._lru]
+        if cached:
+            spark = df.sparkSession
+            cached_df = spark.createDataFrame(cached, df.select(*keys).schema)
+            upd_new = df.join(F.broadcast(cached_df), list(keys), "left_semi")
+            ins_new = df.join(F.broadcast(cached_df), list(keys), "left_anti")
+            # Single left join over the store: cached-key rows merge
+            # column-wise, every other row passes through (the probe misses,
+            # coalesce keeps the old value).  `old` must appear exactly ONCE
+            # in the new plan — a touched/rest split references it twice and
+            # triples the plan per flush, exploding analysis time long
+            # before the TableStore's every-16-puts checkpoint can truncate.
+            ocols = [c for c in old.columns if c not in keys]
+            ncols = set(upd_new.columns)
+            merged = (
+                old.alias("o")
+                .join(F.broadcast(upd_new).alias("n"), list(keys), "left")
+                .select(
+                    *[F.col(k) for k in keys],
+                    *[
+                        (
+                            F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}"))
+                            if c in ncols
+                            else F.col(f"o.{c}")
+                        ).alias(c)
+                        for c in ocols
+                    ],
+                )
+            )
+            store.put(name, merged.unionByName(ins_new, allowMissingColumns=True))
+        else:
+            store.put(name, old.unionByName(df, allowMissingColumns=True))
+        self._record(name, incoming)
 
 
 class StreamResult:

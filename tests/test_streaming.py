@@ -466,3 +466,59 @@ def test_multiroot_nonsequential_chunks(spark):
         (20, 2),
         (30, 3),
     }
+
+
+def test_buffered_key_lru_bound(spark):
+    """BufferedKeyFlushStrategy honors max_keys (reference
+    chunking.py:543-677): a key still in the LRU merges non-None values
+    onto its row; a key evicted from the LRU re-inserts as a duplicate
+    row (the documented heuristic breakage)."""
+    from etielle_spark.streaming import (
+        BufferedKeyFlushStrategy,
+        OneRecordPerChunkSource,
+        stream,
+    )
+
+    recs = [
+        {"users": [{"id": "u1", "v": 1, "w": "a"}]},
+        {"users": [{"id": "u2", "v": 2, "w": "b"}]},
+        # u1 still cached (max_keys=2): merges, None w keeps old value
+        {"users": [{"id": "u1", "v": 10}]},
+        # u3 pushes u2 out of the LRU (u1 was refreshed above)
+        {"users": [{"id": "u3", "v": 3, "w": "c"}]},
+        # u2 was evicted -> re-inserted as a duplicate row
+        {"users": [{"id": "u2", "v": 20, "w": "B"}]},
+    ]
+    result = (
+        stream(
+            OneRecordPerChunkSource(recs),
+            spark=spark,
+            flush_strategy=BufferedKeyFlushStrategy(max_keys=2),
+        )
+        .goto("users")
+        .each()
+        .map_to(
+            "users",
+            fields=[Field("id", get("id")), Field("v", get("v")), Field("w", get("w"))],
+            join_on=["id"],
+        )
+        .run()
+    )
+    rows = sorted(
+        (r["id"], r["v"], r["w"]) for r in result["users"].collect()
+    )
+    assert rows == [
+        ("u1", 10, "a"),   # merged: v updated, w kept (None does not overwrite)
+        ("u2", 2, "b"),    # original insert
+        ("u2", 20, "B"),   # evicted -> duplicate insert
+        ("u3", 3, "c"),
+    ]
+
+
+def test_buffered_key_rejects_bad_bound():
+    from etielle_spark.streaming import BufferedKeyFlushStrategy
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_keys"):
+        BufferedKeyFlushStrategy(max_keys=0)
