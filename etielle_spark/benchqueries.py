@@ -2061,3 +2061,87 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("okey"),
         F.col("l_linenumber").cast("bigint").alias("ln"),
     )
+
+
+@q(
+    "q61_ann_ivf_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+    cent_ids AS (
+      SELECT vec_id AS cvid, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    ce AS (SELECT c.cell, e.i, e.v FROM cent_ids c JOIN e ON e.vec_id = c.cvid),
+    cnorm AS (SELECT cell, sqrt(sum(v * v)) AS cn FROM ce GROUP BY cell),
+    vcdot AS (
+      SELECT e.vec_id, ce.cell, sum(e.v * ce.v) AS dot
+      FROM e JOIN ce ON ce.i = e.i
+      GROUP BY 1, 2
+    ),
+    vc AS (
+      SELECT d.vec_id, d.cell, round(d.dot / (n.nrm * cn.cn), 6) AS cos
+      FROM vcdot d
+      JOIN norms n ON n.vec_id = d.vec_id
+      JOIN cnorm cn ON cn.cell = d.cell
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell) AS rk
+        FROM vc
+      ) WHERE rk = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell) AS rk
+        FROM vc WHERE vec_id < 5
+      ) WHERE rk <= 3
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+      FROM qprobe q JOIN assign a ON a.cell = q.cell
+      WHERE a.vec_id <> q.query_id
+    ),
+    dots AS (
+      SELECT c.query_id, c.neighbor_id, sum(eq.v * ec.v) AS dot
+      FROM cand c
+      JOIN e eq ON eq.vec_id = c.query_id
+      JOIN e ec ON ec.vec_id = c.neighbor_id AND ec.i = eq.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+      FROM dots JOIN norms nq ON query_id = nq.vec_id
+                JOIN norms nc ON neighbor_id = nc.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF ANN scale path (operators/similarity.py:ivf_topk): corpus
+    partitioned into 16 centroid cells (seed centroids = 16 smallest
+    vec_ids), queries probe their 3 closest cells, exact cosine only
+    within probed cells.  Cell assignment is a literal-embedded projection
+    (one corpus scan, no shuffle); the oracle reproduces seeding,
+    assignment, probing and ranking in SQL."""
+    from .operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(
+        emb, queries, "vec_id", "embedding",
+        k=10, nlist=16, nprobe=3, round_cosine=6,
+    )

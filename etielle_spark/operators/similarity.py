@@ -97,6 +97,94 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 3,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    round_cosine: int | None = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    ``nlist`` cells around centroid vectors, then search only each query's
+    ``nprobe`` closest cells.
+
+    Centroids default to the ``nlist`` corpus vectors with the smallest
+    ids — deterministic and oracle-reproducible; a production index would
+    instead pass k-means-trained ``centroids`` (list of (cell_id, vector)).
+    Either way they are driver-resident (an IVF codebook is small by
+    construction) and are embedded as literal arrays, so cell assignment
+    is a pure projection over one corpus scan — no shuffle, no UDF, fully
+    codegen.  The only shuffle in the plan is the per-query top-k window;
+    the candidate join broadcasts the (small) probed-query side, exactly
+    like ``lsh_bucket_topk``.
+
+    Assignment ranks cells by ROUNDED cosine (ties -> smaller cell id) so
+    an external oracle reproduces the same cells bit-for-bit.
+    """
+    if centroids is None:
+        rows = (
+            corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+            .orderBy(F.col(id_col))
+            .limit(nlist)
+            .collect()
+        )
+        centroids = [(i, list(r[1])) for i, r in enumerate(rows)]
+    if not centroids:
+        raise ValueError("ivf_topk: no centroids (empty corpus?)")
+
+    def cell_scores(vec: Column) -> Column:
+        # array<struct<c: cosine, nid: -cell_id>> — struct ordering makes
+        # array_max pick highest cosine, then smallest cell id
+        entries = []
+        for cid, cvec in centroids:
+            cos = cosine(vec, F.array(*[F.lit(float(x)) for x in cvec]))
+            if round_cosine is not None:
+                cos = F.round(cos, round_cosine)
+            entries.append(F.struct(cos.alias("c"), F.lit(-cid).alias("nid")))
+        return F.array(*entries)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    c = c.withColumn("cell", -F.array_max(cell_scores(F.col("cv"))).getField("nid"))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    # nprobe closest cells per query: sort desc by (cosine, -cell_id), slice
+    probed = F.slice(
+        F.reverse(F.array_sort(cell_scores(F.col("qv")))), 1, nprobe
+    )
+    q = q.withColumn("cell", F.explode(probed.getField("nid"))).withColumn(
+        "cell", -F.col("cell")
+    )
+
+    cos = cosine(F.col("qv"), F.col("cv"))
+    if round_cosine is not None:
+        cos = F.round(cos, round_cosine)
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _hyperplane(plane: int, dim: int) -> Column:
     """Deterministic pseudo-random ±1 hyperplane from md5 parity.
 

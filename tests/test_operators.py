@@ -277,3 +277,36 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
     assert {tuple(r) for r in s1.select("__sk").collect()} == {
         tuple(r) for r in s2.select("__sk").collect()
     }
+
+
+def test_ivf_topk_recall_and_custom_centroids(spark, emb):
+    from etielle_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    queries = emb.filter("vec_id < 3")
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(emb, queries, "vec_id", "embedding", k=5).collect()
+    }
+    approx = ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, nlist=4, nprobe=4
+    ).collect()
+    # nprobe == nlist searches every cell -> exact agreement with brute force
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in approx}
+    assert got == exact
+
+    # custom (pre-trained) centroids are accepted and restrict the search
+    rows = emb.limit(2).collect()
+    cents = [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(rows)]
+    out = ivf_topk(
+        emb, queries, "vec_id", "embedding", k=3, nprobe=1, centroids=cents
+    ).collect()
+    assert all(r["rank"] <= 3 for r in out)
+
+
+def test_ivf_topk_empty_corpus_raises(spark, emb):
+    from etielle_spark.operators.similarity import ivf_topk
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="centroids"):
+        ivf_topk(emb.filter("vec_id < 0"), emb.limit(1), "vec_id", "embedding")
