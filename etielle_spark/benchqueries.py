@@ -2145,3 +2145,62 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding",
         k=10, nlist=16, nprobe=3, round_cosine=6,
     )
+
+
+@q(
+    "q62_repetition_signals",
+    f"""
+    WITH base AS (SELECT doc_id, text, length(text) AS n_chars FROM documents),
+    lns AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM base),
+    lc AS (SELECT doc_id, ln, count(*) AS c FROM lns GROUP BY 1, 2),
+    lagg AS (
+      SELECT doc_id, sum(c) AS n_lines, sum(c - 1) AS dup_lines,
+             sum((c - 1) * length(ln)) AS dup_line_chars,
+             sum(c * length(ln)) AS line_chars
+      FROM lc GROUP BY 1
+    ),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM base),
+    g2 AS (
+      SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+               [array_to_string(t[i+1:i+2], ' ') for i in range(len(t) - 1)]
+             ELSE []::VARCHAR[] END) AS g
+      FROM toks
+    ),
+    g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+    tagg AS (SELECT doc_id, max(c * length(g)) AS top_chars FROM g2c GROUP BY 1),
+    g3 AS (
+      SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+               [array_to_string(t[i+1:i+3], ' ') for i in range(len(t) - 2)]
+             ELSE []::VARCHAR[] END) AS g
+      FROM toks
+    ),
+    g3c AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+    dagg AS (
+      SELECT doc_id, sum((c - 1) * length(g)) AS dup_gram_chars
+      FROM g3c GROUP BY 1
+    )
+    SELECT b.doc_id,
+      round(CASE WHEN n_lines > 0
+            THEN dup_lines::DOUBLE / n_lines END, 6) AS dup_line_frac,
+      round(CASE WHEN line_chars > 0
+            THEN dup_line_chars::DOUBLE / line_chars END, 6) AS dup_line_char_frac,
+      round(CASE WHEN n_chars > 0
+            THEN coalesce(top_chars, 0)::DOUBLE / n_chars END, 6) AS top_ngram_char_frac,
+      round(CASE WHEN n_chars > 0
+            THEN coalesce(dup_gram_chars, 0)::DOUBLE / n_chars END, 6) AS dup_ngram_char_frac
+    FROM base b
+    LEFT JOIN lagg USING (doc_id)
+    LEFT JOIN tagg USING (doc_id)
+    LEFT JOIN dagg USING (doc_id)
+    """,
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (operators/text.py:
+    repetition_signals): duplicate-line fraction/char-fraction, most
+    frequent 2-gram char coverage, duplicated 3-gram excess char
+    fraction.  Two-level aggregation on well-spread (doc, line|gram)
+    keys; the oracle reproduces the same histograms in SQL."""
+    from .operators.text import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_signals(docs, "doc_id", "text", top_n=2, dup_n=3)

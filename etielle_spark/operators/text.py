@@ -119,3 +119,102 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(F.substring(F.reverse(norm), 1, 64)).alias("tail_fp"),
         F.length(norm).cast("bigint").alias("norm_len"),
     )
+
+
+def ngrams_all(toks: Column, n: int) -> Column:
+    """ALL word n-gram occurrences (non-distinct) — the repetition
+    signals need per-occurrence counts, unlike the dedup shingles.
+    Same shift-zip construction as dedup.grams_of (CollapseProject-safe);
+    a document shorter than n grams yields an empty array (not the
+    whole-document fallback gram that grams_of emits for shingling)."""
+    gram = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        gram = F.zip_with(gram, shifted, lambda g, t: F.concat(g, F.lit(" "), t))
+    return F.when(F.size(toks) >= n, F.array_compact(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> DataFrame:
+    """Gopher-style within-document repetition filters (Rae et al. 2021):
+
+    - ``dup_line_frac``: excess line occurrences / total lines
+      ((count-1) summed over repeated lines).
+    - ``dup_line_char_frac``: characters in those excess occurrences /
+      total line characters.
+    - ``top_ngram_char_frac``: characters covered by the single most
+      frequent word ``top_n``-gram (count * gram length) / document chars.
+    - ``dup_ngram_char_frac``: characters in excess occurrences of
+      repeated ``dup_n``-grams / document chars (overlaps not collapsed —
+      the standard cheap approximation).
+
+    Distributed shape: explode -> two-level aggregation keyed by
+    (doc, line|gram) then by doc — both shuffles are on well-spread keys,
+    partial aggregation applies, nothing is collected.  Empty documents
+    yield NULL fractions.
+    """
+    from .dedup import tokens_col
+
+    base = df.select(F.col(id_col), F.col(text_col).alias("__text"))
+
+    lines = (
+        base.select(F.col(id_col), F.explode(F.split(F.col("__text"), "\n")).alias("ln"))
+        .groupBy(id_col, "ln")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_lines"),
+            F.sum(F.col("c") - 1).alias("dup_lines"),
+            F.sum((F.col("c") - 1) * F.length("ln")).alias("dup_line_chars"),
+            F.sum(F.col("c") * F.length("ln")).alias("line_chars"),
+        )
+    )
+
+    def gram_agg(n: int, out_expr):
+        return (
+            base.select(
+                F.col(id_col),
+                F.length("__text").alias("n_chars"),
+                F.explode(ngrams_all(tokens_col(F.col("__text")), n)).alias("g"),
+            )
+            .groupBy(id_col, "n_chars", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy(id_col, "n_chars")
+            .agg(out_expr)
+        )
+
+    top = gram_agg(top_n, F.max(F.col("c") * F.length("g")).alias("top_chars"))
+    dup = gram_agg(
+        dup_n, F.sum((F.col("c") - 1) * F.length("g")).alias("dup_gram_chars")
+    )
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(F.when(den > 0, num.cast("double") / den), 6)
+
+    return (
+        base.select(id_col, F.length("__text").alias("n_chars"))
+        .join(lines, id_col, "left")
+        .join(top.drop("n_chars"), id_col, "left")
+        .join(dup.drop("n_chars"), id_col, "left")
+        .select(
+            F.col(id_col),
+            frac(F.col("dup_lines"), F.col("n_lines")).alias("dup_line_frac"),
+            frac(F.col("dup_line_chars"), F.col("line_chars")).alias(
+                "dup_line_char_frac"
+            ),
+            frac(F.coalesce(F.col("top_chars"), F.lit(0)), F.col("n_chars")).alias(
+                "top_ngram_char_frac"
+            ),
+            frac(F.coalesce(F.col("dup_gram_chars"), F.lit(0)), F.col("n_chars")).alias(
+                "dup_ngram_char_frac"
+            ),
+        )
+    )

@@ -310,3 +310,38 @@ def test_ivf_topk_empty_corpus_raises(spark, emb):
 
     with _pytest.raises(ValueError, match="centroids"):
         ivf_topk(emb.filter("vec_id < 0"), emb.limit(1), "vec_id", "embedding")
+
+
+def test_repetition_signals_handcomputed(spark):
+    from etielle_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, "ab" repeated 3x (2 excess dups, 2 chars each);
+            # tokens: ab ab ab cd -> top 2-gram "ab ab" x2 (5*2=10 chars);
+            # 3-grams: "ab ab ab", "ab ab cd" -> no dup 3-gram
+            (1, "ab\nab\nab\ncd"),
+            # no repetition at all
+            (2, "x y z"),
+            # empty text
+            (3, ""),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(docs, "doc_id", "text").collect()}
+
+    r1 = out[1]
+    assert r1["dup_line_frac"] == 0.5          # 2 excess / 4 lines
+    assert r1["dup_line_char_frac"] == 0.5     # 4 excess chars / 8 line chars
+    assert r1["top_ngram_char_frac"] == round(10 / 11, 6)
+    assert r1["dup_ngram_char_frac"] == 0.0
+
+    r2 = out[2]
+    assert r2["dup_line_frac"] == 0.0
+    assert r2["top_ngram_char_frac"] == round(3 / 5, 6)
+    assert r2["dup_ngram_char_frac"] == 0.0
+
+    r3 = out[3]
+    assert r3["dup_line_frac"] == 0.0          # one empty line, no dups
+    assert r3["top_ngram_char_frac"] is None   # zero chars
+    assert r3["dup_ngram_char_frac"] is None
