@@ -2204,3 +2204,36 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return repetition_signals(docs, "doc_id", "text", top_n=2, dup_n=3)
+
+
+@q(
+    "q63_decontamination",
+    f"""
+    WITH ev AS (SELECT text FROM documents WHERE doc_id % 50 = 0),
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+    ctoks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+    cg AS (SELECT doc_id, unnest({_SHINGLES3}) AS g FROM ctoks),
+    etoks AS (SELECT {_TOKS} AS t FROM ev),
+    eg AS (SELECT DISTINCT unnest({_SHINGLES3}) AS g FROM etoks),
+    per_doc AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hits
+      FROM cg JOIN eg USING (g) GROUP BY 1
+    )
+    SELECT doc_id, n_hits, n_grams,
+           round(n_hits::DOUBLE / n_grams, 6) AS contam_frac
+    FROM hits JOIN per_doc USING (doc_id)
+    """,
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): corpus docs
+    sharing any word 3-gram with a held-out eval slice (doc_id % 50 = 0).
+    Eval gram digests are broadcast; the corpus streams once with a
+    map-side probe — no corpus shuffle.  Reference has no analog; this is
+    the training-pipeline extension surface."""
+    from .operators.decontam import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    return ngram_contamination(corpus, ev, "doc_id", "text", n=3)

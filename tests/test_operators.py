@@ -345,3 +345,32 @@ def test_repetition_signals_handcomputed(spark):
     assert r3["dup_line_frac"] == 0.0          # one empty line, no dups
     assert r3["top_ngram_char_frac"] is None   # zero chars
     assert r3["dup_ngram_char_frac"] is None
+
+
+def test_ngram_contamination_handbuilt(spark):
+    from etielle_spark.operators.decontam import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares 3-gram with eval
+            (2, "totally unrelated words here"),
+            (3, "fox"),                          # short doc, full-text gram, no match
+            (4, "quick brown fox"),              # short-doc fallback == eval 3-gram
+        ],
+        "doc_id int, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, "a quick brown fox ran")], "doc_id int, text string"
+    )
+    out = ngram_contamination(corpus, ev, "doc_id", "text", n=3)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 1: grams {the quick brown, quick brown fox, brown fox jumps};
+    # eval grams {a quick brown, quick brown fox, brown fox ran} -> 1 hit
+    assert rows[1]["n_hits"] == 1 and rows[1]["n_grams"] == 3
+    assert rows[1]["contam_frac"] == round(1 / 3, 6)
+    # doc 4 is shorter than n: its single full-text gram matches an eval gram
+    assert rows[4]["n_hits"] == 1 and rows[4]["n_grams"] == 1
+    assert 2 not in rows and 3 not in rows
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
