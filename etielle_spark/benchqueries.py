@@ -2237,3 +2237,64 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     ev = docs.filter(F.col("doc_id") % 50 == 0)
     return ngram_contamination(corpus, ev, "doc_id", "text", n=3)
+
+
+@q(
+    "q64_unigram_nll",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(t) AS tok
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents) s
+    ),
+    vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+    tot AS (SELECT sum(c) AS total FROM vocab)
+    SELECT doc_id, count(*) AS n_toks,
+           round(avg(-ln(c::DOUBLE / total)), 6) AS nll
+    FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram perplexity proxy (operators/text.py:
+    unigram_nll): mean -ln p(token) per document under a corpus-fit
+    unigram model.  Vocabulary shuffle carries one row per type."""
+    from .operators.text import unigram_nll
+
+    return unigram_nll(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id", "text"
+    )
+
+
+@q(
+    "q65_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(t) AS term
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents) s
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             round(tf * ln((n_docs + 1)::DOUBLE / (df + 1)), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tfidf, rank FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators/text.py:
+    tfidf_top_terms): per-(doc,term) counts, vocabulary-sized DF table
+    joined back, per-doc window rank — no global sort."""
+    from .operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", k=3,
+    )

@@ -218,3 +218,105 @@ def repetition_signals(
             ),
         )
     )
+
+
+def unigram_nll(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """CCNet-style perplexity proxy (Wenzek et al. 2020): score each
+    document by the mean negative log-probability of its tokens under a
+    unigram model fit on the corpus itself.  High NLL = rare/garbled
+    vocabulary; the standard cheap stand-in for a KenLM quality filter.
+
+    Two global passes, both distributed:
+
+    1. token explode -> groupBy(token) count (partial agg map-side; the
+       shuffle carries one row per vocabulary type, not per occurrence);
+    2. join the exploded tokens back to the vocabulary table and average
+       ``-ln(count/total)`` per document.
+
+    The vocabulary frame is left unhinted: at test scale AQE broadcasts
+    it; at 100 TB vocabularies (1e8+ types) it exceeds broadcast range
+    and the same plan runs as a shuffle join on the token — both sides
+    are already exploded, so no extra pass is paid.
+
+    Returns ``(id_col, n_toks, nll)``; documents with no tokens are
+    absent (no tokens to score).
+    """
+    from .dedup import tokens_col
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(
+                F.avg(-F.log(F.col("c").cast("double") / F.col("total"))), round_to
+            ).alias("nll"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-``k`` terms per document by smoothed TF-IDF
+    (``tf * ln((N + 1) / (df + 1))``), ties broken by term text
+    ascending for determinism.
+
+    Shape: explode -> per-(doc, term) counts -> document-frequency table
+    joined back on the term -> rank with a window partitioned by doc.
+    The window partitions on the document id, so no global sort; the DF
+    table is vocabulary-sized.
+
+    Returns ``(id_col, term, tfidf, rank)`` with ``rank`` in 1..k.
+    """
+    from .dedup import tokens_col
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)
+                ),
+                round_to,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )

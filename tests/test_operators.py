@@ -374,3 +374,36 @@ def test_ngram_contamination_handbuilt(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_unigram_nll_handcomputed(spark):
+    import math
+
+    from etielle_spark.operators.text import unigram_nll
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_nll(docs, "doc_id", "text").collect()}
+    # corpus counts: a=3, b=1, c=1, total=5
+    pa, pb, pc = 3 / 5, 1 / 5, 1 / 5
+    assert out[1]["n_toks"] == 3
+    assert out[1]["nll"] == round(-(2 * math.log(pa) + math.log(pb)) / 3, 6)
+    assert out[2]["nll"] == round(-(math.log(pa) + math.log(pc)) / 2, 6)
+    assert 3 not in out  # empty doc has no tokens to score
+
+
+def test_tfidf_top_terms_rank_and_ties(spark):
+    from etielle_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "x x y z"), (2, "y z"), (3, "z")], "doc_id int, text string"
+    )
+    out = tfidf_top_terms(docs, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    # doc 1: x has tf=2 and df=1 -> clearly top; y (df=2) beats z (df=3)
+    assert sorted(by_doc[1]) == [(1, "x"), (2, "y")]
+    # doc 3: only one term
+    assert sorted(by_doc[3]) == [(1, "z")]
