@@ -2298,3 +2298,41 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents").select("doc_id", "text"),
         "doc_id", "text", k=3,
     )
+
+
+@q(
+    "q66_sequence_packing",
+    f"""
+    WITH RECURSIVE sized AS (
+      SELECT doc_id, doc_id % 8 AS bucket, len(t) AS n
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents) s
+    ),
+    ord AS (
+      SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      FROM sized
+    ),
+    packed AS (
+      SELECT bucket, rn, doc_id, n, 0::BIGINT AS seq, n AS cum
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.bucket, o.rn, o.doc_id, o.n,
+             CASE WHEN p.cum + o.n <= 64 THEN p.seq ELSE p.seq + 1 END,
+             CASE WHEN p.cum + o.n <= 64 THEN p.cum + o.n ELSE o.n END
+      FROM packed p JOIN ord o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+    )
+    SELECT bucket * 1000000000 + seq AS pack_id, bucket,
+           count(*) AS n_docs, sum(n) AS n_tokens,
+           list(doc_id ORDER BY doc_id) AS doc_ids
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (operators/packing.py): documents into
+    64-token training packs, first-fit in doc_id order within
+    doc_id % 8 buckets.  The oracle replays the same greedy scan as a
+    recursive CTE — the packing is deterministic and engine-independent
+    by construction (bucket = id % k, not a hash partition)."""
+    from .operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, "doc_id", "text", capacity=64, num_buckets=8)

@@ -407,3 +407,46 @@ def test_tfidf_top_terms_rank_and_ties(spark):
     assert sorted(by_doc[1]) == [(1, "x"), (2, "y")]
     # doc 3: only one term
     assert sorted(by_doc[3]) == [(1, "z")]
+
+
+def test_pack_sequences_greedy_semantics(spark):
+    from etielle_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            # bucket 0 (ids 0,2,4,6 with num_buckets=2): sizes 3,4,9,2
+            (0, "a b c"), (2, "a b c d"), (4, "a b c d e f g h i"), (6, "a b"),
+            # bucket 1: an oversized doc alone, then an empty doc
+            (1, "a b c d e f g h i j k l"), (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, "doc_id", "text", capacity=8, num_buckets=2)
+    rows = sorted(out.collect(), key=lambda r: r["pack_id"])
+    got = [(r["pack_id"], r["n_docs"], r["n_tokens"], r["doc_ids"]) for r in rows]
+    # bucket 0: [0(3), 2(4)] = 7 fits; 4(9) oversized alone; 6(2) new pack
+    # bucket 1: 1(12) oversized alone; 3(0) doesn't fit after cum=12>8
+    B = 1_000_000_000
+    assert got == [
+        (0, 2, 7, [0, 2]),
+        (1, 1, 9, [4]),
+        (2, 1, 2, [6]),
+        (B + 0, 1, 12, [1]),
+        (B + 1, 1, 0, [3]),
+    ]
+
+
+def test_pack_sequences_invariants(spark, docs):
+    from etielle_spark.operators.packing import pack_sequences
+    from pyspark.sql import functions as F
+
+    out = pack_sequences(docs.select("doc_id", "text"), "doc_id", "text", capacity=64, num_buckets=8)
+    out = out.persist()
+    # every doc appears exactly once across all packs
+    n_docs = docs.count()
+    exploded = out.select(F.explode("doc_ids").alias("doc_id"))
+    assert exploded.count() == n_docs
+    assert exploded.distinct().count() == n_docs
+    # multi-doc packs never exceed capacity
+    assert out.filter((F.col("n_docs") > 1) & (F.col("n_tokens") > 64)).count() == 0
+    out.unpersist()
