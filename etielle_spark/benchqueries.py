@@ -2336,3 +2336,95 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return pack_sequences(docs, "doc_id", "text", capacity=64, num_buckets=8)
+
+
+@q(
+    "q67_funnel",
+    """
+    WITH u1 AS (
+      SELECT user_id, min(floor(epoch(ts))::BIGINT) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    u2 AS (
+      SELECT e.user_id, min(floor(epoch(e.ts))::BIGINT) AS t2
+      FROM events e JOIN u1 USING (user_id)
+      WHERE e.event_type = 'click' AND floor(epoch(e.ts))::BIGINT > u1.t1
+      GROUP BY 1
+    ),
+    u3 AS (
+      SELECT e.user_id, min(floor(epoch(e.ts))::BIGINT) AS t3
+      FROM events e JOIN u2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND floor(epoch(e.ts))::BIGINT > u2.t2
+      GROUP BY 1
+    )
+    SELECT 1 AS step_idx, 'view' AS step, (SELECT count(*) FROM u1) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM u2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM u3)
+    """,
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase (operators/events.py:
+    funnel_counts): one groupBy(user) carrying per-step timestamp
+    arrays, then pure array expressions for the step chain."""
+    from .operators.events import funnel_counts
+
+    ev = _events(spark, sf_dir)
+    return funnel_counts(ev, "user_id", "ts", "event_type",
+                         ["view", "click", "purchase"])
+
+
+@q(
+    "q68_cohort_retention",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week FROM events
+    ),
+    cohort AS (SELECT user_id, min(week) AS cohort_week FROM act GROUP BY 1)
+    SELECT cohort_week, ((week - cohort_week) // 7)::INT AS week_offset,
+           count(*) AS n_users
+    FROM act JOIN cohort USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/events.py: cohort_retention):
+    distinct (user, week) activity, per-user first week, offset rollup."""
+    from .operators.events import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir), "user_id", "ts")
+
+
+@q(
+    "q69_kmv_distinct",
+    """
+    WITH d AS (
+      SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL
+    ),
+    h AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(user_id::VARCHAR), 1, 13) AS UBIGINT)::DOUBLE
+               / 4503599627370496.0 AS h
+      FROM d
+    ),
+    r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM h
+    )
+    SELECT event_type,
+           round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                 ELSE 63.0 / max(h) END, 4) AS est_distinct
+    FROM r WHERE rk <= 64 GROUP BY 1
+    """,
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketches.py): md5-based
+    k-minimum-values estimate of distinct users per event type —
+    deterministic and reproducible in any engine with md5, unlike
+    HyperLogLog register state."""
+    from .operators.sketches import kmv_distinct
+
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    return kmv_distinct(ev, ["event_type"], "user_id", k=64)

@@ -1,0 +1,108 @@
+"""Event-sequence analytics: ordered funnels and cohort retention.
+
+Both are single-groupBy plans over the events table — the per-user state
+(step timestamps, cohort anchor) is carried as array/struct columns, so
+the only shuffle is the groupBy on the user key (well-spread at any
+scale) plus a tiny final rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel user counts: how many users completed step i after
+    completing steps 1..i-1, in order (each step strictly later than the
+    previous one's earliest completion).
+
+    Classic funnel semantics: ``t_1 = min ts of step 1``, then
+    ``t_i = min ts of step i with ts > t_{i-1}``.  Comparisons use epoch
+    seconds so the boundary is engine-independent (the events table
+    stores nanosecond timestamps that engines truncate differently).
+
+    One shuffle: groupBy(user) collecting per-step timestamp arrays;
+    the step chain is then pure array expressions (array_min over a
+    filtered array), and the final per-step rollup aggregates
+    ``len(steps)`` booleans per user — a map-side-combinable sum.
+
+    Returns ``(step_idx, step, n_users)``, one row per step.
+    """
+    sec = F.unix_timestamp(F.col(ts_col))
+    per_user = events.groupBy(user_col).agg(
+        *[
+            F.collect_list(F.when(F.col(type_col) == s, sec)).alias(f"__ts{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+
+    t_prev = None
+    reached = []
+    for i in range(len(steps)):
+        arr = F.col(f"__ts{i}")
+        if t_prev is None:
+            t_i = F.array_min(arr)
+        else:
+            prev = t_prev
+            t_i = F.array_min(F.filter(arr, lambda x: x > prev))
+        reached.append(t_i.alias(f"__t{i}"))
+        t_prev = t_i
+    scored = per_user.select(F.col(user_col), *reached)
+
+    counts = scored.agg(
+        *[
+            F.count(F.col(f"__t{i}")).cast("bigint").alias(f"__n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    step_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("int").alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.col(f"__n{i}").alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(step_rows).alias("r")).select(
+        "r.step_idx", "r.step", "r.n_users"
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the week of their first
+    event; for each (cohort_week, week_offset) the number of cohort users
+    active in that later week.
+
+    Two aggregations, both on spread keys: (user, week) distinct
+    activity, then a min-over-user window-free join back to the per-user
+    first week.  Returns ``(cohort_week, week_offset, n_users)``.
+    """
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    activity = events.select(F.col(user_col), wk.alias("week")).distinct()
+    first = activity.groupBy(user_col).agg(F.min("week").alias("cohort_week"))
+    return (
+        activity.join(first, user_col)
+        .select(
+            F.col("cohort_week"),
+            F.datediff(F.col("week"), F.col("cohort_week")).cast("int").alias(
+                "__days"
+            ),
+        )
+        .select(
+            "cohort_week", (F.col("__days") / 7).cast("int").alias("week_offset")
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )

@@ -1,0 +1,72 @@
+"""Deterministic distinct-count sketch: K Minimum Values (KMV).
+
+Spark's ``approx_count_distinct`` is HyperLogLog++ — fast but its
+register state is engine-internal, so an external oracle can't reproduce
+the estimate.  KMV (Bar-Yossef et al. 2002) with an md5 hash is exactly
+reproducible anywhere md5 exists: keep the k smallest normalized hash
+values of the distinct items; the k-th smallest ``h_k`` estimates the
+distinct count as ``(k - 1) / h_k``.
+
+Scale shape: one distinct on (group, item) — a shuffle on spread keys
+with map-side partial dedup — then a per-group TOP-K on the hash.  The
+top-k uses a window row_number, which partial-aggregates poorly only for
+pathological single-group inputs; group cardinality is the parallelism
+unit, same as any per-group rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# 13 hex chars = 52 bits — exact in a double for both Spark and DuckDB.
+_HEX_CHARS = 13
+_DENOM = float(16**_HEX_CHARS)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    *,
+    k: int = 64,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-group approximate distinct count of ``item_col`` via a
+    k-minimum-values sketch over ``md5(item)``.
+
+    Groups with fewer than ``k`` distinct items return the exact count
+    (the sketch degenerates to the full hash set).  Returns
+    ``(*group_cols, est_distinct)`` with the estimate rounded to
+    ``round_to`` places.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    hashed = (
+        df.select(*[F.col(c) for c in group_cols], F.col(item_col).alias("__item"))
+        .filter(F.col("__item").isNotNull())
+        .distinct()
+        .select(
+            *group_cols,
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("__item").cast("string")), 1, _HEX_CHARS),
+                    16,
+                    10,
+                ).cast("double")
+                / F.lit(_DENOM)
+            ).alias("__h"),
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__h").asc())
+    topk = hashed.select(
+        *group_cols, "__h", F.row_number().over(w).alias("__rk")
+    ).filter(F.col("__rk") <= k)
+    return topk.groupBy(*group_cols).agg(
+        F.round(
+            F.when(
+                F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+            ).otherwise((F.lit(float(k - 1))) / F.max("__h")),
+            round_to,
+        ).alias("est_distinct")
+    )

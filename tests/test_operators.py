@@ -450,3 +450,76 @@ def test_pack_sequences_invariants(spark, docs):
     # multi-doc packs never exceed capacity
     assert out.filter((F.col("n_docs") > 1) & (F.col("n_tokens") > 64)).count() == 0
     out.unpersist()
+
+
+def test_funnel_counts_ordering_semantics(spark):
+    from datetime import datetime
+
+    from etielle_spark.operators.events import funnel_counts
+
+    T = datetime
+    rows = [
+        # user 1 completes A -> B -> C in order
+        (1, T(2024, 1, 1, 10, 0, 0), "A"),
+        (1, T(2024, 1, 1, 11, 0, 0), "B"),
+        (1, T(2024, 1, 1, 12, 0, 0), "C"),
+        # user 2 does B before A: reaches A only (no B after its A)
+        (2, T(2024, 1, 1, 9, 0, 0), "B"),
+        (2, T(2024, 1, 1, 10, 0, 0), "A"),
+        # user 3 same-second A and B: strict > means B not counted
+        (3, T(2024, 1, 1, 8, 0, 0), "A"),
+        (3, T(2024, 1, 1, 8, 0, 0), "B"),
+        # user 4 never does A
+        (4, T(2024, 1, 1, 7, 0, 0), "C"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    out = {r["step"]: r for r in
+           funnel_counts(ev, "user_id", "ts", "event_type", ["A", "B", "C"]).collect()}
+    assert (out["A"]["n_users"], out["B"]["n_users"], out["C"]["n_users"]) == (3, 1, 1)
+    assert [out[s]["step_idx"] for s in ("A", "B", "C")] == [1, 2, 3]
+
+
+def test_cohort_retention_handbuilt(spark):
+    from datetime import date, datetime
+
+    from etielle_spark.operators.events import cohort_retention
+
+    T = datetime
+    rows = [
+        # user 1: first week of 2024-01-01 (Mon), active again 2 weeks later
+        (1, T(2024, 1, 2, 10, 0)), (1, T(2024, 1, 16, 10, 0)),
+        # user 2: same cohort, only week 0 (two events, one distinct week)
+        (2, T(2024, 1, 3, 10, 0)), (2, T(2024, 1, 4, 10, 0)),
+        # user 3: cohort of 2024-01-08, active next week
+        (3, T(2024, 1, 10, 10, 0)), (3, T(2024, 1, 15, 10, 0)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in cohort_retention(ev, "user_id", "ts").collect()}
+    assert got == {
+        (date(2024, 1, 1), 0): 2,
+        (date(2024, 1, 1), 2): 1,
+        (date(2024, 1, 8), 0): 1,
+        (date(2024, 1, 8), 1): 1,
+    }
+
+
+def test_kmv_distinct_exact_below_k_and_estimate(spark):
+    from pyspark.sql import functions as F
+
+    from etielle_spark.operators.sketches import kmv_distinct
+
+    n = 1000
+    df = spark.range(n).select(
+        (F.col("id") % 2).cast("string").alias("g"), F.col("id").alias("item")
+    )
+    # small group: fewer distinct items than k -> exact count
+    small = spark.createDataFrame(
+        [("s", i) for i in range(10)] + [("s", 5)], "g string, item long"
+    )
+    out = {r["g"]: r["est_distinct"] for r in
+           kmv_distinct(df.union(small), ["g"], "item", k=64).collect()}
+    assert out["s"] == 10.0
+    # estimates for the 500-distinct groups within 30% (k=64)
+    for g in ("0", "1"):
+        assert abs(out[g] - 500) / 500 < 0.3, out[g]
