@@ -2428,3 +2428,78 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir).select("event_type", "user_id")
     return kmv_distinct(ev, ["event_type"], "user_id", k=64)
+
+
+@q(
+    "q70_order_percentiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_disc(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_disc(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_disc(o_totalprice, 0.99), 4) AS p99,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles of order totals per priority.
+    percentile_disc picks actual data values (4-decimal exact money), so
+    cross-engine float ties can't arise; one shuffle, partial-agg via
+    Spark's exact percentile buffer."""
+    _prep(spark)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    o.createOrReplaceTempView("__q70_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               round(percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50,
+               round(percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90,
+               round(percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p99,
+               count(*) AS n_orders
+        FROM __q70_orders GROUP BY o_orderpriority
+        """
+    )
+
+
+@q(
+    "q71_cms_heavy_hitters",
+    """
+    WITH toks AS (
+      SELECT unnest(t) AS item
+      FROM (SELECT {toks} AS t FROM documents) s
+    ),
+    cells AS (
+      SELECT j, CAST('0x' || substr(md5(j::VARCHAR || '|' || item), 1, 8) AS UBIGINT)
+                  % 256 AS b
+      FROM toks, (SELECT unnest(range(0, 4)) AS j) r
+    ),
+    sketch AS (SELECT j, b, count(*) AS cnt FROM cells GROUP BY 1, 2),
+    items AS (SELECT DISTINCT item FROM toks),
+    icells AS (
+      SELECT item, j,
+             CAST('0x' || substr(md5(j::VARCHAR || '|' || item), 1, 8) AS UBIGINT)
+               % 256 AS b
+      FROM items, (SELECT unnest(range(0, 4)) AS j) r
+    ),
+    est AS (
+      SELECT item, min(cnt) AS est_count
+      FROM icells JOIN sketch USING (j, b) GROUP BY 1
+    )
+    SELECT item, est_count FROM est
+    ORDER BY est_count DESC, item ASC LIMIT 10
+    """.format(toks=_TOKS),
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters (operators/sketches.py:
+    cms_heavy_hitters): top-10 document tokens by md5-bucketed CMS
+    estimate — the sketch is depth*width rows regardless of corpus
+    size; final top-k via distributed TakeOrdered."""
+    from .operators.dedup import tokens_col
+    from .operators.sketches import cms_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    return cms_heavy_hitters(docs, "tok", depth=4, width=256, k=10)

@@ -70,3 +70,95 @@ def kmv_distinct(
             round_to,
         ).alias("est_distinct")
     )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` items by Count-Min-Sketch estimated frequency
+    (Cormode & Muthukrishnan 2005), md5-hashed so the sketch state is
+    engine-reproducible.
+
+    Two passes, both sketch-sized after the first shuffle:
+
+    1. Build the sketch: each occurrence increments ``depth`` counters at
+       ``md5(row || '|' || item) % width`` — a groupBy on (row, bucket)
+       whose output is at most ``depth * width`` rows regardless of input
+       size (THE point of a sketch: fixed-size summary of an unbounded
+       stream).
+    2. Estimate: distinct items recompute their buckets, broadcast-join
+       the tiny sketch, and take the min counter across rows; the final
+       top-k is an ``orderBy(...).limit(k)`` — Spark's distributed
+       TakeOrdered, no single-task window.
+
+    CMS overestimates under collisions (never underestimates), so the
+    returned ``est_count >= true count``; ties broken by item ascending.
+    Returns ``(item, est_count)``.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+
+    item = F.col(item_col).cast("string")
+
+    def bucket(j: int, col) -> object:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}|"), col)), 1, 8), 16, 10
+            ).cast("long")
+            % width
+        )
+
+    occurrences = df.select(item.alias("__item")).filter(
+        F.col("__item").isNotNull()
+    )
+    cells = occurrences.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        bucket(j, F.col("__item")).alias("b"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    sketch = (
+        cells.select("c.j", "c.b")
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    distinct_cells = occurrences.distinct().select(
+        F.col("__item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        bucket(j, F.col("__item")).alias("b"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("c"),
+    )
+    est = (
+        distinct_cells.join(
+            F.broadcast(sketch),
+            (F.col("c.j") == F.col("j")) & (F.col("c.b") == F.col("b")),
+        )
+        .groupBy("__item")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return (
+        est.orderBy(F.col("est_count").desc(), F.col("__item").asc())
+        .limit(k)
+        .select(F.col("__item").alias("item"), "est_count")
+    )

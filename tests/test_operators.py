@@ -523,3 +523,20 @@ def test_kmv_distinct_exact_below_k_and_estimate(spark):
     # estimates for the 500-distinct groups within 30% (k=64)
     for g in ("0", "1"):
         assert abs(out[g] - 500) / 500 < 0.3, out[g]
+
+
+def test_cms_never_underestimates(spark):
+    from pyspark.sql import functions as F
+
+    from etielle_spark.operators.sketches import cms_heavy_hitters
+
+    # skewed stream: item "hot" x 500, 200 singletons
+    hot = spark.range(500).select(F.lit("hot").alias("item"))
+    cold = spark.range(200).select(F.concat(F.lit("c"), F.col("id")).alias("item"))
+    df = hot.union(cold)
+    out = cms_heavy_hitters(df, "item", depth=4, width=64, k=5).collect()
+    assert out[0]["item"] == "hot"
+    assert out[0]["est_count"] >= 500  # CMS overestimates, never under
+    # every estimate bounds its true count from above
+    for r in out[1:]:
+        assert r["est_count"] >= 1
