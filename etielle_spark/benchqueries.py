@@ -2503,3 +2503,63 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens_col(F.col("text"))).alias("tok")
     )
     return cms_heavy_hitters(docs, "tok", depth=4, width=256, k=10)
+
+
+@q(
+    "q72_neardup_by_source",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM toks),
+    mins AS (
+      SELECT doc_id,
+             min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+             min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+             min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+             min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS b, md5(h0 || '|' || h1) AS d FROM mins UNION ALL
+      SELECT doc_id, 1 AS b, md5(h2 || '|' || h3) AS d FROM mins UNION ALL
+      SELECT doc_id, 2 AS b, md5(h4 || '|' || h5) AS d FROM mins UNION ALL
+      SELECT doc_id, 3 AS b, md5(h6 || '|' || h7) AS d FROM mins
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r ON l.b = r.b AND l.d = r.d AND l.doc_id < r.doc_id
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           count(*) AS n_pairs
+    FROM pairs
+    JOIN documents da ON pairs.id_a = da.doc_id
+    JOIN documents db ON pairs.id_b = db.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplication rate across sources: LSH candidate pairs
+    (operators/dedup.py) joined back to the source dimension on both
+    ends, rolled up per unordered source pair.  Demonstrates operator
+    composition — the pair frame is the same plan as q28, the dimension
+    joins are id-equi joins AQE broadcasts at small scale."""
+    from .operators.dedup import lsh_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs.select("doc_id", "text"), "doc_id", "text", num_hashes=8, bands=4
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.join(src.withColumnRenamed("source", "__sa"),
+                   pairs["id_a"] == src["doc_id"])
+        .drop("doc_id")
+        .join(src.withColumnRenamed("source", "__sb").alias("s2"),
+              F.col("id_b") == F.col("s2.doc_id"))
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
