@@ -254,6 +254,49 @@ def reference_workload(spark) -> float:
     return dt
 
 
+
+def streaming_incremental_dedup(spark) -> float:
+    """Incremental LSH dedup at bench scale: the documents table streamed
+    in micro-batches through foreachBatch; each batch's signatures are
+    computed once and probed against the persistent band-digest index of
+    every prior batch (streaming/incremental_dedup.py)."""
+    import shutil
+    import tempfile
+
+    from etielle_spark.streaming.incremental_dedup import IncrementalLSHDedup
+
+    work = tempfile.mkdtemp(prefix="bench_stream_dd_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        src = f"{work}/src"
+        docs.repartition(4).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        n_pairs = 0
+        inc = IncrementalLSHDedup(spark, f"{work}/idx", num_hashes=8, bands=4)
+
+        def sink(pairs, batch_id):
+            nonlocal n_pairs
+            n_pairs += pairs.count()
+            pairs.unpersist()
+
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(inc.attach(sink))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     from etielle_spark.benchqueries import QUERIES
     from etielle_spark.session import get_spark
@@ -290,6 +333,9 @@ def main() -> None:
         "streaming_events_1m_windows": round(streaming_events_windows(spark), 3),
         "streaming_ref_workload_users_posts_8k": round(
             streaming_reference_workload(spark), 3
+        ),
+        "streaming_incremental_dedup": round(
+            streaming_incremental_dedup(spark), 3
         ),
     }
 

@@ -128,6 +128,50 @@ def minhash_signatures(
     )
 
 
+def band_digests(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """(id, band, band_digest) rows: each document's MinHash signature
+    split into ``bands`` groups of ``num_hashes // bands`` hashes, each
+    group reduced to one md5 digest.  This frame IS the LSH index — two
+    documents are candidate near-duplicates iff they share a row's
+    (band, band_digest).  Exposed separately so incremental pipelines
+    can persist it and probe new batches against it without recomputing
+    old signatures (streaming.incremental_dedup)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+    )
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.array_join(
+                            F.slice(
+                                F.col("signature"), b * rows_per_band + 1, rows_per_band
+                            ),
+                            "|",
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_digest"),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -155,28 +199,9 @@ def lsh_candidate_pairs(
     frame — a pipeline that needs both the signatures and the candidate
     pairs should compute them once, not twice.
     """
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    sig = (
-        signatures
-        if signatures is not None
-        else minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
-    )
-    banded = sig.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.array_join(
-                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
-                            "|",
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_digest"),
+    banded = band_digests(
+        df, id_col, text_col,
+        n=n, num_hashes=num_hashes, bands=bands, signatures=signatures,
     )
     # materialize the (id, band, digest) rows once: the bucket-size window
     # and the self-join would otherwise each execute the whole

@@ -1,0 +1,144 @@
+"""Incremental near-duplicate detection for a continuously-ingested
+corpus: each new batch of documents is checked against itself AND all
+previously-seen documents without recomputing old signatures.
+
+This is the shape a 100 TB ingest pipeline needs — the historical corpus
+is summarized by its (id, band, band_digest) LSH index (a few rows of
+32-byte digests per document, ~1% of corpus bytes), stored as append-only
+parquet:
+
+- per batch, signatures are computed ONLY for the new documents;
+- new-vs-new and new-vs-history candidates come from equi-joins on
+  (band, band_digest) — the historical side is never re-shingled;
+- the batch's digest rows are appended to the index (one parquet append,
+  no state-store compaction; partition the index dir by band digest
+  prefix externally if bucket files grow large);
+- ``max_bucket_size`` stop-lists boilerplate buckets on the history side,
+  bounding the pair blow-up from "too common to pair" content.
+
+Drive it from Structured Streaming via ``foreachBatch`` (see
+``attach``) or call :meth:`IncrementalLSHDedup.process_batch` directly
+from any batch loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.dedup import band_digests
+
+
+class IncrementalLSHDedup:
+    """Maintains a persistent LSH band-digest index and emits candidate
+    near-duplicate pairs per processed batch.
+
+    ``index_dir`` holds (doc_id, band, band_digest) parquet.  Pair
+    emission is exactly-once per (a, b) pair as long as ids are unique
+    across batches (re-delivered batches re-emit their pairs; make the
+    sink idempotent on (id_a, id_b) for end-to-end exactly-once).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 3,
+        num_hashes: int = 8,
+        bands: int = 4,
+        max_bucket_size: int | None = None,
+    ) -> None:
+        self.spark = spark
+        self.index_dir = index_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n = n
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.max_bucket_size = max_bucket_size
+
+    def _index(self) -> DataFrame | None:
+        """The index as of NOW, pinned to the current file list: a later
+        append must not leak into this snapshot even if a lost partition
+        is recomputed after the append (lineage re-lists the directory;
+        an explicit file list doesn't)."""
+        try:
+            files = self.spark.read.parquet(self.index_dir).inputFiles()
+        except Exception:
+            return None
+        if not files:
+            return None
+        return self.spark.read.parquet(*files)
+
+    def process_batch(self, docs: DataFrame) -> DataFrame:
+        """Returns the candidate pairs this batch introduces, as
+        ``(id_a, id_b)`` with ``id_a < id_b``, deduplicated across bands;
+        then appends the batch's digests to the index.
+
+        The returned frame is materialized (the pair join must run
+        against the PRE-append index), so calling this is an action.
+        """
+        new = band_digests(
+            docs, self.id_col, self.text_col,
+            n=self.n, num_hashes=self.num_hashes, bands=self.bands,
+        ).persist()
+        new.count()
+
+        l, r = new.alias("l"), new.alias("r")
+        id_c = self.id_col
+        within = l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_digest") == F.col("r.band_digest"))
+            & (F.col(f"l.{id_c}") < F.col(f"r.{id_c}")),
+        ).select(
+            F.col(f"l.{id_c}").alias("id_a"), F.col(f"r.{id_c}").alias("id_b")
+        )
+
+        hist = self._index()
+        if hist is not None:
+            if self.max_bucket_size is not None:
+                from pyspark.sql import Window
+
+                w = Window.partitionBy("band", "band_digest")
+                hist = (
+                    hist.withColumn("__bsz", F.count("*").over(w))
+                    .filter(F.col("__bsz") <= self.max_bucket_size)
+                    .drop("__bsz")
+                )
+            h = hist.alias("h")
+            cross = new.alias("n").join(
+                h,
+                (F.col("n.band") == F.col("h.band"))
+                & (F.col("n.band_digest") == F.col("h.band_digest")),
+            ).select(
+                F.least(F.col(f"n.{id_c}"), F.col(f"h.{id_c}")).alias("id_a"),
+                F.greatest(F.col(f"n.{id_c}"), F.col(f"h.{id_c}")).alias("id_b"),
+            )
+            pairs = within.union(cross)
+        else:
+            pairs = within
+
+        out = pairs.filter(F.col("id_a") != F.col("id_b")).distinct()
+        # Pin the pair frame BEFORE appending to the index: the join must
+        # run against the pre-append snapshot.  persist (not collect) —
+        # the pairs never funnel through the driver; a sink downstream
+        # writes them wherever they go.
+        out = out.persist()
+        out.count()
+
+        new.write.mode("append").parquet(self.index_dir)
+        new.unpersist()
+        return out
+
+    def attach(self, sink) -> "callable":
+        """``foreachBatch`` adapter: returns a ``(df, batch_id)`` callable
+        that processes each micro-batch and hands the emitted pairs to
+        ``sink(pairs_df, batch_id)``."""
+
+        def _fn(df: DataFrame, batch_id: int) -> None:
+            sink(self.process_batch(df), batch_id)
+
+        return _fn

@@ -522,3 +522,88 @@ def test_buffered_key_rejects_bad_bound():
 
     with _pytest.raises(ValueError, match="max_keys"):
         BufferedKeyFlushStrategy(max_keys=0)
+
+
+# ---------------------------------------------------------------------------
+# incremental LSH dedup (streaming/incremental_dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_equals_batch(spark, tmp_path):
+    """Differential: processing the corpus in 3 chunks emits exactly the
+    pair set the one-shot batch LSH computes."""
+    from etielle_spark.operators.dedup import lsh_candidate_pairs
+    from etielle_spark.streaming.incremental_dedup import IncrementalLSHDedup
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    clones = docs.limit(15).selectExpr("doc_id + 1000000 AS doc_id", "text")
+    corpus = docs.union(clones).cache()
+
+    expected = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            corpus, "doc_id", "text", num_hashes=8, bands=4
+        ).collect()
+    }
+
+    inc = IncrementalLSHDedup(
+        spark, str(tmp_path / "lsh_index"), num_hashes=8, bands=4
+    )
+    got = set()
+    for chunk in (
+        corpus.filter("doc_id % 3 = 0"),
+        corpus.filter("doc_id % 3 = 1"),
+        corpus.filter("doc_id % 3 = 2"),
+    ):
+        out = inc.process_batch(chunk)
+        got |= {(r["id_a"], r["id_b"]) for r in out.collect()}
+        out.unpersist()
+
+    assert got == expected and expected  # nonempty: the clones must pair
+
+
+def test_incremental_dedup_foreachbatch_stream(spark, tmp_path):
+    """Real readStream -> foreachBatch drive of the incremental dedup."""
+    from etielle_spark.operators.dedup import lsh_candidate_pairs
+    from etielle_spark.streaming.incremental_dedup import IncrementalLSHDedup
+
+    src = str(tmp_path / "src")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    dup = docs.limit(8).selectExpr("doc_id + 5000000 AS doc_id", "text")
+    docs.union(dup).repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    collected = []
+    inc = IncrementalLSHDedup(
+        spark, str(tmp_path / "idx"), num_hashes=8, bands=4
+    )
+
+    def sink(pairs, batch_id):
+        collected.extend((r["id_a"], r["id_b"]) for r in pairs.collect())
+        pairs.unpersist()
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(inc.attach(sink))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    expected = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            spark.read.parquet(src), "doc_id", "text", num_hashes=8, bands=4
+        ).collect()
+    }
+    assert set(collected) == expected and expected
