@@ -1,0 +1,110 @@
+"""Scale lint: sweep every declared query's physical plan for patterns
+that break at 100 TB, regardless of whether the small-SF run is fast.
+
+Flags per query:
+
+- ``single_partition``: an ``Exchange SinglePartition`` that is NOT the
+  final global rollup of an already-aggregated frame (global sorts and
+  windows over everything serialize one task).
+- ``python_row_udf``: ``BatchEvalPython`` — row-at-a-time Python in the
+  plan (Arrow/pandas variants are fine and are NOT flagged).
+- ``nested_loop``: ``CartesianProduct`` / ``BroadcastNestedLoopJoin``
+  with a non-trivial build side — the O(n*m) plans.
+- ``sort_merge_joins`` / ``broadcast_joins`` / ``exchanges``: counts,
+  for eyeballing shuffle pressure.
+
+A small allowlist covers queries whose flagged pattern is the documented
+correctness baseline for a first-class scale path elsewhere (e.g. q32
+all-pairs cosine vs the q54/q61 ANN paths).
+
+    python tools/plan_lint.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# pattern -> queries where it is documented-and-accepted, with the reason
+ALLOW = {
+    "nested_loop": {
+        "q32_embedding_neardup": "all-pairs correctness baseline; scale paths are q54 (LSH) / q61 (IVF)",
+        "q31_cosine_topk": "broadcast of a 5-row query side against the corpus — the intended plan",
+        "q49_range_join": "broadcast interval join — small interval side by contract",
+    },
+    "single_partition": {
+        "q16_window_topk_per_group": "final presentation sort of an already-reduced frame",
+        "q18_global_topk": "global top-k take — reduced before the single partition",
+    },
+    "python_row_udf": {
+        "q35_apply_udf": "reference-parity apply() surface (documented slow path; map_column is the JVM escape hatch)",
+    },
+}
+
+
+def lint(name: str, plan: str) -> dict:
+    flags = {}
+    if "BatchEvalPython" in plan:
+        flags["python_row_udf"] = plan.count("BatchEvalPython")
+    # A global aggregate legitimately funnels its (already partially
+    # aggregated, partition-count-sized) rows through one task; each such
+    # rollup contributes a partial+final "HashAggregate(keys=[]" pair and
+    # exactly one SinglePartition exchange.  Flag only the excess.
+    global_aggs = plan.count("HashAggregate(keys=[]") // 2
+    sp = plan.count("Exchange SinglePartition")
+    if sp > global_aggs:
+        flags["single_partition"] = sp
+    # Nested-loop joins whose build side is a scalar aggregate (count(*),
+    # sum-total broadcast into every row) are 1-row builds — fine.
+    nl = plan.count("CartesianProduct") + plan.count("BroadcastNestedLoopJoin")
+    if nl > (1 if global_aggs else 0):
+        flags["nested_loop"] = nl
+    return flags
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from etielle_spark.benchqueries import QUERIES
+    from etielle_spark.session import get_spark
+
+    spark = get_spark("plan-lint", cpus=4)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    report, bad = {}, 0
+    for name, (fn, _sql) in sorted(QUERIES.items()):
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # pragma: no cover - lint robustness
+            report[name] = {"error": str(e)[:120]}
+            bad += 1
+            continue
+        flags = lint(name, plan)
+        entry = {
+            "smj": plan.count("SortMergeJoin"),
+            "bhj": plan.count("BroadcastHashJoin"),
+            "exchanges": plan.count("Exchange"),
+        }
+        for flag, count in flags.items():
+            allowed = ALLOW.get(flag, {}).get(name)
+            entry[flag] = count
+            if allowed:
+                entry[f"{flag}_allowed"] = allowed
+            else:
+                entry[f"{flag}_VIOLATION"] = True
+                bad += 1
+        report[name] = entry
+
+    violations = {
+        n: e for n, e in report.items()
+        if any(k.endswith("_VIOLATION") or k == "error" for k in e)
+    }
+    print(json.dumps({"queries": len(report), "violations": violations}, indent=2))
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
