@@ -2563,3 +2563,57 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@q(
+    "q73_kmeans_step",
+    """
+    WITH e AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+    cent_ids AS (
+      SELECT vec_id AS cvid, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    ce AS (SELECT c.cell, e.i, e.v FROM cent_ids c JOIN e ON e.vec_id = c.cvid),
+    cnorm AS (SELECT cell, sqrt(sum(v * v)) AS cn FROM ce GROUP BY cell),
+    vcdot AS (
+      SELECT e.vec_id, ce.cell, sum(e.v * ce.v) AS dot
+      FROM e JOIN ce ON ce.i = e.i
+      GROUP BY 1, 2
+    ),
+    vc AS (
+      SELECT d.vec_id, d.cell, round(d.dot / (n.nrm * cn.cn), 6) AS cos
+      FROM vcdot d
+      JOIN norms n ON n.vec_id = d.vec_id
+      JOIN cnorm cn ON cn.cell = d.cell
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell) AS rk
+        FROM vc
+      ) WHERE rk = 1
+    ),
+    upd AS (
+      SELECT a.cell, e.i, round(avg(e.v), 6) AS m
+      FROM assign a JOIN e USING (vec_id) GROUP BY 1, 2
+    ),
+    cent2 AS (SELECT cell, list(m ORDER BY i) AS centroid FROM upd GROUP BY cell),
+    mem AS (SELECT cell, count(*) AS n_members FROM assign GROUP BY cell)
+    SELECT cell, n_members, centroid FROM cent2 JOIN mem USING (cell)
+    """,
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of cosine k-means (operators/similarity.py:
+    kmeans_iteration) — trains the IVF codebook q61 searches with.
+    Assignment is a literal-centroid projection (no shuffle); the update
+    shuffle carries nlist*D (cell, dim) partial averages."""
+    from .operators.similarity import kmeans_iteration
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kmeans_iteration(emb, "vec_id", "embedding", nlist=16)

@@ -277,3 +277,78 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def kmeans_iteration(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    nlist: int = 16,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    round_cosine: int | None = 6,
+    round_to: int = 6,
+) -> DataFrame:
+    """One Lloyd iteration of cosine k-means — how an IVF codebook
+    (``ivf_topk``) gets trained: assign every vector to its closest
+    current centroid, then recompute each cell's centroid as the
+    element-wise mean of its members.
+
+    Same deterministic seeding and rounded-cosine/tie-break assignment
+    as ``ivf_topk``, so the oracle reproduces cell membership exactly.
+    Assignment is a literal-centroid projection over one corpus scan (no
+    shuffle, no UDF); the update is a posexplode -> groupBy(cell, dim)
+    average — the shuffle carries (cell, dim) partial sums, ``nlist * D``
+    rows regardless of corpus size.  Iterate by passing the returned
+    centroids back in; each iteration is one corpus pass.
+
+    Returns ``(cell, n_members, centroid)`` for non-empty cells, the
+    centroid components rounded to ``round_to``.
+    """
+    if centroids is None:
+        rows = (
+            corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+            .orderBy(F.col(id_col))
+            .limit(nlist)
+            .collect()
+        )
+        centroids = [(i, list(r[1])) for i, r in enumerate(rows)]
+    if not centroids:
+        raise ValueError("kmeans_iteration: no centroids (empty corpus?)")
+
+    def cell_scores(vec: Column) -> Column:
+        entries = []
+        for cid, cvec in centroids:
+            cos = cosine(vec, F.array(*[F.lit(float(x)) for x in cvec]))
+            if round_cosine is not None:
+                cos = F.round(cos, round_cosine)
+            entries.append(F.struct(cos.alias("c"), F.lit(-cid).alias("nid")))
+        return F.array(*entries)
+
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn(
+        "cell", -F.array_max(cell_scores(F.col("__cv"))).getField("nid")
+    )
+
+    dims = assigned.select(
+        "cell", F.posexplode("__cv").alias("pos", "val")
+    )
+    means = dims.groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+    new_centroids = (
+        means.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__a"))
+        .select(
+            "cell",
+            F.transform(
+                "__a", lambda s: F.round(s.getField("m"), round_to)
+            ).alias("centroid"),
+        )
+    )
+    members = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return members.join(new_centroids, "cell").select(
+        "cell", "n_members", "centroid"
+    )

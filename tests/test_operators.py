@@ -540,3 +540,25 @@ def test_cms_never_underestimates(spark):
     # every estimate bounds its true count from above
     for r in out[1:]:
         assert r["est_count"] >= 1
+
+
+def test_kmeans_iteration_converges_and_partitions(spark, emb):
+    from etielle_spark.operators.similarity import kmeans_iteration
+
+    corpus = emb.select("vec_id", "embedding")
+    n = corpus.count()
+    step1 = kmeans_iteration(corpus, "vec_id", "embedding", nlist=8)
+    rows = step1.collect()
+    # every vector lands in exactly one cell
+    assert sum(r["n_members"] for r in rows) == n
+    assert len(rows) <= 8 and rows
+    dim = len(rows[0]["centroid"])
+    assert all(len(r["centroid"]) == dim for r in rows)
+
+    # feeding the output back in (an actual training loop step) works and
+    # keeps the same invariants
+    cents = [(r["cell"], list(r["centroid"])) for r in rows]
+    step2 = kmeans_iteration(
+        corpus, "vec_id", "embedding", centroids=cents
+    ).collect()
+    assert sum(r["n_members"] for r in step2) == n
