@@ -2617,3 +2617,64 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return kmeans_iteration(emb, "vec_id", "embedding", nlist=16)
+
+
+@q(
+    "q74_neardup_survivors",
+    f"""
+    WITH RECURSIVE all_docs AS ({_DOCS_PLUS_CLONES}),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM all_docs),
+    sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM toks),
+    mins AS (
+      SELECT doc_id,
+             min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+             min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+             min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+             min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS b, md5(h0 || '|' || h1) AS d FROM mins UNION ALL
+      SELECT doc_id, 1 AS b, md5(h2 || '|' || h3) AS d FROM mins UNION ALL
+      SELECT doc_id, 2 AS b, md5(h4 || '|' || h5) AS d FROM mins UNION ALL
+      SELECT doc_id, 3 AS b, md5(h6 || '|' || h7) AS d FROM mins
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r ON l.b = r.b AND l.d = r.d AND l.doc_id < r.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM cand
+      UNION SELECT id_b, id_a FROM cand
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    clusters AS (SELECT s AS id, least(s, min(d)) AS cluster_id
+                 FROM reach GROUP BY s)
+    SELECT a.doc_id FROM all_docs a
+    LEFT JOIN clusters c ON a.doc_id = c.id
+    WHERE c.id IS NULL OR c.cluster_id = a.doc_id
+    """,
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applying near-dedup: the documents that SURVIVE — cluster
+    canonicals (minimum id per duplicate component) plus everything that
+    never paired.  LSH pairs -> distributed connected components -> one
+    left join deciding keep/drop; the corpus is never shuffled on
+    content, only on ids."""
+    from .operators.clusters import dedup_clusters
+    from .operators.dedup import lsh_candidate_pairs
+
+    docs = _docs_plus_clones(spark, sf_dir)
+    cand = lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=8, bands=4)
+    clusters = dedup_clusters(cand)
+    return (
+        docs.join(clusters, docs["doc_id"] == clusters["id"], "left")
+        .filter(
+            F.col("id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+        )
+        .select(docs["doc_id"])
+    )
