@@ -2678,3 +2678,54 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(docs["doc_id"])
     )
+
+
+@q(
+    "q75_quality_filter",
+    f"""
+    WITH base AS (SELECT doc_id, text, length(text) AS n_chars FROM documents),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM base),
+    nt AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+    g2 AS (
+      SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+               [array_to_string(t[i+1:i+2], ' ') for i in range(len(t) - 1)]
+             ELSE []::VARCHAR[] END) AS g
+      FROM toks
+    ),
+    g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+    tagg AS (SELECT doc_id, max(c * length(g)) AS top_chars FROM g2c GROUP BY 1),
+    rep AS (
+      SELECT b.doc_id,
+             round(CASE WHEN n_chars > 0
+                   THEN coalesce(top_chars, 0)::DOUBLE / n_chars END, 6) AS frac
+      FROM base b LEFT JOIN tagg USING (doc_id)
+    ),
+    tk AS (
+      SELECT doc_id, unnest(t) AS tok FROM toks
+    ),
+    vocab AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+    tot AS (SELECT sum(c) AS total FROM vocab),
+    nll AS (
+      SELECT doc_id, round(avg(-ln(c::DOUBLE / total)), 6) AS v
+      FROM tk JOIN vocab USING (tok) CROSS JOIN tot GROUP BY 1
+    ),
+    verdict AS (
+      SELECT nt.doc_id,
+             CASE WHEN nt.n_tokens < 20 THEN 'too_short'
+                  WHEN rep.frac > 0.12 THEN 'repetitive'
+                  WHEN nll.v > 3.5 THEN 'high_nll'
+                  ELSE 'ok' END AS reason
+      FROM nt LEFT JOIN rep USING (doc_id) LEFT JOIN nll USING (doc_id)
+    )
+    SELECT doc_id, reason = 'ok' AS keep, reason FROM verdict
+    """,
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pretraining quality filter (operators/text.py:
+    quality_filter_verdict): length + repetition + unigram-NLL gates
+    with first-failure precedence; all comparisons on rounded feature
+    values for engine parity."""
+    from .operators.text import quality_filter_verdict
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_filter_verdict(docs, "doc_id", "text")

@@ -320,3 +320,51 @@ def tfidf_top_terms(
         scored.select("*", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= k)
     )
+
+
+def quality_filter_verdict(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_tokens: int = 20,
+    max_top_ngram_frac: float = 0.12,
+    max_nll: float = 3.5,
+) -> DataFrame:
+    """Composite keep/drop verdict — the assembled filter stage of a
+    pretraining pipeline: length gate (token count), within-document
+    repetition gate (``repetition_signals``), LM-quality gate
+    (``unigram_nll``), evaluated in that precedence order.
+
+    All three feature frames compute from one underlying corpus scan
+    each and join back on the id; every comparison is against the
+    ROUNDED feature value, so an external oracle reproduces the same
+    keep set bit-for-bit.  Returns ``(id_col, keep, reason)`` where
+    ``reason`` is the first failing gate ('too_short' | 'repetitive' |
+    'high_nll') or 'ok'.
+    """
+    from .dedup import tokens_col
+
+    toks = df.select(
+        F.col(id_col), F.size(tokens_col(F.col(text_col))).alias("__nt")
+    )
+    rep = repetition_signals(df, id_col, text_col, top_n=2, dup_n=3).select(
+        F.col(id_col), F.col("top_ngram_char_frac").alias("__rep")
+    )
+    nll = unigram_nll(df, id_col, text_col).select(
+        F.col(id_col), F.col("nll").alias("__nll")
+    )
+    reason = (
+        F.when(F.col("__nt") < min_tokens, F.lit("too_short"))
+        .when(F.col("__rep") > max_top_ngram_frac, F.lit("repetitive"))
+        .when(F.col("__nll") > max_nll, F.lit("high_nll"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        toks.join(rep, id_col, "left")
+        .join(nll, id_col, "left")
+        .select(F.col(id_col), reason.alias("reason"))
+        .select(
+            id_col, (F.col("reason") == "ok").alias("keep"), "reason"
+        )
+    )

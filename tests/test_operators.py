@@ -562,3 +562,23 @@ def test_kmeans_iteration_converges_and_partitions(spark, emb):
         corpus, "vec_id", "embedding", centroids=cents
     ).collect()
     assert sum(r["n_members"] for r in step2) == n
+
+
+def test_quality_filter_verdict_precedence(spark):
+    from etielle_spark.operators.text import quality_filter_verdict
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w " * 30),            # 30 tokens of pure repetition: the
+                                        # length gate passes, repetition fails
+            (2, "a b c"),               # too short -> first gate wins
+            (3, " ".join(f"t{i}" for i in range(30))),  # 30 distinct tokens
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           quality_filter_verdict(docs, "doc_id", "text").collect()}
+    assert out[2]["reason"] == "too_short" and not out[2]["keep"]
+    assert out[1]["reason"] == "repetitive"
+    # doc 3's tokens are all corpus-rare (high NLL under the tiny corpus)
+    assert out[3]["reason"] in ("ok", "high_nll")
