@@ -2729,3 +2729,42 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return quality_filter_verdict(docs, "doc_id", "text")
+
+
+@q(
+    "q76_scd2_intervals",
+    """
+    WITH e AS (
+      SELECT user_id, date_trunc('second', ts) AS tss, event_type AS v
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, tss, v,
+             lag(v) OVER (PARTITION BY user_id ORDER BY tss, v) AS prev
+      FROM e
+    ),
+    c AS (
+      SELECT user_id, tss, v,
+             sum(CASE WHEN prev IS NULL OR v <> prev THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY tss, v) AS ver
+      FROM r
+    ),
+    runs AS (SELECT user_id, ver, v, min(tss) AS valid_from
+             FROM c GROUP BY 1, 2, 3)
+    SELECT user_id, ver AS version, v AS value, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, v) AS valid_to
+    FROM runs
+    """,
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build (operators/events.py: scd2_intervals):
+    event stream -> per-user validity intervals of the event_type value,
+    lag-compare run collapse in one keyed window.  Timestamps truncated
+    to seconds for engine-independent boundaries."""
+    from .operators.events import scd2_intervals
+
+    ev = _events(spark, sf_dir).withColumn(
+        "ts", F.date_trunc("second", F.col("ts"))
+    )
+    return scd2_intervals(ev, "user_id", "ts", "event_type")

@@ -106,3 +106,55 @@ def cohort_retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build: collapse an event stream
+    into validity intervals — one row per (key, value run) with
+    ``valid_from`` / ``valid_to`` (NULL = current) and a version number.
+
+    Consecutive events with the SAME value extend the run; a change
+    closes the open interval at the change's timestamp.  Ties on the
+    timestamp within a key are broken by value ascending so the result
+    is deterministic.
+
+    Single window over (key, ts) — one shuffle on the key, no self-join;
+    the run-collapse is the lag-compare idiom, all codegen.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(value_col).asc()
+    )
+    runs = (
+        events.select(F.col(key_col), F.col(ts_col), F.col(value_col))
+        .withColumn("__prev", F.lag(value_col).over(w))
+        .withColumn(
+            "__chg",
+            (F.col("__prev").isNull() | (F.col(value_col) != F.col("__prev")))
+            .cast("int"),
+        )
+        .withColumn("__ver", F.sum("__chg").over(w))
+    )
+    return (
+        runs.groupBy(key_col, "__ver", value_col)
+        .agg(F.min(ts_col).alias("valid_from"))
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(
+                Window.partitionBy(key_col).orderBy("valid_from", value_col)
+            ),
+        )
+        .select(
+            F.col(key_col),
+            F.col("__ver").cast("bigint").alias("version"),
+            F.col(value_col).alias("value"),
+            "valid_from",
+            "valid_to",
+        )
+    )

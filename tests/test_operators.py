@@ -582,3 +582,31 @@ def test_quality_filter_verdict_precedence(spark):
     assert out[1]["reason"] == "repetitive"
     # doc 3's tokens are all corpus-rare (high NLL under the tiny corpus)
     assert out[3]["reason"] in ("ok", "high_nll")
+
+
+def test_scd2_intervals_runs_and_open_interval(spark):
+    from datetime import datetime
+
+    from etielle_spark.operators.events import scd2_intervals
+
+    T = datetime
+    ev = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 10, 0, 0), "free"),
+            (1, T(2024, 1, 2, 10, 0, 0), "free"),   # same value: run extends
+            (1, T(2024, 1, 3, 10, 0, 0), "pro"),    # change -> new version
+            (1, T(2024, 1, 4, 10, 0, 0), "free"),   # back -> third version
+            (2, T(2024, 1, 1, 9, 0, 0), "pro"),
+        ],
+        "user_id int, ts timestamp, event_type string",
+    )
+    rows = scd2_intervals(ev, "user_id", "ts", "event_type").collect()
+    u1 = sorted([r for r in rows if r["user_id"] == 1], key=lambda r: r["version"])
+    assert [(r["version"], r["value"]) for r in u1] == [
+        (1, "free"), (2, "pro"), (3, "free")
+    ]
+    assert u1[0]["valid_from"] == T(2024, 1, 1, 10, 0, 0)
+    assert u1[0]["valid_to"] == T(2024, 1, 3, 10, 0, 0)   # closed by the change
+    assert u1[2]["valid_to"] is None                       # current/open
+    u2 = [r for r in rows if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["valid_to"] is None
