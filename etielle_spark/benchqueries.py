@@ -2768,3 +2768,305 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", F.date_trunc("second", F.col("ts"))
     )
     return scd2_intervals(ev, "user_id", "ts", "event_type")
+
+
+# ===========================================================================
+# Round-2 batch: sessionization, PII, chunking, splits, search, rolling aggs
+# ===========================================================================
+
+
+@q(
+    "q77_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, date_trunc('second', ts) AS tss, event_id FROM events
+    ),
+    l AS (
+      SELECT user_id, tss, event_id,
+             CASE WHEN lag(tss) OVER w IS NULL
+                    OR epoch(tss)::BIGINT - epoch(lag(tss) OVER w)::BIGINT > 28800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)
+    ),
+    s AS (
+      SELECT user_id, tss,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS sid
+      FROM l
+    )
+    SELECT user_id, sid::BIGINT AS session_id,
+           strftime(min(tss), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(tss), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*)::BIGINT AS n_events,
+           (epoch(max(tss))::BIGINT - epoch(min(tss))::BIGINT) AS duration_s
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/events.py: sessionize):
+    8-hour inactivity gap, event_id tie-break; one shuffle on user_id
+    (both windows and the rollup share the partitioning)."""
+    from .operators.events import sessionize
+
+    ev = _events(spark, sf_dir).withColumn(
+        "ts", F.date_trunc("second", F.col("ts"))
+    )
+    out = sessionize(ev, "user_id", "ts", gap_seconds=28800, tiebreak_col="event_id")
+    return out.select(
+        "user_id",
+        "session_id",
+        _ts(F.col("session_start")).alias("session_start"),
+        _ts(F.col("session_end")).alias("session_end"),
+        "n_events",
+        "duration_s",
+    )
+
+
+@q(
+    "q78_pii_redact",
+    """
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' u' || doc_id::VARCHAR || '@ex' || (doc_id % 7)::VARCHAR
+                  || '.com ip 10.' || (doc_id % 256)::VARCHAR || '.0.'
+                  || (doc_id % 100)::VARCHAR
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' tel +1555' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                          ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[a-z0-9._%+\\-]+@[a-z0-9.\\-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+             '\\+\\d[\\d\\-]{6,14}\\d', '<PHONE>', 'g') AS redacted,
+           len(regexp_extract_all(t, '[a-z0-9._%+\\-]+@[a-z0-9.\\-]+\\.[a-z]{2,}'))::BIGINT AS n_email,
+           len(regexp_extract_all(
+               regexp_replace(t, '[a-z0-9._%+\\-]+@[a-z0-9.\\-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ip,
+           len(regexp_extract_all(
+               regexp_replace(
+                 regexp_replace(t, '[a-z0-9._%+\\-]+@[a-z0-9.\\-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+               '\\+\\d[\\d\\-]{6,14}\\d'))::BIGINT AS n_phone
+    FROM enriched
+    """,
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/text.py: pii_redact) over documents
+    enriched with synthetic emails/IPs/phones (the raw synthetic text
+    contains none) — exercises ordered regexp_replace + per-type counts
+    in one scan pass."""
+    from .operators.text import pii_redact
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" u"), did, F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com ip 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" tel +1555"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_redact(enriched, "doc_id", "text")
+
+
+@q(
+    "q79_chunk_tokens",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    n AS (SELECT doc_id, t, len(t) AS n FROM toks),
+    c AS (SELECT doc_id, t, n,
+             CASE WHEN n = 0 THEN 0
+                  WHEN n <= 16 THEN 1
+                  ELSE (n - 16 + 12 - 1) // 12 + 1 END AS nc
+          FROM n),
+    s AS (SELECT doc_id, t, unnest(range(0, nc)) AS ci FROM c WHERE nc > 0)
+    SELECT doc_id, ci::BIGINT AS chunk_idx, (ci * 12)::BIGINT AS start_token,
+           len(t[ci*12 + 1 : ci*12 + 16])::BIGINT AS n_tokens,
+           array_to_string(t[ci*12 + 1 : ci*12 + 16], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/text.py:
+    chunk_tokens): 16-token chunks, stride 12 — shuffle-free fan-out via
+    sequence + posexplode + slice."""
+    from .operators.text import chunk_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_tokens(docs, "doc_id", "text", chunk_size=16, stride=12)
+
+
+@q(
+    "q80_hash_split",
+    """
+    SELECT doc_id,
+           CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS UBIGINT)::BIGINT % 100 AS bucket,
+           CASE WHEN CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS UBIGINT)::BIGINT % 100 < 80 THEN 'train'
+                WHEN CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS UBIGINT)::BIGINT % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split (operators/clusters.py:
+    hash_split): md5-bucket assignment, stable across engines/reruns,
+    shuffle-free."""
+    from .operators.clusters import hash_split
+
+    return hash_split(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+@q(
+    "q81_inverted_index",
+    f"""
+    WITH pairs AS (
+      SELECT term, doc_id, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+      GROUP BY term, doc_id
+    )
+    SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS tf_total,
+           array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings
+    FROM pairs GROUP BY term HAVING count(*) >= 2
+    """,
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index dictionary build (operators/search.py:
+    inverted_index): term postings with df/tf totals and a bounded
+    posting sample — explode + two keyed aggregations."""
+    from .operators.search import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index(docs, "doc_id", "text", min_df=2, posting_sample=10)
+
+
+@q(
+    "q82_bm25_topk",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    l AS (SELECT doc_id, len(t)::DOUBLE AS dl, t FROM base),
+    corpus AS (SELECT count(*)::DOUBLE AS N, avg(dl) AS avgdl FROM l),
+    p0 AS (SELECT doc_id, dl, unnest(t) AS term FROM l),
+    pairs AS (
+      SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+      FROM p0 WHERE term IN ('spark', 'join', 'window')
+      GROUP BY doc_id, dl, term
+    ),
+    dfreq AS (SELECT term, count(*)::DOUBLE AS dfc FROM pairs GROUP BY term),
+    scored AS (
+      SELECT pairs.doc_id,
+             round(sum(
+               ln(1 + (N - dfc + 0.5) / (dfc + 0.5))
+               * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             ), 6) AS score
+      FROM pairs JOIN dfreq ON pairs.term = dfreq.term, corpus
+      GROUP BY pairs.doc_id
+    )
+    SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (operators/search.py: bm25_topk) for the
+    query {{spark, join, window}}: doc length rides the explode (no
+    corpus-sized join), tiny df/corpus frames broadcast, rank on the
+    rounded score with doc-id tie-break."""
+    from .operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", ["spark", "join", "window"], k=20)
+
+
+@q(
+    "q83_token_entropy",
+    f"""
+    WITH p AS (
+      SELECT doc_id, term, count(*)::DOUBLE AS c
+      FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+      GROUP BY doc_id, term
+    )
+    SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+    FROM p GROUP BY doc_id
+    """,
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy per document (operators/text.py:
+    token_entropy) — repetition/quality signal, two doc-keyed
+    aggregations sharing one partitioning."""
+    from .operators.text import token_entropy
+
+    return token_entropy(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q(
+    "q84_rolling_range_agg",
+    """
+    WITH e AS (
+      SELECT user_id, date_trunc('second', ts) AS tss, value FROM events
+    )
+    SELECT user_id,
+           strftime(tss, '%Y-%m-%d %H:%M:%S') AS ts,
+           round(value, 4) AS value,
+           (count(*) OVER w)::BIGINT AS trailing_n,
+           round(sum(value) OVER w, 4) AS trailing_sum
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(tss)::BIGINT
+                 RANGE BETWEEN 28800 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 8h RANGE-frame rolling count/sum per user
+    (operators/events.py: rolling_window_agg) — a true time-range
+    window, one shuffle on the user key, ANSI peer semantics."""
+    from .operators.events import rolling_window_agg
+
+    ev = _events(spark, sf_dir).withColumn(
+        "ts", F.date_trunc("second", F.col("ts"))
+    )
+    out = rolling_window_agg(
+        ev, "user_id", "ts", "value", window_seconds=28800
+    )
+    return out.select(
+        "user_id",
+        _ts(F.col("ts")).alias("ts"),
+        F.round(F.col("value"), 4).alias("value"),
+        "trailing_n",
+        "trailing_sum",
+    )
+
+
+@q(
+    "q85_value_histogram",
+    """
+    SELECT least(greatest(floor(value / 10), 0), 39)::BIGINT AS bin,
+           count(*)::BIGINT AS n_events,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of events.value (40 bins of width 10,
+    clamped): the profiling pass a pipeline runs before choosing
+    filters — single map-side-combinable aggregation."""
+    ev = _events(spark, sf_dir)
+    b = F.least(
+        F.greatest(F.floor(F.col("value") / 10), F.lit(0)), F.lit(39)
+    ).cast("bigint")
+    return ev.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

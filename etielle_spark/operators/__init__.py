@@ -17,12 +17,16 @@ from .dedup import (
     shingle_df,
     simhash,
 )
+from .search import bm25_topk, inverted_index
 from .similarity import brute_force_topk, cosine_pairs, lsh_bucket_topk
 from .text import (
+    chunk_tokens,
     doc_fingerprint,
     lang_id,
+    pii_redact,
     quality_score,
     token_count,
+    token_entropy,
     token_stats,
 )
 
@@ -38,6 +42,11 @@ __all__ = [
     "cosine_pairs",
     "lsh_bucket_topk",
     "token_count",
+    "token_entropy",
+    "chunk_tokens",
+    "pii_redact",
+    "inverted_index",
+    "bm25_topk",
     "token_stats",
     "quality_score",
     "lang_id",

@@ -99,3 +99,40 @@ def stratified_sample_exact(
         .filter(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    *,
+    buckets: int = 100,
+    thresholds: dict[str, int] | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: hash the stable id into
+    ``buckets`` and map bucket ranges to split names.
+
+    ``thresholds`` maps split name -> exclusive upper bucket bound, in
+    order (default ``{"train": 80, "val": 90, "test": 100}`` = 80/10/10).
+    Hashing ``md5(id)`` rather than sampling makes the split stable
+    under reruns, engine-independent, and consistent across tables that
+    share the id (a document and its chunks land in the same split).
+    Pure column expressions — no shuffle, no seed state.
+
+    Returns the input id plus ``(bucket, split)``.
+    """
+    if thresholds is None:
+        thresholds = {"train": 80, "val": 90, "test": 100}
+    bounds = list(thresholds.items())
+    if not bounds or bounds[-1][1] != buckets:
+        raise ValueError("last threshold must equal buckets")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % buckets
+    )
+    expr = None
+    for name, hi in reversed(bounds):
+        expr = F.lit(name) if expr is None else F.when(bucket < hi, F.lit(name)).otherwise(expr)
+    return df.select(
+        F.col(id_col), bucket.alias("bucket"), expr.alias("split")
+    )

@@ -108,6 +108,107 @@ def cohort_retention(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: split each user's event stream into
+    sessions wherever the gap between consecutive events exceeds
+    ``gap_seconds``; summarize one row per session.
+
+    The classic two-window idiom: lag the epoch-second timestamp over
+    (user, ts) to flag session starts, running-sum the flags to number
+    sessions, then a single groupBy rolls each session up.  Both windows
+    and the groupBy share the user-key partitioning, so the whole plan is
+    ONE shuffle on the (well-spread) user key — no self-joins, all
+    codegen.  Ties on the timestamp are broken by ``tiebreak_col`` (pass
+    a unique column such as the event id) for a deterministic result.
+
+    Returns ``(user, session_id, session_start, session_end, n_events,
+    duration_s)`` with ``session_id`` numbered 1..n per user in time
+    order.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+    sec = F.unix_timestamp(F.col(ts_col))
+    flagged = (
+        events.select(F.col(user_col), F.col(ts_col), *([F.col(tiebreak_col)] if tiebreak_col else []))
+        .withColumn("__sec", sec)
+        .withColumn("__prev", F.lag("__sec").over(w))
+        .withColumn(
+            "__new",
+            (
+                F.col("__prev").isNull()
+                | ((F.col("__sec") - F.col("__prev")) > F.lit(int(gap_seconds)))
+            ).cast("int"),
+        )
+        .withColumn("__sid", F.sum("__new").over(w))
+    )
+    return (
+        flagged.groupBy(user_col, "__sid")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.max("__sec") - F.min("__sec")).cast("bigint").alias("duration_s"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("__sid").cast("bigint").alias("session_id"),
+            "session_start",
+            "session_end",
+            "n_events",
+            "duration_s",
+        )
+    )
+
+
+def rolling_window_agg(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    window_seconds: int = 3600,
+    round_to: int = 4,
+) -> DataFrame:
+    """Trailing time-RANGE rolling aggregate: for every event, the count
+    and sum of ``value_col`` over that key's events in the preceding
+    ``window_seconds`` (inclusive of the current row and its timestamp
+    peers).
+
+    A true RANGE window on epoch seconds — Spark evaluates it as one
+    keyed window (single shuffle on the key), never a self-join; frame
+    semantics (peers of the current timestamp are always included)
+    match ANSI RANGE so any SQL engine reproduces it.
+
+    Returns the input keys plus ``(trailing_n, trailing_sum)``.
+    """
+    from pyspark.sql import Window
+
+    sec = F.unix_timestamp(F.col(ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(sec)
+        .rangeBetween(-int(window_seconds), 0)
+    )
+    return events.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(value_col),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("trailing_n"),
+        F.round(F.sum(value_col).over(w), round_to).alias("trailing_sum"),
+    )
+
+
 def scd2_intervals(
     events: DataFrame,
     key_col: str,

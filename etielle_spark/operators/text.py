@@ -368,3 +368,140 @@ def quality_filter_verdict(
             id_col, (F.col("reason") == "ok").alias("keep"), "reason"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction, chunking, token entropy
+# ---------------------------------------------------------------------------
+
+# Deliberately simple patterns restricted to syntax portable between
+# Java regex and RE2-family engines (no lookarounds, no backrefs):
+# redaction at corpus scale is a fleet of regexp_replace passes, and the
+# operator's job is ordering + counting, not pattern research.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-z0-9._%+\-]+@[a-z0-9.\-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d\-]{6,14}\d", "<PHONE>"),
+]
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Scrub PII-shaped spans (emails, IPv4 addresses, phone-like
+    numbers) from ``text_col``, replacing each with a typed placeholder
+    token, and count the matches per type.
+
+    Patterns run in a fixed order (email before ip before phone) on the
+    progressively redacted text, so an email's host can't double-count
+    as an IP; the placeholders contain no digits, so later patterns
+    can't match inside earlier replacements.  Pure ``regexp_replace`` /
+    ``regexp_extract_all`` column expressions — one scan pass, no
+    shuffle, whole-stage codegen.
+
+    Returns ``(id, redacted, n_email, n_ip, n_phone)``.
+    """
+    out = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+    red = F.col("__t")
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0)))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+        red = F.regexp_replace(red, pat, token)
+    return out.select(F.col(id_col), red.alias("redacted"), *counts)
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document's whitespace tokens into fixed-size chunks of
+    ``chunk_size`` tokens advancing by ``stride`` (overlap =
+    ``chunk_size - stride``) — the standard context-window chunking step
+    of an embedding / pretraining pipeline.
+
+    Chunk starts are ``0, stride, 2*stride, ...``; the last chunk starts
+    at the smallest multiple of ``stride`` from which it reaches the end
+    (it may be shorter than ``chunk_size``).  A document with at most
+    ``chunk_size`` tokens yields exactly one chunk; an empty document
+    yields none.
+
+    Pure array expressions: ``sequence`` generates the starts,
+    ``posexplode`` fans out, ``slice`` + ``array_join`` materialize each
+    chunk.  No shuffle at all — chunking pipelines into the scan, and
+    the output inherits the input partitioning (no skew: fan-out per row
+    is bounded by tokens/stride).
+
+    Returns ``(id, chunk_idx, start_token, n_tokens, chunk_text)``.
+    """
+    if chunk_size < 1 or stride < 1:
+        raise ValueError("chunk_size and stride must be >= 1")
+    if stride > chunk_size:
+        raise ValueError("stride must be <= chunk_size (contiguous cover)")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n = F.size(toks)
+    n_chunks = F.when(n <= 0, F.lit(0)).when(n <= chunk_size, F.lit(1)).otherwise(
+        ((n - chunk_size + stride - 1) / stride).cast("int") + 1
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("__nc") - 1, F.lit(0)) * stride, F.lit(stride)
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"), n_chunks.alias("__nc"))
+        .filter(F.col("__nc") > 0)
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.posexplode(starts).alias("chunk_idx", "__start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.col("__start").cast("bigint").alias("start_token"),
+            F.size(F.slice(F.col("__toks"), F.col("__start") + 1, chunk_size))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__start") + 1, chunk_size), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def token_entropy(
+    df: DataFrame, id_col: str, text_col: str, *, round_to: int = 6
+) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the unigram distribution —
+    a repetition/quality signal: near-zero entropy means the document is
+    a few tokens repeated.
+
+    Computed as ``ln(n) - sum(c*ln(c))/n`` over per-token counts, which
+    needs only two keyed aggregations (doc+token counts, then per-doc
+    fold) — both shuffle on the document id, and the second reuses the
+    first's partitioning.  Returns ``(id, n_tokens, entropy)``.
+    """
+    toks = tokens_col(F.col(text_col))
+    per_tok = (
+        df.select(F.col(id_col), F.explode(toks).alias("__tok"))
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    return (
+        per_tok.groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("__n"),
+            F.sum(F.col("__c") * F.log(F.col("__c"))).alias("__clc"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__n").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.log(F.col("__n")) - F.col("__clc") / F.col("__n"), round_to
+            ).alias("entropy"),
+        )
+    )

@@ -610,3 +610,145 @@ def test_scd2_intervals_runs_and_open_interval(spark):
     assert u1[2]["valid_to"] is None                       # current/open
     u2 = [r for r in rows if r["user_id"] == 2]
     assert len(u2) == 1 and u2[0]["valid_to"] is None
+
+
+def test_sessionize_gap_split_and_determinism(spark):
+    from datetime import datetime
+
+    from etielle_spark.operators.events import sessionize
+
+    T = datetime
+    ev = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 10, 0, 0), 100),
+            (1, T(2024, 1, 1, 10, 10, 0), 101),   # 600s gap: same session
+            (1, T(2024, 1, 1, 11, 0, 1), 102),    # 3001s gap: new session
+            (1, T(2024, 1, 1, 11, 0, 1), 103),    # tie ts: same session
+            (2, T(2024, 1, 1, 9, 0, 0), 104),
+        ],
+        "user_id int, ts timestamp, event_id int",
+    )
+    out = sessionize(
+        ev, "user_id", "ts", gap_seconds=1800, tiebreak_col="event_id"
+    ).collect()
+    u1 = sorted(
+        [r for r in out if r["user_id"] == 1], key=lambda r: r["session_id"]
+    )
+    assert [(r["session_id"], r["n_events"], r["duration_s"]) for r in u1] == [
+        (1, 2, 600),
+        (2, 2, 0),
+    ]
+    assert u1[0]["session_start"].minute == 0 and u1[0]["session_end"].minute == 10
+    assert [r["n_events"] for r in out if r["user_id"] == 2] == [1]
+
+
+def test_rolling_window_agg_range_frame(spark):
+    from datetime import datetime
+
+    from etielle_spark.operators.events import rolling_window_agg
+
+    T = datetime
+    ev = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 10, 0, 0), 1.0),
+            (1, T(2024, 1, 1, 10, 30, 0), 2.0),
+            (1, T(2024, 1, 1, 11, 0, 0), 4.0),   # exactly 3600s after first: in frame
+            (1, T(2024, 1, 1, 11, 30, 1), 8.0),  # first two rolled out
+            (1, T(2024, 1, 1, 11, 30, 1), 16.0), # peer: both see both
+        ],
+        "user_id int, ts timestamp, value double",
+    )
+    out = rolling_window_agg(ev, "user_id", "ts", "value", window_seconds=3600)
+    got = {(r["ts"], r["value"]): (r["trailing_n"], r["trailing_sum"]) for r in out.collect()}
+    assert got[(T(2024, 1, 1, 11, 0, 0), 4.0)] == (3, 7.0)
+    assert got[(T(2024, 1, 1, 11, 30, 1), 8.0)] == (3, 28.0)
+    assert got[(T(2024, 1, 1, 11, 30, 1), 16.0)] == (3, 28.0)
+
+
+def test_pii_redact_order_and_counts(spark):
+    from etielle_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@mail.example.com and 10.0.0.255 then +1-555-0123-456"),
+            (2, "no pii here at all"),
+            (3, "two ips 1.2.3.4 5.6.7.8 one mail a@b.co"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_redact(df, "doc_id", "text").collect()}
+    assert out[1]["redacted"] == "mail <EMAIL> and <IP> then <PHONE>"
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (1, 1, 1)
+    assert out[2]["redacted"] == "no pii here at all"
+    assert (out[3]["n_email"], out[3]["n_ip"], out[3]["n_phone"]) == (1, 2, 0)
+    # the email's dotted host must NOT also count as an IP
+    assert "<EMAIL>" in out[3]["redacted"] and out[3]["redacted"].count("<IP>") == 2
+
+
+def test_chunk_tokens_cover_and_overlap(spark):
+    from etielle_spark.operators.text import chunk_tokens
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, "")],
+        "doc_id int, text string",
+    )
+    out = chunk_tokens(df, "doc_id", "text", chunk_size=4, stride=3).collect()
+    d1 = sorted([r for r in out if r["doc_id"] == 1], key=lambda r: r["chunk_idx"])
+    # n=10, C=4, S=3 -> starts 0,3,6 ... ceil((10-4)/3)+1 = 3 chunks
+    assert [(r["start_token"], r["n_tokens"]) for r in d1] == [(0, 4), (3, 4), (6, 4)]
+    assert d1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert d1[2]["chunk_text"] == "w6 w7 w8 w9"
+    # every token covered; consecutive chunks overlap by C-S = 1
+    assert d1[1]["chunk_text"].split()[0] == d1[0]["chunk_text"].split()[-1]
+    d2 = [r for r in out if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "a b c" and d2[0]["n_tokens"] == 3
+    assert [r for r in out if r["doc_id"] == 3] == []
+
+
+def test_token_entropy_extremes(spark):
+    from etielle_spark.operators.text import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "x x x x"), (2, "a b c d")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in token_entropy(df, "doc_id", "text").collect()}
+    assert out[1]["entropy"] == 0.0                       # all same token
+    assert abs(out[2]["entropy"] - math.log(4)) < 1e-6    # uniform over 4
+    assert out[1]["n_tokens"] == 4
+
+
+def test_inverted_index_postings(spark):
+    from etielle_spark.operators.search import inverted_index
+
+    df = spark.createDataFrame(
+        [(10, "spark join spark"), (20, "join scan"), (30, "spark")],
+        "doc_id int, text string",
+    )
+    out = {r["term"]: r for r in inverted_index(df, "doc_id", "text").collect()}
+    assert (out["spark"]["df"], out["spark"]["tf_total"]) == (2, 3)
+    assert out["spark"]["postings"] == "10,30"
+    assert (out["join"]["df"], out["join"]["tf_total"]) == (2, 2)
+    assert out["scan"]["postings"] == "20"
+    only2 = inverted_index(df, "doc_id", "text", min_df=2).collect()
+    assert sorted(r["term"] for r in only2) == ["join", "spark"]
+
+
+def test_bm25_topk_ranking(spark):
+    from etielle_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler filler filler"),
+            (2, "spark filler filler filler filler filler"),
+            (3, "filler filler filler filler filler filler"),
+            (4, "spark spark window filler filler filler"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = bm25_topk(df, "doc_id", "text", ["spark", "window"], k=3).collect()
+    # doc 4 matches both terms (window is rare -> high idf); doc 3 matches none
+    assert [r["doc_id"] for r in rows][0] == 4
+    assert 3 not in {r["doc_id"] for r in rows}
+    assert all(rows[i]["score"] >= rows[i + 1]["score"] for i in range(len(rows) - 1))
