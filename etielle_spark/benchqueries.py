@@ -3070,3 +3070,209 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 4).alias("max_value"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@q(
+    "q86_cdc_merge",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS amt
+      FROM orders
+    ),
+    ch AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'U' AS op, 'X' AS status,
+             o_totalprice * 1.1 AS amt FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', 'Y', o_totalprice * 1.2
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, 1, 'D', NULL, NULL
+      FROM orders WHERE o_orderkey % 10 = 1
+      UNION ALL
+      SELECT -o_orderkey, 1, 'I', 'N', 100.0
+      FROM orders WHERE o_orderkey % 10 = 3
+    ),
+    latest AS (
+      SELECT k, op, status, amt FROM (
+        SELECT k, op, status, amt,
+               row_number() OVER (
+                 PARTITION BY k
+                 ORDER BY seq DESC, (op = 'D')::INT DESC, op DESC
+               ) AS rn
+        FROM ch
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(b.k, c.k) AS k,
+           CASE WHEN c.op IS NOT NULL THEN c.status ELSE b.status END AS status,
+           round(CASE WHEN c.op IS NOT NULL THEN c.amt ELSE b.amt END, 4) AS amt
+    FROM base b FULL OUTER JOIN latest c ON b.k = c.k
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC / MERGE application (operators/cdc.py: apply_cdc):
+    synthesized change log (double-update, delete, out-of-base insert)
+    applied onto orders with LWW-by-seq, delete-wins-on-tie.  max_by
+    folds histories in one partial-agg shuffle; one full-outer join
+    resolves upsert/delete/keep."""
+    from .operators.cdc import apply_cdc
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("amt"),
+    )
+    k = F.col("o_orderkey")
+    upd1 = o.filter(k % 10 == 0).select(
+        k.alias("k"), F.lit(1).alias("seq"), F.lit("U").alias("op"),
+        F.lit("X").alias("status"), (F.col("o_totalprice") * 1.1).alias("amt"),
+    )
+    upd2 = o.filter(k % 10 == 0).select(
+        k.alias("k"), F.lit(2).alias("seq"), F.lit("U").alias("op"),
+        F.lit("Y").alias("status"), (F.col("o_totalprice") * 1.2).alias("amt"),
+    )
+    dels = o.filter(k % 10 == 1).select(
+        k.alias("k"), F.lit(1).alias("seq"), F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("double").alias("amt"),
+    )
+    ins = o.filter(k % 10 == 3).select(
+        (-k).alias("k"), F.lit(1).alias("seq"), F.lit("I").alias("op"),
+        F.lit("N").alias("status"), F.lit(100.0).alias("amt"),
+    )
+    changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+    out = apply_cdc(base, changes, ["k"], "seq", "op", ["status", "amt"])
+    return out.select("k", "status", F.round("amt", 4).alias("amt"))
+
+
+@q(
+    "q87_weighted_sample",
+    """
+    WITH s AS (
+      SELECT lang, doc_id,
+             ln(CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 13) AS UBIGINT)::DOUBLE
+                / 4503599627370496.0) / n_chars::DOUBLE AS k
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT lang, doc_id, rn::BIGINT AS rank FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rn
+      FROM s
+    ) WHERE rn <= 5
+    """,
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (operators/clusters.py:
+    weighted_sample): Efraimidis-Spirakis ln(u)/w keys with md5-derived
+    uniforms — 5 docs per language, inclusion odds proportional to
+    n_chars, reproducible across engines."""
+    from .operators.clusters import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, "doc_id", "n_chars", n=5, stratify_col="lang"
+    )
+
+
+@q(
+    "q88_ema",
+    """
+    WITH RECURSIVE e AS (
+      SELECT user_id, event_id, date_trunc('second', ts) AS tss, value,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY date_trunc('second', ts), event_id
+             ) AS i
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, tss, value, i, value AS ema
+      FROM e WHERE i = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.tss, e.value, e.i,
+             (1 - 0.2) * r.ema + 0.2 * e.value
+      FROM e JOIN r ON e.user_id = r.user_id AND e.i = r.i + 1
+    )
+    SELECT user_id, strftime(tss, '%Y-%m-%d %H:%M:%S') AS ts,
+           round(value, 4) AS value, round(ema, 6) AS ema
+    FROM r
+    """,
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EMA of the event value stream (operators/events.py:
+    ema): the sequential recurrence no built-in window expresses —
+    applyInPandas fold with exact IEEE evaluation order; the DuckDB
+    oracle replays the identical recurrence as a RECURSIVE CTE and
+    matches bit-for-bit before rounding."""
+    from .operators.events import ema
+
+    ev = _events(spark, sf_dir).withColumn(
+        "ts", F.date_trunc("second", F.col("ts"))
+    )
+    out = ema(ev, "user_id", "ts", "value", alpha=0.2, tiebreak_col="event_id")
+    return out.select(
+        "user_id",
+        _ts(F.col("ts")).alias("ts"),
+        F.round("value", 4).alias("value"),
+        "ema",
+    )
+
+
+@q(
+    "q89_pagerank",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+      SELECT 'c' || c::VARCHAR AS src, 's' || s::VARCHAR AS dst FROM pairs
+      UNION ALL
+      SELECT 's' || s::VARCHAR, 'c' || c::VARCHAR FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY src),
+    pr0 AS (SELECT node, 1.0 AS pr FROM nodes),
+    it1 AS (
+      SELECT e.dst AS node, sum(p.pr / d.deg) AS inc
+      FROM edges e JOIN pr0 p ON e.src = p.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    pr1 AS (
+      SELECT n.node, (1 - 0.85) + 0.85 * COALESCE(i.inc, 0.0) AS pr
+      FROM nodes n LEFT JOIN it1 i ON n.node = i.node
+    ),
+    it2 AS (
+      SELECT e.dst AS node, sum(p.pr / d.deg) AS inc
+      FROM edges e JOIN pr1 p ON e.src = p.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    pr2 AS (
+      SELECT n.node, (1 - 0.85) + 0.85 * COALESCE(i.inc, 0.0) AS pr
+      FROM nodes n LEFT JOIN it2 i ON n.node = i.node
+    )
+    SELECT node, round(pr, 6) AS rank FROM pr2
+    """,
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-iteration PageRank (operators/graph.py: pagerank) on the
+    undirected customer-supplier trade graph (distinct pairs from
+    orders x lineitem, both edge directions) — per-iteration join+agg
+    on spread keys, mean-1 normalized ranks."""
+    from .operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, "src", "dst", iterations=2, damping=0.85)

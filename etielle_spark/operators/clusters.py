@@ -136,3 +136,52 @@ def hash_split(
     return df.select(
         F.col(id_col), bucket.alias("bucket"), expr.alias("split")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    *,
+    n: int,
+    stratify_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: draw ``n``
+    rows (per stratum if ``stratify_col`` is given) with inclusion
+    probability proportional to ``weight_col``.
+
+    Efraimidis–Spirakis A-ES: each row gets the key ``ln(u)/w`` with
+    ``u`` uniform from ``md5(id)`` — the top-n keys ARE a weighted
+    sample without replacement.  Using the md5-derived uniform makes
+    the draw reproducible across engines and reruns (no seed state on
+    executors).  One row_number window per stratum — the same shape as
+    ``stratified_sample_exact``, so it scales identically (spread
+    strata keys; no global sort).
+
+    Rows with non-positive or NULL weight are excluded.  Returns the
+    input row ids with their stratum and rank.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    strat = [stratify_col] if stratify_col else []
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(16**13))
+    )
+    scored = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(
+            *strat,
+            F.col(id_col),
+            (F.log(u) / F.col(weight_col).cast("double")).alias("__k"),
+        )
+    )
+    w = Window.partitionBy(*strat).orderBy(F.col("__k").desc(), F.col(id_col).asc())
+    return (
+        scored.select(
+            *strat, F.col(id_col), F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= n)
+        .select(*strat, id_col, F.col("rank").cast("bigint").alias("rank"))
+    )

@@ -259,3 +259,60 @@ def scd2_intervals(
             "valid_to",
         )
     )
+
+
+def ema(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    alpha: float = 0.2,
+    tiebreak_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exponential moving average per key over the time-ordered value
+    stream: ``ema_1 = v_1``, ``ema_i = (1-alpha)*ema_{i-1} + alpha*v_i``.
+
+    A sequential recurrence is the one shape Spark's built-in operators
+    genuinely cannot express (window functions have no running state
+    that feeds back), so this is the honest ``applyInPandas`` case: one
+    shuffle groups each key's events, and the recurrence runs inside an
+    Arrow batch.  The per-key loop keeps the EXACT IEEE evaluation
+    order ``(1-alpha)*prev + alpha*v`` so any engine replaying the same
+    recurrence (e.g. a SQL recursive CTE) reproduces it bit-for-bit
+    before rounding.  Per-key history must fit an Arrow batch — the
+    same bound every keyed stateful operator carries.
+
+    Returns ``(key, ts, value, ema)`` with ema rounded to ``round_to``.
+    """
+    import pandas as pd
+
+    cols = [key_col, ts_col, value_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
+    src = events.select(*[F.col(c) for c in cols])
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    out_fields = src.schema[key_col].dataType.simpleString()
+    ts_t = src.schema[ts_col].dataType.simpleString()
+    v_t = src.schema[value_col].dataType.simpleString()
+    schema = (
+        f"{key_col} {out_fields}, {ts_col} {ts_t}, "
+        f"{value_col} {v_t}, ema double"
+    )
+    a = float(alpha)
+    b = 1.0 - a
+    nd = int(round_to)
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        vals = pdf[value_col].to_list()
+        out = []
+        acc = None
+        for v in vals:
+            acc = float(v) if acc is None else b * acc + a * float(v)
+            out.append(round(acc, nd))
+        pdf = pdf.assign(ema=out)
+        return pdf[[key_col, ts_col, value_col, "ema"]]
+
+    return src.groupBy(key_col).applyInPandas(fold, schema)

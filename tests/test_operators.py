@@ -752,3 +752,91 @@ def test_bm25_topk_ranking(spark):
     assert [r["doc_id"] for r in rows][0] == 4
     assert 3 not in {r["doc_id"] for r in rows}
     assert all(rows[i]["score"] >= rows[i + 1]["score"] for i in range(len(rows) - 1))
+
+
+def test_apply_cdc_merge_semantics(spark):
+    from etielle_spark.operators.cdc import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, name string, amt double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "U", "a1", 11.0),
+            (1, 2, "U", "a2", 12.0),   # later seq wins
+            (2, 1, "D", None, None),   # delete
+            (4, 1, "I", "d", 40.0),    # insert new key
+            (5, 1, "U", "e", 50.0),    # update-for-missing -> upsert
+            (3, 7, "U", "zzz", 99.0),
+            (3, 7, "D", None, None),   # seq tie: delete wins
+        ],
+        "k int, seq int, op string, name string, amt double",
+    )
+    out = {
+        r["k"]: (r["name"], r["amt"])
+        for r in apply_cdc(
+            base, changes, ["k"], "seq", "op", ["name", "amt"]
+        ).collect()
+    }
+    assert out == {1: ("a2", 12.0), 4: ("d", 40.0), 5: ("e", 50.0)}
+
+
+def test_weighted_sample_determinism_and_bias(spark):
+    from etielle_spark.operators.clusters import weighted_sample
+
+    rows = [(i, "s" if i < 50 else "t", 1000.0 if i % 10 == 0 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, grp string, w double")
+    a = weighted_sample(df, "id", "w", n=5, stratify_col="grp").collect()
+    b = weighted_sample(df, "id", "w", n=5, stratify_col="grp").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    assert len([r for r in a if r["grp"] == "s"]) == 5
+    assert len([r for r in a if r["grp"] == "t"]) == 5
+    # heavy weights (w=1000, 10% of rows) should dominate the sample
+    heavy = [r for r in a if r["id"] % 10 == 0]
+    assert len(heavy) >= 6
+    # zero/negative/null weights excluded entirely
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, None), (4, 5.0)], "id int, w double"
+    )
+    only = weighted_sample(df2, "id", "w", n=10).collect()
+    assert [r["id"] for r in only] == [4]
+
+
+def test_ema_recurrence(spark):
+    from datetime import datetime
+
+    from etielle_spark.operators.events import ema
+
+    T = datetime
+    ev = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 10, 0, 0), 10.0, 1),
+            (1, T(2024, 1, 1, 11, 0, 0), 20.0, 2),
+            (1, T(2024, 1, 1, 12, 0, 0), 30.0, 3),
+            (2, T(2024, 1, 1, 10, 0, 0), 5.0, 4),
+        ],
+        "user_id int, ts timestamp, value double, event_id int",
+    )
+    out = ema(ev, "user_id", "ts", "value", alpha=0.2, tiebreak_col="event_id")
+    got = {(r["user_id"], r["ts"]): r["ema"] for r in out.collect()}
+    assert got[(1, T(2024, 1, 1, 10, 0, 0))] == 10.0
+    assert abs(got[(1, T(2024, 1, 1, 11, 0, 0))] - (0.8 * 10 + 0.2 * 20)) < 1e-9
+    e2 = 0.8 * 10 + 0.2 * 20
+    assert abs(got[(1, T(2024, 1, 1, 12, 0, 0))] - round(0.8 * e2 + 0.2 * 30, 6)) < 1e-9
+    assert got[(2, T(2024, 1, 1, 10, 0, 0))] == 5.0
+
+
+def test_pagerank_star_graph(spark):
+    from etielle_spark.operators.graph import pagerank
+
+    # undirected star: hub 0 connected to 1..4 (both edge directions)
+    edges = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    out = {r["node"]: r["rank"] for r in pagerank(df, "src", "dst", iterations=2).collect()}
+    assert len(out) == 5
+    # hub must outrank every leaf; leaves symmetric
+    assert all(out[0] > out[i] for i in range(1, 5))
+    assert len({out[i] for i in range(1, 5)}) == 1
+    # normalized: mean rank == 1
+    assert abs(sum(out.values()) / 5 - 1.0) < 1e-9
