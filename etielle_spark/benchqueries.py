@@ -3276,3 +3276,181 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     return pagerank(edges, "src", "dst", iterations=2, damping=0.85)
+
+
+@q(
+    "q90_minhash_jaccard_estimate",
+    f"""
+    WITH all_docs AS ({_DOCS_PLUS_CLONES}),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM all_docs),
+    sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM toks),
+    mins AS (
+      SELECT doc_id,
+             min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+             min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+             min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+             min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS b, md5(h0 || '|' || h1) AS d FROM mins UNION ALL
+      SELECT doc_id, 1 AS b, md5(h2 || '|' || h3) AS d FROM mins UNION ALL
+      SELECT doc_id, 2 AS b, md5(h4 || '|' || h5) AS d FROM mins UNION ALL
+      SELECT doc_id, 3 AS b, md5(h6 || '|' || h7) AS d FROM mins
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.b = r.b AND l.d = r.d AND l.doc_id < r.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(((a.h0 = b.h0)::INT + (a.h1 = b.h1)::INT + (a.h2 = b.h2)::INT
+                + (a.h3 = b.h3)::INT + (a.h4 = b.h4)::INT + (a.h5 = b.h5)::INT
+                + (a.h6 = b.h6)::INT + (a.h7 = b.h7)::INT) / 8.0, 6) AS est_jaccard
+    FROM cand c
+    JOIN mins a ON c.id_a = a.doc_id
+    JOIN mins b ON c.id_b = b.doc_id
+    """,
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-only Jaccard estimation for LSH candidates
+    (operators/dedup.py: minhash_jaccard_estimate) — the scale
+    replacement for exact shingle-join verification: scores from
+    signature agreement, never re-reading document text."""
+    from .operators.dedup import minhash_jaccard_estimate
+
+    return minhash_jaccard_estimate(
+        _docs_plus_clones(spark, sf_dir), "doc_id", "text",
+        num_hashes=8, bands=4,
+    )
+
+
+@q(
+    "q91_bigram_nll",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+      FROM toks WHERE len(t) >= 2
+    ),
+    vocab AS (SELECT bg, count(*) AS c2 FROM grams GROUP BY bg),
+    ctx AS (
+      SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1
+      FROM vocab GROUP BY 1
+    )
+    SELECT g.doc_id, count(*)::BIGINT AS n_bigrams,
+           round(avg(-ln(v.c2::DOUBLE / x.c1)), 6) AS nll
+    FROM grams g
+    JOIN vocab v ON g.bg = v.bg
+    JOIN ctx x ON string_split(g.bg, ' ')[1] = x.w1
+    GROUP BY g.doc_id
+    """,
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM corpus-fit quality score (operators/text.py:
+    bigram_nll): mean -ln P(w2|w1) per document; context totals folded
+    from the bigram vocabulary, no second corpus pass."""
+    from .operators.text import bigram_nll
+
+    return bigram_nll(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q(
+    "q92_bpe_pretokenize",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+'))::BIGINT
+             AS n_pretokens,
+           len(list_distinct(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+')))::BIGINT
+             AS n_distinct_pretokens
+    FROM documents
+    """,
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE pre-tokenizer span statistics (operators/text.py:
+    bpe_pretokenize_stats): portable GPT-2-style span split, one
+    regexp_extract_all per row, shuffle-free."""
+    from .operators.text import bpe_pretokenize_stats
+
+    return bpe_pretokenize_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q(
+    "q93_zscore_normalize",
+    """
+    WITH ex AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT dim, avg(v) AS m, avg(v * v) AS sq FROM ex GROUP BY dim
+    )
+    SELECT ex.vec_id, ex.dim::BIGINT AS dim, round(ex.v, 6) AS value,
+           round(CASE WHEN sqrt(greatest(sq - m * m, 0)) > 0
+                      THEN (ex.v - m) / sqrt(greatest(sq - m * m, 0))
+                      ELSE 0.0 END, 6) AS zscore
+    FROM ex JOIN stats ON ex.dim = stats.dim
+    """,
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score normalization of embeddings
+    (operators/similarity.py: zscore_normalize): population mean/std
+    from one tiny dim-keyed aggregation, broadcast back — corpus read
+    once, long-format output."""
+    from .operators.similarity import zscore_normalize
+
+    return zscore_normalize(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
+@q(
+    "q94_profile_orders",
+    """
+    SELECT 'o_orderkey' AS column, 'bigint' AS dtype, count(*)::BIGINT AS n_rows,
+           (count(*) - count(o_orderkey))::BIGINT AS n_null,
+           count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+           round(min(o_orderkey)::DOUBLE, 4) AS min_num,
+           round(max(o_orderkey)::DOUBLE, 4) AS max_num,
+           NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', 'bigint', count(*)::BIGINT,
+           (count(*) - count(o_custkey))::BIGINT, count(DISTINCT o_custkey)::BIGINT,
+           round(min(o_custkey)::DOUBLE, 4), round(max(o_custkey)::DOUBLE, 4),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', 'string', count(*)::BIGINT,
+           (count(*) - count(o_orderstatus))::BIGINT,
+           count(DISTINCT o_orderstatus)::BIGINT,
+           NULL, NULL, min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', 'double', count(*)::BIGINT,
+           (count(*) - count(o_totalprice))::BIGINT,
+           count(DISTINCT o_totalprice)::BIGINT,
+           round(min(o_totalprice), 4), round(max(o_totalprice), 4), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', 'timestamp_ntz', count(*)::BIGINT,
+           (count(*) - count(o_orderdate))::BIGINT,
+           count(DISTINCT o_orderdate)::BIGINT,
+           round(epoch(min(o_orderdate))::DOUBLE, 4),
+           round(epoch(max(o_orderdate))::DOUBLE, 4), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', 'string', count(*)::BIGINT,
+           (count(*) - count(o_orderpriority))::BIGINT,
+           count(DISTINCT o_orderpriority)::BIGINT,
+           NULL, NULL, min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profiling (operators/profile.py:
+    profile_table) of the orders snapshot: per-column nulls, exact
+    distincts, typed min/max — the schema-drift gate before
+    processing."""
+    from .operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders"))

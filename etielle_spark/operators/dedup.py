@@ -340,3 +340,62 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32) -> Dat
             ).alias("simhash")
         )
     )
+
+
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_est: float | None = None,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Estimated Jaccard similarity for LSH candidate pairs, from
+    signature agreement alone: ``est = matching positions / num_hashes``.
+
+    This is the step a 100 TB dedup pipeline runs INSTEAD of the exact
+    shingle-join verification (`jaccard_pairs`) when the MinHash error
+    bar (~1/sqrt(num_hashes)) is acceptable: the signatures are already
+    computed for banding, so scoring costs only two joins against the
+    tiny (id, signature) frame — the document texts are never touched
+    again.  The estimate is an exact multiple of 1/num_hashes, so a
+    ``min_est`` threshold is engine-stable.
+
+    Returns ``(id_a, id_b, est_jaccard)`` for candidate pairs (filtered
+    to ``est >= min_est`` when given).
+    """
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+    )
+    from pyspark import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    cand = lsh_candidate_pairs(
+        df, id_col, text_col,
+        n=n, num_hashes=num_hashes, bands=bands, signatures=sig,
+    )
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("__sa"))
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("__sb"))
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    out = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(matches.cast("double") / num_hashes, 6).alias("est_jaccard"),
+        )
+    )
+    if min_est is not None:
+        out = out.filter(F.col("est_jaccard") >= float(min_est))
+    return out

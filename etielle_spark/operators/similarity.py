@@ -352,3 +352,48 @@ def kmeans_iteration(
     return members.join(new_centroids, "cell").select(
         "cell", "n_members", "centroid"
     )
+
+
+def zscore_normalize(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-dimension z-score normalization of an embedding column — the
+    feature-scaling pass before clustering / ANN indexing.
+
+    One posexplode + one TINY aggregation (rows = embedding dims, not
+    corpus size) computes population mean/std per dimension; the stats
+    frame broadcasts into the normalize join, so the corpus is read
+    once and never reshuffled.  Constant dimensions (std = 0) normalize
+    to 0.  Emits long format ``(id, dim, value, zscore)`` — the shape
+    downstream per-dimension ops consume; ``groupBy(id).agg(
+    array_sort(collect_list(struct(dim, zscore))))`` rebuilds vectors.
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "__v"),
+    ).select(F.col(id_col), F.col("dim"), F.col("__v").cast("double").alias("__v"))
+    stats = ex.groupBy("dim").agg(
+        F.avg("__v").alias("__mean"),
+        F.avg(F.col("__v") * F.col("__v")).alias("__sq"),
+    )
+    std = F.sqrt(
+        F.greatest(F.col("__sq") - F.col("__mean") * F.col("__mean"), F.lit(0.0))
+    )
+    return (
+        ex.join(F.broadcast(stats), "dim")
+        .select(
+            F.col(id_col),
+            F.col("dim").cast("bigint").alias("dim"),
+            F.round("__v", round_to).alias("value"),
+            F.round(
+                F.when(std > 0, (F.col("__v") - F.col("__mean")) / std).otherwise(
+                    F.lit(0.0)
+                ),
+                round_to,
+            ).alias("zscore"),
+        )
+    )

@@ -505,3 +505,72 @@ def token_entropy(
             ).alias("entropy"),
         )
     )
+
+
+def bigram_nll(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Bigram-LM quality score: mean negative log conditional
+    probability ``-ln(c(w1 w2) / c(w1 ·))`` of each document's bigrams
+    under counts fit on the corpus itself — one order up from
+    ``unigram_nll``, the next-cheapest KenLM stand-in.
+
+    Same distributed shape as the unigram pass: bigram explode ->
+    vocabulary count (one row per bigram TYPE crosses the shuffle),
+    context totals folded from the bigram counts (no second corpus
+    pass), then a join back and per-document average.  Documents with
+    fewer than two tokens are absent.
+
+    Returns ``(id, n_bigrams, nll)``.
+    """
+    from .dedup import tokens_col
+
+    toks = tokens_col(F.col(text_col))
+    grams = df.select(
+        F.col(id_col), F.explode(ngrams_all(toks, 2)).alias("bg")
+    )
+    vocab = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = vocab.groupBy(
+        F.split(F.col("bg"), " ").getItem(0).alias("w1")
+    ).agg(F.sum("c2").alias("c1"))
+    return (
+        grams.join(vocab, "bg")
+        .join(ctx, F.split(F.col("bg"), " ").getItem(0) == F.col("w1"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.avg(-F.log(F.col("c2").cast("double") / F.col("c1"))),
+                round_to,
+            ).alias("nll"),
+        )
+    )
+
+
+# Portable approximation of the GPT-2 pre-tokenizer: letter runs, digit
+# runs, and punctuation runs, each optionally preceded by one space.
+# (The original's contraction cases and lookahead whitespace rule need
+# regex features RE2-family engines lack; this keeps the split points
+# engines agree on.)
+BPE_PRETOKEN_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+def bpe_pretokenize_stats(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Pre-tokenizer statistics: the number of BPE pre-token spans (the
+    unit a subword tokenizer then splits) and distinct spans per
+    document — the accurate version of the chars/4 token estimate.
+    One regexp_extract_all per row, no shuffle."""
+    spans = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(BPE_PRETOKEN_PATTERN), F.lit(0)
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(spans).cast("bigint").alias("n_pretokens"),
+        F.size(F.array_distinct(spans)).cast("bigint").alias("n_distinct_pretokens"),
+    )

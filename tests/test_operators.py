@@ -840,3 +840,105 @@ def test_pagerank_star_graph(spark):
     assert len({out[i] for i in range(1, 5)}) == 1
     # normalized: mean rank == 1
     assert abs(sum(out.values()) / 5 - 1.0) < 1e-9
+
+
+def test_minhash_jaccard_estimate(spark, docs):
+    from etielle_spark.operators.dedup import minhash_jaccard_estimate
+
+    clones = docs.limit(4).withColumn("doc_id", F.col("doc_id") + 100000)
+    all_docs = docs.union(clones)
+    out = minhash_jaccard_estimate(
+        all_docs, "doc_id", "text", num_hashes=8, bands=4
+    ).collect()
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in out}
+    # exact clones agree on every hash -> estimate 1.0
+    for r in docs.limit(4).collect():
+        assert est[(r["doc_id"], r["doc_id"] + 100000)] == 1.0
+    # every estimate is a multiple of 1/8
+    assert all(abs(v * 8 - round(v * 8)) < 1e-9 for v in est.values())
+    # threshold filter keeps only high-agreement pairs
+    hi = minhash_jaccard_estimate(
+        all_docs, "doc_id", "text", num_hashes=8, bands=4, min_est=0.9
+    ).collect()
+    assert all(r["est_jaccard"] >= 0.9 for r in hi)
+
+
+def test_bigram_nll_repetition_signal(spark):
+    from etielle_spark.operators.text import bigram_nll
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),           # 'a' almost always followed by 'b'
+            (2, "a c a d a e"),           # 'a' followed by rare continuations
+            (3, "x"),                     # too short: absent
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_nll(df, "doc_id", "text").collect()}
+    assert 3 not in out
+    assert out[1]["n_bigrams"] == 5 and out[2]["n_bigrams"] == 5
+    # predictable continuations -> lower NLL than rare ones
+    assert out[1]["nll"] < out[2]["nll"]
+    # exact: ctx(a)=6 corpus-wide; doc1 = 3*(-ln(3/6))/5, 'b a' is certain
+    assert abs(out[1]["nll"] - round(3 * math.log(2) / 5, 6)) < 1e-6
+
+
+def test_bpe_pretokenize_stats(spark):
+    from etielle_spark.operators.text import bpe_pretokenize_stats
+
+    df = spark.createDataFrame(
+        [(1, "hello world42 !!"), (2, "aa aa aa")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in bpe_pretokenize_stats(df, "doc_id", "text").collect()}
+    # 'hello', ' world', '42', ' !!' -> 4 spans
+    assert out[1]["n_pretokens"] == 4
+    assert out[2]["n_pretokens"] == 3          # 'aa', ' aa', ' aa'
+    assert out[2]["n_distinct_pretokens"] == 2  # 'aa' and ' aa'
+
+
+def test_zscore_normalize(spark):
+    from etielle_spark.operators.similarity import zscore_normalize
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [3.0, 5.0]), (3, [5.0, 5.0])],
+        "vec_id int, embedding array<float>",
+    )
+    out = zscore_normalize(df, "vec_id", "embedding").collect()
+    d0 = {r["vec_id"]: r["zscore"] for r in out if r["dim"] == 0}
+    # dim 0: mean 3, population std sqrt(8/3)
+    import math as m
+    s = m.sqrt(8.0 / 3.0)
+    assert abs(d0[1] - round(-2 / s, 6)) < 1e-6
+    assert abs(d0[2] - 0.0) < 1e-9
+    assert abs(d0[3] - round(2 / s, 6)) < 1e-6
+    # constant dimension -> all zeros, not NaN/inf
+    d1 = [r["zscore"] for r in out if r["dim"] == 1]
+    assert d1 == [0.0, 0.0, 0.0]
+
+
+def test_profile_table(spark):
+    from datetime import datetime
+
+    from etielle_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "x", 1.5, datetime(2024, 1, 1)),
+            (2, None, 2.5, datetime(2024, 6, 1)),
+            (2, "y", None, None),
+        ],
+        "k int, s string, v double, t timestamp",
+    )
+    out = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(out) == {"k", "s", "v", "t"}
+    k = out["k"]
+    assert (k["n_rows"], k["n_null"], k["n_distinct"]) == (3, 0, 2)
+    assert (k["min_num"], k["max_num"]) == (1.0, 2.0)
+    s = out["s"]
+    assert (s["n_null"], s["n_distinct"], s["min_str"], s["max_str"]) == (1, 2, "x", "y")
+    assert s["min_num"] is None
+    v = out["v"]
+    assert (v["n_null"], v["min_num"], v["max_num"]) == (1, 1.5, 2.5)
+    t = out["t"]
+    assert t["n_null"] == 1 and t["min_num"] == 1704067200.0

@@ -52,7 +52,11 @@ def lint(name: str, plan: str) -> dict:
     # aggregated, partition-count-sized) rows through one task; each such
     # rollup contributes a partial+final "HashAggregate(keys=[]" pair and
     # exactly one SinglePartition exchange.  Flag only the excess.
-    global_aggs = plan.count("HashAggregate(keys=[]") // 2
+    global_aggs = (
+        plan.count("HashAggregate(keys=[]")
+        + plan.count("ObjectHashAggregate(keys=[]")
+        + plan.count("SortAggregate(key=[]")
+    ) // 2
     sp = plan.count("Exchange SinglePartition")
     if sp > global_aggs:
         flags["single_partition"] = sp
