@@ -298,14 +298,27 @@ def streaming_incremental_dedup(spark) -> float:
 
 
 def main() -> None:
+    from pyspark.sql import functions as F
+
     from etielle_spark.benchqueries import QUERIES
     from etielle_spark.session import get_spark
 
     spark = get_spark("etielle-spark-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up the JVM + file index so per-query numbers measure the queries
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warm up the JVM + file index so per-query numbers measure the queries,
+    # not first-use codegen compilation: one scan + one join/agg/window pass
+    # through the same physical operators the headline queries use
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li.join(od, li.l_orderkey == od.o_orderkey).groupBy("l_returnflag").count().count()
+    from pyspark.sql import Window as _W
+
+    od.select(
+        F.row_number()
+        .over(_W.partitionBy("o_custkey").orderBy("o_orderkey"))
+        .alias("rn")
+    ).filter(F.col("rn") <= 1).count()
 
     times: dict[str, float] = {}
     total = 0.0

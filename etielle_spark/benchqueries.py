@@ -3454,3 +3454,205 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.profile import profile_table
 
     return profile_table(_t(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Web-corpus curation (operators/web.py)
+
+_HTML_SYNTH_SQL = (
+    "'<html><head><style>p{color:red}</style></head><body><h1>Doc &amp; ' || lang"
+    " || '</h1><p>' || text || '</p>"
+    "<script type=\"text/javascript\">var x = 1 < 2;</script></body></html>'"
+)
+
+
+def _html_synth_col():
+    """Deterministic HTML wrapper around each document (same construction
+    as the oracle's _HTML_SYNTH_SQL) — script/style blocks, entities, and
+    tags around the real text."""
+    return F.concat(
+        F.lit("<html><head><style>p{color:red}</style></head><body><h1>Doc &amp; "),
+        F.col("lang"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit('</p><script type="text/javascript">var x = 1 < 2;</script>'
+              "</body></html>"),
+    )
+
+
+@q(
+    "q95_html_to_text",
+    r"""
+    WITH h AS (
+      SELECT doc_id, """ + _HTML_SYNTH_SQL + r""" AS html FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id, regexp_replace(
+        html, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t
+      FROM h
+    ),
+    s2 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s1),
+    s3 AS (
+      SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(
+               t, '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', '''') AS t
+      FROM s2
+    )
+    SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text FROM s3
+    """,
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-to-text extraction (operators/web.py: html_to_text): strip
+    script/style blocks and tags, decode common entities, collapse
+    whitespace — one codegen'd regexp chain per row, shuffle-free.  Input
+    is the documents table wrapped in a deterministic HTML shell so the
+    oracle can rebuild byte-identical input."""
+    from .operators.web import html_to_text
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _html_synth_col().alias("html")
+    )
+    return html_to_text(docs, "doc_id", "html")
+
+
+@q(
+    "q96_charset_profile",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             text || ' ' ||
+             (['привет','中文テキスト','مرحبا','plain'])[(doc_id % 4) + 1] AS t
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, length(t) AS n,
+        length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS c_latin,
+        length(regexp_replace(t, '[^0-9]', '', 'g')) AS c_digit,
+        length(regexp_replace(t, '[^\x{0400}-\x{04FF}]', '', 'g')) AS c_cyr,
+        length(regexp_replace(t, '[^\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g'))
+          AS c_cjk,
+        length(regexp_replace(t, '[^\x{0600}-\x{06FF}]', '', 'g')) AS c_ar,
+        length(regexp_replace(t, '[^\s]', '', 'g')) AS c_sp
+      FROM s
+    )
+    SELECT doc_id, n::BIGINT AS n_chars,
+      round(c_latin::DOUBLE / n, 6) AS latin_frac,
+      round(c_digit::DOUBLE / n, 6) AS digit_frac,
+      round(c_cyr::DOUBLE / n, 6) AS cyrillic_frac,
+      round(c_cjk::DOUBLE / n, 6) AS cjk_frac,
+      round(c_ar::DOUBLE / n, 6) AS arabic_frac,
+      round(c_sp::DOUBLE / n, 6) AS space_frac,
+      round((n - c_latin - c_digit - c_cyr - c_cjk - c_ar - c_sp)::DOUBLE / n, 6)
+        AS other_frac
+    FROM c
+    """,
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-set / script profiling (operators/web.py:
+    charset_profile): per-document fractions of Latin, digit, Cyrillic,
+    CJK, Arabic, whitespace, other — the mojibake/garbage gate.  Input is
+    salted with deterministic non-ASCII suffixes so every class exercises
+    real code points."""
+    from .operators.web import charset_profile
+
+    salts = ["привет", "中文テキスト", "مرحبا", "plain"]
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.element_at(
+                F.array(*[F.lit(s) for s in salts]),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+        ).alias("t"),
+    )
+    return charset_profile(docs, "doc_id", "t")
+
+
+_URL_SYNTH_SQL = (
+    "(CASE doc_id % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'http' ELSE 'ftp' END)"
+    " || '://www.' || source || '-site.org/docs/' || doc_id"
+    " || (CASE WHEN doc_id % 2 = 0 THEN '?ref=' || lang ELSE '' END)"
+)
+
+
+def _url_synth_col():
+    return F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("https"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("http"))
+        .otherwise(F.lit("ftp")),
+        F.lit("://www."),
+        F.col("source"),
+        F.lit("-site.org/docs/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.lit("?ref="), F.col("lang"))
+        ).otherwise(F.lit("")),
+    )
+
+
+@q(
+    "q97_url_parts",
+    r"""
+    WITH u AS (SELECT doc_id, """ + _URL_SYNTH_SQL + r""" AS url FROM documents),
+    p AS (
+      SELECT doc_id,
+        regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+        regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+        regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+      FROM u
+    )
+    SELECT doc_id, scheme, host,
+           regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS registered_domain,
+           path
+    FROM p
+    """,
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition (operators/web.py: url_parts): scheme, host,
+    registered domain (last two labels), path — regexp_extract
+    expressions shared verbatim with the oracle."""
+    from .operators.web import url_parts
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _url_synth_col().alias("url")
+    )
+    return url_parts(docs, "doc_id", "url")
+
+
+@q(
+    "q98_domain_cap",
+    r"""
+    WITH u AS (SELECT doc_id, """ + _URL_SYNTH_SQL + r""" AS url FROM documents),
+    d AS (
+      SELECT doc_id,
+        regexp_extract(
+          regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+          '([^.]+\.[^.]+)$', 1) AS registered_domain
+      FROM u
+    ),
+    r AS (
+      SELECT doc_id, registered_domain,
+             row_number() OVER (
+               PARTITION BY registered_domain
+               ORDER BY md5(doc_id::VARCHAR), doc_id)::BIGINT AS domain_rank
+      FROM d
+    )
+    SELECT doc_id, registered_domain, domain_rank FROM r WHERE domain_rank <= 20
+    """,
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency cap (operators/web.py: cap_per_domain): keep
+    at most 20 documents per registered domain in deterministic md5
+    order — the Common-Crawl-style anti-spam / diversity gate.  One
+    shuffle on the domain key; zipfian domains are AQE-split."""
+    from .operators.web import cap_per_domain
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _url_synth_col().alias("url")
+    )
+    return cap_per_domain(docs, "doc_id", "url", cap=20).select(
+        "doc_id", "registered_domain", "domain_rank"
+    )

@@ -1,0 +1,157 @@
+"""Web-corpus curation operators: HTML-to-text extraction, character-set
+profiling, URL parsing, and per-domain frequency caps.
+
+These are the first stages of a Common-Crawl-style pretraining pipeline
+(reference scope: the engine's per-document transform pass — see
+SURVEY.md §2.3/§6; the reference has no web layer, this is the
+Spark-native extension the task brief asks for).  Everything here is a
+pure column-expression pass (regexp_replace / regexp_extract chains,
+whole-stage codegen) except ``cap_per_domain``, which needs exactly one
+shuffle on the domain key.
+
+Cross-engine notes (queries are oracle-checked against DuckDB): all
+regexes stay inside the RE2 ∩ java.util.regex dialect — character
+classes with ``\\x{...}`` ranges, ``(?s)`` dotall, non-greedy ``.*?``;
+no backreferences, no lookaround.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# Tag-stripping patterns, applied in order.  script/style bodies drop
+# entirely (their text is code, not content); remaining tags become a
+# space so adjacent words don't fuse ("</p><p>" -> " ").
+_BLOCK_PAT = r"(?s)<(script|style)[^>]*>.*?</(script|style)>"
+_TAG_PAT = r"<[^>]*>"
+
+# Minimal named-entity map (the ones that matter for text statistics);
+# numeric entities are handled separately.
+_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+]
+
+
+def html_text_col(html: Column) -> Column:
+    """Visible-text extraction as one codegen'd expression chain."""
+    t = F.regexp_replace(html, _BLOCK_PAT, " ")
+    t = F.regexp_replace(t, _TAG_PAT, " ")
+    for ent, rep in _ENTITIES:
+        t = F.regexp_replace(t, ent, rep)
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def html_to_text(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """(id, text): strip script/style blocks and tags, decode the common
+    entities, collapse whitespace.  One scan pass, no shuffle; at 100 TB
+    this pipelines into the same stage as tokenization/quality scoring."""
+    return df.select(F.col(id_col), html_text_col(F.col(html_col)).alias("text"))
+
+
+# Character classes for script profiling.  Explicit code-point ranges —
+# identical semantics in java.util.regex and RE2 (DuckDB), unlike the
+# \p{Script} syntaxes which differ between the two engines.
+SCRIPT_CLASSES: list[tuple[str, str]] = [
+    ("latin", r"A-Za-z"),
+    ("digit", r"0-9"),
+    ("cyrillic", r"\x{0400}-\x{04FF}"),
+    ("cjk", r"\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}"),
+    ("arabic", r"\x{0600}-\x{06FF}"),
+    ("space", r"\s"),
+]
+
+
+def charset_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document character-class fractions: what share of the
+    characters are Latin letters, digits, Cyrillic, CJK, Arabic,
+    whitespace, or other.  The classic script/garbage gate before
+    language-specific processing (mojibake and binary-in-text documents
+    show up as high ``other_frac``).
+
+    Each class count is ``length(regexp_replace(text, '[^class]', ''))``
+    — a per-row expression, no shuffle, runs in the scan stage.
+
+    Returns ``(id, n_chars, <class>_frac ..., other_frac)``.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    cols: list[Column] = [F.col(id_col), n.cast("bigint").alias("n_chars")]
+    counted = F.lit(0)
+    for name, cls in SCRIPT_CLASSES:
+        c = F.length(F.regexp_replace(t, f"[^{cls}]", ""))
+        counted = counted + c
+        cols.append(
+            F.round(F.when(n > 0, c.cast("double") / n).otherwise(F.lit(0.0)), 6)
+            .alias(f"{name}_frac")
+        )
+    cols.append(
+        F.round(
+            F.when(n > 0, (n - counted).cast("double") / n).otherwise(F.lit(0.0)), 6
+        ).alias("other_frac")
+    )
+    return df.select(*cols)
+
+
+_HOST_PAT = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+_SCHEME_PAT = r"^([a-z][a-z0-9+.-]*)://"
+_PATH_PAT = r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
+_REG_DOMAIN_PAT = r"([^.]+\.[^.]+)$"
+
+
+def url_parts(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """(id, scheme, host, registered_domain, path): URL decomposition as
+    regexp_extract expressions (both engines' regexp_extract take a
+    group index, so the oracle reproduces this verbatim).  The
+    registered domain is the last two host labels — the grouping key for
+    per-site statistics and caps."""
+    u = F.col(url_col)
+    host = F.regexp_extract(u, _HOST_PAT, 1)
+    return df.select(
+        F.col(id_col),
+        F.regexp_extract(u, _SCHEME_PAT, 1).alias("scheme"),
+        host.alias("host"),
+        F.regexp_extract(host, _REG_DOMAIN_PAT, 1).alias("registered_domain"),
+        F.regexp_extract(u, _PATH_PAT, 1).alias("path"),
+    )
+
+
+def cap_per_domain(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    *,
+    cap: int,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per registered domain, chosen by a
+    deterministic md5 order (reproducible across engines/runs — not
+    arrival order, which is partitioning-dependent).
+
+    One shuffle on the domain key; rank within domain via a window.  At
+    100 TB the domain distribution is zipfian — AQE's skew handling
+    splits the giant domains' partitions, and the window only needs each
+    domain's rows together, which is exactly what the shuffle provides.
+    Hot-domain rows beyond ``cap`` could also be pre-pruned with a
+    count-min pass, but a single window over the domain shuffle is the
+    plan Spark executes well.
+
+    Returns the surviving rows of ``df`` plus ``registered_domain`` and
+    ``domain_rank`` (1-based).
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    host = F.regexp_extract(F.col(url_col), _HOST_PAT, 1)
+    dom = F.regexp_extract(host, _REG_DOMAIN_PAT, 1)
+    w = Window.partitionBy("registered_domain").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("registered_domain", dom)
+        .withColumn("domain_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("domain_rank") <= cap)
+    )

@@ -942,3 +942,90 @@ def test_profile_table(spark):
     assert (v["n_null"], v["min_num"], v["max_num"]) == (1, 1.5, 2.5)
     t = out["t"]
     assert t["n_null"] == 1 and t["min_num"] == 1704067200.0
+
+
+def test_html_to_text_strips_blocks_entities_whitespace(spark):
+    from etielle_spark.operators.web import html_to_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "<html><body><h1>A &amp; B</h1><p>hi  there</p>"
+                "<script>var x = 1 < 2;</script></body></html>"),
+            (2, "<style>p {color: red}</style>plain &lt;text&gt;&nbsp;here"),
+            (3, "no markup at all"),
+            (4, "<p>multi</p>\n\n<p>line</p>"),
+        ],
+        ["id", "html"],
+    )
+    out = {r["id"]: r["text"] for r in html_to_text(df, "id", "html").collect()}
+    assert out[1] == "A & B hi there"
+    assert out[2] == "plain <text> here"
+    assert out[3] == "no markup at all"
+    assert out[4] == "multi line"
+
+
+def test_charset_profile_fractions(spark):
+    from etielle_spark.operators.web import charset_profile
+
+    df = spark.createDataFrame(
+        [(1, "ab12"), (2, "привет"), (3, "中文"), (4, ""), (5, "a б 中 ؟!")],
+        ["id", "t"],
+    )
+    rows = {r["id"]: r for r in charset_profile(df, "id", "t").collect()}
+    assert rows[1]["latin_frac"] == 0.5 and rows[1]["digit_frac"] == 0.5
+    assert rows[2]["cyrillic_frac"] == 1.0
+    assert rows[3]["cjk_frac"] == 1.0
+    assert rows[4]["n_chars"] == 0 and rows[4]["other_frac"] == 0.0
+    r5 = rows[5]
+    assert r5["n_chars"] == 8
+    assert r5["latin_frac"] == round(1 / 8, 6)
+    assert r5["space_frac"] == round(3 / 8, 6)
+    # '؟' is U+061F (arabic); '!' falls into other
+    assert r5["arabic_frac"] == round(1 / 8, 6)
+    assert r5["other_frac"] == round(1 / 8, 6)
+    # fractions partition the document: they sum to 1
+    total = sum(
+        r5[c] for c in r5.asDict() if c.endswith("_frac")
+    )
+    assert abs(total - 1.0) < 1e-5
+
+
+def test_url_parts_and_domain_cap(spark):
+    from etielle_spark.operators.web import cap_per_domain, url_parts
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.a.example.org/x/y?q=1#frag"),
+            (2, "http://b.net"),
+            (3, "not a url"),
+        ],
+        ["id", "url"],
+    )
+    parts = {r["id"]: r for r in url_parts(df, "id", "url").collect()}
+    assert parts[1]["scheme"] == "https"
+    assert parts[1]["host"] == "www.a.example.org"
+    assert parts[1]["registered_domain"] == "example.org"
+    assert parts[1]["path"] == "/x/y"
+    assert parts[2]["host"] == "b.net" and parts[2]["path"] == ""
+    assert parts[3]["scheme"] == "" and parts[3]["host"] == ""
+
+    many = spark.range(100).select(
+        F.col("id"),
+        F.concat(
+            F.lit("https://www.dom"),
+            (F.col("id") % 3).cast("string"),
+            F.lit(".com/p/"),
+            F.col("id").cast("string"),
+        ).alias("url"),
+    )
+    kept = cap_per_domain(many, "id", "url", cap=10)
+    counts = {
+        r["registered_domain"]: r["n"]
+        for r in kept.groupBy("registered_domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"dom0.com", "dom1.com", "dom2.com"}
+    assert all(v == 10 for v in counts.values())
+    # deterministic: same survivors on recompute
+    a = {r["id"] for r in kept.collect()}
+    b = {r["id"] for r in cap_per_domain(many, "id", "url", cap=10).collect()}
+    assert a == b
