@@ -3656,3 +3656,151 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_domain(docs, "doc_id", "url", cap=20).select(
         "doc_id", "registered_domain", "domain_rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Scale-path dedup / sampling additions
+
+_EMB_PLUS_CLONES = (
+    "SELECT vec_id, embedding FROM embeddings UNION ALL "
+    "SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 25"
+)
+
+
+def _emb_plus_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = (
+        emb.filter(F.col("vec_id") < 25)
+        .withColumn("vec_id", F.col("vec_id") + 1000000)
+    )
+    return emb.union(clones)
+
+
+@q(
+    "q99_semdedup",
+    f"""
+    WITH all_e AS ({_EMB_PLUS_CLONES}),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM all_e),
+    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce, nrm AS cn
+      FROM n ORDER BY vec_id LIMIT 16
+    ),
+    vc AS (
+      SELECT n.vec_id, c.cell,
+             round(list_dot_product(n.e, c.ce) / (n.nrm * c.cn), 6) AS cos
+      FROM n CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell) AS rk
+        FROM vc
+      ) WHERE rk = 1
+    ),
+    pairs AS (
+      SELECT aa.vec_id AS id_a, bb.vec_id AS id_b,
+             round(list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm), 6) AS cos
+      FROM assign aa
+      JOIN assign bb ON aa.cell = bb.cell AND aa.vec_id < bb.vec_id
+      JOIN n na ON na.vec_id = aa.vec_id
+      JOIN n nb ON nb.vec_id = bb.vec_id
+    ),
+    dup AS (SELECT id_b, min(id_a) AS dup_of FROM pairs WHERE cos >= 0.4 GROUP BY id_b)
+    SELECT a.vec_id AS id, a.cell::BIGINT AS cell,
+           (d.dup_of IS NOT NULL) AS dropped, d.dup_of
+    FROM assign a LEFT JOIN dup d ON a.vec_id = d.id_b
+    """,
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style semantic dedup (operators/similarity.py: semdedup):
+    centroid-bucketed intra-cluster cosine with one survivor per
+    epsilon-ball — the scale path that replaces all-pairs cosine_pairs
+    (q32's baseline).  Input embeddings plus 25 exact clones so real
+    drops occur; threshold 0.4 also exercises organic near-pairs."""
+    from .operators.similarity import semdedup
+
+    return semdedup(
+        _emb_plus_clones(spark, sf_dir), "vec_id", "embedding",
+        threshold=0.4, nlist=16,
+    )
+
+
+@q(
+    "q100_gram_duplication",
+    f"""
+    WITH all_docs AS ({_DOCS_PLUS_CLONES}),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM all_docs),
+    grams AS (
+      SELECT doc_id, md5(unnest(list_distinct(
+        CASE WHEN len(t) >= 8 THEN
+          [array_to_string(t[i+1:i+8], ' ') for i in range(len(t)-7)]
+        WHEN len(t) > 0 THEN [array_to_string(t, ' ')] ELSE [] END))) AS g
+      FROM toks
+    ),
+    counts AS (SELECT g, count(DISTINCT doc_id) AS n_docs FROM grams GROUP BY g),
+    per AS (
+      SELECT doc_id, count(*) AS n_grams,
+             sum((n_docs > 1)::INT) AS n_shared
+      FROM grams JOIN counts USING (g) GROUP BY doc_id
+    )
+    SELECT d.doc_id AS id, coalesce(n_grams, 0)::BIGINT AS n_grams,
+           coalesce(n_shared, 0)::BIGINT AS n_shared_grams,
+           round(CASE WHEN n_grams > 0
+                 THEN n_shared::DOUBLE / n_grams END, 6) AS shared_frac,
+           coalesce(round(CASE WHEN n_grams > 0
+                 THEN n_shared::DOUBLE / n_grams END, 6) >= 0.8, FALSE) AS "drop"
+    FROM all_docs d LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring duplication (operators/dedup.py:
+    gram_duplication_stats): fraction of each document's distinct
+    8-grams shared with other documents, keep/drop at 0.8 — the
+    exact-substring dedup signal computed from a gram-digest join, no
+    suffix array.  Clones share every gram and are dropped."""
+    from .operators.dedup import gram_duplication_stats
+
+    return gram_duplication_stats(
+        _docs_plus_clones(spark, sf_dir), "doc_id", "text",
+        n=8, drop_threshold=0.8,
+    )
+
+
+@q(
+    "q101_mixture_resample",
+    """
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+                         WHEN 'src2' THEN 0.0 ELSE 1.0 END AS wt
+      FROM documents
+    ),
+    u AS (
+      SELECT *,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE
+               / 4294967296.0 AS unif
+      FROM w
+    ),
+    n AS (
+      SELECT doc_id, source,
+             (floor(wt) + (unif < wt - floor(wt))::INT)::INT AS n_copies
+      FROM u
+    )
+    SELECT doc_id, source, unnest(range(0, n_copies))::BIGINT AS copy_idx
+    FROM n WHERE n_copies > 0
+    """,
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture re-sampling (operators/clusters.py:
+    mixture_resample): per-source epoch weights (2.5x src0, 0.25x src1,
+    drop src2, 1x rest) via floor(w) copies plus an md5-uniform
+    fractional copy — reproducible source mixing with zero shuffle."""
+    from .operators.clusters import mixture_resample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return mixture_resample(
+        docs, "doc_id", "source",
+        {"src0": 2.5, "src1": 0.25, "src2": 0.0},
+    )

@@ -185,3 +185,47 @@ def weighted_sample(
         .filter(F.col("rank") <= n)
         .select(*strat, id_col, F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weights: dict[str, float],
+    *,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic mixture re-sampling: repeat each row according to
+    its group's weight — ``floor(w)`` full copies plus one extra copy
+    where the row's md5 uniform falls below ``frac(w)``.  Weights < 1
+    down-sample, > 1 up-sample (epoch repetition); expected output size
+    is ``sum_g w_g * |g|`` exactly, and the selection is reproducible
+    across engines and runs (md5 of the id, not a seeded RNG).
+
+    This is the source-mixing step of a pretraining data pipeline
+    ("2.3 epochs of wiki, 0.4 of web").  The weight table is a literal
+    map (mixtures are tiny); the fan-out is a ``sequence`` explode — no
+    shuffle at all, output inherits the input partitioning.
+
+    Returns the input columns plus ``copy_idx`` (0-based).
+    """
+    if any(w < 0 for w in weights.values()) or default_weight < 0:
+        raise ValueError("mixture weights must be >= 0")
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    w = F.coalesce(wmap[F.col(group_col)], F.lit(float(default_weight)))
+    # md5 uniform in [0, 1): first 8 hex nibbles / 16^8
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(16**8))
+    )
+    n_copies = (F.floor(w) + (u < (w - F.floor(w))).cast("int")).cast("int")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+        .withColumn("copy_idx", F.col("copy_idx").cast("bigint"))
+    )

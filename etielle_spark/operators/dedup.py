@@ -399,3 +399,62 @@ def minhash_jaccard_estimate(
     if min_est is not None:
         out = out.filter(F.col("est_jaccard") >= float(min_est))
     return out
+
+
+def gram_duplication_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+    drop_threshold: float = 0.8,
+) -> DataFrame:
+    """Cross-document substring duplication: for each document, the
+    fraction of its distinct word ``n``-grams that also occur in at
+    least one OTHER document, plus a keep/drop verdict at
+    ``drop_threshold`` — the exact-substring dedup signal (long shared
+    spans show up as runs of shared n-grams) without suffix arrays.
+
+    Plan shape at scale: explode distinct grams (linear ``grams_of``
+    construction), aggregate each gram's distinct-document count keyed
+    by the gram digest (32-byte shuffle key, never document text), then
+    one join back on the digest and a per-document aggregation.  The
+    gram->count table is the only wide state; heavy grams are just large
+    groups (AQE splits them), and the second shuffle is on the doc id.
+
+    Returns ``(id, n_grams, n_shared_grams, shared_frac, drop)``;
+    documents with no tokens report 0 grams and shared_frac NULL.
+    """
+    toks = df.select(F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t"))
+    grams = toks.select(
+        "id", F.explode(grams_of(F.col("t"), n)).alias("gram")
+    ).select("id", F.md5(F.col("gram")).alias("g"))
+    counts = grams.groupBy("g").agg(
+        F.count_distinct(F.col("id")).alias("n_docs")
+    )
+    per_doc = (
+        grams.join(counts, "g")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("n_docs") > 1).cast("bigint")).alias("n_shared_grams"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    out = base.join(per_doc, "id", "left").select(
+        F.col("id"),
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce(F.col("n_shared_grams"), F.lit(0)).cast("bigint").alias(
+            "n_shared_grams"
+        ),
+        F.when(
+            F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+            F.round(
+                F.col("n_shared_grams").cast("double") / F.col("n_grams"), 6
+            ),
+        ).alias("shared_frac"),
+    )
+    return out.withColumn(
+        "drop",
+        F.coalesce(F.col("shared_frac") >= drop_threshold, F.lit(False)),
+    )

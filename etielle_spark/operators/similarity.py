@@ -397,3 +397,79 @@ def zscore_normalize(
             ).alias("zscore"),
         )
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float,
+    nlist: int = 16,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    round_cosine: int | None = 6,
+) -> DataFrame:
+    """SemDedup-style semantic deduplication: cluster the corpus around
+    ``nlist`` centroids, then compare vectors pairwise ONLY within their
+    cluster and drop every vector that has a same-cluster neighbor with
+    cosine >= ``threshold`` and a smaller id (one survivor per epsilon-
+    ball, deterministic).
+
+    This is the scale path for embedding near-dup — the all-pairs
+    ``cosine_pairs`` is O(n^2) over the corpus, while here the quadratic
+    term is bounded by the largest cluster: with k-means-sized clusters
+    (|cell| ~ n/nlist) the comparison volume drops by ~nlist x, and the
+    cluster self-join is a plain shuffle on the cell key that AQE can
+    split further.  Centroids default to the ``nlist`` smallest-id
+    corpus vectors (deterministic, oracle-reproducible); production
+    passes k-means-trained centroids from ``kmeans_iteration``.
+
+    Returns ``(id, cell, dropped, dup_of)``: ``dup_of`` is the smallest
+    same-cluster id within ``threshold`` (NULL when kept).
+    """
+    if centroids is None:
+        rows = (
+            emb.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+            .orderBy(F.col(id_col))
+            .limit(nlist)
+            .collect()
+        )
+        centroids = [(i, list(r[1])) for i, r in enumerate(rows)]
+    if not centroids:
+        raise ValueError("semdedup: no centroids (empty corpus?)")
+
+    def cell_scores(vec: Column) -> Column:
+        entries = []
+        for cid, cvec in centroids:
+            cos = cosine(vec, F.array(*[F.lit(float(x)) for x in cvec]))
+            if round_cosine is not None:
+                cos = F.round(cos, round_cosine)
+            entries.append(F.struct(cos.alias("c"), F.lit(-cid).alias("nid")))
+        return F.array(*entries)
+
+    assigned = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("cell", -F.array_max(cell_scores(F.col("v"))).getField("nid"))
+
+    a = assigned.select(F.col("cell"), F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = assigned.select(F.col("cell"), F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    if round_cosine is not None:
+        cos = F.round(cos, round_cosine)
+    dup_of = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_b", F.col("id_a"), cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        assigned.join(dup_of, assigned["id"] == dup_of["id_b"], "left")
+        .select(
+            F.col("id"),
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("dup_of").isNotNull().alias("dropped"),
+            F.col("dup_of"),
+        )
+    )

@@ -1029,3 +1029,71 @@ def test_url_parts_and_domain_cap(spark):
     a = {r["id"] for r in kept.collect()}
     b = {r["id"] for r in cap_per_domain(many, "id", "url", cap=10).collect()}
     assert a == b
+
+
+def test_semdedup_drops_clones_keeps_originals(spark, emb):
+    from etielle_spark.operators.similarity import semdedup
+
+    clones = emb.limit(10).withColumn("vec_id", F.col("vec_id") + 5000)
+    both = emb.select("vec_id", "embedding").union(
+        clones.select("vec_id", "embedding")
+    )
+    out = semdedup(both, "vec_id", "embedding", threshold=0.999, nlist=8)
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == both.count()
+    # every clone dropped, pointing at its (smaller-id) original
+    for r in out.filter(F.col("id") >= 5000).collect():
+        assert r["dropped"] and r["dup_of"] == r["id"] - 5000
+    # originals survive (no smaller same-cluster id within threshold)
+    assert not any(r["dropped"] for i, r in rows.items() if i < 5000)
+
+
+def test_gram_duplication_stats(spark):
+    from etielle_spark.operators.dedup import gram_duplication_stats
+
+    base = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "totally different words entirely here now"),
+         (4, "")],
+        ["id", "text"],
+    )
+    out = {r["id"]: r for r in
+           gram_duplication_stats(df, "id", "text", n=8, drop_threshold=0.8).collect()}
+    # docs 1/2 share all their 8-grams -> dropped
+    assert out[1]["shared_frac"] == 1.0 and out[1]["drop"]
+    assert out[2]["drop"]
+    # doc 3 short (<8 tokens -> whole-doc gram), unique -> kept
+    assert out[3]["n_grams"] == 1 and out[3]["n_shared_grams"] == 0
+    assert not out[3]["drop"]
+    # empty doc: zero grams, NULL frac, kept
+    assert out[4]["n_grams"] == 0 and out[4]["shared_frac"] is None
+    assert not out[4]["drop"]
+
+
+def test_mixture_resample_counts(spark):
+    from etielle_spark.operators.clusters import mixture_resample
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("src"),
+    )
+    out = mixture_resample(df, "id", "src", {"a": 3.0, "b": 0.5, "c": 0.0})
+    counts = {r["src"]: r["n"] for r in
+              out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    n_a = df.filter(F.col("src") == "a").count()
+    n_b = df.filter(F.col("src") == "b").count()
+    assert counts["a"] == 3 * n_a               # integer weight: exact
+    assert "c" not in counts                    # weight 0: all dropped
+    assert 0.3 * n_b < counts["b"] < 0.7 * n_b  # md5-uniform ~ half
+    # copy_idx dense from 0 per row
+    mx = out.filter(F.col("src") == "a").groupBy("id").agg(
+        F.count("*").alias("n"), F.max("copy_idx").alias("mx")
+    )
+    assert mx.filter((F.col("n") != 3) | (F.col("mx") != 2)).count() == 0
+    # deterministic across recomputation
+    assert out.exceptAll(
+        mixture_resample(df, "id", "src", {"a": 3.0, "b": 0.5, "c": 0.0})
+    ).count() == 0
