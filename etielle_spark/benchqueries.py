@@ -3804,3 +3804,77 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "source",
         {"src0": 2.5, "src1": 0.25, "src2": 0.0},
     )
+
+
+@q(
+    "q102_mad_outliers",
+    """
+    WITH med AS (
+      SELECT o_orderpriority, median(o_totalprice) AS med
+      FROM orders GROUP BY 1
+    ),
+    j AS (
+      SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice, m.med
+      FROM orders o JOIN med m USING (o_orderpriority)
+    ),
+    mad AS (
+      SELECT o_orderpriority, median(abs(o_totalprice - med)) AS mad
+      FROM j GROUP BY 1
+    )
+    SELECT j.o_orderkey, j.o_orderpriority,
+           round(j.med, 6) AS med, round(mad.mad, 6) AS mad,
+           (round(mad.mad, 6) > 0 AND
+            abs(j.o_totalprice - round(j.med, 6)) > 3.0 * round(mad.mad, 6))
+             AS is_outlier
+    FROM j JOIN mad USING (o_orderpriority)
+    """,
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier flags (operators/profile.py:
+    mad_outliers): median/MAD per order priority, flag
+    |price - med| > 3*MAD — two grouped exact percentiles and two
+    broadcast joins back, no driver collection."""
+    from .operators.profile import mad_outliers
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = mad_outliers(orders, ["o_orderpriority"], "o_totalprice", k=3.0)
+    return out.select("o_orderkey", "o_orderpriority", "med", "mad", "is_outlier")
+
+
+@q(
+    "q103_corr_matrix",
+    """
+    WITH c AS (
+      SELECT corr(l_quantity, l_extendedprice) AS c1,
+             corr(l_quantity, l_discount) AS c2,
+             corr(l_quantity, l_tax) AS c3,
+             corr(l_extendedprice, l_discount) AS c4,
+             corr(l_extendedprice, l_tax) AS c5,
+             corr(l_discount, l_tax) AS c6
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, round(c1, 6) AS "corr" FROM c
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount', round(c2, 6) FROM c
+    UNION ALL
+    SELECT 'l_quantity', 'l_tax', round(c3, 6) FROM c
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount', round(c4, 6) FROM c
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_tax', round(c5, 6) FROM c
+    UNION ALL
+    SELECT 'l_discount', 'l_tax', round(c6, 6) FROM c
+    """,
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (operators/profile.py:
+    corr_matrix) over the lineitem measures — all pairs in ONE
+    aggregation pass (single scan + reduce), unpivoted via explode."""
+    from .operators.profile import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )

@@ -84,3 +84,74 @@ def profile_table(
             )
         )
     return df.agg(*aggs).select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier detection: flag rows where
+    ``|value - median| > k * MAD`` (MAD = median absolute deviation).
+    Median/MAD instead of mean/stddev so a few extreme rows can't mask
+    themselves by inflating the threshold.
+
+    Two grouped exact-percentile aggregations (Spark's ``percentile`` is
+    a single-pass partial aggregate per group — groups shuffle once,
+    values never collect to the driver) and two broadcast-sized joins
+    back: group cardinality is small by construction (these are
+    categorical strata), so the stats frames broadcast.
+
+    Returns the input rows plus ``med``, ``mad``, ``is_outlier``.
+    Groups where MAD = 0 (constant values) flag nothing.
+    """
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    with_med = df.join(F.broadcast(med), group_cols)
+    mad = (
+        with_med.groupBy(*group_cols)
+        .agg(F.expr(f"percentile(abs({value_col} - med), 0.5)").alias("mad"))
+    )
+    return (
+        with_med.join(F.broadcast(mad), group_cols)
+        .withColumn("med", F.round(F.col("med"), 6))
+        .withColumn("mad", F.round(F.col("mad"), 6))
+        .withColumn(
+            "is_outlier",
+            (F.col("mad") > 0)
+            & (F.abs(F.col(value_col) - F.col("med")) > k * F.col("mad")),
+        )
+    )
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations of ``cols`` in ONE aggregation pass
+    (all pairs as expressions of a single agg — one scan, one reduce; at
+    100 TB this is the only sane shape, never one job per pair).
+
+    Returns ``(col_a, col_b, corr)`` for the upper triangle (col_a <
+    col_b in list order), correlations rounded to 6.
+    """
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    aggs = []
+    names = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.round(F.corr(a, b), 6).alias(f"__c_{a}__{b}"))
+            names.append((a, b))
+    wide = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"__c_{a}__{b}").alias("corr"),
+            )
+            for a, b in names
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("p")).select("p.*")

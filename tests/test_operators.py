@@ -1097,3 +1097,33 @@ def test_mixture_resample_counts(spark):
     assert out.exceptAll(
         mixture_resample(df, "id", "src", {"a": 3.0, "b": 0.5, "c": 0.0})
     ).count() == 0
+
+
+def test_mad_outliers_flags_extremes(spark):
+    from etielle_spark.operators.profile import mad_outliers
+
+    vals = [("g", float(v)) for v in [10, 11, 12, 13, 14, 1000]] + [
+        ("h", 5.0), ("h", 5.0), ("h", 5.0)  # constant group: MAD = 0
+    ]
+    df = spark.createDataFrame(vals, ["grp", "v"])
+    out = mad_outliers(df, ["grp"], "v", k=3.0)
+    g = out.filter(F.col("grp") == "g")
+    assert g.filter(F.col("is_outlier")).count() == 1
+    assert g.filter((F.col("v") == 1000.0) & F.col("is_outlier")).count() == 1
+    # constant group flags nothing even though deviations are 0
+    assert out.filter((F.col("grp") == "h") & F.col("is_outlier")).count() == 0
+
+
+def test_corr_matrix_known_values(spark):
+    from etielle_spark.operators.profile import corr_matrix
+
+    df = spark.createDataFrame(
+        [(float(i), 2.0 * i + 1, float(-i), float(i * i)) for i in range(50)],
+        ["a", "b", "c", "d"],
+    )
+    out = {(r["col_a"], r["col_b"]): r["corr"] for r in
+           corr_matrix(df, ["a", "b", "c", "d"]).collect()}
+    assert len(out) == 6
+    assert out[("a", "b")] == 1.0       # perfectly linear
+    assert out[("a", "c")] == -1.0      # perfectly anti-linear
+    assert 0.9 < out[("a", "d")] < 1.0  # monotone but nonlinear
