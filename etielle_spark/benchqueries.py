@@ -3878,3 +3878,77 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corr_matrix(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
+
+
+@q(
+    "q104_fuzzy_join",
+    """
+    WITH lt AS (
+      SELECT p_partkey AS id_l,
+             list_distinct(string_split_regex(lower(trim(p_name)), '\\s+')) AS t
+      FROM part
+    ),
+    rt AS (
+      SELECT p_partkey + 100000 AS id_r,
+             list_distinct(string_split_regex(
+               lower(trim(p_name || ' ' || p_type)), '\\s+')) AS t
+      FROM part
+    ),
+    gl AS (SELECT id_l, unnest(t) AS tok FROM lt),
+    gr AS (SELECT id_r, unnest(t) AS tok FROM rt),
+    inter AS (
+      SELECT id_l, id_r, count(*) AS i
+      FROM gl JOIN gr USING (tok) GROUP BY 1, 2
+    ),
+    szl AS (SELECT id_l, len(t) AS nl FROM lt),
+    szr AS (SELECT id_r, len(t) AS nr FROM rt)
+    SELECT id_l, id_r,
+           round(i::DOUBLE / (nl + nr - i), 6) AS jaccard
+    FROM inter JOIN szl USING (id_l) JOIN szr USING (id_r)
+    WHERE round(i::DOUBLE / (nl + nr - i), 6) >= 0.5
+    """,
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record-linkage join (operators/dedup.py:
+    jaccard_similarity_join): canonical part names vs a dirty catalog
+    (name + container tokens), token-Jaccard >= 0.5 via a token-blocked
+    hash join — no cross join.  The entity-resolution primitive."""
+    from .operators.dedup import jaccard_similarity_join
+
+    part = _t(spark, sf_dir, "part")
+    dirty = part.select(
+        (F.col("p_partkey") + 100000).alias("cat_id"),
+        F.concat(F.col("p_name"), F.lit(" "), F.col("p_type")).alias(
+            "cat_name"
+        ),
+    )
+    return jaccard_similarity_join(
+        part, dirty, "p_partkey", "p_name", "cat_id", "cat_name",
+        threshold=0.5,
+    )
+
+
+@q(
+    "q105_feature_hash",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(CASE WHEN length(trim(text)) > 0
+                    THEN string_split_regex(lower(trim(text)), '\\s+')
+                    ELSE []::VARCHAR[] END) AS tok
+      FROM documents
+    )
+    SELECT doc_id AS id,
+           (('0x' || substr(md5(tok), 1, 8))::BIGINT % 256) AS bucket,
+           count(*)::BIGINT AS n
+    FROM toks GROUP BY 1, 2
+    """,
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (operators/text.py: feature_hash):
+    md5-bucketed token counts per document, 256 buckets — fixed-width
+    sparse features with no vocabulary state."""
+    from .operators.text import feature_hash
+
+    return feature_hash(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                        n_buckets=256)

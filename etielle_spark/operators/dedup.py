@@ -458,3 +458,73 @@ def gram_duplication_stats(
         "drop",
         F.coalesce(F.col("shared_frac") >= drop_threshold, F.lit(False)),
     )
+
+
+def jaccard_similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_l: str,
+    text_l: str,
+    id_r: str,
+    text_r: str,
+    *,
+    threshold: float,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Fuzzy (token-Jaccard) similarity join between two tables: all
+    (left, right) pairs whose token sets overlap with Jaccard >=
+    ``threshold`` — the record-linkage / entity-resolution join ("match
+    dirty catalog names to canonical products").
+
+    Plan shape: explode distinct tokens on both sides, equi-join on the
+    token (the blocking step — only pairs sharing >= 1 token are ever
+    scored), aggregate the intersection size per pair, then join the two
+    per-id set sizes back and filter on the Jaccard.  Everything is
+    hash-joins and one pair aggregation; no cross join anywhere.
+
+    At scale the blocking join's volume is sum_t df_l(t) * df_r(t), so
+    frequent tokens dominate cost; ``max_df`` drops tokens whose LEFT
+    document frequency exceeds it from blocking AND counting (a
+    documented stop-token approximation — pairs sharing only ultra-
+    common tokens are missed, and intersections are computed over the
+    surviving vocabulary).  Default is exact.
+
+    Returns ``(id_l, id_r, jaccard)`` (rounded to 6).
+    """
+    tl = left.select(
+        F.col(id_l).alias("id_l"),
+        F.array_distinct(tokens_col(F.col(text_l))).alias("__tl"),
+    )
+    tr = right.select(
+        F.col(id_r).alias("id_r"),
+        F.array_distinct(tokens_col(F.col(text_r))).alias("__tr"),
+    )
+    gl = tl.select("id_l", F.explode("__tl").alias("tok"))
+    gr = tr.select("id_r", F.explode("__tr").alias("tok"))
+    if max_df is not None:
+        keep = gl.groupBy("tok").agg(F.count(F.lit(1)).alias("__df")).filter(
+            F.col("__df") <= max_df
+        )
+        gl = gl.join(keep.select("tok"), "tok")
+        gr = gr.join(keep.select("tok"), "tok")
+        sz_l = gl.groupBy("id_l").agg(F.count(F.lit(1)).alias("__nl"))
+        sz_r = gr.groupBy("id_r").agg(F.count(F.lit(1)).alias("__nr"))
+    else:
+        sz_l = tl.select("id_l", F.size("__tl").alias("__nl"))
+        sz_r = tr.select("id_r", F.size("__tr").alias("__nr"))
+    inter = (
+        gl.join(gr, "tok")
+        .groupBy("id_l", "id_r")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    jac = F.round(
+        F.col("__inter").cast("double")
+        / (F.col("__nl") + F.col("__nr") - F.col("__inter")),
+        6,
+    )
+    return (
+        inter.join(sz_l, "id_l")
+        .join(sz_r, "id_r")
+        .select("id_l", "id_r", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -574,3 +574,35 @@ def bpe_pretokenize_stats(
         F.size(spans).cast("bigint").alias("n_pretokens"),
         F.size(F.array_distinct(spans)).cast("bigint").alias("n_distinct_pretokens"),
     )
+
+
+def feature_hash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Hashing-trick featurization: map each token to one of
+    ``n_buckets`` via md5 and count occurrences per (document, bucket)
+    — fixed-width sparse features with no vocabulary pass, the standard
+    trick when the vocab won't fit or drifts.
+
+    The bucket is the first 8 md5 nibbles mod ``n_buckets`` (engine-
+    independent, unlike ``hash()``).  One explode + one groupBy on
+    (id, bucket); no vocabulary state anywhere.
+
+    Returns ``(id, bucket, n)``.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    return (
+        toks.select("id", bucket.alias("bucket"))
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

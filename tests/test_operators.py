@@ -1127,3 +1127,54 @@ def test_corr_matrix_known_values(spark):
     assert out[("a", "b")] == 1.0       # perfectly linear
     assert out[("a", "c")] == -1.0      # perfectly anti-linear
     assert 0.9 < out[("a", "d")] < 1.0  # monotone but nonlinear
+
+
+def test_jaccard_similarity_join_linkage(spark):
+    from etielle_spark.operators.dedup import jaccard_similarity_join
+
+    canon = spark.createDataFrame(
+        [(1, "red widget"), (2, "blue bolt"), (3, "green gear")],
+        ["id", "name"],
+    )
+    dirty = spark.createDataFrame(
+        [(10, "red widget large"), (11, "BLUE bolt"), (12, "purple sprocket")],
+        ["cid", "cname"],
+    )
+    out = {(r["id_l"], r["id_r"]): r["jaccard"] for r in
+           jaccard_similarity_join(
+               canon, dirty, "id", "name", "cid", "cname", threshold=0.5
+           ).collect()}
+    assert out[(1, 10)] == round(2 / 3, 6)   # extra token tolerated
+    assert out[(2, 11)] == 1.0               # case-insensitive exact
+    assert (3, 12) not in out                # no token overlap
+    assert len(out) == 2
+
+    # max_df drops a too-common blocking token ("red" appears everywhere)
+    canon2 = spark.createDataFrame(
+        [(i, f"red item{i}") for i in range(10)], ["id", "name"]
+    )
+    out2 = jaccard_similarity_join(
+        canon2, canon2.selectExpr("id + 100 as cid", "name as cname"),
+        "id", "name", "cid", "cname", threshold=0.9, max_df=5,
+    ).collect()
+    # with "red" stopped, only the identical leftover token matches (1/1)
+    assert {(r["id_l"], r["id_r"]) for r in out2} == {(i, i + 100) for i in range(10)}
+
+
+def test_feature_hash_buckets(spark):
+    from etielle_spark.operators.text import feature_hash
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a"), (3, "")], ["id", "text"]
+    )
+    out = feature_hash(df, "id", "text", n_buckets=16)
+    rows = out.collect()
+    assert all(0 <= r["bucket"] < 16 for r in rows)
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], 0)
+        by_id[r["id"]] += r["n"]
+    assert by_id[1] == 4 and by_id[2] == 1 and 3 not in by_id
+    # same token -> same bucket on both docs (deterministic hashing)
+    a1 = {r["bucket"] for r in rows if r["id"] == 2}
+    assert len(a1) == 1
