@@ -3952,3 +3952,135 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return feature_hash(_t(spark, sf_dir, "documents"), "doc_id", "text",
                         n_buckets=256)
+
+
+@q(
+    "q106_throttle_events",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, date_trunc('second', ts) AS tss, value
+      FROM events
+    ),
+    b AS (
+      SELECT *, (floor(epoch(tss)::BIGINT / 600) * 600)::BIGINT AS bucket_start
+      FROM e
+    ),
+    r AS (
+      SELECT event_id, user_id, tss, bucket_start,
+             row_number() OVER (PARTITION BY user_id, bucket_start
+                                ORDER BY tss, event_id)::BIGINT AS bucket_rank
+      FROM b
+    )
+    SELECT event_id, user_id, strftime(tss, '%Y-%m-%d %H:%M:%S') AS ts,
+           bucket_start, bucket_rank
+    FROM r WHERE bucket_rank <= 1
+    """,
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream rate limiting (operators/events.py:
+    throttle_events): keep the first event per user per 10-minute
+    bucket, deterministic (ts, event_id) order — one shuffle on the
+    (user, bucket) key."""
+    from .operators.events import throttle_events
+
+    ev = _events(spark, sf_dir).withColumn(
+        "ts", F.date_trunc("second", F.col("ts"))
+    )
+    out = throttle_events(
+        ev, "user_id", "ts", bucket_seconds=600, keep=1, order_col="event_id"
+    )
+    return out.select(
+        "event_id", "user_id", _ts(F.col("ts")).alias("ts"),
+        "bucket_start", "bucket_rank",
+    )
+
+
+@q(
+    "q107_gapfill_resample",
+    """
+    WITH e AS (
+      SELECT user_id AS key,
+             (floor(epoch(date_trunc('second', ts))::BIGINT / 21600) * 21600)::BIGINT
+               AS slot,
+             value
+      FROM events
+    ),
+    slots AS (
+      SELECT key, slot, count(*)::BIGINT AS n_events,
+             round(sum(value), 6) AS value
+      FROM e GROUP BY 1, 2
+    ),
+    spans AS (SELECT key, min(slot) AS lo, max(slot) AS hi FROM slots GROUP BY 1),
+    grid AS (
+      SELECT key, unnest(range(lo, hi + 21600, 21600))::BIGINT AS slot
+      FROM spans
+    )
+    SELECT g.key, g.slot AS slot_start,
+           coalesce(s.n_events, 0)::BIGINT AS n_events, s.value,
+           last_value(s.value IGNORE NULLS) OVER (
+             PARTITION BY g.key ORDER BY g.slot
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM grid g LEFT JOIN slots s ON g.key = s.key AND g.slot = s.slot
+    """,
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill / resample (operators/events.py:
+    gapfill_resample): per-user 6-hour grid between first and last
+    event, slot sums where data exists, last value carried forward —
+    sequence-explode grid, no driver loop, two shuffles on the user
+    key."""
+    from .operators.events import gapfill_resample
+
+    ev = _events(spark, sf_dir).withColumn(
+        "ts", F.date_trunc("second", F.col("ts"))
+    )
+    return gapfill_resample(
+        ev, "user_id", "ts", "value", step_seconds=21600, agg="sum"
+    )
+
+
+@q(
+    "q108_rolling_anomaly",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, date_trunc('second', ts) AS tss, value
+      FROM events
+    ),
+    s AS (
+      SELECT event_id, user_id, tss, value,
+             avg(value) OVER w AS m,
+             stddev_samp(value) OVER w AS sd,
+             count(value) OVER w AS np
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, strftime(tss, '%Y-%m-%d %H:%M:%S') AS ts,
+           round(value, 6) AS value,
+           round(m, 6) AS roll_mean,
+           round(sd, 6) AS roll_std,
+           round(CASE WHEN np >= 3 AND sd > 0 THEN (value - m) / sd END, 6)
+             AS zscore,
+           coalesce(abs(CASE WHEN np >= 3 AND sd > 0 THEN (value - m) / sd END)
+                    > 3.0, FALSE) AS is_anomaly
+    FROM s
+    """,
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags (operators/events.py:
+    rolling_anomaly): each event scored against its user's previous 20
+    values (strictly-prior ROWS frame, deterministic event_id
+    tiebreak), |z| > 3 flagged — one keyed window shuffle."""
+    from .operators.events import rolling_anomaly
+
+    ev = _events(spark, sf_dir).withColumn(
+        "ts", F.date_trunc("second", F.col("ts"))
+    )
+    out = rolling_anomaly(
+        ev, "user_id", "ts", "value", lookback=20, k=3.0, order_col="event_id"
+    )
+    return out.select(
+        "user_id", _ts(F.col("ts")).alias("ts"),
+        F.round(F.col("value"), 6).alias("value"),
+        "roll_mean", "roll_std", "zscore", "is_anomaly",
+    )

@@ -316,3 +316,153 @@ def ema(
         return pdf[[key_col, ts_col, value_col, "ema"]]
 
     return src.groupBy(key_col).applyInPandas(fold, schema)
+
+
+def throttle_events(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    bucket_seconds: int = 60,
+    keep: int = 1,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Rate-limit an event stream: keep at most ``keep`` events per
+    (key, time bucket), earliest first — the dedup/throttle gate that
+    bounds per-entity volume before expensive downstream work (the
+    event-stream analog of ``cap_per_domain``).
+
+    One shuffle on (key, bucket); ordering is (ts, order_col) so ties
+    are deterministic.  Returns surviving rows plus ``bucket_start``
+    (epoch seconds) and ``bucket_rank``.
+    """
+    from pyspark.sql import Window
+
+    sec = F.unix_timestamp(F.col(ts_col))
+    bucket = (F.floor(sec / bucket_seconds) * bucket_seconds).cast("bigint")
+    order = [F.col(ts_col)] + (
+        [F.col(order_col)] if order_col is not None else []
+    )
+    return (
+        events.withColumn("bucket_start", bucket)
+        .withColumn("bucket_rank", F.row_number().over(
+            Window.partitionBy(F.col(key_col), F.col("bucket_start")).orderBy(*order)
+        ).cast("bigint"))
+        .filter(F.col("bucket_rank") <= keep)
+    )
+
+
+def gapfill_resample(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    step_seconds: int = 60,
+    agg: str = "sum",
+    round_to: int = 6,
+) -> DataFrame:
+    """Regularize an irregular event stream: per key, one row for every
+    ``step_seconds`` grid slot between that key's first and last event,
+    with the slot's aggregated value where events exist and the last
+    known value carried forward across empty slots (``n_events`` says
+    which rows are real vs filled).
+
+    Plan shape: one keyed aggregation to the grid slots, a per-key
+    ``sequence()`` explode to manufacture the grid (no driver loop, no
+    cross join — fan-out is bounded by each key's own time span), a
+    left join back on (key, slot), and one ``last(ignorenulls)`` window
+    for the forward fill.  Two shuffles total on the same key.
+
+    Returns ``(key, slot_ts, n_events, value, filled_value)``.
+    """
+    from pyspark.sql import Window
+
+    if agg not in ("sum", "avg", "min", "max"):
+        raise ValueError(f"unsupported agg: {agg}")
+    sec = F.unix_timestamp(F.col(ts_col))
+    slot = (F.floor(sec / step_seconds) * step_seconds).cast("bigint")
+    agg_fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[agg]
+    slots = (
+        events.select(F.col(key_col).alias("key"), slot.alias("slot"),
+                      F.col(value_col).alias("v"))
+        .groupBy("key", "slot")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(agg_fn("v"), round_to).alias("value"))
+    )
+    grid = (
+        slots.groupBy("key")
+        .agg(F.min("slot").alias("lo"), F.max("slot").alias("hi"))
+        .select(
+            "key",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(int(step_seconds)))
+            ).alias("slot"),
+        )
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(slots, ["key", "slot"], "left")
+        .select(
+            F.col("key"),
+            F.col("slot").alias("slot_start"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.col("value"),
+            F.last("value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
+
+
+def rolling_anomaly(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    lookback: int = 20,
+    k: float = 3.0,
+    round_to: int = 6,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Streaming-style anomaly flags: z-score of each event's value
+    against the mean/stddev of that key's previous ``lookback`` events
+    (strictly before the current row, so an anomaly can't mask itself),
+    flagged where ``|z| > k`` and at least 3 prior points exist.  Pass
+    a unique ``order_col`` so the ROWS frame is deterministic under
+    timestamp ties.
+
+    One keyed ROWS window — single shuffle on the key, ANSI frame
+    semantics (``ROWS BETWEEN lookback PRECEDING AND 1 PRECEDING``)
+    reproducible in any SQL engine.
+
+    Returns ``(key, ts, value, roll_mean, roll_std, zscore, is_anomaly)``.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + (
+        [F.col(order_col)] if order_col is not None else [F.col(value_col)]
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-int(lookback), -1)
+    )
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_samp(value_col).over(w)
+    n_prior = F.count(value_col).over(w)
+    z = F.when(
+        (n_prior >= 3) & (std > 0), (F.col(value_col) - mean) / std
+    )
+    return events.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(value_col),
+        F.round(mean, round_to).alias("roll_mean"),
+        F.round(std, round_to).alias("roll_std"),
+        F.round(z, round_to).alias("zscore"),
+        F.coalesce(F.abs(z) > k, F.lit(False)).alias("is_anomaly"),
+    )

@@ -1178,3 +1178,59 @@ def test_feature_hash_buckets(spark):
     # same token -> same bucket on both docs (deterministic hashing)
     a1 = {r["bucket"] for r in rows if r["id"] == 2}
     assert len(a1) == 1
+
+
+def _mk_events(spark, rows):
+    from datetime import datetime
+    return spark.createDataFrame(
+        [(i, datetime.fromtimestamp(ts), u, float(v)) for i, (ts, u, v) in enumerate(rows)],
+        ["event_id", "ts", "user_id", "value"],
+    )
+
+
+def test_throttle_events_keeps_first_per_bucket(spark):
+    from etielle_spark.operators.events import throttle_events
+
+    base = 1_700_000_000 - (1_700_000_000 % 60)
+    ev = _mk_events(spark, [
+        (base + 1, 1, 10), (base + 5, 1, 20), (base + 61, 1, 30),
+        (base + 2, 2, 40),
+    ])
+    out = throttle_events(ev, "user_id", "ts", bucket_seconds=60, keep=1,
+                          order_col="event_id")
+    got = {(r["user_id"], r["bucket_start"]): r["event_id"] for r in out.collect()}
+    assert got == {(1, base): 0, (1, base + 60): 2, (2, base): 3}
+
+
+def test_gapfill_resample_forward_fill(spark):
+    from etielle_spark.operators.events import gapfill_resample
+
+    base = 1_700_000_000 - (1_700_000_000 % 60)
+    # user 1: events in minute 0 and minute 3 -> minutes 1-2 filled
+    ev = _mk_events(spark, [
+        (base + 10, 1, 5.0), (base + 20, 1, 7.0), (base + 185, 1, 9.0),
+    ])
+    out = {r["slot_start"]: r for r in
+           gapfill_resample(ev, "user_id", "ts", "value",
+                            step_seconds=60, agg="sum").collect()}
+    assert sorted(out) == [base, base + 60, base + 120, base + 180]
+    assert out[base]["n_events"] == 2 and out[base]["value"] == 12.0
+    assert out[base + 60]["n_events"] == 0 and out[base + 60]["value"] is None
+    assert out[base + 60]["filled_value"] == 12.0   # carried forward
+    assert out[base + 120]["filled_value"] == 12.0
+    assert out[base + 180]["filled_value"] == 9.0
+
+
+def test_rolling_anomaly_flags_spike(spark):
+    from etielle_spark.operators.events import rolling_anomaly
+
+    base = 1_700_000_000
+    vals = [10.0, 11.0, 10.5, 9.5, 10.2, 500.0, 10.1]
+    ev = _mk_events(spark, [(base + i * 60, 1, v) for i, v in enumerate(vals)])
+    out = rolling_anomaly(ev, "user_id", "ts", "value",
+                          lookback=5, k=3.0, order_col="event_id").collect()
+    flagged = [r["value"] for r in out if r["is_anomaly"]]
+    assert flagged == [500.0]
+    # first rows (insufficient history) never flag and have NULL z
+    first = sorted(out, key=lambda r: r["ts"])[0]
+    assert first["zscore"] is None and not first["is_anomaly"]
