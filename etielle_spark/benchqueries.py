@@ -4084,3 +4084,125 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value"), 6).alias("value"),
         "roll_mean", "roll_std", "zscore", "is_anomaly",
     )
+
+
+@q(
+    "q109_zorder_key",
+    """
+    SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+           (((((l_partkey % 256) >> 0) & 1) << 0) + ((((l_partkey % 256) >> 1) & 1) << 2) + ((((l_partkey % 256) >> 2) & 1) << 4) + ((((l_partkey % 256) >> 3) & 1) << 6) + ((((l_partkey % 256) >> 4) & 1) << 8) + ((((l_partkey % 256) >> 5) & 1) << 10) + ((((l_partkey % 256) >> 6) & 1) << 12) + ((((l_partkey % 256) >> 7) & 1) << 14) + ((((l_suppkey % 256) >> 0) & 1) << 1) + ((((l_suppkey % 256) >> 1) & 1) << 3) + ((((l_suppkey % 256) >> 2) & 1) << 5) + ((((l_suppkey % 256) >> 3) & 1) << 7) + ((((l_suppkey % 256) >> 4) & 1) << 9) + ((((l_suppkey % 256) >> 5) & 1) << 11) + ((((l_suppkey % 256) >> 6) & 1) << 13) + ((((l_suppkey % 256) >> 7) & 1) << 15))::BIGINT AS zval
+    FROM lineitem
+    """,
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key (plans/layout.py: zorder_key): the
+    low 8 bits of part and supplier keys interleaved into one sort key
+    for write-time data clustering — multi-column row-group pruning from
+    a single sort.  Pure codegen bit-math; the oracle recomputes the
+    interleave arithmetically."""
+    from .plans.layout import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        zorder_key(
+            [F.col("l_partkey") % 256, F.col("l_suppkey") % 256], bits=8
+        ).alias("zval"),
+    )
+
+
+@q(
+    "q110_group_quantiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 6) AS q25,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS q50,
+           round(quantile_cont(o_totalprice, 0.75), 6) AS q75,
+           round(quantile_cont(o_totalprice, 0.95), 6) AS q95
+    FROM orders GROUP BY 1
+    """,
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped multi-quantile summary (operators/profile.py:
+    group_quantiles): p25/p50/p75/p95 of order totals per priority from
+    ONE grouped percentile(array(...)) pass — never a job per
+    quantile."""
+    from .operators.profile import group_quantiles
+
+    return group_quantiles(
+        _t(spark, sf_dir, "orders"), ["o_orderpriority"], "o_totalprice",
+        quantiles=[0.25, 0.5, 0.75, 0.95],
+    )
+
+
+@q(
+    "q111_event_transitions",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, date_trunc('second', ts) AS tss, event_type
+      FROM events
+    ),
+    lagged AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY tss, event_id) AS prev
+      FROM e
+    ),
+    pairs AS (
+      SELECT prev AS from_type, event_type AS to_type, count(*)::BIGINT AS n
+      FROM lagged WHERE prev IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM pairs
+    """,
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (operators/events.py:
+    event_transitions): per-user lag over time order, global
+    (from, to) counts and per-source probabilities — the Markov
+    next-action model builder."""
+    from .operators.events import event_transitions
+
+    ev = _events(spark, sf_dir).withColumn(
+        "ts", F.date_trunc("second", F.col("ts"))
+    )
+    return event_transitions(
+        ev, "user_id", "ts", "event_type", order_col="event_id"
+    )
+
+
+@q(
+    "q112_vocab_stats",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    top AS (
+      SELECT sum(c) AS top_c,
+             string_agg(tok || ':' || c, '|' ORDER BY c DESC, tok ASC)
+               AS top_tokens
+      FROM (SELECT tok, c FROM freq ORDER BY c DESC, tok ASC LIMIT 10)
+    ),
+    tot AS (
+      SELECT sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+             sum((c = 1)::INT)::BIGINT AS n_hapax
+      FROM freq
+    )
+    SELECT n_tokens, n_types, n_hapax,
+           round(n_types::DOUBLE / n_tokens, 6) AS type_token_ratio,
+           round(top_c::DOUBLE / n_tokens, 6) AS top10_share,
+           top_tokens
+    FROM tot CROSS JOIN top
+    """,
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile (operators/text.py: vocab_stats):
+    token/type/hapax counts, type-token ratio, Zipf-head share and the
+    top-10 tokens — one token-frequency aggregation plus a tiny
+    rollup."""
+    from .operators.text import vocab_stats
+
+    return vocab_stats(_t(spark, sf_dir, "documents"), "text", top_k=10)

@@ -466,3 +466,37 @@ def rolling_anomaly(
         F.round(z, round_to).alias("zscore"),
         F.coalesce(F.abs(z) > k, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    *,
+    order_col: str | None = None,
+) -> DataFrame:
+    """First-order transition counts between event types: for each user,
+    lag the type over time order and count (prev_type -> type) pairs
+    across all users — the Markov-chain / next-action model builder.
+
+    One keyed window (lag) sharing its shuffle with nothing else, then a
+    map-side-combinable groupBy on the (from, to) pair.  Probabilities
+    are per-source-state (rows of the transition matrix sum to 1).
+
+    Returns ``(from_type, to_type, n, p)``.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        events.withColumn("__prev", F.lag(type_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(F.col("__prev").alias("from_type"), F.col(type_col).alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wtot = Window.partitionBy("from_type")
+    return pairs.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(wtot), 6)
+    )

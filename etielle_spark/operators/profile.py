@@ -155,3 +155,30 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         ]
     )
     return wide.select(F.explode(pairs).alias("p")).select("p.*")
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    quantiles: list[float] = (0.25, 0.5, 0.75, 0.95),
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact multi-quantile summary per group in ONE grouped
+    aggregation: Spark's ``percentile(col, array(...))`` computes every
+    requested quantile from a single sorted pass per group — never one
+    job per quantile.
+
+    Returns the group columns plus ``q<pct>`` columns (e.g. ``q25``,
+    ``q50``); interpolation is the ANSI ``percentile_cont`` rule, so any
+    SQL engine reproduces it.
+    """
+    arr = ", ".join(f"{q!r}D" for q in quantiles)
+    agg = F.expr(f"percentile({value_col}, array({arr}))").alias("__qs")
+    out = df.groupBy(*group_cols).agg(agg)
+    cols = [F.col(c) for c in group_cols]
+    for i, qv in enumerate(quantiles):
+        name = f"q{int(round(qv * 100))}"
+        cols.append(F.round(F.col("__qs")[i], round_to).alias(name))
+    return out.select(*cols)

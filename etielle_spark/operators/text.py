@@ -606,3 +606,53 @@ def feature_hash(
         .groupBy("id", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+def vocab_stats(df: DataFrame, text_col: str, *, top_k: int = 10) -> DataFrame:
+    """Corpus-level vocabulary profile in one pass over the token
+    stream: total tokens, distinct types, hapax count (frequency-1
+    types), type/token ratio, and the corpus frequency share of the
+    ``top_k`` most frequent tokens (the Zipf head) — the sanity gate
+    that catches tokenizer breakage and template spam at ingest.
+
+    Plan: explode tokens, ONE groupBy(token) count (the only wide
+    state, spread across the vocabulary), then a single global rollup
+    of that (small) frequency table plus a top-k take.  Token counts
+    never come back to the driver.
+
+    Returns one row: ``(n_tokens, n_types, n_hapax, type_token_ratio,
+    top{top_k}_share, top_tokens)`` where ``top_tokens`` is a
+    '|'-joined "token:count" list in (count desc, token asc) order.
+    """
+    toks = df.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        freq.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(top_k)
+        .select(
+            F.sum("c").alias("top_c"),
+            F.array_join(
+                F.collect_list(F.concat(F.col("tok"), F.lit(":"), F.col("c"))), "|"
+            ).alias("top_tokens"),
+        )
+    )
+    totals = freq.agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("bigint")).cast("bigint").alias("n_hapax"),
+    )
+    return (
+        totals.crossJoin(top)
+        .select(
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6).alias(
+                "type_token_ratio"
+            ),
+            F.round(F.col("top_c").cast("double") / F.col("n_tokens"), 6).alias(
+                f"top{top_k}_share"
+            ),
+            "top_tokens",
+        )
+    )

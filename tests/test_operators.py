@@ -1234,3 +1234,89 @@ def test_rolling_anomaly_flags_spike(spark):
     # first rows (insufficient history) never flag and have NULL z
     first = sorted(out, key=lambda r: r["ts"])[0]
     assert first["zscore"] is None and not first["is_anomaly"]
+
+
+def test_zorder_key_and_layout(spark):
+    from etielle_spark.plans.layout import zorder_key, zorder_layout
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], ["x", "y"]
+    )
+    out = df.select("x", "y", zorder_key(["x", "y"], bits=4).alias("z")).collect()
+    def morton(x, y):
+        z = 0
+        for b in range(4):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+    for r in out:
+        assert r["z"] == morton(r["x"], r["y"])
+    # all 256 keys distinct (bijective on the masked domain)
+    assert len({r["z"] for r in out}) == 256
+
+    # layout: each output partition covers a small sub-rectangle of the
+    # (x, y) space -> per-file min/max ranges are tight in BOTH columns
+    laid = zorder_layout(df, ["x", "y"], bits=4, n_files=8)
+    import pyspark.sql.functions as SF
+    spans = (
+        laid.withColumn("pid", SF.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (SF.max("x") - SF.min("x")).alias("dx"),
+            (SF.max("y") - SF.min("y")).alias("dy"),
+        )
+        .collect()
+    )
+    # a single-column sort would leave the other dimension spanning 15;
+    # z-order keeps both spans small for most files
+    assert sum(1 for r in spans if r["dx"] <= 7 and r["dy"] <= 7) >= len(spans) // 2
+
+
+def test_event_transitions_rows_sum_to_one(spark):
+    from etielle_spark.operators.events import event_transitions
+
+    base = 1_700_000_000
+    ev = _mk_events(spark, [(base + i * 10, 1, 0) for i in range(6)])
+    types = ["a", "b", "a", "b", "b", "c"]
+    ev = ev.drop("value")
+    from pyspark.sql import functions as SF
+    ev = ev.withColumn(
+        "event_type",
+        SF.element_at(
+            SF.array(*[SF.lit(t) for t in types]), (SF.col("event_id") + 1).cast("int")
+        ),
+    )
+    out = {(r["from_type"], r["to_type"]): (r["n"], r["p"]) for r in
+           event_transitions(ev, "user_id", "ts", "event_type",
+                             order_col="event_id").collect()}
+    # a->b twice, b->a once, b->b once, b->c once
+    assert out[("a", "b")][0] == 2 and out[("a", "b")][1] == 1.0
+    assert out[("b", "a")][0] == 1 and abs(out[("b", "a")][1] - 0.333333) < 1e-6
+    import collections
+    sums = collections.defaultdict(float)
+    for (f, _t), (_n, p) in out.items():
+        sums[f] += p
+    assert all(abs(s - 1.0) < 1e-4 for s in sums.values())
+
+
+def test_vocab_stats_toy_corpus(spark):
+    from etielle_spark.operators.text import vocab_stats
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog sat"), (3, "unique")], ["id", "text"]
+    )
+    r = vocab_stats(df, "text", top_k=2).collect()[0]
+    assert r["n_tokens"] == 7 and r["n_types"] == 5
+    assert r["n_hapax"] == 3  # cat, dog, unique
+    assert r["top_tokens"] == "sat:2|the:2"
+    assert r["top2_share"] == round(4 / 7, 6)
+
+
+def test_group_quantiles_exact(spark):
+    from etielle_spark.operators.profile import group_quantiles
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 101)], ["grp", "v"]
+    )
+    r = group_quantiles(df, ["grp"], "v", quantiles=[0.25, 0.5, 0.75]).collect()[0]
+    assert r["q25"] == 25.75 and r["q50"] == 50.5 and r["q75"] == 75.25
