@@ -4206,3 +4206,94 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import vocab_stats
 
     return vocab_stats(_t(spark, sf_dir, "documents"), "text", top_k=10)
+
+
+@q(
+    "q113_edit_distance_join",
+    """
+    WITH lt AS (SELECT p_partkey AS id_l, lower(trim(p_name)) AS t FROM part),
+    rt AS (
+      SELECT p_partkey + 200000 AS id_r,
+             lower(trim(
+               substr(p_name, 1, (p_partkey % length(p_name))::INT) || '#' ||
+               substr(p_name, (p_partkey % length(p_name))::INT + 2)
+             )) AS t
+      FROM part
+    ),
+    c1 AS (
+      SELECT id_l, l.t AS tl, id_r, r.t AS tr
+      FROM lt l JOIN rt r ON substr(l.t, 1, 5) = substr(r.t, 1, 5)
+    ),
+    c2 AS (
+      SELECT id_l, l.t AS tl, id_r, r.t AS tr
+      FROM lt l JOIN rt r ON substr(l.t, 6) = substr(r.t, 6)
+    ),
+    cand AS (
+      SELECT DISTINCT id_l, id_r, tl, tr FROM (
+        SELECT * FROM c1 UNION ALL SELECT * FROM c2
+      )
+    )
+    SELECT id_l, id_r, levenshtein(tl, tr)::BIGINT AS distance
+    FROM cand WHERE levenshtein(tl, tr) <= 1
+    """,
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant join (operators/dedup.py: edit_distance_join):
+    part names vs one-substitution corruptions, pigeonhole segment
+    blocking (two equi-joins, no cross join) + exact levenshtein
+    verify at distance <= 1."""
+    from .operators.dedup import edit_distance_join
+
+    part = _t(spark, sf_dir, "part")
+    pos = (F.col("p_partkey") % F.length("p_name")).cast("int")
+    dirty = part.select(
+        (F.col("p_partkey") + 200000).alias("tid"),
+        F.concat(
+            F.col("p_name").substr(F.lit(1), pos),
+            F.lit("#"),
+            F.col("p_name").substr(pos + 2, F.length("p_name")),
+        ).alias("tname"),
+    )
+    return edit_distance_join(
+        part, dirty, "p_partkey", "p_name", "tid", "tname",
+        max_distance=1, split_at=5,
+    )
+
+
+@q(
+    "q114_dq_rules",
+    """
+    WITH t AS (
+      SELECT count(*) AS n,
+             sum((NOT coalesce(o_totalprice > 0, FALSE))::INT) AS v1,
+             sum((NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE))::INT) AS v2,
+             sum((NOT coalesce(o_orderdate >= TIMESTAMP '1994-01-01 00:00:00',
+                               FALSE))::INT) AS v3,
+             sum((o_custkey IS NULL)::INT) AS v4
+      FROM orders
+    )
+    SELECT 'positive_price' AS rule, n::BIGINT AS n_rows, v1::BIGINT AS n_violations,
+           round(v1::DOUBLE / n, 6) AS violation_frac FROM t
+    UNION ALL
+    SELECT 'status_in_domain', n::BIGINT, v2::BIGINT, round(v2::DOUBLE / n, 6) FROM t
+    UNION ALL
+    SELECT 'date_in_range', n::BIGINT, v3::BIGINT, round(v3::DOUBLE / n, 6) FROM t
+    UNION ALL
+    SELECT 'custkey_not_null', n::BIGINT, v4::BIGINT, round(v4::DOUBLE / n, 6) FROM t
+    """,
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/rules.py: check_rules):
+    four named row predicates over orders evaluated in ONE aggregation
+    pass, NULL-predicate counted as violation, unpivoted per rule."""
+    from .operators.rules import check_rules
+
+    return check_rules(
+        _t(spark, sf_dir, "orders"),
+        {
+            "positive_price": F.col("o_totalprice") > 0,
+            "status_in_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+            "date_in_range": "o_orderdate >= timestamp'1994-01-01 00:00:00'",
+            "custkey_not_null": F.col("o_custkey").isNotNull(),
+        },
+    )

@@ -528,3 +528,60 @@ def jaccard_similarity_join(
         .select("id_l", "id_r", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_l: str,
+    text_l: str,
+    id_r: str,
+    text_r: str,
+    *,
+    max_distance: int = 1,
+    split_at: int = 5,
+) -> DataFrame:
+    """Typo-tolerant equi-blocked join: (left, right) pairs whose
+    normalized strings are within Levenshtein ``max_distance``.
+
+    Blocking uses the pigeonhole principle for substitution edits: the
+    string splits at ``split_at`` into two segments, and any pair within
+    one substitution must agree exactly on at least one segment — so
+    candidates come from two plain equi-joins (segment 1 OR segment 2),
+    never a cross join, and the exact ``levenshtein`` filter then
+    removes false candidates.  Insertions/deletions shift positions, so
+    pairs differing by indels beyond the split point can be missed —
+    documented approximation (complete substitution coverage for
+    ``max_distance`` = 1; classic PassJoin positional probing is the
+    extension).
+
+    At scale the block volume is sum over segment values of
+    ``df_l * df_r`` — tight-prefix segments keep blocks small, and the
+    verify step is per-candidate, never per-pair-of-everything.
+
+    Returns ``(id_l, id_r, distance)``.
+    """
+    tl = left.select(
+        F.col(id_l).alias("id_l"), F.lower(F.trim(F.col(text_l))).alias("__tl")
+    )
+    tr = right.select(
+        F.col(id_r).alias("id_r"), F.lower(F.trim(F.col(text_r))).alias("__tr")
+    )
+
+    def seg(col: Column, i: int) -> Column:
+        if i == 0:
+            return F.substring(col, 1, split_at)
+        return F.substring(col, split_at + 1, 1_000_000)
+
+    cands = None
+    for i in range(2):
+        gl = tl.select("id_l", "__tl", seg(F.col("__tl"), i).alias("__seg"))
+        gr = tr.select("id_r", "__tr", seg(F.col("__tr"), i).alias("__seg"))
+        c = gl.join(gr, "__seg").select("id_l", "__tl", "id_r", "__tr")
+        cands = c if cands is None else cands.unionByName(c)
+    dist = F.levenshtein(F.col("__tl"), F.col("__tr"))
+    return (
+        cands.dropDuplicates(["id_l", "id_r"])
+        .select("id_l", "id_r", dist.cast("bigint").alias("distance"))
+        .filter(F.col("distance") <= max_distance)
+    )

@@ -1320,3 +1320,48 @@ def test_group_quantiles_exact(spark):
     )
     r = group_quantiles(df, ["grp"], "v", quantiles=[0.25, 0.5, 0.75]).collect()[0]
     assert r["q25"] == 25.75 and r["q50"] == 50.5 and r["q75"] == 75.25
+
+
+def test_edit_distance_join_typos(spark):
+    from etielle_spark.operators.dedup import edit_distance_join
+
+    canon = spark.createDataFrame(
+        [(1, "red widget"), (2, "blue bolt"), (3, "green gear")],
+        ["id", "name"],
+    )
+    dirty = spark.createDataFrame(
+        [(10, "red widgex"),   # sub at tail: first segment intact
+         (11, "xlue bolt"),    # sub at head: second segment intact
+         (12, "green gare"),   # two edits away -> excluded
+         (13, "RED WIDGET")],  # case-insensitive exact
+        ["tid", "tname"],
+    )
+    out = {(r["id_l"], r["id_r"]): r["distance"] for r in
+           edit_distance_join(canon, dirty, "id", "name", "tid", "tname",
+                              max_distance=1, split_at=5).collect()}
+    assert out[(1, 10)] == 1
+    assert out[(2, 11)] == 1
+    assert out[(1, 13)] == 0
+    assert (3, 12) not in out
+
+
+def test_check_rules_single_pass(spark):
+    from etielle_spark.operators.rules import check_rules
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, -5.0, "F"), (3, None, "X"), (4, 2.0, None)],
+        ["id", "price", "status"],
+    )
+    out = {r["rule"]: r for r in check_rules(df, {
+        "positive_price": F.col("price") > 0,
+        "status_known": "status in ('O','F')",
+    }).collect()}
+    # -5 fails, NULL price counts as violation too
+    assert out["positive_price"]["n_violations"] == 2
+    assert out["positive_price"]["n_rows"] == 4
+    assert out["positive_price"]["violation_frac"] == 0.5
+    # 'X' fails, NULL status is a violation (three-valued logic)
+    assert out["status_known"]["n_violations"] == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        check_rules(df, {})
