@@ -4297,3 +4297,43 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
             "custkey_not_null": F.col("o_custkey").isNotNull(),
         },
     )
+
+
+@q(
+    "q115_pq_codes",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, e AS ce
+      FROM v ORDER BY vec_id LIMIT 16
+    ),
+    spaces AS (SELECT unnest(range(0, 8)) AS j),
+    dists AS (
+      SELECT v.vec_id, s.j, c.ci,
+             round(list_sum([
+               (v.e[s.j * 8 + k] - c.ce[s.j * 8 + k]) ^ 2
+               for k in range(1, 9)
+             ]), 6) AS d
+      FROM v CROSS JOIN spaces s CROSS JOIN cent c
+    ),
+    best AS (
+      SELECT vec_id, j, ci, d,
+             row_number() OVER (PARTITION BY vec_id, j ORDER BY d, ci) AS rk
+      FROM dists
+    )
+    SELECT vec_id AS id, j::BIGINT AS subspace, ci::BIGINT AS code, d AS dist
+    FROM best WHERE rk = 1
+    """,
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (operators/similarity.py:
+    pq_codes): 64-dim embeddings split into 8 subspaces, each assigned
+    its nearest of 16 codebook centroids (squared-L2, deterministic
+    seeding) — the PQ compression step of a billion-scale ANN index,
+    one scan, literal codebooks, no shuffle."""
+    from .operators.similarity import pq_codes
+
+    return pq_codes(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        m=8, n_centroids=16,
+    )

@@ -1365,3 +1365,21 @@ def test_check_rules_single_pass(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         check_rules(df, {})
+
+
+def test_pq_codes_identity_and_shape(spark, emb):
+    from etielle_spark.operators.similarity import pq_codes
+
+    small = emb.select("vec_id", "embedding").limit(40)
+    out = pq_codes(small, "vec_id", "embedding", m=8, n_centroids=16)
+    rows = out.collect()
+    n = small.count()
+    assert len(rows) == n * 8
+    assert all(0 <= r["code"] < 16 for r in rows)
+    assert all(r["dist"] >= 0 for r in rows)
+    # a codebook seed vector encodes to itself in every subspace (dist 0)
+    seed_ids = [r["vec_id"] for r in
+                small.orderBy("vec_id").limit(16).collect()]
+    for r in rows:
+        if r["id"] == seed_ids[0]:
+            assert r["dist"] == 0.0 and r["code"] == 0
