@@ -2073,8 +2073,9 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
     cent_ids AS (
-      SELECT vec_id AS cvid, row_number() OVER (ORDER BY vec_id) - 1 AS cell
-      FROM embeddings ORDER BY vec_id LIMIT 16
+      SELECT vec_id AS cvid,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
     ),
     ce AS (SELECT c.cell, e.i, e.v FROM cent_ids c JOIN e ON e.vec_id = c.cvid),
     cnorm AS (SELECT cell, sqrt(sum(v * v)) AS cn FROM ce GROUP BY cell),
@@ -2575,8 +2576,9 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
     cent_ids AS (
-      SELECT vec_id AS cvid, row_number() OVER (ORDER BY vec_id) - 1 AS cell
-      FROM embeddings ORDER BY vec_id LIMIT 16
+      SELECT vec_id AS cvid,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
     ),
     ce AS (SELECT c.cell, e.i, e.v FROM cent_ids c JOIN e ON e.vec_id = c.cvid),
     cnorm AS (SELECT cell, sqrt(sum(v * v)) AS cn FROM ce GROUP BY cell),
@@ -3681,14 +3683,21 @@ def _emb_plus_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH all_e AS ({_EMB_PLUS_CLONES}),
     v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM all_e),
-    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+    n AS (
+      SELECT vec_id,
+             CASE WHEN sqrt(list_dot_product(e, e)) > 0
+                  THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+                  ELSE e END AS vn
+      FROM v
+    ),
     cent AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce, nrm AS cn
-      FROM n ORDER BY vec_id LIMIT 16
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+             vn AS cn
+      FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
     ),
     vc AS (
       SELECT n.vec_id, c.cell,
-             round(list_dot_product(n.e, c.ce) / (n.nrm * c.cn), 6) AS cos
+             round(list_dot_product(n.vn, c.cn), 6) AS cos
       FROM n CROSS JOIN cent c
     ),
     assign AS (
@@ -3701,7 +3710,7 @@ def _emb_plus_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pairs AS (
       SELECT aa.vec_id AS id_a, bb.vec_id AS id_b,
-             round(list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm), 6) AS cos
+             round(list_dot_product(na.vn, nb.vn), 6) AS cos
       FROM assign aa
       JOIN assign bb ON aa.cell = bb.cell AND aa.vec_id < bb.vec_id
       JOIN n na ON na.vec_id = aa.vec_id
@@ -4304,8 +4313,9 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     cent AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, e AS ce
-      FROM v ORDER BY vec_id LIMIT 16
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS ci,
+             e AS ce
+      FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
     ),
     spaces AS (SELECT unnest(range(0, 8)) AS j),
     dists AS (

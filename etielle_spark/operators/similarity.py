@@ -29,6 +29,31 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def _seed_vectors(
+    df: DataFrame, id_col: str, vec_col: str, n: int
+) -> list[tuple[int, list[float]]]:
+    """Deterministic pseudo-random seed sample: the ``n`` vectors with the
+    smallest ``md5(cast(id as string))`` (ties -> smaller id), numbered
+    0..n-1 in that hash order.
+
+    Hash-ordered (not smallest-id) because real corpora cluster by id
+    adjacency — near-duplicate runs, per-source id ranges — and seeding
+    centroids from one id neighborhood collapses every vector into a
+    couple of cells, turning the within-cell work quadratic.  md5 ordering
+    decorrelates the sample from ingestion order, is engine-independent
+    (DuckDB: ``ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id``), and the
+    ``orderBy().limit()`` compiles to a parallel partial top-k, not a
+    global sort.
+    """
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n)
+        .collect()
+    )
+    return [(i, list(r[1])) for i, r in enumerate(rows)]
+
+
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
@@ -113,8 +138,9 @@ def ivf_topk(
     ``nlist`` cells around centroid vectors, then search only each query's
     ``nprobe`` closest cells.
 
-    Centroids default to the ``nlist`` corpus vectors with the smallest
-    ids — deterministic and oracle-reproducible; a production index would
+    Centroids default to a deterministic hash-ordered sample of ``nlist``
+    corpus vectors (oracle-reproducible; see ``_seed_vectors``); a
+    production index would
     instead pass k-means-trained ``centroids`` (list of (cell_id, vector)).
     Either way they are driver-resident (an IVF codebook is small by
     construction) and are embedded as literal arrays, so cell assignment
@@ -127,13 +153,7 @@ def ivf_topk(
     an external oracle reproduces the same cells bit-for-bit.
     """
     if centroids is None:
-        rows = (
-            corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-            .orderBy(F.col(id_col))
-            .limit(nlist)
-            .collect()
-        )
-        centroids = [(i, list(r[1])) for i, r in enumerate(rows)]
+        centroids = _seed_vectors(corpus, id_col, vec_col, nlist)
     if not centroids:
         raise ValueError("ivf_topk: no centroids (empty corpus?)")
 
@@ -306,13 +326,7 @@ def kmeans_iteration(
     centroid components rounded to ``round_to``.
     """
     if centroids is None:
-        rows = (
-            corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-            .orderBy(F.col(id_col))
-            .limit(nlist)
-            .collect()
-        )
-        centroids = [(i, list(r[1])) for i, r in enumerate(rows)]
+        centroids = _seed_vectors(corpus, id_col, vec_col, nlist)
     if not centroids:
         raise ValueError("kmeans_iteration: no centroids (empty corpus?)")
 
@@ -420,40 +434,65 @@ def semdedup(
     term is bounded by the largest cluster: with k-means-sized clusters
     (|cell| ~ n/nlist) the comparison volume drops by ~nlist x, and the
     cluster self-join is a plain shuffle on the cell key that AQE can
-    split further.  Centroids default to the ``nlist`` smallest-id
-    corpus vectors (deterministic, oracle-reproducible); production
-    passes k-means-trained centroids from ``kmeans_iteration``.
+    split further.  Centroids default to a deterministic hash-ordered
+    sample (``_seed_vectors`` — oracle-reproducible, and decorrelated
+    from id adjacency so near-duplicate id runs don't collapse into one
+    cell); production passes k-means-trained centroids from
+    ``kmeans_iteration``.
 
     Returns ``(id, cell, dropped, dup_of)``: ``dup_of`` is the smallest
     same-cluster id within ``threshold`` (NULL when kept).
     """
     if centroids is None:
-        rows = (
-            emb.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-            .orderBy(F.col(id_col))
-            .limit(nlist)
-            .collect()
-        )
-        centroids = [(i, list(r[1])) for i, r in enumerate(rows)]
+        centroids = _seed_vectors(emb, id_col, vec_col, nlist)
     if not centroids:
         raise ValueError("semdedup: no centroids (empty corpus?)")
+
+    # Normalize every vector ONCE (and the centroids driver-side), so
+    # each downstream cosine is a single zip_with/aggregate dot product
+    # instead of dot + two norms — higher-order-function evaluation is
+    # the per-pair cost at scale, and this cuts it 3x.
+    import math
+
+    def _unit(vec: list[float]) -> list[float]:
+        nrm = math.sqrt(sum(x * x for x in vec))
+        return [x / nrm for x in vec] if nrm > 0 else list(vec)
 
     def cell_scores(vec: Column) -> Column:
         entries = []
         for cid, cvec in centroids:
-            cos = cosine(vec, F.array(*[F.lit(float(x)) for x in cvec]))
+            cos = _dot(vec, F.array(*[F.lit(x) for x in _unit(cvec)]))
             if round_cosine is not None:
                 cos = F.round(cos, round_cosine)
             entries.append(F.struct(cos.alias("c"), F.lit(-cid).alias("nid")))
         return F.array(*entries)
 
-    assigned = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("cell", -F.array_max(cell_scores(F.col("v"))).getField("nid"))
+    nrm = F.sqrt(_dot(F.col("__raw"), F.col("__raw")))
+    assigned = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("__raw"),
+        )
+        .withColumn(
+            "v",
+            F.when(
+                nrm > 0, F.transform("__raw", lambda x: x / nrm)
+            ).otherwise(F.col("__raw")),
+        )
+        .drop("__raw")
+        .withColumn("cell", -F.array_max(cell_scores(F.col("v"))).getField("nid"))
+    )
+    # assigned feeds both self-join sides AND the final keep/drop join;
+    # persist so the nlist-dot cell assignment runs once per row, not 3x
+    # (recoverable storage, not localCheckpoint — lineage survives
+    # executor loss on a real cluster).
+    from pyspark import StorageLevel
+
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
 
     a = assigned.select(F.col("cell"), F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = assigned.select(F.col("cell"), F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    cos = cosine(F.col("va"), F.col("vb"))
+    cos = _dot(F.col("va"), F.col("vb"))
     if round_cosine is not None:
         cos = F.round(cos, round_cosine)
     dup_of = (
@@ -492,8 +531,8 @@ def pq_codes(
     bytes at 256 centroids), so a billion-vector index fits in RAM and
     distance evaluation becomes table lookups (ADC).
 
-    Codebooks default to the subvectors of the ``n_centroids``
-    smallest-id corpus vectors (deterministic, oracle-reproducible);
+    Codebooks default to the subvectors of a deterministic hash-ordered
+    sample of ``n_centroids`` corpus vectors (``_seed_vectors``);
     production passes k-means-trained codebooks per subspace.  Either
     way they are literal-embedded (a PQ codebook is tiny by
     construction), so encoding is ONE corpus scan with pure codegen
@@ -505,24 +544,16 @@ def pq_codes(
     squared-L2 to the chosen centroid.
     """
     if codebooks is None:
-        rows = (
-            emb.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-            .orderBy(F.col(id_col))
-            .limit(n_centroids)
-            .collect()
-        )
-        if not rows:
+        seeds = _seed_vectors(emb, id_col, vec_col, n_centroids)
+        if not seeds:
             raise ValueError("pq_codes: empty corpus")
         if dim is None:
-            dim = len(rows[0][1])
+            dim = len(seeds[0][1])
         if dim % m != 0:
             raise ValueError(f"pq_codes: dim {dim} not divisible by m {m}")
         sub = dim // m
         codebooks = [
-            [
-                (ci, list(r[1])[j * sub : (j + 1) * sub])
-                for ci, r in enumerate(rows)
-            ]
+            [(ci, vec[j * sub : (j + 1) * sub]) for ci, vec in seeds]
             for j in range(m)
         ]
     else:

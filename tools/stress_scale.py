@@ -78,6 +78,58 @@ def main() -> None:
     step("quality", lambda: quality_score(docs, "doc_id", "text").count())
     step("lang_id", lambda: lang_id(docs, "doc_id", "text").count())
 
+    # round-2 operators at the same corpus scale
+    from etielle_spark.operators.clusters import mixture_resample
+    from etielle_spark.operators.dedup import gram_duplication_stats
+    from etielle_spark.operators.similarity import semdedup
+    from etielle_spark.operators.web import cap_per_domain, charset_profile
+
+    step("charset_profile", lambda: charset_profile(docs, "doc_id", "text").count())
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www.s"),
+            (F.col("doc_id") % 1000).cast("string"),
+            F.lit("-corp.org/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    n_capped = step(
+        "domain_cap_50", lambda: cap_per_domain(urls, "doc_id", "url", cap=50).count()
+    )
+    n_gram_dropped = step(
+        "gram_duplication_8",
+        lambda: gram_duplication_stats(docs, "doc_id", "text", n=8)
+        .filter(F.col("drop")).count(),
+    )
+    src = docs.select(
+        "doc_id",
+        F.concat(F.lit("src"), (F.col("doc_id") % 7).cast("string")).alias("source"),
+    )
+    n_resampled = step(
+        "mixture_resample",
+        lambda: mixture_resample(
+            src, "doc_id", "source", {"src0": 2.5, "src1": 0.25, "src2": 0.0}
+        ).count(),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    big_emb = (
+        emb.select("vec_id", "embedding")
+        .withColumn("copy", F.explode(F.sequence(F.lit(0), F.lit(9))))
+        .select(
+            (F.col("vec_id") * 10 + F.col("copy")).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.col("copy").cast("float") * 0.001
+            ).alias("embedding"),
+        )
+    )
+    n_vec = big_emb.count()
+    n_semdrop = step(
+        "semdedup_nlist64",
+        lambda: semdedup(big_emb, "vec_id", "embedding", threshold=0.999, nlist=64)
+        .filter(F.col("dropped")).count(),
+    )
+
     print(
         json.dumps(
             {
@@ -86,6 +138,11 @@ def main() -> None:
                 "signatures": n_sigs,
                 "lsh_candidate_pairs": n_pairs,
                 "lsh_candidate_pairs_capped": n_pairs_capped,
+                "domain_capped_rows": n_capped,
+                "gram_dup_dropped": n_gram_dropped,
+                "mixture_resampled_rows": n_resampled,
+                "semdedup_vectors": n_vec,
+                "semdedup_dropped": n_semdrop,
                 "timings_sec": timings,
                 "total_sec": round(sum(timings.values()), 2),
             }
