@@ -1377,9 +1377,12 @@ def test_pq_codes_identity_and_shape(spark, emb):
     assert len(rows) == n * 8
     assert all(0 <= r["code"] < 16 for r in rows)
     assert all(r["dist"] >= 0 for r in rows)
-    # a codebook seed vector encodes to itself in every subspace (dist 0)
+    # a codebook seed vector encodes to itself in every subspace (dist 0);
+    # seeds are the md5-hash-ordered sample (_seed_vectors), not smallest-id
+    from pyspark.sql import functions as F
     seed_ids = [r["vec_id"] for r in
-                small.orderBy("vec_id").limit(16).collect()]
+                small.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+                .limit(16).collect()]
     for r in rows:
         if r["id"] == seed_ids[0]:
             assert r["dist"] == 0.0 and r["code"] == 0
