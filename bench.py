@@ -90,12 +90,13 @@ def streaming_events_windows(spark) -> float:
         schema = spark.read.parquet(src).schema
 
         t0 = time.perf_counter()
-        stream = (
+        from etielle_spark.benchqueries import fix_event_ts
+
+        stream = fix_event_ts(
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 2)
             .parquet(src)
-            .withColumn("tss", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-        )
+        ).withColumnRenamed("ts", "tss")
         agg = (
             stream.withWatermark("tss", "10 minutes")
             .groupBy(F.window("tss", "1 minute"), "event_type")

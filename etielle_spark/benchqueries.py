@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
 from .core import Field, TempField
 from .fluent import etl
@@ -55,15 +55,30 @@ def _ts(col):
     return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
 
 
+def fix_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events ``ts`` column to a plain (micros) TIMESTAMP.
+
+    Earlier testdata generations stored TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects — with ``nanosAsLong`` those arrive as long
+    nanos and are rebuilt as microsecond timestamps.  Current generations
+    store TIMESTAMP(MICROS) (arrives as timestamp or timestamp_ntz) and
+    only need an NTZ->TZ cast.  DuckDB reads the same column natively
+    either way, so oracle comparisons agree at second granularity.
+    """
+    ts_type = df.schema[col].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn(
+            col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
+        )
+    if isinstance(ts_type, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read nanos as long and rebuild a (microsecond)
-    timestamp.  DuckDB reads the same column natively — second-granularity
-    comparisons agree."""
     _prep(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return fix_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 # ===========================================================================

@@ -214,9 +214,9 @@ def test_structured_streaming_windows(spark):
     shutil.copy(src, f"{path}/part-0.parquet")
     static = spark.read.parquet(path)
     schema = static.schema
-    fix = lambda df: df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    from etielle_spark.benchqueries import fix_event_ts
+
+    fix = fix_event_ts
 
     batch = tumbling_agg(
         fix(static), "ts", "1 hour", F.count("*").alias("n"), keys=["event_type"]
