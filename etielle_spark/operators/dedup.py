@@ -47,6 +47,20 @@ def exact_dedup_by_content(df: DataFrame, id_col: str, text_col: str) -> DataFra
 # ---------------------------------------------------------------------------
 
 
+def let_(value: Column, body) -> Column:
+    """Evaluate ``value`` ONCE and bind it to a lambda variable that
+    ``body`` may reference any number of times.
+
+    Catalyst's CollapseProject inlines aliased expressions into every
+    downstream reference, so ``select(big.alias("x")).select(f(x), g(x),
+    h(x))`` re-evaluates ``big`` three times per row — quadratic when
+    ``big`` itself scans an array.  Wrapping the value in a one-element
+    array and mapping ``body`` over it turns the reference into a bound
+    lambda variable (evaluated once per row), i.e. a functional *let*.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def _normalize(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
@@ -114,17 +128,36 @@ def minhash_signatures(
     Permutation *h* is "md5 of h-prefixed shingle"; the minimum digest per
     permutation is a standard MinHash estimator and — unlike xxhash/murmur —
     reproducible in any engine with md5, which makes the result
-    oracle-checkable.  One explode + one groupBy; no UDFs.
+    oracle-checkable.
+
+    Map-only: the signature is a per-row array expression (array_min over
+    the shingle array, once per permutation) — no explode, no groupBy, no
+    shuffle at all.  Documents with zero shingles are dropped, matching
+    the groupBy-over-exploded-shingles formulation.
     """
-    pairs = shingle_df(df, id_col, text_col, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle")))).alias(f"__h{h}")
-        for h in range(num_hashes)
-    ]
-    sig = pairs.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"__h{h}") for h in range(num_hashes)]).alias("signature"),
+    def perm_hashes(s: Column) -> Column:
+        # NB: inner lambdas must take exactly one parameter — F.transform
+        # passes the element index to a second parameter, silently
+        # shadowing any default-arg capture
+        return F.array(
+            *[F.md5(F.concat(F.lit(f"{h}|"), s)) for h in range(num_hashes)]
+        )
+
+    # single fold over the let_-bound shingle array, carrying the
+    # num_hashes running minima as the accumulator ('g' > every md5 hex
+    # digit, so it is the identity).  let_ builds the shingle array once
+    # per row; the zero-shingle filter tests the (cheaper) token array,
+    # which is empty exactly when the shingle array is.
+    sig = let_(
+        shingles_col(F.col(text_col), n),
+        lambda sh: F.aggregate(
+            sh,
+            F.array(*[F.lit("g")] * num_hashes),
+            lambda acc, s: F.zip_with(acc, perm_hashes(s), lambda x, y: F.least(x, y)),
+        ),
+    )
+    return df.filter(F.size(tokens_col(F.col(text_col))) > 0).select(
+        F.col(id_col), sig.alias("signature")
     )
 
 
@@ -152,23 +185,25 @@ def band_digests(
         if signatures is not None
         else minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
     )
+    # let_-bound: when the signature is an inline expression (not a
+    # materialized column), referencing it once per band would re-run the
+    # whole MinHash computation ``bands`` times after CollapseProject
+    band_arr = let_(
+        F.col("signature"),
+        lambda s: F.array(
+            *[
+                F.md5(
+                    F.array_join(
+                        F.slice(s, b * rows_per_band + 1, rows_per_band), "|"
+                    )
+                )
+                for b in range(bands)
+            ]
+        ),
+    )
     return sig.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.array_join(
-                            F.slice(
-                                F.col("signature"), b * rows_per_band + 1, rows_per_band
-                            ),
-                            "|",
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_digest"),
+        F.posexplode(band_arr).alias("band", "band_digest"),
     )
 
 
@@ -300,45 +335,43 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32) -> Dat
     documents is the count of differing positions.
     """
     assert bits % 4 == 0
-    toks = df.select(
-        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
-    ).withColumn("hex", F.md5(F.col("tok")))
-    bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    with_bits = toks.select(F.col(id_col), F.col("hex"), bit_idx)
-    nibble = (
-        F.instr(
-            F.lit("0123456789abcdef"),
-            F.substring(F.col("hex"), (F.col("bit") / 4).cast("int") + 1, 1),
+    toks = tokens_col(F.col(text_col))
+
+    def contrib(h: Column, bit: Column) -> Column:
+        nibble = (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(h, (bit / 4).cast("int") + 1, 1),
+            )
+            - 1
         )
-        - 1
-    )
-    # bit (3 - bit%4) of the nibble, via arithmetic so the shift amount can
-    # be a column (and so a SQL oracle can reproduce it verbatim)
-    bitval = F.floor(nibble / F.pow(F.lit(2.0), (3 - F.col("bit") % 4))).cast("int") % 2
-    contrib = (bitval * 2 - 1).alias("contrib")
-    summed = (
-        with_bits.select(F.col(id_col), F.col("bit"), contrib)
-        .groupBy(id_col, "bit")
-        .agg(F.sum("contrib").alias("s"))
-    )
-    return (
-        summed.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("bit").alias("o"),
-                                F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")).alias("v"),
-                            )
-                        )
-                    ),
-                    lambda p: p.getField("v"),
-                ),
-                "",
-            ).alias("simhash")
+        # bit (3 - bit%4) of the nibble, via arithmetic so the shift
+        # amount can be a column (and a SQL oracle can reproduce it)
+        bitval = (
+            F.floor(nibble / F.pow(F.lit(2.0), (3 - bit % 4))).cast("int") % 2
         )
+        return bitval * 2 - 1
+
+    # map-only: per-row bit sums via nested higher-order functions — no
+    # explode, no shuffle; the old explode(tokens)×explode(bits) +
+    # double-groupBy formulation pushed |docs|·|tokens|·bits rows through
+    # two exchanges for the same arithmetic.  let_ binds the per-token
+    # md5 array once per row (one md5 per token, shared by all bits).
+    bit_chars = let_(
+        F.transform(toks, lambda t: F.md5(t)),
+        lambda hexes: F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda bit: F.when(
+                F.aggregate(
+                    hexes, F.lit(0), lambda acc, h: acc + contrib(h, bit)
+                )
+                > 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
+        ),
+    )
+    return df.filter(F.size(toks) > 0).select(
+        F.col(id_col), F.array_join(bit_chars, "").alias("simhash")
     )
 
 
@@ -584,4 +617,95 @@ def edit_distance_join(
         cands.dropDuplicates(["id_l", "id_r"])
         .select("id_l", "id_r", dist.cast("bigint").alias("distance"))
         .filter(F.col("distance") <= max_distance)
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    seg_tokens: int = 10,
+    max_count: int = 1,
+) -> DataFrame:
+    """Corpus-level repeated-segment removal (CCNet/RefinedWeb-style
+    paragraph dedup, with fixed ``seg_tokens``-token windows standing in
+    for paragraphs): drop every segment whose normalized text occurs more
+    than ``max_count`` times across the WHOLE corpus, then reassemble
+    each document from its surviving segments in order.
+
+    Scale shape (the 100 TB path):
+    - segments are exploded once; the global frequency pass groups on a
+      32-byte ``md5`` of the segment, never shipping segment bodies
+      through the shuffle twice;
+    - duplicated segments are by construction a small set (a segment
+      needs >= ``max_count`` occurrences to qualify), so the removal is a
+      broadcast LEFT ANTI join against the hot-digest list — the corpus
+      is NOT re-shuffled for the subtraction;
+    - reassembly groups by doc id with ``max_by``-free ordered
+      ``array_agg`` (sort_array over (idx, seg) structs), one shuffle.
+
+    Returns ``(id, clean_text, n_segments, n_removed)`` — one row per
+    input document, empty-text documents keep ``clean_text = ''``.
+    """
+    if seg_tokens < 1:
+        raise ValueError("segment_dedup: seg_tokens must be >= 1")
+    toks = tokens_col(F.col(text_col))
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    # let_-bound: the token array is sliced once per segment — without the
+    # binding each slice would re-tokenize the document
+    # (the empty guard matters: sequence(0, -1) would generate a
+    # DESCENDING [0, -1], emitting phantom segments for empty documents)
+    seg_arr = let_(
+        toks,
+        lambda t: F.when(
+            F.size(t) > 0,
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.ceil(F.size(t) / F.lit(seg_tokens)).cast("int") - 1
+                ),
+                lambda i: F.array_join(F.slice(t, i * seg_tokens + 1, seg_tokens), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    segs = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(seg_arr).alias("seg_idx", "seg"),
+    )
+    seg_rows = segs.filter(F.col("seg").isNotNull()).withColumn(
+        "digest", F.md5(F.col("seg"))
+    )
+    hot = (
+        seg_rows.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > max_count)
+        .select("digest")
+    )
+    kept = seg_rows.join(F.broadcast(hot), "digest", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("seg_idx"), F.col("seg")))
+                ),
+                lambda s: s.getField("seg"),
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(n_segs.cast("bigint"), F.lit(0)).alias("n_segments"),
+    )
+    return (
+        base.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_segments",
+            (F.col("n_segments") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
     )

@@ -656,3 +656,83 @@ def vocab_stats(df: DataFrame, text_col: str, *, top_k: int = 10) -> DataFrame:
             "top_tokens",
         )
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str, *, top_n: int = 20
+) -> DataFrame:
+    """One BPE vocabulary-training step: count adjacent character pairs
+    across the corpus (weighted by word frequency) and return the top
+    ``top_n`` merge candidates — the inner loop of byte-pair-encoding
+    tokenizer training (Sennrich et al. 2016), map-reduced.
+
+    Two cheap shuffles, both on tiny keys: corpus -> distinct-word counts
+    (the word table is orders of magnitude smaller than the corpus), then
+    word -> pair explode -> pair counts.  Everything before the first
+    groupBy is a single scan with codegen'd split/explode; no Python.
+
+    Ties order by pair text ascending so the result is deterministic.
+    Returns ``(pair, cnt)``.
+    """
+    toks = tokens_col(F.col(text_col))
+    words = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    # substring with a dynamic start needs Column.substr (the three-arg
+    # F.substring takes a literal pos)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        F.col("wc"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(top_n)
+    )
+
+
+def token_budget_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    budget: int,
+) -> DataFrame:
+    """Per-group token-budget sampling: walk each group's documents in
+    ``id_col`` order and keep documents while the group's cumulative
+    token count stays within ``budget`` — the "give me 50B tokens per
+    source" step of assembling a training mixture.
+
+    One window shuffle partitioned by the group column; the running sum
+    is a single pass per partition.  A document that would cross the
+    budget line is dropped along with everything after it (strict
+    prefix), which keeps the rule deterministic and order-respecting.
+
+    Returns ``(id, group, n_tokens, cum_tokens)`` for kept documents.
+    """
+    from pyspark.sql import Window
+
+    n_toks = F.size(tokens_col(F.col(text_col))).cast("bigint")
+    w = (
+        Window.partitionBy("group")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(group_col).alias("group"),
+            n_toks.alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+    )

@@ -1,0 +1,106 @@
+"""Bloom-filter join pruning: filter a huge fact side down to
+probably-matching keys BEFORE the join shuffle.
+
+Spark's own runtime bloom filter (``spark.sql.optimizer.runtime.bloomFilter
+.enabled``) injects this automatically for shuffle joins under size
+heuristics; this module is the explicit, declarative version for when the
+build side is known-small and you want the prune guaranteed (and visible
+in the plan) rather than heuristic — e.g. a 100 TB fact table joined to a
+filtered dimension where only 1% of fact rows survive.
+
+The bitmap is built with ONE Spark job over the dim side that returns at
+most ``n_bits`` distinct bit positions to the driver (bounded regardless
+of dim cardinality), then embedded as a literal ``array<long>`` in the
+fact-side filter — pure codegen bit tests, no UDF, no extra shuffle.
+False positives only (never false negatives), so composing with the exact
+join afterwards yields exactly the plain-join result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _positions(key: Column, n_bits: int, k: int) -> list[Column]:
+    """k bit positions per key: xxhash64 with per-probe seeds, mod n_bits.
+
+    ``pmod`` (not ``%``): xxhash64 is signed and a negative bit position
+    would index outside the bitmap.
+    """
+    return [
+        F.pmod(F.xxhash64(key, F.lit(j)), F.lit(n_bits)).cast("long")
+        for j in range(k)
+    ]
+
+
+def bloom_bitmap(
+    dim: DataFrame, dim_key: str, *, n_bits: int = 1 << 16, k: int = 3
+) -> list[int]:
+    """Build the bloom bitmap (list of 64-bit words, little-endian bit
+    order within each word) from the dim side's join keys.
+
+    One distributed job: explode each key into its k positions, distinct
+    them (bounded by ``n_bits`` rows), collect.  The returned list has
+    ``n_bits / 64`` words (~8 KB at the default 65,536 bits) — small
+    enough to embed as a plan literal and ship with every task.
+    """
+    if n_bits % 64 != 0:
+        raise ValueError("bloom_bitmap: n_bits must be a multiple of 64")
+    pos_rows = (
+        dim.select(
+            F.explode(F.array(*_positions(F.col(dim_key), n_bits, k))).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (n_bits // 64)
+    for r in pos_rows:
+        p = r["p"]
+        words[p >> 6] |= 1 << (p & 63)
+    return words
+
+
+def bloom_filter_col(
+    key: Column, words: list[int], *, k: int = 3
+) -> Column:
+    """Predicate: all k bit positions of ``key`` are set in the bitmap.
+
+    Compiles to literal-array lookups + bit shifts (whole-stage codegen);
+    the words are signed-wrapped for Spark's long type.
+    """
+    n_bits = len(words) * 64
+    lit_words = F.array(
+        *[F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long") for w in words]
+    )
+    cond = F.lit(True)
+    for p in _positions(key, n_bits, k):
+        word = F.element_at(lit_words, (p / 64).cast("int") + 1)
+        bit = F.shiftrightunsigned(word, F.pmod(p, F.lit(64)).cast("int"))
+        cond = cond & ((bit.bitwiseAND(F.lit(1))) == 1)
+    return cond
+
+
+def bloom_pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    *,
+    n_bits: int = 1 << 16,
+    k: int = 3,
+    how: str = "inner",
+) -> DataFrame:
+    """Exact join with a bloom pre-prune on the fact side.
+
+    Result is identical to ``fact.join(dim, fact[fact_key] == dim[dim_key],
+    how)`` for inner/semi joins (bloom passes every true match); the win
+    is that fact rows failing the bitmap test are dropped AT THE SCAN,
+    before the join shuffle — on a selective dim the shuffle shrinks by
+    orders of magnitude.  The dim side is broadcast (it was small enough
+    to bitmap; it is small enough to broadcast).
+    """
+    words = bloom_bitmap(dim, dim_key, n_bits=n_bits, k=k)
+    pruned = fact.filter(bloom_filter_col(F.col(fact_key), words, k=k))
+    return pruned.join(
+        F.broadcast(dim), pruned[fact_key] == dim[dim_key], how
+    )
