@@ -4362,3 +4362,203 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         m=8, n_centroids=16,
     )
+
+
+# ===========================================================================
+# Round 2 additions: corpus curation + join/versioning primitives
+# ===========================================================================
+
+
+@q(
+    "q116_segment_dedup",
+    f"""
+    WITH all_docs AS ({_DOCS_PLUS_CLONES}),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM all_docs),
+    segs AS (
+      SELECT doc_id,
+             unnest(range(CAST(ceil(len(t)/10.0) AS BIGINT))) AS seg_idx,
+             unnest([array_to_string(t[i*10+1:i*10+10], ' ')
+                     for i in range(CAST(ceil(len(t)/10.0) AS BIGINT))]) AS seg
+      FROM toks WHERE len(t) > 0
+    ),
+    cnt AS (SELECT seg, count(*) AS c FROM segs GROUP BY seg),
+    kept AS (SELECT s.doc_id, s.seg_idx, s.seg
+             FROM segs s JOIN cnt USING (seg) WHERE cnt.c <= 1),
+    reb AS (
+      SELECT doc_id,
+             array_to_string(list(seg ORDER BY seg_idx), ' ') AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id,
+             CASE WHEN len(t) > 0 THEN CAST(ceil(len(t)/10.0) AS BIGINT)
+                  ELSE 0 END AS n_segments
+      FROM toks
+    )
+    SELECT b.doc_id AS id, coalesce(r.clean_text, '') AS clean_text,
+           b.n_segments, b.n_segments - coalesce(r.n_kept, 0) AS n_removed
+    FROM base b LEFT JOIN reb r ON b.doc_id = r.doc_id
+    """,
+)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-segment removal (operators/dedup.py:
+    segment_dedup): 10-token windows, any segment occurring more than
+    once across the corpus is dropped and documents are reassembled —
+    CCNet-style paragraph dedup with fixed windows.  Input includes the
+    20 synthetic clones so whole documents dissolve."""
+    from .operators.dedup import segment_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = (
+        docs.filter(F.col("doc_id") < 20)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return segment_dedup(
+        docs.unionByName(clones), "doc_id", "text", seg_tokens=10, max_count=1
+    )
+
+
+@q(
+    "q117_bloom_join",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 9000
+    """,
+)
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned fact-dim join (plans/bloom.py: bloom_pruned_join):
+    the filtered customer side is bitmapped (one bounded Spark job),
+    the bitmap ships as an ~8 KB plan literal, and orders rows failing
+    the k-probe bit test are dropped at the scan before any join
+    machinery — the declarative form of Spark's runtime bloom filter.
+    Result is exactly the plain join (no false negatives)."""
+    from .plans.bloom import bloom_pruned_join
+
+    orders = _t(spark, sf_dir, "orders")
+    dim = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return bloom_pruned_join(orders, dim, "o_custkey", "c_custkey").select(
+        "o_orderkey", "o_totalprice", "c_name"
+    )
+
+
+@q(
+    "q118_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 != 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 7 != 0
+    ),
+    j AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_totalprice = n.o_totalprice
+                       AND o.o_orderstatus = n.o_orderstatus THEN 'unchanged'
+                  ELSE 'changed' END AS change,
+             round(o.o_totalprice, 4) AS o_totalprice_old,
+             round(n.o_totalprice, 4) AS o_totalprice_new,
+             o.o_orderstatus AS o_orderstatus_old,
+             n.o_orderstatus AS o_orderstatus_new
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT * FROM j WHERE change != 'unchanged'
+    """,
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff by primary key (operators/cdc.py: snapshot_diff):
+    two derived orders snapshots compared in ONE full-outer join —
+    added / removed / changed classification with null-safe value
+    comparison, unchanged rows dropped before materializing."""
+    from .operators.cdc import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 10.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    d = snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    return d.select(
+        "o_orderkey",
+        "change",
+        F.round("o_totalprice_old", 4).alias("o_totalprice_old"),
+        F.round("o_totalprice_new", 4).alias("o_totalprice_new"),
+        "o_orderstatus_old",
+        "o_orderstatus_new",
+    )
+
+
+@q(
+    "q119_bpe_merges",
+    f"""
+    WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+    words AS (SELECT unnest(t) AS w FROM toks),
+    wf AS (SELECT w, count(*) AS wc FROM words GROUP BY w),
+    pairs AS (
+      SELECT unnest([substr(w, CAST(i AS INT), 2)
+                     for i in range(1, CAST(length(w) AS BIGINT))]) AS pair,
+             wc
+      FROM wf WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT 20
+    """,
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE vocabulary-training step (operators/text.py:
+    bpe_merge_candidates): corpus -> word frequencies -> adjacent
+    character-pair counts -> top-20 merge candidates, two tiny-key
+    shuffles."""
+    from .operators.text import bpe_merge_candidates
+
+    return bpe_merge_candidates(
+        _t(spark, sf_dir, "documents"), "text", top_n=20
+    )
+
+
+@q(
+    "q120_token_budget",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id AS id, source AS src, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+             ) AS cum_tokens
+      FROM d
+    )
+    SELECT * FROM c WHERE cum_tokens <= 10000
+    """,
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget sampling (operators/text.py:
+    token_budget_filter): walk each source's documents in id order and
+    keep a strict prefix while the cumulative token count stays within
+    the 10k budget — the 'N tokens per source' mixture-assembly step."""
+    from .operators.text import token_budget_filter
+
+    out = token_budget_filter(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "source", 10000
+    )
+    return out.withColumnRenamed("group", "src")

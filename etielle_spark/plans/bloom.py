@@ -65,18 +65,24 @@ def bloom_filter_col(
 ) -> Column:
     """Predicate: all k bit positions of ``key`` are set in the bitmap.
 
-    Compiles to literal-array lookups + bit shifts (whole-stage codegen);
-    the words are signed-wrapped for Spark's long type.
+    Compiles to literal-array lookups + bitwise AND against a 64-entry
+    mask array (PySpark's shift functions take only literal shift
+    amounts, so the mask per bit-in-word is table-looked-up instead);
+    whole-stage codegen, no UDF.  Words and masks are signed-wrapped
+    for Spark's long type.
     """
+
+    def signed(w: int) -> int:
+        return w - (1 << 64) if w >= (1 << 63) else w
+
     n_bits = len(words) * 64
-    lit_words = F.array(
-        *[F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long") for w in words]
-    )
+    lit_words = F.array(*[F.lit(signed(w)).cast("long") for w in words])
+    masks = F.array(*[F.lit(signed(1 << b)).cast("long") for b in range(64)])
     cond = F.lit(True)
     for p in _positions(key, n_bits, k):
         word = F.element_at(lit_words, (p / 64).cast("int") + 1)
-        bit = F.shiftrightunsigned(word, F.pmod(p, F.lit(64)).cast("int"))
-        cond = cond & ((bit.bitwiseAND(F.lit(1))) == 1)
+        mask = F.element_at(masks, F.pmod(p, F.lit(64)).cast("int") + 1)
+        cond = cond & (word.bitwiseAND(mask) != 0)
     return cond
 
 

@@ -1,0 +1,132 @@
+"""Tests for the round-2 curation/join primitives: segment dedup,
+bloom-pruned join, snapshot diff, BPE merge counting, token budgets."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+def test_segment_dedup_removes_cross_doc_repeats(spark):
+    from etielle_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f"),   # segs: "a b c", "d e f"
+            Row(doc_id=2, text="a b c x y z"),   # shares "a b c" with doc 1
+            Row(doc_id=3, text="p q r"),
+            Row(doc_id=4, text=""),              # empty -> 0 segments
+            Row(doc_id=5, text=None),
+        ]
+    )
+    out = segment_dedup(docs, "doc_id", "text", seg_tokens=3, max_count=1)
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    assert rows[1]["clean_text"] == "d e f" and rows[1]["n_removed"] == 1
+    assert rows[2]["clean_text"] == "x y z" and rows[2]["n_removed"] == 1
+    assert rows[3]["clean_text"] == "p q r" and rows[3]["n_removed"] == 0
+    assert rows[4]["clean_text"] == "" and rows[4]["n_segments"] == 0
+    assert rows[5]["clean_text"] == "" and rows[5]["n_segments"] == 0
+    assert rows[1]["n_segments"] == 2
+
+
+def test_segment_dedup_whole_doc_dissolves(spark):
+    from etielle_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="same exact text here") for i in (1, 2)]
+    )
+    out = {r["id"]: r for r in
+           segment_dedup(docs, "doc_id", "text", seg_tokens=2).collect()}
+    for i in (1, 2):
+        assert out[i]["clean_text"] == ""
+        assert out[i]["n_removed"] == out[i]["n_segments"] == 2
+
+
+def test_bloom_pruned_join_equals_plain_join(spark):
+    from etielle_spark.plans.bloom import (
+        bloom_bitmap,
+        bloom_filter_col,
+        bloom_pruned_join,
+    )
+
+    fact = spark.range(0, 5000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.createDataFrame(
+        [Row(k=3, name="a"), Row(k=17, name="b"), Row(k=42, name="c")]
+    )
+    got = bloom_pruned_join(fact, dim, "k", "k").select("v", "name")
+    want = fact.join(dim, "k").select("v", "name")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # the prune actually drops non-matching fact rows pre-join
+    words = bloom_bitmap(dim, "k", n_bits=1 << 12, k=3)
+    assert len(words) == (1 << 12) // 64
+    kept = fact.filter(bloom_filter_col(F.col("k"), words, k=3)).count()
+    matching = fact.join(dim.select("k"), "k", "left_semi").count()
+    assert matching <= kept < fact.count()
+
+    with pytest.raises(ValueError):
+        bloom_bitmap(dim, "k", n_bits=100)
+
+
+def test_snapshot_diff_classes(spark):
+    from etielle_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            Row(k=1, v="a", w=1),
+            Row(k=2, v="b", w=2),
+            Row(k=3, v=None, w=3),
+            Row(k=4, v="d", w=4),
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(k=1, v="a", w=1),      # unchanged
+            Row(k=2, v="B", w=2),      # changed (v)
+            Row(k=3, v=None, w=3),     # unchanged (null-safe compare)
+            Row(k=5, v="e", w=5),      # added
+        ]                               # k=4 removed
+    )
+    out = {r["k"]: r["change"] for r in
+           snapshot_diff(new=new, old=old, key_cols=["k"],
+                         value_cols=["v", "w"]).collect()}
+    assert out == {2: "changed", 4: "removed", 5: "added"}
+
+    full = snapshot_diff(old, new, ["k"], ["v", "w"], include_unchanged=True)
+    assert {r["k"]: r["change"] for r in full.collect()}[1] == "unchanged"
+    assert {r["k"]: r["change"] for r in full.collect()}[3] == "unchanged"
+
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new, [], ["v"])
+
+
+def test_bpe_merge_candidates_hand_counted(spark):
+    from etielle_spark.operators.text import bpe_merge_candidates
+
+    # words: "aba" x3 (pairs ab, ba), "ab" x1 (ab), "x" ignored (len<2)
+    docs = spark.createDataFrame(
+        [Row(text="aba aba x"), Row(text="aba ab")]
+    )
+    out = [(r["pair"], r["cnt"]) for r in
+           bpe_merge_candidates(docs, "text", top_n=10).collect()]
+    assert out[0] == ("ab", 4)  # 3 from aba + 1 from ab
+    assert ("ba", 3) in out
+
+
+def test_token_budget_filter_strict_prefix(spark):
+    from etielle_spark.operators.text import token_budget_filter
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, src="a", text="t1 t2 t3"),        # cum 3
+            Row(doc_id=2, src="a", text="t1 t2 t3 t4"),     # cum 7
+            Row(doc_id=3, src="a", text="t1 t2"),           # cum 9 > 8 -> drop
+            Row(doc_id=4, src="a", text="t1"),              # after cross -> drop
+            Row(doc_id=5, src="b", text="t1 t2"),           # cum 2
+        ]
+    )
+    out = token_budget_filter(docs, "doc_id", "text", "src", 8)
+    kept = {(r["group"], r["id"]): r["cum_tokens"] for r in out.collect()}
+    assert kept == {("a", 1): 3, ("a", 2): 7, ("b", 5): 2}
