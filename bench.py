@@ -54,17 +54,19 @@ def minhash_lsh_fused(spark) -> dict[str, float]:
 
     docs = _docs_plus_clones(spark, sf_dir)
     t0 = time.perf_counter()
-    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8).persist()
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
     sigs.count()
     t_sig = time.perf_counter() - t0
 
+    # NOTE deliberately no .persist() of the signature frame: since the
+    # map-only fold rewrite, recomputing signatures inside the LSH stage
+    # is cheaper than materializing them into the block store (cache
+    # build costs ~3x the recompute); lsh_candidate_pairs persists only
+    # the tiny (id, band, digest) frame it self-joins
     t0 = time.perf_counter()
-    cand = lsh_candidate_pairs(
-        docs, "doc_id", "text", num_hashes=8, bands=4, signatures=sigs
-    )
+    cand = lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=8, bands=4)
     cand.count()
     t_lsh = time.perf_counter() - t0
-    sigs.unpersist()
     return {
         "q27_minhash_signatures": round(t_sig, 3),
         "q28_lsh_candidate_pairs": round(t_lsh, 3),
@@ -320,6 +322,23 @@ def main() -> None:
         .over(_W.partitionBy("o_custkey").orderBy("o_orderkey"))
         .alias("rn")
     ).filter(F.col("rn") <= 1).count()
+    # higher-order-function expressions (minhash fold, simhash bit votes)
+    # and the banded-LSH join plan have their own first-use
+    # analysis/codegen cost — warm them on a 20-row sample so the
+    # headline numbers measure the operators
+    from etielle_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash,
+    )
+
+    tiny = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20).cache()
+    )
+    minhash_signatures(tiny, "doc_id", "text", num_hashes=16).count()
+    lsh_candidate_pairs(tiny, "doc_id", "text", num_hashes=8, bands=4).count()
+    simhash(tiny, "doc_id", "text").count()
+    tiny.unpersist()
 
     times: dict[str, float] = {}
     total = 0.0
