@@ -4562,3 +4562,69 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "doc_id", "text", "source", 10000
     )
     return out.withColumnRenamed("group", "src")
+
+
+@q(
+    "q121_pit_join",
+    """
+    WITH e AS (
+      SELECT user_id, date_trunc('second', ts) AS tss, event_type AS v
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, tss, v,
+             lag(v) OVER (PARTITION BY user_id ORDER BY tss, v) AS prev
+      FROM e
+    ),
+    c AS (
+      SELECT user_id, tss, v,
+             sum(CASE WHEN prev IS NULL OR v <> prev THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY tss, v) AS ver
+      FROM r
+    ),
+    runs AS (SELECT user_id, ver, v, min(tss) AS valid_from
+             FROM c GROUP BY 1, 2, 3),
+    scd AS (
+      SELECT user_id, ver AS version, v AS value, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from, v) AS valid_to
+      FROM runs
+    ),
+    facts AS (
+      SELECT event_id, user_id, date_trunc('second', ts) AS tss
+      FROM events WHERE event_id % 7 = 0
+    )
+    SELECT f.event_id, f.user_id,
+           strftime(f.tss, '%Y-%m-%d %H:%M:%S') AS tss,
+           s.value, s.version
+    FROM facts f
+    LEFT JOIN scd s
+      ON s.user_id = f.user_id
+     AND s.valid_from <= f.tss
+     AND (s.valid_to IS NULL OR f.tss < s.valid_to)
+    """,
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct dimension lookup (operators/temporal.py:
+    point_in_time_join): facts enriched with the SCD2 version valid at
+    each fact's timestamp — the feature-store join that prevents label
+    leakage.  Executed as an as-of merge (union + one keyed window),
+    NOT an interval join: one shuffle, no candidate-pair explosion."""
+    from .operators.events import scd2_intervals
+    from .operators.temporal import point_in_time_join
+
+    ev = _events(spark, sf_dir).withColumn(
+        "ts", F.date_trunc("second", F.col("ts"))
+    )
+    dim = scd2_intervals(ev, "user_id", "ts", "event_type")
+    facts = ev.filter(F.col("event_id") % 7 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    out = point_in_time_join(
+        facts, dim, on="user_id", fact_ts="ts",
+        dim_cols=["value", "version"],
+    )
+    return out.select(
+        "event_id", "user_id", _ts(F.col("ts")).alias("tss"),
+        "value", F.col("version").cast("bigint").alias("version"),
+    )

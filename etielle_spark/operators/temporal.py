@@ -58,12 +58,21 @@ def asof_join(
         .orderBy(F.col("__ts"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = merged
+    # carry ALL right columns as one struct: carrying each column with
+    # its own last(ignorenulls) would backfill a NULL field of the
+    # matched row from an OLDER row, stitching together values from
+    # different right rows (the struct is non-null whenever the row is a
+    # right row, so per-field NULLs survive intact)
+    carry = F.last(
+        F.when(
+            F.col("__side") == 0,
+            F.struct(*[F.col(c) for c in right_cols + ["__rts"]]),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    carried = merged.withColumn("__asof", carry)
     for c in right_cols + ["__rts"]:
-        carried = carried.withColumn(
-            f"__asof_{c}",
-            F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w),
-        )
+        carried = carried.withColumn(f"__asof_{c}", F.col("__asof").getField(c))
 
     out = carried.filter(F.col("__side") == 1)
     if tolerance_seconds is not None:
@@ -96,3 +105,60 @@ def range_join(
     """
     cond = (facts[value_col] >= bands[lo_col]) & (facts[value_col] < bands[hi_col])
     return facts.join(F.broadcast(bands), cond, how)
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    *,
+    on: str,
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    dim_cols: Optional[list[str]] = None,
+) -> DataFrame:
+    """Point-in-time-correct enrichment: each fact row gets the dimension
+    version whose ``[valid_from, valid_to)`` interval contains its
+    timestamp (NULL ``valid_to`` = still current) — the feature-store /
+    SCD2 lookup that prevents label leakage in training pipelines.
+
+    NOT a range join: dimension versions within a key are
+    non-overlapping, so the containing interval is exactly "the latest
+    version starting at or before the fact ts" — an as-of merge.  Facts
+    and version-starts are unioned on the key and swept with one
+    ``last(..., ignorenulls=True)`` window: ONE shuffle on the key, no
+    interval explosion, no O(facts x versions) candidate pairs (the
+    plan a naive BETWEEN-join would produce).  A version whose
+    ``valid_to`` has already passed (the key disappeared) yields NULLs
+    via the containment filter afterwards.
+
+    Reference analog: composing `link_to` with temporal validity
+    (etielle has no native temporal dimension support; this is the
+    Spark-native extension the SCD2 build in events.scd2_intervals
+    feeds).  Returns all fact columns plus ``dim_cols`` (default: every
+    non-key, non-interval dim column).
+    """
+    if dim_cols is None:
+        dim_cols = [
+            c
+            for c in dim.columns
+            if c not in {on, valid_from, valid_to}
+        ]
+    enriched = asof_join(
+        facts,
+        dim.select(on, valid_from, valid_to, *dim_cols),
+        on=on,
+        left_ts=fact_ts,
+        right_ts=valid_from,
+        right_cols=dim_cols + [valid_to],
+    )
+    # containment check: the as-of pick started at or before the fact ts
+    # by construction; NULL any columns whose interval already closed
+    open_at_ts = F.col(valid_to).isNull() | (F.col(fact_ts) < F.col(valid_to))
+    return enriched.select(
+        *facts.columns,
+        *[
+            F.when(open_at_ts, F.col(c)).otherwise(F.lit(None)).alias(c)
+            for c in dim_cols
+        ],
+    )

@@ -130,3 +130,53 @@ def test_token_budget_filter_strict_prefix(spark):
     out = token_budget_filter(docs, "doc_id", "text", "src", 8)
     kept = {(r["group"], r["id"]): r["cum_tokens"] for r in out.collect()}
     assert kept == {("a", 1): 3, ("a", 2): 7, ("b", 5): 2}
+
+
+def test_asof_join_does_not_mix_rows_on_null_fields(spark):
+    """Regression: a NULL field in the matched right row must stay NULL,
+    not get backfilled from an older right row."""
+    from datetime import datetime
+
+    from etielle_spark.operators.temporal import asof_join
+
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rts=datetime(2024, 1, 1), v="old", note="has-note"),
+            Row(k=1, rts=datetime(2024, 1, 5), v="new", note=None),
+        ]
+    )
+    left = spark.createDataFrame([Row(k=1, lts=datetime(2024, 1, 7))])
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        right_cols=["v", "note"],
+    ).collect()[0]
+    assert out["v"] == "new"
+    assert out["note"] is None  # NOT "has-note" from the older row
+
+
+def test_point_in_time_join_versions(spark):
+    from datetime import datetime
+
+    from etielle_spark.operators.temporal import point_in_time_join
+
+    dim = spark.createDataFrame(
+        [
+            Row(k=1, valid_from=datetime(2024, 1, 1),
+                valid_to=datetime(2024, 1, 10), plan="free"),
+            Row(k=1, valid_from=datetime(2024, 1, 10),
+                valid_to=None, plan="pro"),
+            Row(k=2, valid_from=datetime(2024, 1, 5),
+                valid_to=datetime(2024, 1, 6), plan="trial"),
+        ]
+    )
+    facts = spark.createDataFrame(
+        [
+            Row(fid=1, k=1, ts=datetime(2024, 1, 3)),    # inside free
+            Row(fid=2, k=1, ts=datetime(2024, 1, 10)),   # boundary -> pro
+            Row(fid=3, k=1, ts=datetime(2023, 12, 1)),   # before any -> NULL
+            Row(fid=4, k=2, ts=datetime(2024, 2, 1)),    # after close -> NULL
+        ]
+    )
+    out = {r["fid"]: r["plan"] for r in point_in_time_join(
+        facts, dim, on="k", fact_ts="ts").collect()}
+    assert out == {1: "free", 2: "pro", 3: None, 4: None}
