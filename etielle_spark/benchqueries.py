@@ -4628,3 +4628,162 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", _ts(F.col("ts")).alias("tss"),
         "value", F.col("version").cast("bigint").alias("version"),
     )
+
+
+@q(
+    "q122_intradoc_dedup",
+    f"""
+    WITH d AS (SELECT doc_id, text || ' ' || text AS text FROM documents),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM d),
+    segs AS (
+      SELECT doc_id,
+             unnest(range(CAST(ceil(len(t)/10.0) AS BIGINT))) AS seg_idx,
+             unnest([array_to_string(t[i*10+1:i*10+10], ' ')
+                     for i in range(CAST(ceil(len(t)/10.0) AS BIGINT))]) AS seg
+      FROM toks WHERE len(t) > 0
+    ),
+    ranked AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY doc_id, seg
+                                ORDER BY seg_idx) AS occ
+      FROM segs
+    ),
+    reb AS (
+      SELECT doc_id,
+             array_to_string(list(seg ORDER BY seg_idx), ' ') AS clean_text,
+             count(*) AS n_kept
+      FROM ranked WHERE occ = 1 GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id,
+             CASE WHEN len(t) > 0 THEN CAST(ceil(len(t)/10.0) AS BIGINT)
+                  ELSE 0 END AS n_segments
+      FROM toks
+    )
+    SELECT b.doc_id AS id, coalesce(r.clean_text, '') AS clean_text,
+           b.n_segments, b.n_segments - coalesce(r.n_kept, 0) AS n_removed
+    FROM base b LEFT JOIN reb r ON b.doc_id = r.doc_id
+    """,
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-segment trim (operators/dedup.py:
+    intradoc_segment_dedup): documents self-concatenated so every
+    10-token window repeats, then repaired map-only (one aggregate fold
+    per row, NO shuffle) keeping first occurrences in order."""
+    from .operators.dedup import intradoc_segment_dedup
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat_ws(" ", "text", "text").alias("text")
+    )
+    return intradoc_segment_dedup(d, "doc_id", "text", seg_tokens=10)
+
+
+@q(
+    "q123_rrf_fusion",
+    """
+    WITH e AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             sum(q.v * c.v) AS dot,
+             sum((q.v - c.v) * (q.v - c.v)) AS sqdist
+      FROM (SELECT * FROM e WHERE vec_id < 5) q
+      JOIN e c USING (i)
+      WHERE c.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ),
+    cos_rank AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC, neighbor_id
+             ) AS rank
+      FROM pairs JOIN norms nq ON query_id = nq.vec_id
+                 JOIN norms nc ON neighbor_id = nc.vec_id
+    ),
+    l2_rank AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(sqdist, 6), neighbor_id
+             ) AS rank
+      FROM pairs
+    ),
+    contrib AS (
+      SELECT query_id, neighbor_id, 1.0 / (60 + rank) AS c
+      FROM cos_rank WHERE rank <= 20
+      UNION ALL
+      SELECT query_id, neighbor_id, 1.0 / (60 + rank) AS c
+      FROM l2_rank WHERE rank <= 20
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id, round(sum(c), 6) AS rrf_score
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rrf_score, fused_rank FROM (
+      SELECT query_id, neighbor_id, rrf_score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_score DESC, neighbor_id)::BIGINT
+               AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= 10
+    """,
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval reciprocal-rank fusion (operators/search.py:
+    rrf_fuse): a cosine top-20 and an L2 top-20 ranking per query
+    fused with 1/(60+rank) — the dense+sparse merge step; fusion cost
+    rides on the bounded candidate lists, never the corpus."""
+    from pyspark.sql import Window as W
+
+    from .operators.search import rrf_fuse
+    from .operators.similarity import _dot, _norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q_side = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c_side = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    pairs = c_side.crossJoin(F.broadcast(q_side)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+        6,
+    )
+    sqd = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = pairs.select("query_id", "neighbor_id", cos.alias("cos"), sqd.alias("sqd"))
+    cos_r = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+        ),
+    ).filter(F.col("rank") <= 20)
+    l2_r = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.col("sqd"), "neighbor_id")
+        ),
+    ).filter(F.col("rank") <= 20)
+    return rrf_fuse(
+        [cos_r, l2_r],
+        query_col="query_id", id_col="neighbor_id", top_k=10,
+    ).select(
+        "query_id", "neighbor_id", "rrf_score",
+        F.col("fused_rank").cast("bigint").alias("fused_rank"),
+    )

@@ -709,3 +709,61 @@ def segment_dedup(
             .alias("n_removed"),
         )
     )
+
+
+def intradoc_segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    seg_tokens: int = 10,
+) -> DataFrame:
+    """WITHIN-document repeated-segment removal: drop every ``seg_tokens``
+    -token window that already occurred earlier in the SAME document and
+    reassemble — the self-repetition trim that complements the cross-doc
+    ``segment_dedup`` (Gopher's dup-ngram filters flag these docs; this
+    operator repairs them instead).
+
+    Entirely map-only: a single ``aggregate`` fold per document keeps
+    first occurrences in order (membership scan is O(segments²) per doc,
+    but segment counts are tens, not thousands — and there is NO shuffle,
+    so at 100 TB this rides the ingest scan).  Returns ``(id, clean_text,
+    n_segments, n_removed)``.
+    """
+    if seg_tokens < 1:
+        raise ValueError("intradoc_segment_dedup: seg_tokens must be >= 1")
+    toks = tokens_col(F.col(text_col))
+    seg_arr = let_(
+        toks,
+        lambda t: F.when(
+            F.size(t) > 0,
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.ceil(F.size(t) / F.lit(seg_tokens)).cast("int") - 1
+                ),
+                lambda i: F.array_join(F.slice(t, i * seg_tokens + 1, seg_tokens), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    kept = let_(
+        seg_arr,
+        lambda segs: F.struct(
+            F.size(segs).alias("n"),
+            F.aggregate(
+                segs,
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    F.array_contains(acc, s), acc
+                ).otherwise(F.array_append(acc, s)),
+            ).alias("kept"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        kept.alias("__k"),
+    ).select(
+        "id",
+        F.array_join(F.col("__k.kept"), " ").alias("clean_text"),
+        F.col("__k.n").cast("bigint").alias("n_segments"),
+        (F.col("__k.n") - F.size("__k.kept")).cast("bigint").alias("n_removed"),
+    )

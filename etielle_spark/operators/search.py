@@ -130,3 +130,53 @@ def bm25_topk(
         .limit(int(k))
         .select(F.col("__doc").alias(id_col), "score")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    query_col: str = "query_id",
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N per-query rankings (Cormack et al.
+    2009) — the hybrid-retrieval merge step (dense ANN + sparse BM25 +
+    ...): fused score = Σ systems 1/(k0 + rank), missing items simply
+    contribute nothing.
+
+    Each input frame carries (query_col, id_col, rank_col) with rank
+    starting at 1.  The union is one shuffle on (query, id); the final
+    per-query top-k is a window over the (already small) fused list —
+    candidate counts are bounded by Σ per-system k, never corpus size,
+    so fusion cost is independent of the 100 TB corpus behind the
+    rankings.  Ties order by id ascending for determinism.
+
+    Returns (query_col, id_col, rrf_score, fused_rank).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    from pyspark.sql import Window
+
+    parts = [
+        r.select(
+            F.col(query_col),
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col))).alias("__c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(query_col, id_col).agg(
+        F.round(F.sum("__c"), 6).alias("rrf_score")
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col)
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= top_k)
+    )

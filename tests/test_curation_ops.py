@@ -180,3 +180,41 @@ def test_point_in_time_join_versions(spark):
     out = {r["fid"]: r["plan"] for r in point_in_time_join(
         facts, dim, on="k", fact_ts="ts").collect()}
     assert out == {1: "free", 2: "pro", 3: None, 4: None}
+
+
+def test_intradoc_segment_dedup(spark):
+    from etielle_spark.operators.dedup import intradoc_segment_dedup
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b c d"),  # segs(2): "a b","a b","c d"
+            Row(doc_id=2, text="x y"),
+            Row(doc_id=3, text=""),
+        ]
+    )
+    out = {r["id"]: r for r in intradoc_segment_dedup(
+        docs, "doc_id", "text", seg_tokens=2).collect()}
+    assert out[1]["clean_text"] == "a b c d"
+    assert out[1]["n_segments"] == 3 and out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "x y" and out[2]["n_removed"] == 0
+    assert out[3]["clean_text"] == "" and out[3]["n_segments"] == 0
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from etielle_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [Row(query_id=1, id=10, rank=1), Row(query_id=1, id=11, rank=2)]
+    )
+    b = spark.createDataFrame(
+        [Row(query_id=1, id=11, rank=1), Row(query_id=1, id=12, rank=2)]
+    )
+    out = {r["id"]: (r["rrf_score"], r["fused_rank"]) for r in
+           rrf_fuse([a, b], top_k=3).collect()}
+    # id 11: 1/62 + 1/61 ~ 0.032524 beats id 10: 1/61 ~ 0.016393
+    assert out[11][1] == 1 and out[10][1] == 2 and out[12][1] == 3
+    assert abs(out[11][0] - (1 / 62 + 1 / 61)) < 1e-6
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        rrf_fuse([])
