@@ -638,10 +638,11 @@ def segment_dedup(
     - segments are exploded once; the global frequency pass groups on a
       32-byte ``md5`` of the segment, never shipping segment bodies
       through the shuffle twice;
-    - duplicated segments are by construction a small set (a segment
-      needs >= ``max_count`` occurrences to qualify), so the removal is a
-      broadcast LEFT ANTI join against the hot-digest list — the corpus
-      is NOT re-shuffled for the subtraction;
+    - the removal is a LEFT ANTI join against the hot-digest list; the
+      join strategy is deliberately left to AQE, which broadcasts the
+      hot side when it is small (the usual case) but falls back to a
+      digest-keyed shuffle when a boilerplate-heavy corpus makes the
+      hot set itself large — a forced broadcast would OOM there;
     - reassembly groups by doc id with ``max_by``-free ordered
       ``array_agg`` (sort_array over (idx, seg) structs), one shuffle.
 
@@ -681,7 +682,7 @@ def segment_dedup(
         .filter(F.col("c") > max_count)
         .select("digest")
     )
-    kept = seg_rows.join(F.broadcast(hot), "digest", "left_anti")
+    kept = seg_rows.join(hot, "digest", "left_anti")
     rebuilt = kept.groupBy("id").agg(
         F.array_join(
             F.transform(

@@ -102,11 +102,10 @@ def bloom_pruned_join(
     how)`` for inner/semi joins (bloom passes every true match); the win
     is that fact rows failing the bitmap test are dropped AT THE SCAN,
     before the join shuffle — on a selective dim the shuffle shrinks by
-    orders of magnitude.  The dim side is broadcast (it was small enough
-    to bitmap; it is small enough to broadcast).
+    orders of magnitude.  The join strategy itself is left to AQE: the
+    bitmap is bounded by ``n_bits`` no matter how large the dim is, so a
+    bitmappable dim is NOT automatically a broadcastable one.
     """
     words = bloom_bitmap(dim, dim_key, n_bits=n_bits, k=k)
     pruned = fact.filter(bloom_filter_col(F.col(fact_key), words, k=k))
-    return pruned.join(
-        F.broadcast(dim), pruned[fact_key] == dim[dim_key], how
-    )
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)
