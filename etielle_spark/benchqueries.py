@@ -4787,3 +4787,82 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "rrf_score",
         F.col("fused_rank").cast("bigint").alias("fused_rank"),
     )
+
+
+@q(
+    "q124_hard_negatives",
+    """
+    WITH e AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.v * c.v) AS dot
+      FROM (SELECT * FROM e WHERE vec_id < 5) q
+      JOIN e c USING (i)
+      WHERE c.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+      FROM dots
+      JOIN norms nq ON query_id = nq.vec_id
+      JOIN norms nc ON neighbor_id = nc.vec_id
+      JOIN lab lq ON query_id = lq.vec_id
+      JOIN lab lc ON neighbor_id = lc.vec_id
+      WHERE lc.label IS DISTINCT FROM lq.label
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py: hard_negatives):
+    per query, the 10 most-cosine-similar vectors with a DIFFERENT
+    label — the contrastive-training negative sampler; label mismatch
+    rides the similarity scan for free."""
+    from .operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = emb.filter(F.col("vec_id") < 5).select("vec_id")
+    return hard_negatives(
+        emb, "vec_id", "embedding", "label", query_ids=qids, top_k=10
+    )
+
+
+@q(
+    "q125_label_centroids",
+    """
+    WITH e AS (
+      SELECT label, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    per AS (
+      SELECT label, i, avg(v) AS m, count(*) AS n
+      FROM e GROUP BY 1, 2
+    )
+    SELECT label,
+           array_to_string(
+             list(CAST(CAST(round(m, 6) AS DECIMAL(18,6)) AS VARCHAR)
+                  ORDER BY i), ',') AS centroid,
+           max(n)::BIGINT AS n
+    FROM per GROUP BY label
+    """,
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (operators/similarity.py:
+    label_centroids): class prototypes in one (label, dim) shuffle with
+    map-side partial averages — aggregation state is |labels| x dim
+    regardless of corpus size."""
+    from .operators.similarity import label_centroids
+
+    return label_centroids(_t(spark, sf_dir, "embeddings"), "embedding", "label")

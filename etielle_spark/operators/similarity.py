@@ -598,3 +598,107 @@ def pq_codes(
         v.select("id", F.explode(F.array(*per_space)).alias("r"))
         .select("id", "r.subspace", "r.code", "r.dist")
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    *,
+    query_ids: DataFrame | None = None,
+    top_k: int = 10,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the ``top_k`` most-similar corpus vectors with a DIFFERENT
+    label — maximally confusing negatives, the standard batch-mining
+    step for embedding-model training.
+
+    Same plan shape as brute-force cosine top-k (query side broadcast,
+    corpus streamed once, per-query window top-k); the label-mismatch
+    predicate rides the same pass, so mining costs nothing beyond the
+    similarity scan.  At 100 TB swap the scored pass for the LSH/IVF
+    candidate generators (lsh_bucket_topk / ivf_topk) and keep the
+    label filter — it composes with any candidate source.
+
+    Rounds cosine to 6 digits (ties -> smaller neighbor id) so ranks
+    are engine-reproducible.  Returns (query_id, neighbor_id, cosine,
+    rank).
+    """
+    qs = emb.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.col(label_col).alias("qlabel"),
+    )
+    if query_ids is not None:
+        qs = qs.join(
+            F.broadcast(query_ids.selectExpr(f"{query_ids.columns[0]} AS query_id")),
+            "query_id",
+        )
+    cs = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        F.col(label_col).alias("clabel"),
+    )
+    scored = (
+        cs.crossJoin(F.broadcast(qs))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & ~F.col("clabel").eqNullSafe(F.col("qlabel"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def label_centroids(
+    emb: DataFrame, vec_col: str, label_col: str
+) -> DataFrame:
+    """Per-label mean vector (class prototypes): the centroid-classifier /
+    prototypical-network step, and the statistic behind per-class drift
+    monitoring.
+
+    One shuffle on (label, dimension-index) after a posexplode — the
+    aggregation state is |labels| x dim scalars regardless of corpus
+    size, and the partial (map-side) averages collapse each partition's
+    contribution before the exchange.  Returns (label, centroid, n)
+    with the centroid rebuilt in dimension order, elements fixed to 6
+    decimal digits (decimal-cast, not float formatting) so the joined
+    string is engine-independent.
+    """
+    e = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "v"),
+    )
+    per_dim = e.groupBy("label", "i").agg(
+        F.avg("v").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("i", F.round(F.col("m"), 6).alias("m")))
+                    ),
+                    lambda s: s.getField("m").cast("decimal(18,6)").cast("string"),
+                ),
+                ",",
+            ).alias("centroid"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+    )

@@ -218,3 +218,38 @@ def test_rrf_fuse_hand_computed(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         rrf_fuse([])
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from etielle_spark.operators.similarity import hard_negatives
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0], label=1),
+            Row(vec_id=1, embedding=[0.99, 0.1], label=1),   # same label
+            Row(vec_id=2, embedding=[0.9, 0.2], label=2),    # hard negative
+            Row(vec_id=3, embedding=[-1.0, 0.0], label=3),   # easy negative
+        ]
+    )
+    qids = emb.filter(F.col("vec_id") == 0).select("vec_id")
+    out = hard_negatives(
+        emb, "vec_id", "embedding", "label", query_ids=qids, top_k=2
+    ).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in out]
+    assert got == [(2, 1), (3, 2)]  # same-label vec 1 excluded
+
+
+def test_label_centroids_means(spark):
+    from etielle_spark.operators.similarity import label_centroids
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 3.0], label=1),
+            Row(vec_id=1, embedding=[3.0, 5.0], label=1),
+            Row(vec_id=2, embedding=[2.0, 2.0], label=2),
+        ]
+    )
+    out = {r["label"]: (r["centroid"], r["n"]) for r in
+           label_centroids(emb, "embedding", "label").collect()}
+    assert out[1] == ("2.000000,4.000000", 2)
+    assert out[2] == ("2.000000,2.000000", 1)
