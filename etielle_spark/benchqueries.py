@@ -4866,3 +4866,55 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import label_centroids
 
     return label_centroids(_t(spark, sf_dir, "embeddings"), "embedding", "label")
+
+
+@q(
+    "q126_curation_pipeline",
+    f"""
+    WITH all_docs AS (
+      SELECT doc_id, text, source FROM documents UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, source
+      FROM documents WHERE doc_id < 20
+    ),
+    dig AS (
+      SELECT doc_id, source, md5(text) AS digest,
+             CAST(len({_TOKS}) AS BIGINT) AS ntok
+      FROM all_docs
+    ),
+    surv AS (
+      SELECT doc_id, source, ntok FROM (
+        SELECT doc_id, source, ntok,
+               row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+        FROM dig
+      ) WHERE rn = 1 AND ntok BETWEEN 10 AND 1000000
+    ),
+    assigned AS (
+      SELECT source, ntok,
+             CASE WHEN CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS UBIGINT)::BIGINT % 100 < 80 THEN 'train'
+                  WHEN CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS UBIGINT)::BIGINT % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM surv
+    )
+    SELECT split, source AS grp, count(*) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS total_tokens
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline (operators/curation.py:
+    curate_corpus): exact dedup (clones dissolve) -> token-count gate ->
+    deterministic split -> per-(split, source) dataset-card accounting,
+    planned as one DAG whose only corpus-wide shuffle is the digest
+    window."""
+    from .operators.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    clones = (
+        docs.filter(F.col("doc_id") < 20)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text", "source")
+    )
+    out = curate_corpus(
+        docs.unionByName(clones), "doc_id", "text", "source",
+        min_tokens=10, max_tokens=1_000_000,
+    )
+    return out.withColumnRenamed("group", "grp")

@@ -107,6 +107,7 @@ def hash_split(
     *,
     buckets: int = 100,
     thresholds: dict[str, int] | None = None,
+    keep_all: bool = False,
 ) -> DataFrame:
     """Deterministic train/val/test assignment: hash the stable id into
     ``buckets`` and map bucket ranges to split names.
@@ -133,6 +134,10 @@ def hash_split(
     expr = None
     for name, hi in reversed(bounds):
         expr = F.lit(name) if expr is None else F.when(bucket < hi, F.lit(name)).otherwise(expr)
+    if keep_all:
+        # ``keep_all`` carries every input column through (pipeline
+        # composition) — still a pure projection, no shuffle
+        return df.select("*", bucket.alias("bucket"), expr.alias("split"))
     return df.select(
         F.col(id_col), bucket.alias("bucket"), expr.alias("split")
     )

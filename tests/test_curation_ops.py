@@ -253,3 +253,22 @@ def test_label_centroids_means(spark):
            label_centroids(emb, "embedding", "label").collect()}
     assert out[1] == ("2.000000,4.000000", 2)
     assert out[2] == ("2.000000,2.000000", 1)
+
+
+def test_curate_corpus_dedup_gate_split(spark):
+    from etielle_spark.operators.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, src="a", text="one two three four five six seven eight nine ten"),
+            Row(doc_id=2, src="a", text="one two three four five six seven eight nine ten"),  # dup
+            Row(doc_id=3, src="b", text="too short"),  # fails gate
+            Row(doc_id=4, src="b", text="w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"),
+        ]
+    )
+    out = curate_corpus(docs, "doc_id", "text", "src", min_tokens=10)
+    rows = out.collect()
+    # dup doc 2 removed, doc 3 gated out -> 2 surviving docs
+    assert sum(r["n_docs"] for r in rows) == 2
+    assert sum(r["total_tokens"] for r in rows) == 21
+    assert all(r["split"] in ("train", "val", "test") for r in rows)
