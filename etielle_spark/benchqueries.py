@@ -4918,3 +4918,67 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_tokens=10, max_tokens=1_000_000,
     )
     return out.withColumnRenamed("group", "grp")
+
+
+@q(
+    "q127_quality_percentile",
+    f"""
+    WITH toks AS (SELECT doc_id, source, text, {_TOKS} AS t FROM documents),
+    m AS (
+      SELECT doc_id, source,
+             length(text)::DOUBLE AS nc,
+             length(regexp_replace(text, '[^.,;:!?''"()\\[\\]]', '', 'g'))::DOUBLE AS np,
+             len(list_filter(t, x -> x IN ('the','and','of','to','in','is','that','it','with','for','der','die','das','und','ist','nicht','mit','ein','zu','von','le','la','les','et','est','pas','pour','que','une','dans','el','los','las','es','no','por','una','para'))) AS ns,
+             len(t) AS nt
+      FROM toks
+    ),
+    s AS (
+      SELECT doc_id AS id, source AS grp,
+             round(least(nt / 100.0, 1.0) * 0.4
+                   + (CASE WHEN nt > 0 THEN ns::DOUBLE / nt ELSE 0 END) * 0.4
+                   + (1.0 - least((CASE WHEN nc > 0 THEN np / nc ELSE 0 END) * 10.0, 1.0)) * 0.2,
+                   6) AS score
+      FROM m
+    )
+    SELECT id, grp, score, pct_rank FROM (
+      SELECT id, grp, score,
+             round(percent_rank() OVER (PARTITION BY grp
+                                        ORDER BY score DESC, id), 6) AS pct_rank
+      FROM s
+    ) WHERE pct_rank <= 0.3
+    """,
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative quality filtering (operators/text.py:
+    quality_percentile_filter): keep the top 30% of documents PER
+    SOURCE by heuristic quality score — the DCLM-style distribution-
+    aware alternative to a fixed threshold; one window shuffle."""
+    from .operators.text import quality_percentile_filter
+
+    out = quality_percentile_filter(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "source",
+        keep_frac=0.3,
+    )
+    return out.withColumnRenamed("group", "grp")
+
+
+@q(
+    "q128_truncate_tokens",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+    SELECT doc_id AS id,
+           array_to_string(t[1:40], ' ') AS text,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           len(t) > 40 AS truncated
+    FROM toks
+    """,
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-limit truncation (operators/text.py: truncate_tokens):
+    clamp every document to its first 40 tokens map-only (no shuffle),
+    reporting original counts and a truncation flag."""
+    from .operators.text import truncate_tokens
+
+    return truncate_tokens(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_tokens=40
+    )

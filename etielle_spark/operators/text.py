@@ -736,3 +736,70 @@ def token_budget_filter(
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= budget)
     )
+
+
+def quality_percentile_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    *,
+    keep_frac: float = 0.3,
+) -> DataFrame:
+    """Relative quality filtering (DCLM-style): keep the top
+    ``keep_frac`` fraction of documents PER GROUP by the heuristic
+    quality score, instead of a fixed threshold — per-source score
+    distributions differ, and an absolute cutoff over- or under-prunes
+    each source.
+
+    One window shuffle on the group column (score computation rides the
+    scan).  ``percent_rank`` over (score desc, id) makes the boundary
+    deterministic; a group with one document keeps it (rank 0).
+    Returns ``(id, group, score, pct_rank)`` for kept documents.
+    """
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError("quality_percentile_filter: keep_frac in (0, 1]")
+    from pyspark.sql import Window
+
+    scored = quality_score(df, id_col, text_col).select(
+        F.col(id_col).alias("id"), F.col("quality_score").alias("score")
+    )
+    base = df.select(F.col(id_col).alias("id"), F.col(group_col).alias("group"))
+    j = base.join(scored, "id")
+    w = Window.partitionBy("group").orderBy(F.col("score").desc(), F.col("id"))
+    return (
+        j.withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("pct_rank") <= keep_frac)
+        .select("id", "group", "score", "pct_rank")
+    )
+
+
+def truncate_tokens(
+    df: DataFrame, id_col: str, text_col: str, *, max_tokens: int = 512
+) -> DataFrame:
+    """Context-limit truncation: keep each document's first
+    ``max_tokens`` whitespace tokens — map-only (slice + join per row,
+    no shuffle), the standard pre-tokenizer length clamp.
+
+    Returns ``(id, text, n_tokens, truncated)`` where ``n_tokens`` is
+    the ORIGINAL count and ``truncated`` flags clamped rows.
+    """
+    if max_tokens < 1:
+        raise ValueError("truncate_tokens: max_tokens must be >= 1")
+    from .dedup import let_
+
+    packed = let_(
+        tokens_col(F.col(text_col)),
+        lambda t: F.struct(
+            F.size(t).cast("bigint").alias("n"),
+            F.array_join(F.slice(t, 1, max_tokens), " ").alias("txt"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), packed.alias("__p")
+    ).select(
+        "id",
+        F.col("__p.txt").alias("text"),
+        F.col("__p.n").alias("n_tokens"),
+        (F.col("__p.n") > max_tokens).alias("truncated"),
+    )

@@ -272,3 +272,38 @@ def test_curate_corpus_dedup_gate_split(spark):
     assert sum(r["n_docs"] for r in rows) == 2
     assert sum(r["total_tokens"] for r in rows) == 21
     assert all(r["split"] in ("train", "val", "test") for r in rows)
+
+
+def test_quality_percentile_filter_per_group(spark):
+    from etielle_spark.operators.text import quality_percentile_filter
+
+    # group "a": clear quality ordering by length; group "b": single doc
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, src="a",
+             text=" ".join(["the"] * (10 * (i + 1)))) for i in range(4)]
+        + [Row(doc_id=99, src="b", text="the of and")]
+    )
+    out = quality_percentile_filter(
+        docs, "doc_id", "text", "src", keep_frac=0.5)
+    kept = {(r["group"], r["id"]) for r in out.collect()}
+    # group a: ranks 0, 1/3, 2/3, 1 -> keep pct_rank <= 0.5 -> top 2 docs
+    assert kept == {("a", 3), ("a", 2), ("b", 99)}
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        quality_percentile_filter(docs, "doc_id", "text", "src", keep_frac=0)
+
+
+def test_truncate_tokens(spark):
+    from etielle_spark.operators.text import truncate_tokens
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e"), Row(doc_id=2, text="x y"),
+         Row(doc_id=3, text="")]
+    )
+    out = {r["id"]: r for r in
+           truncate_tokens(docs, "doc_id", "text", max_tokens=3).collect()}
+    assert out[1]["text"] == "a b c" and out[1]["truncated"] is True
+    assert out[1]["n_tokens"] == 5
+    assert out[2]["text"] == "x y" and out[2]["truncated"] is False
+    assert out[3]["text"] == "" and out[3]["n_tokens"] == 0
