@@ -33,6 +33,8 @@ ALLOW = {
         "q32_embedding_neardup": "all-pairs correctness baseline; scale paths are q54 (LSH) / q61 (IVF)",
         "q31_cosine_topk": "broadcast of a 5-row query side against the corpus — the intended plan",
         "q49_range_join": "broadcast interval join — small interval side by contract",
+        "q123_rrf_fusion": "broadcast of a 5-row query side for both input rankings — the intended plan; rankings at scale come from LSH/IVF candidate generators",
+        "q124_hard_negatives": "broadcast of a 5-row query side against the corpus — the intended plan; scale path composes the label filter with lsh_bucket_topk/ivf_topk",
     },
     "single_partition": {
         "q16_window_topk_per_group": "final presentation sort of an already-reduced frame",
