@@ -15,6 +15,7 @@ Conventions:
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
@@ -4981,4 +4982,215 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return truncate_tokens(
         _t(spark, sf_dir, "documents"), "doc_id", "text", max_tokens=40
+    )
+
+
+# ===========================================================================
+# Sketches II, skew plans, projections, sharding, classifier inference
+
+_HLL_RHO = (
+    "CASE WHEN length(regexp_extract(hx2, '^(0*)', 1)) = 13 THEN 53 "
+    "ELSE length(regexp_extract(hx2, '^(0*)', 1)) * 4 + "
+    "(CASE WHEN nib >= 8 THEN 0 WHEN nib >= 4 THEN 1 WHEN nib >= 2 THEN 2 "
+    "ELSE 3 END) + 1 END"
+)
+
+
+@q(
+    "q129_hll_distinct",
+    """
+    WITH h AS (
+      SELECT o_orderpriority AS grp, md5(CAST(o_custkey AS VARCHAR)) AS hx
+      FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    parts AS (
+      SELECT grp,
+             CAST('0x' || substr(hx, 1, 3) AS UBIGINT)::BIGINT AS bucket,
+             substr(hx, 4, 13) AS hx2,
+             CASE WHEN length(regexp_extract(substr(hx, 4, 13), '^(0*)', 1)) < 13
+                  THEN CAST('0x' || substr(substr(hx, 4, 13),
+                       length(regexp_extract(substr(hx, 4, 13), '^(0*)', 1)) + 1, 1)
+                       AS UBIGINT)::BIGINT
+                  ELSE 0 END AS nib
+      FROM h
+    ),
+    reg AS (
+      SELECT grp, bucket,
+             max(CASE WHEN length(regexp_extract(hx2, '^(0*)', 1)) = 13 THEN 53
+                 ELSE length(regexp_extract(hx2, '^(0*)', 1)) * 4
+                      + (CASE WHEN nib >= 8 THEN 0 WHEN nib >= 4 THEN 1
+                              WHEN nib >= 2 THEN 2 ELSE 3 END) + 1 END) AS rho
+      FROM parts GROUP BY grp, bucket
+    ),
+    agg AS (
+      SELECT grp, sum(power(2.0, -rho)) AS z_used,
+             count(*)::DOUBLE AS nreg
+      FROM reg GROUP BY grp
+    )
+    SELECT grp,
+           round(CASE WHEN (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                           / (z_used + (4096.0 - nreg)) <= 2.5 * 4096.0
+                      AND 4096.0 - nreg > 0
+                      THEN 4096.0 * ln(4096.0 / (4096.0 - nreg))
+                      ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                           / (z_used + (4096.0 - nreg)) END, 4) AS est_distinct
+    FROM agg
+    """,
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog distinct sketch (operators/sketches.py:
+    hll_distinct): per-priority distinct-customer estimate whose register
+    state is a DataFrame — at 100 TB you build per-day registers, union,
+    re-max, and estimate once; every stage's output is bounded by m=4096
+    rows per group.  Reference has no sketch surface; this extends
+    SURVEY §2 extras alongside KMV (q69) with the industry-standard
+    mergeable form."""
+    from .operators.sketches import hll_distinct
+
+    return (
+        hll_distinct(_t(spark, sf_dir, "orders"), ["o_orderpriority"], "o_custkey")
+        .withColumnRenamed("o_orderpriority", "grp")
+    )
+
+
+@q(
+    "q130_salted_join",
+    """
+    SELECT c_nationkey, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof salted equi join (plans/skew.py: salted_join): the
+    orders fact side is salted per-row, the customer side replicated
+    salt times, so one hot customer key spreads across salt reduce tasks
+    instead of serializing on one.  Oracle is the plain join — salting
+    must be semantically invisible."""
+    from .plans.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    joined = salted_join(orders, cust, ["o_custkey"], salt=8)
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def _rp_oracle_sql(out_dim: int, dim: int) -> str:
+    """DuckDB twin of similarity._hyperplane sign projection: signs are
+    md5-parity, computed here once and inlined as +-1 literals."""
+    import hashlib
+
+    cols = []
+    for p in range(out_dim):
+        terms = []
+        for d in range(dim):
+            sgn = (
+                "+"
+                if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16) % 2 == 0
+                else "-"
+            )
+            terms.append(f"{sgn} embedding[{d + 1}]::DOUBLE")
+        expr = " ".join(terms)
+        cols.append(f"round(((0.0 {expr}) / {math.sqrt(out_dim)!r}), 6) AS proj_{p}")
+    return (
+        "SELECT vec_id AS id, " + ", ".join(cols) + " FROM embeddings"
+    )
+
+
+@q("q131_random_projection", _rp_oracle_sql(4, 64))
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection (operators/similarity.py:
+    random_projection): 64-dim embeddings down to 4 via the md5-parity
+    +-1 hyperplanes — map-only, no shuffle, no stored model; the cheap
+    front-end before any all-pairs / k-means stage."""
+    from .operators.similarity import random_projection
+
+    out = random_projection(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 4
+    )
+    return out.select(
+        "id", *[F.col("proj")[i].alias(f"proj_{i}") for i in range(4)]
+    )
+
+
+@q(
+    "q132_shard_assign",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             md5('0|' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST('0x' || substr(hx, 1, 8) AS UBIGINT)::BIGINT % 8 AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY CAST('0x' || substr(hx, 1, 8) AS UBIGINT)::BIGINT % 8
+             ORDER BY hx, doc_id) - 1 AS BIGINT) AS position
+    FROM h
+    """,
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-shuffle sharding (operators/clusters.py:
+    shard_assign): every document to one of 8 shards by seeded hash with
+    its reproducible position inside the shard — the layout
+    ``write_shards`` materializes (repartition + sortWithinPartitions +
+    maxRecordsPerFile) for training ingestion."""
+    from .operators.clusters import shard_assign
+
+    out = shard_assign(
+        _t(spark, sf_dir, "documents"), "doc_id", 8, with_position=True
+    )
+    return out.select(
+        "doc_id", "shard", F.col("position").cast("bigint").alias("position")
+    )
+
+
+_CLS_WEIGHTS = {
+    "the": 0.8,
+    "and": 0.5,
+    "of": 0.4,
+    "science": 1.2,
+    "data": 0.9,
+    "free": -1.1,
+    "click": -2.0,
+    "winner": -1.7,
+}
+
+
+def _cls_oracle_sql() -> str:
+    case = " ".join(
+        f"WHEN '{t}' THEN {w!r}" for t, w in _CLS_WEIGHTS.items()
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    s AS (
+      SELECT doc_id AS id,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE list_reduce(
+                         list_transform(t, x -> (CASE x {case} ELSE 0.0 END)::DOUBLE),
+                         (a, b) -> a + b) / len(t)
+             END AS z
+      FROM toks
+    )
+    SELECT id, round(1.0 / (1.0 + exp(-(0.0 + z))), 6) AS score FROM s
+    """
+
+
+@q("q133_classifier_score", _cls_oracle_sql())
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference (operators/text.py:
+    classifier_score): fastText-shaped token-weight model compiled to a
+    broadcast map literal probed per token — sigmoid of the mean token
+    weight, one scan, no Python.  The DCLM-style 'model-based quality
+    filter' scoring pass."""
+    from .operators.text import classifier_score
+
+    return classifier_score(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", _CLS_WEIGHTS
     )

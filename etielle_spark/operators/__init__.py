@@ -17,10 +17,18 @@ from .dedup import (
     shingle_df,
     simhash,
 )
+from .clusters import shard_assign, write_shards
 from .search import bm25_topk, inverted_index
-from .similarity import brute_force_topk, cosine_pairs, lsh_bucket_topk
+from .similarity import (
+    brute_force_topk,
+    cosine_pairs,
+    lsh_bucket_topk,
+    random_projection,
+)
+from .sketches import hll_distinct, kmv_distinct
 from .text import (
     chunk_tokens,
+    classifier_score,
     doc_fingerprint,
     lang_id,
     pii_redact,
@@ -41,6 +49,12 @@ __all__ = [
     "brute_force_topk",
     "cosine_pairs",
     "lsh_bucket_topk",
+    "random_projection",
+    "hll_distinct",
+    "kmv_distinct",
+    "shard_assign",
+    "write_shards",
+    "classifier_score",
     "token_count",
     "token_entropy",
     "chunk_tokens",

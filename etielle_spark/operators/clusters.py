@@ -234,3 +234,73 @@ def mixture_resample(
         .drop("__n")
         .withColumn("copy_idx", F.col("copy_idx").cast("bigint"))
     )
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str,
+    num_shards: int,
+    *,
+    seed: int = 0,
+    with_position: bool = False,
+) -> DataFrame:
+    """Deterministic globally-shuffled shard assignment for training
+    output: shard = ``md5(seed|id) % num_shards``, and (optionally) the
+    row's position within its shard ordered by the same hash.
+
+    Training ingestion wants the corpus in a reproducible random order,
+    decorrelated from ingestion order (which clusters by source/time), and
+    cut into equal-ish shards.  Hashing a stable id gives exactly that
+    with zero seed state: re-running with the same seed reproduces the
+    layout bit-for-bit; bumping the seed is a fresh epoch-level shuffle.
+
+    Assignment itself is map-only.  ``with_position`` adds a per-shard
+    ``row_number`` window — one shuffle partitioned by shard (the same
+    shuffle a subsequent ``repartition(shard)`` write needs anyway, so
+    the position is effectively free before ``write_shards``).
+    """
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    h = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
+    out = df.select(
+        "*",
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % num_shards).alias(
+            "shard"
+        ),
+        h.alias("__h"),
+    )
+    if with_position:
+        w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+        out = out.withColumn("position", F.row_number().over(w) - 1)
+    return out.drop("__h")
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    num_shards: int,
+    *,
+    seed: int = 0,
+    max_records_per_file: int | None = None,
+    format: str = "parquet",
+) -> None:
+    """Materialize ``shard_assign``'s layout: one output directory
+    partitioned by ``shard``, rows within each shard in hash order.
+
+    ``repartition(num_shards, shard)`` lines physical partitions up with
+    shards (one shuffle), ``sortWithinPartitions`` fixes the intra-shard
+    order without a global sort, and ``maxRecordsPerFile`` caps file size
+    so a 100 TB corpus lands as uniformly-sized reader-friendly files.
+    """
+    out = shard_assign(df, id_col, num_shards, seed=seed)
+    h = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
+    writer = (
+        out.repartition(num_shards, F.col("shard"))
+        .sortWithinPartitions(h, F.col(id_col))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.format(format).save(path)

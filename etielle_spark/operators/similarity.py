@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -702,3 +704,42 @@ def label_centroids(
             F.max("n").cast("bigint").alias("n"),
         )
     )
+
+
+def random_projection(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int,
+    *,
+    dim: int | None = None,
+    scale: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction by deterministic
+    ±1 sign projection (Achlioptas 2003): component ``p`` of the output is
+    ``dot(vec, hyperplane_p) / sqrt(out_dim)`` with the same md5-parity
+    hyperplanes the LSH bucketing uses — no stored model, reproducible in
+    any engine with md5.
+
+    Pairwise distances are preserved within ~(1 ± eps) for
+    ``out_dim = O(log n / eps^2)``; projecting 64-dim embeddings to 8-16
+    dims before an all-pairs or k-means stage cuts that stage's compute
+    and shuffle width by the same factor.  Map-only: no shuffle, no UDF —
+    one codegen'd expression per output component.
+
+    Returns ``(id, proj)`` with ``proj`` an ``array<double>`` of length
+    ``out_dim`` (components rounded to ``round_to``).
+    """
+    if dim is None:
+        first = emb.select(vec_col).head(1)
+        if not first:
+            raise ValueError("random_projection: empty input and no explicit dim=")
+        dim = len(first[0][0])
+    vec = F.col(vec_col).cast("array<double>")
+    denom = math.sqrt(out_dim) if scale else 1.0
+    comps = [
+        F.round(_dot(vec, _hyperplane(p, dim)) / F.lit(denom), round_to)
+        for p in range(out_dim)
+    ]
+    return emb.select(F.col(id_col).alias("id"), F.array(*comps).alias("proj"))

@@ -1,11 +1,16 @@
-"""Deterministic distinct-count sketch: K Minimum Values (KMV).
+"""Deterministic distinct-count sketches: K Minimum Values (KMV) and
+HyperLogLog with engine-reproducible (md5) hashing.
 
 Spark's ``approx_count_distinct`` is HyperLogLog++ — fast but its
 register state is engine-internal, so an external oracle can't reproduce
 the estimate.  KMV (Bar-Yossef et al. 2002) with an md5 hash is exactly
 reproducible anywhere md5 exists: keep the k smallest normalized hash
 values of the distinct items; the k-th smallest ``h_k`` estimates the
-distinct count as ``(k - 1) / h_k``.
+distinct count as ``(k - 1) / h_k``.  ``hll_distinct`` below is classic
+HyperLogLog (Flajolet et al. 2007) over the same md5 hash — its register
+state (bucket -> max leading-zero run) is a plain DataFrame, so sketches
+for different days/partitions can be unioned and re-maxed before a single
+final estimate (the mergeability KMV's per-group top-k lacks).
 
 Scale shape: one distinct on (group, item) — a shuffle on spread keys
 with map-side partial dedup — then a per-group TOP-K on the hash.  The
@@ -161,4 +166,103 @@ def cms_heavy_hitters(
         est.orderBy(F.col("est_count").desc(), F.col("__item").asc())
         .limit(k)
         .select(F.col("__item").alias("item"), "est_count")
+    )
+
+
+def _rho_col(hexcol) -> "F.Column":
+    """Leading-zero-run length (+1) of the 52-bit value encoded by 13 hex
+    chars, computed on the hex STRING so no float log2 boundary can
+    disagree between engines: count leading '0' chars, then split the
+    first non-zero nibble by value."""
+    lz_nibbles = F.length(F.regexp_extract(hexcol, "^(0*)", 1))
+    nib = F.conv(F.substring(hexcol, (lz_nibbles + 1).cast("int"), 1), 16, 10).cast(
+        "int"
+    )
+    extra = (
+        F.when(nib >= 8, 0)
+        .when(nib >= 4, 1)
+        .when(nib >= 2, 2)
+        .otherwise(3)
+    )
+    return F.when(lz_nibbles == _HEX_CHARS, F.lit(4 * _HEX_CHARS + 1)).otherwise(
+        lz_nibbles * 4 + extra + 1
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    *,
+    bucket_hex: int = 3,
+) -> DataFrame:
+    """HyperLogLog register state per group: ``(*group_cols, bucket, rho)``
+    with ``rho`` = max leading-zero run (+1) among items hashing to the
+    bucket.  ``m = 16**bucket_hex`` buckets from the first ``bucket_hex``
+    hex chars of md5(item); the run length comes from the NEXT 13 chars.
+
+    This is the mergeable form: union register frames from multiple
+    partitions/days and ``groupBy(bucket).agg(max(rho))`` before
+    ``hll_estimate``.  Scale shape: one groupBy whose output is at most
+    ``m`` rows per group no matter the input size.
+    """
+    h = F.md5(F.col(item_col).cast("string"))
+    return (
+        df.filter(F.col(item_col).isNotNull())
+        .select(
+            *group_cols,
+            F.conv(F.substring(h, 1, bucket_hex), 16, 10).cast("long").alias("bucket"),
+            _rho_col(F.substring(h, bucket_hex + 1, _HEX_CHARS)).alias("__rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("__rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str],
+    *,
+    bucket_hex: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """Collapse HLL register state to ``(*group_cols, est_distinct)``.
+
+    Standard HLL: ``E = alpha_m * m^2 / Z`` with empty registers
+    contributing ``2^0 = 1`` to ``Z``; small-range correction switches to
+    linear counting ``m * ln(m / V)`` when ``E <= 2.5 m`` and some
+    register is empty.  Pure arithmetic on the tiny register frame.
+    """
+    m = 16**bucket_hex
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__z_used"),
+        F.count(F.lit(1)).alias("__nreg"),
+    )
+    z = F.col("__z_used") + (F.lit(float(m)) - F.col("__nreg"))
+    raw = F.lit(alpha * m * m) / z
+    v = F.lit(float(m)) - F.col("__nreg")
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols, F.round(est, round_to).alias("est_distinct")
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    *,
+    bucket_hex: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate: ``hll_registers`` then
+    ``hll_estimate`` as one plan (register state never leaves the DAG)."""
+    return hll_estimate(
+        hll_registers(df, group_cols, item_col, bucket_hex=bucket_hex),
+        group_cols,
+        bucket_hex=bucket_hex,
+        round_to=round_to,
     )

@@ -803,3 +803,51 @@ def truncate_tokens(
         F.col("__p.n").alias("n_tokens"),
         (F.col("__p.n") > max_tokens).alias("truncated"),
     )
+
+
+def classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, float],
+    *,
+    bias: float = 0.0,
+    average: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Linear text-classifier inference (the fastText / DCLM quality-
+    classifier shape): ``score = sigmoid(bias + mean_t w[token_t])`` over
+    lowercase whitespace tokens, unknown tokens contributing 0.
+
+    The model is a token->weight table.  Small models (the common case —
+    a quality classifier is a few 10k weights) compile to a broadcast map
+    literal probed per token with ``element_at``: map-only inference, no
+    shuffle, no Python in the loop, so scoring 100 TB is exactly one scan.
+    Bigger vocabularies would flip to explode + broadcast-join against a
+    weights DataFrame; this entry point covers the literal-map path and
+    guards the size.
+
+    Returns ``(id, score)`` with ``score`` rounded to ``round_to``.
+    """
+    if len(weights) > 100_000:
+        raise ValueError(
+            f"classifier_score: {len(weights)} weights is too large for a "
+            "plan literal; join an exploded token frame against a weights "
+            "DataFrame instead"
+        )
+    toks = tokens_col(F.col(text_col))
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in (kv[0], float(kv[1]))]
+    )
+    contrib = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + F.coalesce(wmap[F.lower(t)], F.lit(0.0)),
+    )
+    z = F.lit(float(bias)) + (
+        F.when(F.size(toks) > 0, contrib / F.size(toks)).otherwise(F.lit(0.0))
+        if average
+        else contrib
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return df.select(F.col(id_col).alias("id"), F.round(score, round_to).alias("score"))

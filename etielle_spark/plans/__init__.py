@@ -6,6 +6,6 @@ heavily skewed groupBy keys — and expose explicit partitioning control
 for co-located pipelines.
 """
 
-from .skew import salted_agg, with_salt
+from .skew import salted_agg, salted_join, with_salt
 
-__all__ = ["salted_agg", "with_salt"]
+__all__ = ["salted_agg", "salted_join", "with_salt"]

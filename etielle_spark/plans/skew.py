@@ -74,3 +74,37 @@ def salted_agg(
             for name, (col, fn) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    *,
+    salt: int = 16,
+    how: str = "inner",
+) -> Column | DataFrame:
+    """Skew-proof equi join for a hot-keyed LEFT side against a right side
+    too big to broadcast: left rows take a per-row salt, the right side is
+    replicated ``salt`` times, and the join runs on ``(keys..., salt)``.
+
+    A plain shuffle join puts every left row of a hot key into ONE reduce
+    task; salting fans the hot key across ``salt`` tasks at the cost of
+    ``salt x`` right-side shuffle volume — the classic trade when the
+    right side is mid-sized (too big for broadcast, small next to the
+    skewed fact table).  AQE's skew-join split handles sort-merge skew
+    after the fact; explicit salting also covers hash joins and bounds
+    the task *input* up front.
+
+    Results are exactly the plain join's (salt assignment is invisible:
+    every right row exists at every salt value).  ``how`` in
+    {inner, left}; right/outer would need the anti-side de-salted.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    lsalted = with_salt(left, salt)
+    rsalted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = lsalted.join(rsalted, [*on, "__salt"], how)
+    return out.drop("__salt")

@@ -1,0 +1,209 @@
+"""Semantics tests for the round-2 additions: HyperLogLog sketch
+(mergeability, accuracy), salted join (plain-join parity, left rows
+preserved), JL random projection (distance preservation), shard
+assignment + writer (determinism, physical layout), and linear
+classifier inference (hand-computed scores, size guard)."""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etielle_spark.operators.clusters import shard_assign, write_shards
+from etielle_spark.operators.sketches import hll_distinct, hll_estimate, hll_registers
+from etielle_spark.operators.similarity import random_projection
+from etielle_spark.operators.text import classifier_score
+from etielle_spark.plans.skew import salted_join
+
+
+# ---------------------------------------------------------------- HLL
+
+
+def test_hll_close_to_exact(spark):
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    est = {
+        r["o_orderpriority"]: r["est_distinct"]
+        for r in hll_distinct(o, ["o_orderpriority"], "o_custkey").collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for k, n in exact.items():
+        # m=4096 registers -> relative error ~1.04/sqrt(m) ~ 1.6%; allow 3 sigma
+        assert abs(est[k] - n) / n < 0.05, (k, est[k], n)
+
+
+def test_hll_registers_merge_equals_single_pass(spark):
+    """Union per-part register frames, re-max, estimate once — must equal
+    the single-pass estimate over the union of the data (the mergeability
+    contract that makes per-day sketches valid)."""
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lo = o.filter(F.col("o_orderkey") % 2 == 0)
+    hi = o.filter(F.col("o_orderkey") % 2 == 1)
+    merged_regs = (
+        hll_registers(lo, [], "o_custkey")
+        .unionByName(hll_registers(hi, [], "o_custkey"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    merged = hll_estimate(merged_regs, []).collect()[0]["est_distinct"]
+    single = hll_distinct(o, [], "o_custkey").collect()[0]["est_distinct"]
+    assert merged == single
+
+
+def test_hll_small_group_linear_counting(spark):
+    df = spark.createDataFrame([(i % 7,) for i in range(100)], "v int")
+    est = hll_distinct(df, [], "v").collect()[0]["est_distinct"]
+    # 7 distinct values, m=4096 -> linear-counting regime, near-exact
+    assert abs(est - 7) < 0.5
+
+
+# ---------------------------------------------------------- salted join
+
+
+def test_salted_join_matches_plain_inner(spark):
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    c = (
+        spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    )
+    got = (
+        salted_join(o, c, ["o_custkey"], salt=4)
+        .groupBy("c_nationkey")
+        .count()
+    )
+    want = o.join(c, "o_custkey").groupBy("c_nationkey").count()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    right = spark.createDataFrame([(1, "x")], "k int, w string")
+    out = salted_join(left, right, ["k"], salt=3, how="left")
+    rows = {(r["k"], r["w"]) for r in out.collect()}
+    assert rows == {(1, "x"), (2, None), (3, None)}
+
+
+def test_salted_join_rejects_right_outer(spark):
+    df = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, ["k"], how="right")
+
+
+# ----------------------------------------------------- random projection
+
+
+def test_random_projection_preserves_relative_distances(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    proj = random_projection(emb, "vec_id", "embedding", 16)
+    rows = {r["id"]: r["proj"] for r in proj.limit(0).unionByName(proj).collect()}
+    orig = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    ids = sorted(orig)[:20]
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    # JL: squared distances preserved in expectation; check the projected
+    # ratio stays within a loose band of the original for sampled pairs
+    checked = 0
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        do = d2(orig[a], orig[b])
+        dp = d2(rows[a], rows[b])
+        if do > 1e-9:
+            assert 0.2 < dp / do < 5.0, (a, b, dp, do)
+            checked += 1
+    assert checked > 5
+
+
+def test_random_projection_deterministic_and_no_shuffle(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p1 = random_projection(emb, "vec_id", "embedding", 4).collect()
+    p2 = random_projection(emb, "vec_id", "embedding", 4).collect()
+    assert sorted(map(repr, p1)) == sorted(map(repr, p2))
+    plan = random_projection(emb, "vec_id", "embedding", 4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------- sharding
+
+
+def test_shard_assign_deterministic_and_seed_sensitive(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = shard_assign(d, "doc_id", 8).select("doc_id", "shard").collect()
+    b = shard_assign(d, "doc_id", 8).select("doc_id", "shard").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = shard_assign(d, "doc_id", 8, seed=1).select("doc_id", "shard").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+    shards = {s for _, s in map(tuple, a)}
+    assert shards <= set(range(8)) and len(shards) > 4
+
+
+def test_shard_positions_contiguous(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = shard_assign(d, "doc_id", 4, with_position=True)
+    per = (
+        out.groupBy("shard")
+        .agg(F.min("position").alias("lo"), F.max("position").alias("hi"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in per:
+        assert r["lo"] == 0 and r["hi"] == r["n"] - 1
+
+
+def test_write_shards_layout(spark, tmp_path):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "shards")
+    write_shards(d, path, "doc_id", 4, max_records_per_file=10)
+    dirs = sorted(
+        os.path.basename(p) for p in glob.glob(f"{path}/shard=*")
+    )
+    assert dirs == [f"shard={i}" for i in range(4)]
+    # maxRecordsPerFile honored: every file <= 10 rows
+    for f in glob.glob(f"{path}/shard=*/*.parquet"):
+        assert spark.read.parquet(f).count() <= 10
+    # round trip preserves the corpus
+    back = spark.read.parquet(path)
+    assert back.count() == d.count()
+    assert back.select("doc_id").distinct().count() == d.count()
+
+
+# ----------------------------------------------------------- classifier
+
+
+def test_classifier_score_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "the spam spam"), (2, ""), (3, "neutral words only")],
+        "id int, text string",
+    )
+    w = {"the": 0.6, "spam": -0.3}
+    out = {r["id"]: r["score"] for r in classifier_score(df, "id", "text", w).collect()}
+    z1 = (0.6 - 0.3 - 0.3) / 3
+    assert out[1] == round(1 / (1 + math.exp(-z1)), 6)
+    assert out[2] == 0.5  # empty text -> z = bias = 0
+    assert out[3] == 0.5  # all unknown tokens -> z = 0
+
+
+def test_classifier_score_bias_and_sum_mode(spark):
+    df = spark.createDataFrame([(1, "good good")], "id int, text string")
+    out = classifier_score(
+        df, "id", "text", {"good": 1.0}, bias=-1.0, average=False
+    ).collect()[0]["score"]
+    assert out == round(1 / (1 + math.exp(-(-1.0 + 2.0))), 6)
+
+
+def test_classifier_score_rejects_huge_vocab(spark):
+    df = spark.createDataFrame([(1, "x")], "id int, text string")
+    with pytest.raises(ValueError, match="too large"):
+        classifier_score(df, "id", "text", {str(i): 0.1 for i in range(100_001)})
