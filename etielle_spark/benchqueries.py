@@ -5194,3 +5194,102 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_score(
         _t(spark, sf_dir, "documents"), "doc_id", "text", _CLS_WEIGHTS
     )
+
+
+@q(
+    "q134_c4_page_filter",
+    r"""
+    WITH lined AS (
+      SELECT doc_id,
+             regexp_replace(text, '((\S+ ){4}\S+) ', '\1' || chr(10), 'g') AS txt
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, txt,
+             list_filter(string_split(txt, chr(10)),
+                         x -> length(trim(x)) > 0
+                              AND len(string_split_regex(trim(x), '\s+')) >= 5)
+               AS kept_lines
+      FROM lined
+    )
+    SELECT doc_id AS id,
+           CASE WHEN NOT contains(lower(txt), 'vector') AND len(kept_lines) >= 1
+                THEN array_to_string(kept_lines, chr(10)) ELSE '' END AS clean_text,
+           CAST(len(kept_lines) AS BIGINT) AS n_kept,
+           CAST(len(string_split(txt, chr(10))) - len(kept_lines) AS BIGINT)
+             AS n_dropped,
+           (NOT contains(lower(txt), 'vector') AND len(kept_lines) >= 1) AS kept
+    FROM f
+    """,
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style page cleaning (operators/web.py: c4_page_filter): the
+    documents are re-lined five words per line, then line-level word-count
+    filtering and a page-level bad-substring gate run as one map-only
+    array-expression pass — the Raffel et al. 2020 cleaning recipe in a
+    single scan (terminal-punctuation rule exercised in pytest; the
+    synthetic corpus has no punctuation)."""
+    from .operators.web import c4_page_filter
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace(F.col("text"), r"((\S+ ){4}\S+) ", "$1\n")
+    )
+    return c4_page_filter(
+        docs, "doc_id", "text",
+        min_words_per_line=5, require_terminal_punct=False,
+        bad_substrings=("vector",),
+    )
+
+
+@q(
+    "q135_sampled_quantiles",
+    """
+    WITH s AS (
+      SELECT o_orderpriority, o_totalprice FROM orders
+      WHERE CAST('0x' || substr(md5('0|' || CAST(o_orderkey AS VARCHAR)), 1, 13)
+                 AS UBIGINT)::DOUBLE / 4503599627370496.0 < 0.2
+    )
+    SELECT o_orderpriority AS grp,
+           round(quantile_disc(o_totalprice, 0.5), 4) AS p_0_5,
+           round(quantile_disc(o_totalprice, 0.9), 4) AS p_0_9,
+           count(*) AS n_sampled
+    FROM s GROUP BY 1
+    """,
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-then-exact quantile sketch (operators/profile.py:
+    sampled_quantiles): deterministic md5 20% sample of orders, exact
+    discrete percentiles of the sample per priority — the mergeable,
+    RNG-free alternative to sorting 100 TB for a percentile (union of
+    samples IS the sample of the union)."""
+    from .operators.profile import sampled_quantiles
+
+    out = sampled_quantiles(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderpriority"], "o_totalprice", "o_orderkey",
+        [0.5, 0.9], rate=0.2,
+    )
+    return out.withColumnRenamed("o_orderpriority", "grp")
+
+
+@q(
+    "q136_per_key_sample",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5('0|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 5
+    """,
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key sample (operators/clusters.py:
+    per_key_sample): 5 reproducible 'random' documents per source via the
+    md5-order window — per-group reservoir sampling without RNG state;
+    reduce-side buffer is O(k) thanks to row_number partial top-k."""
+    from .operators.clusters import per_key_sample
+
+    return per_key_sample(
+        _t(spark, sf_dir, "documents"), ["source"], "doc_id", 5
+    ).select("doc_id", "source")

@@ -17,7 +17,7 @@ from .dedup import (
     shingle_df,
     simhash,
 )
-from .clusters import shard_assign, write_shards
+from .clusters import per_key_sample, shard_assign, write_shards
 from .search import bm25_topk, inverted_index
 from .similarity import (
     brute_force_topk,
@@ -54,6 +54,7 @@ __all__ = [
     "kmv_distinct",
     "shard_assign",
     "write_shards",
+    "per_key_sample",
     "classifier_score",
     "token_count",
     "token_entropy",

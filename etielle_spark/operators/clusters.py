@@ -304,3 +304,33 @@ def write_shards(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.format(format).save(path)
+
+
+def per_key_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    k: int,
+    *,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic k-per-key sample: within each key, keep the ``k``
+    rows with the smallest ``md5(seed|id)`` — a reproducible stand-in for
+    per-group reservoir sampling (same marginal: each row equally likely
+    under the hash's uniformity, but stable across reruns/engines).
+
+    One window shuffle partitioned by the keys; the row_number top-k
+    partial-aggregates per group, so the reduce-side buffer is O(k), not
+    O(group size).  Inspection samples, eval subsets, per-source preview
+    sets — anywhere you want 'k random docs per source' that doesn't
+    change under a rerun.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*key_cols).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

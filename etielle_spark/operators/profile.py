@@ -182,3 +182,63 @@ def group_quantiles(
         name = f"q{int(round(qv * 100))}"
         cols.append(F.round(F.col("__qs")[i], round_to).alias(name))
     return out.select(*cols)
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    probs: list[float],
+    *,
+    rate: float = 0.1,
+    seed: int = 0,
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate grouped quantiles from a deterministic uniform sample:
+    keep rows whose ``md5(seed|id)`` uniform falls under ``rate``, then
+    take EXACT discrete percentiles of the sample.
+
+    Exact quantiles of 100 TB pay a full shuffle of every value; a p%
+    sample bounds the per-group sort buffer at ``rate`` of the data with
+    quantile error ~O(1/sqrt(rate * n)) — the classic sample-then-exact
+    sketch, and unlike t-digest/KLL the sample is mergeable trivially
+    (union of samples IS the sample of the union) and reproducible in any
+    engine with md5 (no RNG state; hashing the stable id, not the float
+    value, keeps the selection independent of value formatting).
+    ``percentile_disc`` picks actual data values, so no cross-engine
+    interpolation ties.
+
+    Returns ``(*group_cols, p_<prob>, ..., n_sampled)``.
+    """
+    if not 0 < rate <= 1:
+        raise ValueError(f"rate must be in (0, 1], got {rate}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(str(seed)), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**13))
+    )
+    sample = df.filter(u < rate).select(*group_cols, value_col)
+    sample.createOrReplaceTempView("__sampled_quantiles_in")
+    qcols = ", ".join(
+        f"round(percentile_disc({p}) WITHIN GROUP (ORDER BY {value_col}), "
+        f"{round_to}) AS p_{str(p).replace('.', '_')}"
+        for p in probs
+    )
+    keys = ", ".join(group_cols)
+    return df.sparkSession.sql(
+        f"SELECT {keys}{', ' if keys else ''}{qcols}, count(*) AS n_sampled "
+        f"FROM __sampled_quantiles_in "
+        + (f"GROUP BY {keys}" if keys else "")
+    )

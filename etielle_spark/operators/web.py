@@ -155,3 +155,56 @@ def cap_per_domain(
         .withColumn("domain_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("domain_rank") <= cap)
     )
+
+
+def c4_page_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words_per_line: int = 3,
+    min_lines: int = 1,
+    require_terminal_punct: bool = True,
+    bad_substrings: tuple[str, ...] = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """C4-style line- and page-level cleaning (Raffel et al. 2020 §2.2):
+    keep lines that end in terminal punctuation and have at least
+    ``min_words_per_line`` words; drop the whole page if a bad substring
+    appears (boilerplate/code markers) or fewer than ``min_lines`` lines
+    survive.
+
+    Map-only: one pass of array expressions per document (split ->
+    filter -> rejoin), no shuffle, no Python — the shape that lets this
+    run inside the same scan as tokenization and dedup hashing at 100 TB.
+
+    Returns ``(id, clean_text, n_kept, n_dropped, kept)`` where ``kept``
+    is the page-level verdict and ``clean_text`` is the surviving lines
+    joined by newline (empty string when the page is dropped).
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+
+    def line_ok(l: Column) -> Column:
+        t = F.trim(l)
+        ok = F.length(t) > 0
+        ok = ok & (F.size(F.split(t, r"\s+")) >= min_words_per_line)
+        if require_terminal_punct:
+            ok = ok & t.rlike('[.!?"]$')
+        return ok
+
+    kept_lines = F.filter(lines, line_ok)
+    n_kept = F.size(kept_lines)
+    n_dropped = F.size(lines) - n_kept
+    page_bad = F.lit(False)
+    for s in bad_substrings:
+        page_bad = page_bad | F.contains(F.lower(text), F.lit(s.lower()))
+    kept = (~page_bad) & (n_kept >= min_lines)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(kept, F.array_join(kept_lines, "\n")).otherwise(F.lit("")).alias(
+            "clean_text"
+        ),
+        n_kept.cast("bigint").alias("n_kept"),
+        n_dropped.cast("bigint").alias("n_dropped"),
+        kept.alias("kept"),
+    )

@@ -207,3 +207,117 @@ def test_classifier_score_rejects_huge_vocab(spark):
     df = spark.createDataFrame([(1, "x")], "id int, text string")
     with pytest.raises(ValueError, match="too large"):
         classifier_score(df, "id", "text", {str(i): 0.1 for i in range(100_001)})
+
+
+# ---------------------------------------------------- C4 page cleaning
+
+
+def test_c4_page_filter_line_and_page_rules(spark):
+    from etielle_spark.operators.web import c4_page_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "This line is long enough to keep.\nshort one\nAnother good line stays here."),
+            (2, "No punctuation on this line at all\nnor here"),
+            (3, "lorem ipsum dolor sit amet consectetur.\nA fine line with enough words."),
+            (4, ""),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["id"]: r for r in c4_page_filter(docs, "doc_id", "text").collect()}
+    # doc 1: two qualifying lines kept, the short unpunctuated one dropped
+    assert out[1]["kept"] and out[1]["n_kept"] == 2 and out[1]["n_dropped"] == 1
+    assert out[1]["clean_text"] == (
+        "This line is long enough to keep.\nAnother good line stays here."
+    )
+    # doc 2: no line ends with terminal punctuation -> page dropped
+    assert not out[2]["kept"] and out[2]["clean_text"] == ""
+    # doc 3: bad substring kills the page even though a line qualifies
+    assert not out[3]["kept"] and out[3]["n_kept"] == 2
+    # doc 4: empty page dropped
+    assert not out[4]["kept"]
+
+
+def test_c4_page_filter_no_shuffle(spark):
+    from etielle_spark.operators.web import c4_page_filter
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        c4_page_filter(d, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+# ------------------------------------------------------ sampled quantiles
+
+
+def test_sampled_quantiles_full_rate_is_exact(spark):
+    from etielle_spark.operators.profile import sampled_quantiles
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    got = sampled_quantiles(
+        o, ["o_orderpriority"], "o_totalprice", "o_orderkey", [0.5], rate=1.0
+    )
+    o.createOrReplaceTempView("__sq_t")
+    want = spark.sql(
+        """SELECT o_orderpriority,
+                  round(percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4)
+                    AS p_0_5,
+                  count(*) AS n_sampled
+           FROM __sq_t GROUP BY o_orderpriority"""
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_sampled_quantiles_close_to_exact_at_low_rate(spark):
+    from etielle_spark.operators.profile import sampled_quantiles
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    est = {
+        r["o_orderpriority"]: r["p_0_5"]
+        for r in sampled_quantiles(
+            o, ["o_orderpriority"], "o_totalprice", "o_orderkey", [0.5], rate=0.3
+        ).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["m"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("m"))
+        .collect()
+    }
+    for k in exact:
+        assert abs(est[k] - exact[k]) / exact[k] < 0.25, (k, est[k], exact[k])
+
+
+def test_sampled_quantiles_rejects_bad_rate(spark):
+    from etielle_spark.operators.profile import sampled_quantiles
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    with pytest.raises(ValueError, match="rate"):
+        sampled_quantiles(o, [], "o_totalprice", "o_orderkey", [0.5], rate=0.0)
+
+
+# ------------------------------------------------------- per-key sample
+
+
+def test_per_key_sample_k_and_determinism(spark):
+    from etielle_spark.operators.clusters import per_key_sample
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = per_key_sample(d, ["source"], "doc_id", 2).select("doc_id").collect()
+    b = per_key_sample(d, ["source"], "doc_id", 2).select("doc_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    counts = (
+        per_key_sample(d, ["source"], "doc_id", 2)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    for r in counts:
+        assert r["count"] <= 2
+    # different seed -> different sample
+    c = per_key_sample(d, ["source"], "doc_id", 2, seed=9).select("doc_id").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
