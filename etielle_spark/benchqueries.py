@@ -5293,3 +5293,81 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_key_sample(
         _t(spark, sf_dir, "documents"), ["source"], "doc_id", 5
     ).select("doc_id", "source")
+
+
+@q(
+    "q137_quantile_bins",
+    """
+    SELECT o_orderpriority AS grp, o_orderkey, o_totalprice,
+           ntile(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey) - 1 AS bin
+    FROM orders
+    """,
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization (operators/profile.py:
+    quantile_bins): every order assigned its within-priority quartile via
+    ntile — the skew-robust binning a fixed-width histogram can't give;
+    one window shuffle, ties broken on the id for cross-engine
+    determinism."""
+    from .operators.profile import quantile_bins
+
+    out = quantile_bins(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderpriority"], "o_totalprice", 4, id_col="o_orderkey",
+    )
+    return out.withColumnRenamed("o_orderpriority", "grp")
+
+
+@q(
+    "q138_ohlc_bars",
+    """
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           round(first(value ORDER BY ts, event_id), 4) AS open,
+           round(max(value), 4) AS high,
+           round(min(value), 4) AS low,
+           round(last(value ORDER BY ts, event_id), 4) AS close,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling bars (operators/events.py: ohlc_bars): per
+    event-type hourly open/high/low/close/count in ONE groupBy —
+    open/close via min_by/max_by over the deterministic (ts, id) order
+    struct, all aggregates algebraic (map-side partials), no window."""
+    from .operators.events import ohlc_bars
+
+    ev = _events(spark, sf_dir)
+    out = ohlc_bars(ev, ["event_type"], "ts", "value", "event_id", bucket="1 hour")
+    return out.withColumn("bucket_start", _ts(F.col("bucket_start")))
+
+
+@q(
+    "q139_winsorize",
+    """
+    WITH bounds AS (
+      SELECT o_orderpriority,
+             quantile_disc(o_totalprice, 0.05) AS lo,
+             quantile_disc(o_totalprice, 0.95) AS hi
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderkey, o.o_orderpriority AS grp, o_totalprice,
+           round(least(greatest(o_totalprice, lo), hi), 4)
+             AS o_totalprice_winsorized
+    FROM orders o JOIN bounds b ON o.o_orderpriority = b.o_orderpriority
+    """,
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization (operators/profile.py: winsorize): clamp
+    order totals to the within-priority [5%, 95%] discrete percentiles —
+    exact bounds from one tiny grouped aggregate broadcast back; the row
+    pass is map-only."""
+    from .operators.profile import winsorize
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = winsorize(o, ["o_orderpriority"], "o_totalprice", lo=0.05, hi=0.95)
+    return out.withColumnRenamed("o_orderpriority", "grp")

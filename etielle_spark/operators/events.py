@@ -500,3 +500,36 @@ def event_transitions(
     return pairs.withColumn(
         "p", F.round(F.col("n") / F.sum("n").over(wtot), 6)
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    bucket: str = "1 hour",
+    round_to: int = 4,
+) -> DataFrame:
+    """OHLC (open/high/low/close) bars per key per time bucket: first and
+    last value by event order, min/max, and the event count — the
+    canonical downsampling for metric/price series.
+
+    One groupBy shuffle; open/close are ``min_by``/``max_by`` over the
+    deterministic order struct ``(ts, id)`` (id tie-break, so concurrent
+    events can't flip open/close between runs or engines), high/low are
+    plain min/max — all algebraic, all partial-aggregated map-side.
+    """
+    order = F.struct(F.col(ts_col), F.col(id_col))
+    b = F.window(F.col(ts_col), bucket)["start"]
+    return (
+        df.groupBy(*key_cols, b.alias("bucket_start"))
+        .agg(
+            F.round(F.min_by(F.col(value_col), order), round_to).alias("open"),
+            F.round(F.max(value_col), round_to).alias("high"),
+            F.round(F.min(value_col), round_to).alias("low"),
+            F.round(F.max_by(F.col(value_col), order), round_to).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

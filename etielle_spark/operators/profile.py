@@ -11,7 +11,7 @@ engine-specific number formatting.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import (
     DateType,
     NumericType,
@@ -242,3 +242,74 @@ def sampled_quantiles(
         f"FROM __sampled_quantiles_in "
         + (f"GROUP BY {keys}" if keys else "")
     )
+
+
+def quantile_bins(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    n_bins: int,
+    *,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Equal-frequency discretization: assign every row its quantile
+    bucket (0..n_bins-1) within its group — ``ntile`` over the value
+    order, the standard feature-engineering binning that a fixed-width
+    histogram can't give on skewed data.
+
+    Ties broken by ``id_col`` (required for cross-engine determinism when
+    values repeat).  One window shuffle per group; ntile streams the
+    sorted partition, so the reduce buffer is the sort spill, not the
+    bucket map.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    order = [F.col(value_col)] + ([F.col(id_col)] if id_col else [])
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return df.select(
+        *group_cols,
+        *([id_col] if id_col else []),
+        F.col(value_col),
+        (F.ntile(n_bins).over(w) - 1).alias("bin"),
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    round_to: int = 4,
+) -> DataFrame:
+    """Winsorized (percentile-clamped) values: clip each row's value to
+    its group's [lo, hi] discrete percentiles — the robust-statistics
+    standard for taming heavy tails before averaging/regression.
+
+    Two-pass but one data shuffle: the per-group clip bounds are an
+    exact ``percentile_disc`` aggregate (tiny frame), broadcast back onto
+    the rows; the row pass is then map-only.  ``percentile_disc`` picks
+    actual data values, so bounds are engine-exact.
+    """
+    df.select(*group_cols, value_col).createOrReplaceTempView("__winsorize_in")
+    keys = ", ".join(group_cols)
+    bounds = df.sparkSession.sql(
+        f"SELECT {keys}{', ' if keys else ''}"
+        f"percentile_disc({lo}) WITHIN GROUP (ORDER BY {value_col}) AS __lo, "
+        f"percentile_disc({hi}) WITHIN GROUP (ORDER BY {value_col}) AS __hi "
+        f"FROM __winsorize_in"
+        + (f" GROUP BY {keys}" if keys else "")
+    )
+    joined = (
+        df.join(F.broadcast(bounds), group_cols)
+        if group_cols
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    clipped = F.round(
+        F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+        round_to,
+    )
+    return joined.select(
+        *df.columns, clipped.alias(f"{value_col}_winsorized")
+    ).drop()

@@ -321,3 +321,62 @@ def test_per_key_sample_k_and_determinism(spark):
     # different seed -> different sample
     c = per_key_sample(d, ["source"], "doc_id", 2, seed=9).select("doc_id").collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+# ------------------------------------------------- binning / OHLC / clip
+
+
+def test_quantile_bins_equal_frequency(spark):
+    from etielle_spark.operators.profile import quantile_bins
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "id int, v double")
+    out = quantile_bins(df, [], "v", 4, id_col="id")
+    sizes = {r["bin"]: r["n"] for r in out.groupBy("bin").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {0: 25, 1: 25, 2: 25, 3: 25}
+    # bin order follows value order
+    rows = {r["id"]: r["bin"] for r in out.collect()}
+    assert rows[0] == 0 and rows[99] == 3
+
+
+def test_quantile_bins_rejects_single_bin(spark):
+    from etielle_spark.operators.profile import quantile_bins
+
+    df = spark.createDataFrame([(1, 1.0)], "id int, v double")
+    with pytest.raises(ValueError, match="n_bins"):
+        quantile_bins(df, [], "v", 1, id_col="id")
+
+
+def test_ohlc_bars_deterministic_open_close_on_ties(spark):
+    from etielle_spark.operators.events import ohlc_bars
+
+    rows = [
+        # same timestamp for events 1 and 2 -> id breaks the tie
+        (1, "2024-01-01 10:00:05", 10.0),
+        (2, "2024-01-01 10:00:05", 20.0),
+        (3, "2024-01-01 10:59:59", 5.0),
+        (4, "2024-01-01 11:00:01", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id int, ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    ).withColumn("k", F.lit("m"))
+    out = {
+        str(r["bucket_start"]): r
+        for r in ohlc_bars(df, ["k"], "ts", "value", "event_id").collect()
+    }
+    h10 = out["2024-01-01 10:00:00"]
+    assert h10["open"] == 10.0 and h10["close"] == 5.0
+    assert h10["high"] == 20.0 and h10["low"] == 5.0 and h10["n_events"] == 3
+    assert out["2024-01-01 11:00:00"]["open"] == 7.0
+
+
+def test_winsorize_clamps_both_tails(spark):
+    from etielle_spark.operators.profile import winsorize
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "id int, v double"
+    )
+    out = winsorize(df, [], "v", lo=0.1, hi=0.9)
+    vals = {r["id"]: r["v_winsorized"] for r in out.collect()}
+    assert vals[1] == 10.0 and vals[5] == 10.0  # low tail clamped to p10
+    assert vals[100] == 90.0 and vals[95] == 90.0  # high tail clamped
+    assert vals[50] == 50.0  # middle untouched
