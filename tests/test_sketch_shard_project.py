@@ -380,3 +380,39 @@ def test_winsorize_clamps_both_tails(spark):
     assert vals[1] == 10.0 and vals[5] == 10.0  # low tail clamped to p10
     assert vals[100] == 90.0 and vals[95] == 90.0  # high tail clamped
     assert vals[50] == 50.0  # middle untouched
+
+
+def test_hll_registers_streaming_maintenance(spark, tmp_path):
+    """The mergeable-sketch contract under Structured Streaming: each
+    micro-batch appends its register frame via foreachBatch; the final
+    re-maxed registers estimate exactly what a single batch pass over all
+    the data estimates."""
+    src = str(tmp_path / "src")
+    reg_dir = str(tmp_path / "registers")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    o.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def upd(batch, batch_id):
+        hll_registers(batch, [], "o_custkey").write.mode("append").parquet(reg_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(upd)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    merged = (
+        spark.read.parquet(reg_dir)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    streamed = hll_estimate(merged, []).collect()[0]["est_distinct"]
+    single = hll_distinct(o, [], "o_custkey").collect()[0]["est_distinct"]
+    assert streamed == single

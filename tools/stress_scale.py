@@ -130,6 +130,36 @@ def main() -> None:
         .filter(F.col("dropped")).count(),
     )
 
+    # the map-only curation passes: classifier scoring, C4 cleaning,
+    # shard assignment, HLL distinct — each must stay one scan at 600k
+    from etielle_spark.operators.clusters import shard_assign
+    from etielle_spark.operators.sketches import hll_distinct
+    from etielle_spark.operators.text import classifier_score
+    from etielle_spark.operators.web import c4_page_filter
+
+    n_scored = step(
+        "classifier_score",
+        lambda: classifier_score(
+            docs, "doc_id", "text",
+            {"item": 0.3, "n": -0.1, "r": 0.2, "a": -0.2},
+        ).count(),
+    )
+    n_c4 = step(
+        "c4_page_filter",
+        lambda: c4_page_filter(
+            docs, "doc_id", "text",
+            min_words_per_line=3, require_terminal_punct=False,
+        ).filter(F.col("kept")).count(),
+    )
+    n_sharded = step(
+        "shard_assign_256",
+        lambda: shard_assign(docs, "doc_id", 256).groupBy("shard").count().count(),
+    )
+    n_hll = step(
+        "hll_distinct_text",
+        lambda: hll_distinct(docs, [], "text").count(),
+    )
+
     print(
         json.dumps(
             {
@@ -143,6 +173,10 @@ def main() -> None:
                 "mixture_resampled_rows": n_resampled,
                 "semdedup_vectors": n_vec,
                 "semdedup_dropped": n_semdrop,
+                "classifier_scored": n_scored,
+                "c4_pages_kept": n_c4,
+                "shards": n_sharded,
+                "hll_groups": n_hll,
                 "timings_sec": timings,
                 "total_sec": round(sum(timings.values()), 2),
             }
