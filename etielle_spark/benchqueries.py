@@ -5371,3 +5371,78 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = winsorize(o, ["o_orderpriority"], "o_totalprice", lo=0.05, hi=0.95)
     return out.withColumnRenamed("o_orderpriority", "grp")
+
+
+@q(
+    "q140_prefix_filter_join",
+    r"""
+    WITH t AS (
+      SELECT p_partkey AS id,
+             list_distinct(string_split_regex(lower(trim(p_name)), '\s+')) AS tk
+      FROM part
+    ),
+    g AS (SELECT id, unnest(tk) AS tok FROM t),
+    dfreq AS (SELECT tok, count(*) AS dfc FROM g GROUP BY 1),
+    rk AS (
+      SELECT id, g.tok,
+             row_number() OVER (PARTITION BY id ORDER BY dfc, g.tok) AS rk
+      FROM g JOIN dfreq USING (tok)
+    ),
+    sz AS (SELECT id, count(*) AS sz FROM g GROUP BY 1),
+    pref AS (
+      SELECT rk.id, tok FROM rk JOIN sz USING (id)
+      WHERE rk <= sz - ceil(0.6 * sz) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM pref a JOIN pref b USING (tok) WHERE a.id < b.id
+    ),
+    inter AS (
+      SELECT ga.id AS id_a, gb.id AS id_b, count(*) AS i
+      FROM g ga JOIN g gb USING (tok) WHERE ga.id < gb.id GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(i::DOUBLE / (sa + sb - i), 6) AS jaccard
+    FROM cand
+    JOIN inter USING (id_a, id_b)
+    JOIN (SELECT id AS id_a, sz AS sa FROM sz) USING (id_a)
+    JOIN (SELECT id AS id_b, sz AS sb FROM sz) USING (id_b)
+    WHERE round(i::DOUBLE / (sa + sb - i), 6) >= 0.6
+    """,
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered similarity self-join (operators/dedup.py:
+    prefix_filter_pairs): PPJoin-style exact-threshold token-Jaccard —
+    candidates only where rare-token prefixes collide (no false
+    negatives, unlike LSH), verified exactly.  Part names at
+    threshold 0.6."""
+    from .operators.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(
+        _t(spark, sf_dir, "part"), "p_partkey", "p_name", threshold=0.6
+    )
+
+
+@q(
+    "q141_rendezvous_assign",
+    """
+    SELECT doc_id,
+           arg_max(node, md5(node || '|' || CAST(doc_id AS VARCHAR))) AS node
+    FROM documents,
+         (SELECT unnest(['node-a', 'node-b', 'node-c', 'node-d']) AS node) n
+    GROUP BY doc_id
+    """,
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous / highest-random-weight sharding (operators/clusters.py:
+    rendezvous_assign): every document owned by the argmax-md5 node —
+    topology changes move only the departed node's keys, the consistent-
+    assignment property modulo sharding lacks.  Map-only."""
+    from .operators.clusters import rendezvous_assign
+
+    out = rendezvous_assign(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        ["node-a", "node-b", "node-c", "node-d"],
+    )
+    return out.select("doc_id", "node")

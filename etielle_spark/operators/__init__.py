@@ -17,7 +17,13 @@ from .dedup import (
     shingle_df,
     simhash,
 )
-from .clusters import per_key_sample, shard_assign, write_shards
+from .clusters import (
+    per_key_sample,
+    rendezvous_assign,
+    shard_assign,
+    write_shards,
+)
+from .dedup import prefix_filter_pairs
 from .search import bm25_topk, inverted_index
 from .similarity import (
     brute_force_topk,
@@ -55,6 +61,8 @@ __all__ = [
     "shard_assign",
     "write_shards",
     "per_key_sample",
+    "rendezvous_assign",
+    "prefix_filter_pairs",
     "classifier_score",
     "token_count",
     "token_entropy",

@@ -334,3 +334,36 @@ def per_key_sample(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    id_col: str,
+    nodes: list[str],
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) assignment: each row goes to the
+    node with the greatest ``md5(node|id)`` (Thaler & Ravishankar 1996).
+
+    Unlike modulo sharding, adding or removing a node reassigns ONLY the
+    rows that hash highest for that node (~1/n of keys) — the property
+    that keeps caches, stateful-stream partitions, and incremental-index
+    shards warm through topology changes.  Map-only, no coordinator, no
+    stored ring state; any engine with md5 computes the same owner.
+
+    Returns the input plus ``node``.
+    """
+    if not nodes:
+        raise ValueError("rendezvous_assign: need at least one node")
+    if len(set(nodes)) != len(nodes):
+        raise ValueError("rendezvous_assign: duplicate node names")
+    scored = [
+        F.struct(
+            F.md5(
+                F.concat_ws("|", F.lit(node), F.col(id_col).cast("string"))
+            ).alias("w"),
+            F.lit(node).alias("node"),
+        )
+        for node in nodes
+    ]
+    winner = scored[0] if len(scored) == 1 else F.greatest(*scored)
+    return df.select("*", winner["node"].alias("node"))

@@ -768,3 +768,83 @@ def intradoc_segment_dedup(
         F.col("__k.n").cast("bigint").alias("n_segments"),
         (F.col("__k.n") - F.size("__k.kept")).cast("bigint").alias("n_removed"),
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Prefix-filtered token-Jaccard similarity self-join (the PPJoin
+    family, Xiao et al. 2008 — the provable alternative to LSH when exact
+    threshold semantics are required).
+
+    Order every document's distinct tokens by ascending global document
+    frequency (rarest first, ties on the token).  For Jaccard >= t two
+    sets MUST share a token within each other's first
+    ``|T| - ceil(t * |T|) + 1`` tokens, so the candidate join runs only on
+    those prefix tokens: rare tokens block few documents, and the frequent
+    tokens that would explode a plain token join never enter the join at
+    all.  Candidates are then verified with the exact Jaccard.
+
+    Scale shape: one df-count aggregation, one window over (doc, token),
+    the prefix equi-join on tokens, and the verify aggregation — every
+    shuffle keyed on tokens or id pairs, nothing quadratic, no
+    false negatives (unlike LSH).  Returns ``(id_a, id_b, jaccard)``.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("__df"))
+    sizes = toks.groupBy("__id").agg(F.count("*").alias("__sz"))
+    w = Window.partitionBy("__id").orderBy(F.col("__df"), F.col("tok"))
+    ranked = (
+        toks.join(dfreq, "tok")
+        .withColumn("__rk", F.row_number().over(w))
+        .join(sizes, "__id")
+    )
+    prefix = ranked.filter(
+        F.col("__rk")
+        <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+    ).select("__id", "tok")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    a = toks.select(F.col("__id").alias("id_a"), "tok")
+    b = toks.select(F.col("__id").alias("id_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(cand, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__i"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("__sa"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("__sb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__i") / (F.col("__sa") + F.col("__sb") - F.col("__i")),
+                round_to,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

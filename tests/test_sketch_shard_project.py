@@ -416,3 +416,71 @@ def test_hll_registers_streaming_maintenance(spark, tmp_path):
     streamed = hll_estimate(merged, []).collect()[0]["est_distinct"]
     single = hll_distinct(o, [], "o_custkey").collect()[0]["est_distinct"]
     assert streamed == single
+
+
+# ------------------------------------------- prefix filter / rendezvous
+
+
+def test_prefix_filter_matches_bruteforce(spark):
+    """Prefix filtering must lose NO qualifying pair (the PPJoin
+    guarantee) — compare against the unpruned all-shared-token join."""
+    from etielle_spark.operators.dedup import prefix_filter_pairs, tokens_col
+
+    df = spark.createDataFrame(
+        [
+            (1, "red green blue teal plum"),
+            (2, "red green blue teal rose"),      # jaccard 4/6 = 0.667 with 1
+            (3, "red green blue teal plum"),      # identical to 1
+            (4, "cyan ivory khaki linen navy"),   # disjoint
+        ],
+        "id int, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_pairs(df, "id", "text", threshold=0.6).collect()
+    }
+    assert got[(1, 3)] == 1.0
+    assert got[(1, 2)] == round(4 / 6, 6) and got[(2, 3)] == round(4 / 6, 6)
+    assert set(got) == {(1, 3), (1, 2), (2, 3)}
+
+
+def test_prefix_filter_rejects_bad_threshold(spark):
+    from etielle_spark.operators.dedup import prefix_filter_pairs
+
+    df = spark.createDataFrame([(1, "a")], "id int, text string")
+    with pytest.raises(ValueError, match="threshold"):
+        prefix_filter_pairs(df, "id", "text", threshold=0.0)
+
+
+def test_rendezvous_minimal_reassignment(spark):
+    """Removing one node must reassign ONLY the rows it owned; every
+    other row keeps its node (the whole point vs modulo sharding)."""
+    from etielle_spark.operators.clusters import rendezvous_assign
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    nodes = ["n0", "n1", "n2", "n3"]
+    before = {
+        r["doc_id"]: r["node"]
+        for r in rendezvous_assign(d, "doc_id", nodes).select("doc_id", "node").collect()
+    }
+    after = {
+        r["doc_id"]: r["node"]
+        for r in rendezvous_assign(d, "doc_id", nodes[:-1]).select("doc_id", "node").collect()
+    }
+    moved = {k for k in before if before[k] != after[k]}
+    assert moved == {k for k, v in before.items() if v == "n3"}
+    # and the survivors' shares stay roughly balanced
+    from collections import Counter
+
+    shares = Counter(after.values())
+    assert set(shares) == {"n0", "n1", "n2"}
+
+
+def test_rendezvous_rejects_bad_nodes(spark):
+    from etielle_spark.operators.clusters import rendezvous_assign
+
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(ValueError, match="at least one"):
+        rendezvous_assign(df, "id", [])
+    with pytest.raises(ValueError, match="duplicate"):
+        rendezvous_assign(df, "id", ["a", "a"])
