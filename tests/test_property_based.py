@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis) for the operators whose value IS a
+guarantee: prefix filtering loses no qualifying pair, HLL registers merge
+associatively, rendezvous moves only the departed node's keys, salted
+join equals the plain join — each checked on adversarial random inputs,
+not just the fixtures.
+
+Spark round trips per example are expensive, so examples are capped low;
+the generators bias toward the nasty shapes (duplicate rows, shared
+tokens, tiny vocabularies) where the guarantees actually bite.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etielle_spark.operators.clusters import rendezvous_assign
+from etielle_spark.operators.dedup import prefix_filter_pairs
+from etielle_spark.operators.sketches import hll_distinct, hll_estimate, hll_registers
+from etielle_spark.plans.skew import salted_join
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# tiny vocabulary -> dense token overlap -> many near-threshold pairs
+_WORDS = ["red", "green", "blue", "teal", "plum", "rose", "cyan", "gold"]
+_docs = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=6),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(docs=_docs, threshold=st.sampled_from([0.4, 0.6, 0.8]))
+@settings(**_SETTINGS)
+def test_prefix_filter_never_loses_a_pair(spark, docs, threshold):
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_pairs(df, "id", "text", threshold=threshold).collect()
+    }
+    sets = {i: set(ws) for i, ws in enumerate(docs)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                if inter:
+                    j = round(inter / len(sets[a] | sets[b]), 6)
+                    if j >= threshold:
+                        want[(a, b)] = j
+    assert got == want
+
+
+@given(
+    items=st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=120),
+    cut=st.integers(min_value=0, max_value=400),
+)
+@settings(**_SETTINGS)
+def test_hll_merge_associative_any_split(spark, items, cut):
+    df = spark.createDataFrame([(v,) for v in items], "v int")
+    lo, hi = df.filter(F.col("v") <= cut), df.filter(F.col("v") > cut)
+    merged_regs = (
+        hll_registers(lo, [], "v")
+        .unionByName(hll_registers(hi, [], "v"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    merged = hll_estimate(merged_regs, []).collect()[0]["est_distinct"]
+    single = hll_distinct(df, [], "v").collect()[0]["est_distinct"]
+    assert merged == single
+    # linear-counting regime at this cardinality: estimate is near-exact
+    assert abs(single - len(set(items))) <= max(2, 0.05 * len(set(items)))
+
+
+@given(
+    n_nodes=st.integers(min_value=2, max_value=5),
+    drop=st.integers(min_value=0, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_rendezvous_only_departed_keys_move(spark, n_nodes, drop):
+    drop = drop % n_nodes
+    nodes = [f"n{i}" for i in range(n_nodes)]
+    df = spark.createDataFrame([(i,) for i in range(60)], "id int")
+    before = {
+        r["id"]: r["node"] for r in rendezvous_assign(df, "id", nodes).collect()
+    }
+    survivors = [n for i, n in enumerate(nodes) if i != drop]
+    after = {
+        r["id"]: r["node"] for r in rendezvous_assign(df, "id", survivors).collect()
+    }
+    for k, owner in before.items():
+        if owner != nodes[drop]:
+            assert after[k] == owner  # unaffected keys must not move
+
+
+@given(
+    left_keys=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=40),
+    salt=st.sampled_from([2, 5, 8]),
+    how=st.sampled_from(["inner", "left"]),
+)
+@settings(**_SETTINGS)
+def test_salted_join_equals_plain_join(spark, left_keys, salt, how):
+    left = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(left_keys)], "k int, row int"
+    )
+    right = spark.createDataFrame([(k, k * 10) for k in range(0, 4)], "k int, v int")
+    got = salted_join(left, right, ["k"], salt=salt, how=how)
+    want = left.join(right, ["k"], how)
+    assert sorted(map(tuple, got.select("k", "row", "v").collect())) == sorted(
+        map(tuple, want.select("k", "row", "v").collect())
+    )
