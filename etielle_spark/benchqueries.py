@@ -5446,3 +5446,109 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["node-a", "node-b", "node-c", "node-d"],
     )
     return out.select("doc_id", "node")
+
+
+_MESSY_URL_SQL = (
+    "(CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http' ELSE 'ftp' END)"
+    " || '://'"
+    " || (CASE WHEN doc_id % 7 = 0 THEN upper('www.' || source || '-site.org')"
+    "      ELSE 'www.' || source || '-site.org' END)"
+    " || '/docs/' || doc_id"
+    " || (CASE WHEN doc_id % 2 = 0"
+    "      THEN '?utm_source=feed&ref=' || lang || '&utm_campaign=x'"
+    "      ELSE '?ref=' || lang END)"
+    " || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)"
+)
+
+
+def _messy_url_col():
+    host = F.concat(F.lit("www."), F.col("source"), F.lit("-site.org"))
+    return F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("http"))
+        .otherwise(F.lit("ftp")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 7 == 0, F.upper(host)).otherwise(host),
+        F.lit("/docs/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&ref="),
+                F.col("lang"),
+                F.lit("&utm_campaign=x"),
+            ),
+        ).otherwise(F.concat(F.lit("?ref="), F.col("lang"))),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+@q(
+    "q142_canonical_url",
+    r"""
+    WITH u AS (SELECT doc_id, """ + _MESSY_URL_SQL + r""" AS url FROM documents),
+    c AS (
+      SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM u
+    ),
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+        regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        regexp_extract(nf, '\?(.*)$', 1) AS query
+      FROM c
+    ),
+    kept AS (
+      SELECT doc_id, url, scheme, host, path,
+             array_to_string(
+               list_filter(string_split(query, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p,
+                        '^(utm_[^=]*|gclid|fbclid|msclkid|ref_src)=')),
+               '&') AS qs
+      FROM parts
+    )
+    SELECT doc_id AS id, url,
+           scheme || '://' || host || path ||
+           (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS canonical_url
+    FROM kept
+    """,
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/web.py: canonical_url): crawl
+    variants — tracking params, fragments, case-shifted hosts — collapse
+    to one canonical string, the dedup key a web pipeline computes BEFORE
+    exact dedup.  Map-only regexp/array expressions shared with the
+    oracle."""
+    from .operators.web import canonical_url
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _messy_url_col().alias("url")
+    )
+    return canonical_url(docs, "doc_id", "url")
+
+
+@q(
+    "q143_blocklist_filter",
+    r"""
+    WITH u AS (SELECT doc_id, source, """ + _MESSY_URL_SQL + r""" AS url
+               FROM documents)
+    SELECT doc_id, source FROM u
+    WHERE lower(regexp_extract(
+            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+            '([^.]+\.[^.]+)$', 1))
+          NOT IN ('src3-site.org', 'src7-site.org', 'src12-site.org')
+    """,
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist filtering (operators/web.py: blocklist_filter):
+    drop documents whose registered domain is listed (case-insensitive,
+    so the case-shifted host variants still match) — the crawl-pipeline
+    URL-filter stage as one map-only scan."""
+    from .operators.web import blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", _messy_url_col().alias("url")
+    )
+    return blocklist_filter(
+        docs, "url", ["src3-site.org", "src7-site.org", "src12-site.org"]
+    ).select("doc_id", "source")

@@ -208,3 +208,70 @@ def c4_page_filter(
         n_dropped.cast("bigint").alias("n_dropped"),
         kept.alias("kept"),
     )
+
+
+_TRACKING_RE = "^(utm_[^=]*|gclid|fbclid|msclkid|ref_src)="
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Canonical form of a URL as a column expression: fragment dropped,
+    scheme and host lowercased, tracking query parameters (utm_*, gclid,
+    fbclid, msclkid, ref_src) removed with the remaining parameter ORDER
+    preserved, trailing '?' elided."""
+    no_frag = F.regexp_replace(url, "#.*$", "")
+    scheme = F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    host = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    path = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+    )
+    qs = F.array_join(kept, "&")
+    return F.concat(
+        F.lower(scheme),
+        F.lit("://"),
+        F.lower(host),
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def canonical_url(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """URL canonicalization (the dedup-key step of a web-corpus pipeline:
+    crawl variants of one page — tracking params, fragments, case-shifted
+    hosts — must collapse to one canonical string BEFORE exact/near dedup,
+    or every variant survives).  Map-only regexp/array expressions.
+
+    Returns ``(id, url, canonical_url)``.
+    """
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(url_col).alias("url"),
+        canonical_url_col(F.col(url_col)).alias("canonical_url"),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    url_col: str,
+    blocked_domains: list[str],
+) -> DataFrame:
+    """Drop rows whose registered domain (last two host labels) is on the
+    blocklist — the URL-filtering stage every crawl pipeline runs (spam /
+    adult / boilerplate domain lists).
+
+    The blocklist is a plan literal probed per row (map-only — a list of
+    even millions of domains would instead broadcast-anti-join; this
+    entry point covers the literal path and guards the size).
+    """
+    if len(blocked_domains) > 100_000:
+        raise ValueError(
+            "blocklist too large for a plan literal; broadcast-anti-join a "
+            "blocklist DataFrame instead"
+        )
+    host = F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1
+    )
+    domain = F.regexp_extract(F.lower(host), r"([^.]+\.[^.]+)$", 1)
+    return df.filter(~domain.isin([d.lower() for d in blocked_domains]))

@@ -484,3 +484,57 @@ def test_rendezvous_rejects_bad_nodes(spark):
         rendezvous_assign(df, "id", [])
     with pytest.raises(ValueError, match="duplicate"):
         rendezvous_assign(df, "id", ["a", "a"])
+
+
+# --------------------------------------------------- URL canonicalization
+
+
+def test_canonical_url_rules(spark):
+    from etielle_spark.operators.web import canonical_url
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTPS://WWW.Ex.COM/a/b?utm_source=x&id=9&fbclid=z#frag"),
+            (2, "http://ex.com/p?utm_campaign=c"),
+            (3, "http://ex.com/p?b=2&a=1"),       # param order preserved
+            (4, "https://ex.com/q#only-frag"),
+        ],
+        "id int, url string",
+    )
+    out = {r["id"]: r["canonical_url"] for r in canonical_url(df, "id", "url").collect()}
+    assert out[1] == "https://www.ex.com/a/b?id=9"
+    assert out[2] == "http://ex.com/p"
+    assert out[3] == "http://ex.com/p?b=2&a=1"
+    assert out[4] == "https://ex.com/q"
+
+
+def test_canonical_url_collapses_crawl_variants(spark):
+    """The reason the op exists: tracking/fragment/case variants of one
+    page must share a canonical string (the dedup key)."""
+    from etielle_spark.operators.web import canonical_url
+
+    variants = [
+        (1, "https://ex.com/page?id=1&utm_source=a"),
+        (2, "HTTPS://EX.COM/page?id=1#sec2"),
+        (3, "https://ex.com/page?id=1&fbclid=xyz&utm_campaign=b"),
+    ]
+    df = spark.createDataFrame(variants, "id int, url string")
+    canon = canonical_url(df, "id", "url").select("canonical_url").distinct()
+    assert canon.count() == 1
+
+
+def test_blocklist_filter_case_insensitive_and_guarded(spark):
+    from etielle_spark.operators.web import blocklist_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://www.GOOD.org/x"),
+            (2, "http://sub.SPAM.NET/y"),
+            (3, "https://ok.example.com/z"),
+        ],
+        "id int, url string",
+    )
+    kept = {r["id"] for r in blocklist_filter(df, "url", ["spam.net"]).collect()}
+    assert kept == {1, 3}
+    with pytest.raises(ValueError, match="too large"):
+        blocklist_filter(df, "url", [f"d{i}.com" for i in range(100_001)])
