@@ -5552,3 +5552,69 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_filter(
         docs, "url", ["src3-site.org", "src7-site.org", "src12-site.org"]
     ).select("doc_id", "source")
+
+
+@q(
+    "q144_leakage_safe_split",
+    f"""
+    WITH RECURSIVE all_docs AS ({_DOCS_PLUS_CLONES}),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM all_docs),
+    sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM toks),
+    mins AS (
+      SELECT doc_id,
+             min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+             min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+             min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+             min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS b, md5(h0 || '|' || h1) AS d FROM mins UNION ALL
+      SELECT doc_id, 1 AS b, md5(h2 || '|' || h3) AS d FROM mins UNION ALL
+      SELECT doc_id, 2 AS b, md5(h4 || '|' || h5) AS d FROM mins UNION ALL
+      SELECT doc_id, 3 AS b, md5(h6 || '|' || h7) AS d FROM mins
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r ON l.b = r.b AND l.d = r.d AND l.doc_id < r.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM cand
+      UNION SELECT id_b, id_a FROM cand
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    clusters AS (
+      SELECT s AS id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+    ),
+    labeled AS (
+      SELECT a.doc_id, coalesce(c.cluster_id, a.doc_id) AS cluster_id
+      FROM all_docs a LEFT JOIN clusters c ON a.doc_id = c.id
+    )
+    SELECT doc_id,
+           cluster_id,
+           CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+                AS UBIGINT)::BIGINT % 100 AS bucket,
+           CASE WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+                     AS UBIGINT)::BIGINT % 100 < 80 THEN 'train'
+                WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+                     AS UBIGINT)::BIGINT % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM labeled
+    """,
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split (operators/clusters.py: leakage_safe_split):
+    LSH near-dup clusters first, hash split keyed on the CLUSTER id —
+    eval twins of training documents cannot cross splits.  The
+    composition that makes q59's components and q80's hash split an
+    actual eval-hygiene guarantee."""
+    from .operators.clusters import leakage_safe_split
+    from .operators.dedup import lsh_candidate_pairs
+
+    docs = _docs_plus_clones(spark, sf_dir)
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=8, bands=4)
+    return leakage_safe_split(docs, "doc_id", pairs)

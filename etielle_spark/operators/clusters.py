@@ -367,3 +367,49 @@ def rendezvous_assign(
     ]
     winner = scored[0] if len(scored) == 1 else F.greatest(*scored)
     return df.select("*", winner["node"].alias("node"))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    *,
+    buckets: int = 100,
+    thresholds: dict[str, int] | None = None,
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: connected components over the near-dup ``pairs`` graph first,
+    then the deterministic hash split keyed on the CLUSTER id — every
+    member of a duplicate cluster lands in the same split by
+    construction (a per-document split scatters eval twins of training
+    documents into the test set, silently inflating eval numbers).
+
+    Singleton documents (no near-dup edge) are their own cluster.  Costs
+    one label-propagation fixpoint over the pair graph plus a broadcast-
+    sized join of the cluster labels back onto the corpus; the split
+    itself is map-only.
+
+    Returns ``(id, cluster_id, bucket, split)``.
+    """
+    clusters = dedup_clusters(pairs)
+    labeled = (
+        df.select(F.col(id_col))
+        .join(clusters.withColumnRenamed("id", id_col), [id_col], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    split = hash_split(
+        labeled.withColumnRenamed("cluster_id", "__ck"),
+        "__ck",
+        buckets=buckets,
+        thresholds=thresholds,
+        keep_all=True,
+    )
+    return split.select(
+        F.col(id_col),
+        F.col("__ck").alias("cluster_id"),
+        "bucket",
+        "split",
+    )

@@ -538,3 +538,25 @@ def test_blocklist_filter_case_insensitive_and_guarded(spark):
     assert kept == {1, 3}
     with pytest.raises(ValueError, match="too large"):
         blocklist_filter(df, "url", [f"d{i}.com" for i in range(100_001)])
+
+
+def test_leakage_safe_split_co_locates_pairs(spark):
+    """THE guarantee: both endpoints of every near-dup pair get the same
+    split; and clone docs actually exercise it (pairs exist)."""
+    from etielle_spark.benchqueries import _docs_plus_clones
+    from etielle_spark.operators.clusters import leakage_safe_split
+    from etielle_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = _docs_plus_clones(spark, "/root/testdata/sf0.001")
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=8, bands=4)
+    assert pairs.count() > 0
+    out = leakage_safe_split(docs, "doc_id", pairs)
+    a = out.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    b = out.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    crossed = (
+        pairs.join(a, "id_a").join(b, "id_b").filter("sa <> sb").count()
+    )
+    assert crossed == 0
+    # every document assigned exactly once
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
