@@ -5618,3 +5618,44 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_plus_clones(spark, sf_dir)
     pairs = lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=8, bands=4)
     return leakage_safe_split(docs, "doc_id", pairs)
+
+
+@q(
+    "q145_interval_overlap",
+    """
+    WITH iv AS (
+      SELECT l_orderkey * 10 + l_linenumber AS id, l_suppkey,
+             l_shipdate AS s,
+             l_shipdate + to_days(CAST(l_quantity AS INTEGER) % 10 + 1) AS e
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_nationkey = 0
+    )
+    SELECT a.l_suppkey, a.id AS id_a, b.id AS id_b
+    FROM iv a JOIN iv b
+      ON a.l_suppkey = b.l_suppkey AND a.id < b.id
+         AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval-overlap self-join (operators/temporal.py:
+    interval_overlap_pairs): per-supplier shipping windows that
+    intersect, found via week-bucket blocking + exact verify — the
+    equi-join replacement for the nested-loop theta join the oracle
+    (safely, at sf0.01) runs directly."""
+    from .operators.temporal import interval_overlap_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    iv = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .filter("s_nationkey = 0")
+        .select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+            "l_suppkey",
+            F.col("l_shipdate").alias("s"),
+            F.date_add(
+                "l_shipdate", F.col("l_quantity").cast("int") % 10 + 1
+            ).alias("e"),
+        )
+    )
+    return interval_overlap_pairs(iv, "id", "s", "e", key_cols=["l_suppkey"])

@@ -162,3 +162,59 @@ def point_in_time_join(
             for c in dim_cols
         ],
     )
+
+
+def interval_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    *,
+    key_cols: list[str] | None = None,
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Self-join of overlapping intervals — ``(id_a, id_b)`` where
+    ``[s_a, e_a]`` and ``[s_b, e_b]`` intersect (inclusive), optionally
+    only within matching ``key_cols``.
+
+    A naive theta-join on the overlap predicate is a nested loop over
+    every key group (or the whole table when unkeyed) — the forbidden
+    plan.  Instead each interval explodes to the ``bucket_days``-wide
+    buckets it touches, candidates come from an EQUI-join on
+    (keys..., bucket), and the exact predicate verifies; two overlapping
+    intervals always share the bucket containing the later start, so no
+    pair is lost.  Interval length / bucket_days bounds the fan-out —
+    size ``bucket_days`` to the typical interval, same trade as any
+    blocking join.
+
+    Returns ``(*key_cols, id_a, id_b)``.
+    """
+    keys = key_cols or []
+    epoch = F.lit("1970-01-01").cast("date")
+    lo = F.floor(F.datediff(F.col(start_col), epoch) / bucket_days)
+    hi = F.floor(F.datediff(F.col(end_col), epoch) / bucket_days)
+    iv = df.select(
+        *keys,
+        F.col(id_col).alias("__id"),
+        F.col(start_col).alias("__s"),
+        F.col(end_col).alias("__e"),
+        F.explode(F.sequence(lo, hi)).alias("__bucket"),
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    cond = (F.col("a.__bucket") == F.col("b.__bucket")) & (
+        F.col("a.__id") < F.col("b.__id")
+    )
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    return (
+        a.join(b, cond)
+        .filter(
+            (F.col("a.__s") <= F.col("b.__e")) & (F.col("b.__s") <= F.col("a.__e"))
+        )
+        .select(
+            *[F.col(f"a.{k}") for k in keys],
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+        )
+        .distinct()
+    )

@@ -560,3 +560,36 @@ def test_leakage_safe_split_co_locates_pairs(spark):
     # every document assigned exactly once
     assert out.count() == docs.count()
     assert out.select("doc_id").distinct().count() == docs.count()
+
+
+def test_interval_overlap_matches_predicate_join(spark):
+    """Bucket blocking must find exactly the pairs the direct overlap
+    predicate finds — including intervals spanning bucket borders."""
+    from etielle_spark.operators.temporal import interval_overlap_pairs
+
+    rows = [
+        (1, "k", "2024-01-01", "2024-01-03"),
+        (2, "k", "2024-01-03", "2024-01-05"),   # touches 1 (inclusive)
+        (3, "k", "2024-01-06", "2024-01-20"),   # spans several buckets
+        (4, "k", "2024-01-19", "2024-01-21"),   # overlaps 3 across border
+        (5, "k", "2024-02-01", "2024-02-02"),   # isolated
+        (6, "x", "2024-01-01", "2024-01-31"),   # other key: never pairs
+    ]
+    df = (
+        spark.createDataFrame(rows, "id int, k string, s string, e string")
+        .withColumn("s", F.to_date("s"))
+        .withColumn("e", F.to_date("e"))
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in interval_overlap_pairs(df, "id", "s", "e", key_cols=["k"]).collect()
+    }
+    assert got == {(1, 2), (3, 4)}
+    # bucket width must not change the answer
+    wide = {
+        (r["id_a"], r["id_b"])
+        for r in interval_overlap_pairs(
+            df, "id", "s", "e", key_cols=["k"], bucket_days=30
+        ).collect()
+    }
+    assert wide == got
