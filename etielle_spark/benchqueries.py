@@ -5659,3 +5659,108 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return interval_overlap_pairs(iv, "id", "s", "e", key_cols=["l_suppkey"])
+
+
+@q(
+    "q146_grouped_heavy_hitters",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest(t) AS item
+      FROM (SELECT source, {_TOKS} AS t FROM documents) s
+    ),
+    cells AS (
+      SELECT source, j,
+             CAST('0x' || substr(md5(j::VARCHAR || '|' || item), 1, 8) AS UBIGINT)
+               % 256 AS b
+      FROM toks, (SELECT unnest(range(0, 4)) AS j) r
+    ),
+    sketch AS (
+      SELECT source, j, b, count(*) AS cnt FROM cells GROUP BY 1, 2, 3
+    ),
+    items AS (SELECT DISTINCT source, item FROM toks),
+    icells AS (
+      SELECT source, item, j,
+             CAST('0x' || substr(md5(j::VARCHAR || '|' || item), 1, 8) AS UBIGINT)
+               % 256 AS b
+      FROM items, (SELECT unnest(range(0, 4)) AS j) r
+    ),
+    est AS (
+      SELECT icells.source, item, min(cnt) AS est_count
+      FROM icells JOIN sketch USING (source, j, b) GROUP BY 1, 2
+    )
+    SELECT source, item, est_count FROM (
+      SELECT source, item, est_count,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY est_count DESC, item) AS rk
+      FROM est
+    ) WHERE rk <= 3
+    """,
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group heavy hitters (operators/sketches.py: cms_heavy_hitters
+    with group_cols): top-3 tokens per source from ONE Count-Min sketch
+    per group — state is |groups| x depth x width regardless of
+    occurrence counts; the per-source hot-terms report of a crawl
+    pipeline."""
+    from .operators.sketches import cms_heavy_hitters
+    from .operators.dedup import tokens_col
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    return cms_heavy_hitters(toks, "tok", group_cols=["source"], k=3)
+
+
+@q(
+    "q147_windowed_hll_users",
+    """
+    WITH h AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS grp,
+             md5(CAST(user_id AS VARCHAR)) AS hx
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    reg AS (
+      SELECT grp,
+             CAST('0x' || substr(hx, 1, 3) AS UBIGINT)::BIGINT AS bucket,
+             max(CASE WHEN length(regexp_extract(substr(hx, 4, 13), '^(0*)', 1)) = 13
+                 THEN 53
+                 ELSE length(regexp_extract(substr(hx, 4, 13), '^(0*)', 1)) * 4
+                      + (CASE WHEN CAST('0x' || substr(substr(hx, 4, 13),
+                           length(regexp_extract(substr(hx, 4, 13), '^(0*)', 1)) + 1, 1)
+                           AS UBIGINT)::BIGINT >= 8 THEN 0
+                         WHEN CAST('0x' || substr(substr(hx, 4, 13),
+                           length(regexp_extract(substr(hx, 4, 13), '^(0*)', 1)) + 1, 1)
+                           AS UBIGINT)::BIGINT >= 4 THEN 1
+                         WHEN CAST('0x' || substr(substr(hx, 4, 13),
+                           length(regexp_extract(substr(hx, 4, 13), '^(0*)', 1)) + 1, 1)
+                           AS UBIGINT)::BIGINT >= 2 THEN 2 ELSE 3 END) + 1 END) AS rho
+      FROM h GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT grp, sum(power(2.0, -rho)) AS z_used, count(*)::DOUBLE AS nreg
+      FROM reg GROUP BY grp
+    )
+    SELECT grp,
+           round(CASE WHEN (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                           / (z_used + (4096.0 - nreg)) <= 2.5 * 4096.0
+                      AND 4096.0 - nreg > 0
+                      THEN 4096.0 * ln(4096.0 / (4096.0 - nreg))
+                      ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                           / (z_used + (4096.0 - nreg)) END, 4) AS est_distinct
+    FROM agg
+    """,
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed distinct-user sketch (operators/sketches.py:
+    hll_distinct grouped by the hour bucket): hourly unique-user curves
+    from register state bounded at m=4096 per hour — the streaming-
+    dashboard composition of q129's mergeable sketch (per-hour registers
+    union and re-max across days)."""
+    from .operators.sketches import hll_distinct
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.filter(F.col("user_id").isNotNull()).select(
+        _ts(F.date_trunc("hour", F.col("ts"))).alias("grp"), "user_id"
+    )
+    return hll_distinct(hourly, ["grp"], "user_id")

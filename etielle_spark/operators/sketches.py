@@ -81,6 +81,7 @@ def cms_heavy_hitters(
     df: DataFrame,
     item_col: str,
     *,
+    group_cols: list[str] | None = None,
     depth: int = 4,
     width: int = 256,
     k: int = 10,
@@ -103,10 +104,14 @@ def cms_heavy_hitters(
 
     CMS overestimates under collisions (never underestimates), so the
     returned ``est_count >= true count``; ties broken by item ascending.
-    Returns ``(item, est_count)``.
+    Returns ``(item, est_count)`` — with ``group_cols``, per-group top-k
+    ``(*group_cols, item, est_count)``: one sketch PER GROUP, so the
+    state is |groups| x depth x width no matter how many occurrences a
+    group has (the per-source hot-terms / hot-domains report at 100 TB).
     """
     if depth < 1 or width < 2:
         raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    groups = group_cols or []
 
     item = F.col(item_col).cast("string")
 
@@ -118,54 +123,61 @@ def cms_heavy_hitters(
             % width
         )
 
-    occurrences = df.select(item.alias("__item")).filter(
+    def cells_of(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            *groups,
+            "__item",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            bucket(j, F.col("__item")).alias("b"),
+                        )
+                        for j in range(depth)
+                    ]
+                )
+            ).alias("c"),
+        )
+
+    occurrences = df.select(*groups, item.alias("__item")).filter(
         F.col("__item").isNotNull()
     )
-    cells = occurrences.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        bucket(j, F.col("__item")).alias("b"),
-                    )
-                    for j in range(depth)
-                ]
-            )
-        ).alias("c")
-    )
     sketch = (
-        cells.select("c.j", "c.b")
-        .groupBy("j", "b")
+        cells_of(occurrences)
+        .select(*groups, "c.j", "c.b")
+        .groupBy(*groups, "j", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
-    distinct_cells = occurrences.distinct().select(
-        F.col("__item"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        bucket(j, F.col("__item")).alias("b"),
-                    )
-                    for j in range(depth)
-                ]
-            )
-        ).alias("c"),
+    skt = sketch.select(
+        *[F.col(g).alias(f"__g_{g}") for g in groups],
+        F.col("j").alias("__j"),
+        F.col("b").alias("__b"),
+        "cnt",
     )
+    cond = (F.col("c.j") == F.col("__j")) & (F.col("c.b") == F.col("__b"))
+    for g in groups:
+        cond = cond & (F.col(g) == F.col(f"__g_{g}"))
+    distinct_cells = cells_of(occurrences.distinct())
     est = (
-        distinct_cells.join(
-            F.broadcast(sketch),
-            (F.col("c.j") == F.col("j")) & (F.col("c.b") == F.col("b")),
-        )
-        .groupBy("__item")
+        distinct_cells.join(F.broadcast(skt), cond)
+        .groupBy(*groups, "__item")
         .agg(F.min("cnt").alias("est_count"))
     )
+    if not groups:
+        return (
+            est.orderBy(F.col("est_count").desc(), F.col("__item").asc())
+            .limit(k)
+            .select(F.col("__item").alias("item"), "est_count")
+        )
+    w = Window.partitionBy(*groups).orderBy(
+        F.col("est_count").desc(), F.col("__item").asc()
+    )
     return (
-        est.orderBy(F.col("est_count").desc(), F.col("__item").asc())
-        .limit(k)
-        .select(F.col("__item").alias("item"), "est_count")
+        est.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(*groups, F.col("__item").alias("item"), "est_count")
     )
 
 

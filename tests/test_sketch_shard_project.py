@@ -593,3 +593,19 @@ def test_interval_overlap_matches_predicate_join(spark):
         ).collect()
     }
     assert wide == got
+
+
+def test_grouped_cms_never_underestimates(spark):
+    from etielle_spark.operators.sketches import cms_heavy_hitters
+
+    rows = [("g1", "a")] * 30 + [("g1", "b")] * 10 + [("g2", "c")] * 5 + [("g2", "d")]
+    df = spark.createDataFrame(rows, "g string, item string")
+    out = {
+        (r["g"], r["item"]): r["est_count"]
+        for r in cms_heavy_hitters(df, "item", group_cols=["g"], k=2).collect()
+    }
+    # per-group top-2, estimates >= true counts (CMS one-sided error)
+    assert out[("g1", "a")] >= 30 and out[("g1", "b")] >= 10
+    assert out[("g2", "c")] >= 5
+    assert set(g for g, _ in out) == {"g1", "g2"}
+    assert len([1 for g, _ in out if g == "g1"]) == 2
