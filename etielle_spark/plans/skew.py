@@ -108,3 +108,32 @@ def salted_join(
     )
     out = lsalted.join(rsalted, [*on, "__salt"], how)
     return out.drop("__salt")
+
+
+def smart_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    *,
+    how: str = "inner",
+    broadcast_threshold_rows: int = 1_000_000,
+    salt: int | None = None,
+    right_rows: int | None = None,
+) -> DataFrame:
+    """Join-strategy chooser: broadcast the right side when it is small,
+    otherwise a plain shuffle join, optionally salted when the caller
+    knows the left side is hot-keyed.
+
+    ``right_rows`` (if the caller already knows it) avoids the count;
+    otherwise one count job runs on the right side — cheap next to a
+    mis-planned 100 TB join, and the number feeds the same decision AQE
+    would only discover after materializing the first shuffle.  Explicit
+    hints beat estimator guesswork at the top of a pipeline where
+    statistics don't exist yet.
+    """
+    n = right_rows if right_rows is not None else right.count()
+    if n <= broadcast_threshold_rows:
+        return left.join(F.broadcast(right), on, how)
+    if salt:
+        return salted_join(left, right, on, salt=salt, how=how)
+    return left.join(right, on, how)

@@ -142,3 +142,78 @@ class IncrementalLSHDedup:
             sink(self.process_batch(df), batch_id)
 
         return _fn
+
+
+class IncrementalExactDedup:
+    """Exact (content-hash) dedup across micro-batches: the historical
+    corpus is summarized by its ``md5(text)`` digest set stored as
+    append-only parquet; each batch drops rows whose digest was already
+    seen (in history or earlier in the same batch) and appends the
+    survivors' digests.
+
+    This is the first stage of a streaming ingest pipeline — it runs
+    BEFORE near-dup LSH (:class:`IncrementalLSHDedup`), and its index is
+    one 32-byte digest per unique document ever seen.  Within a batch the
+    keeper is the smallest id (deterministic); against history any match
+    drops.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        self.spark = spark
+        self.index_dir = index_dir
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _index(self) -> DataFrame | None:
+        try:
+            files = self.spark.read.parquet(self.index_dir).inputFiles()
+        except Exception:
+            return None
+        if not files:
+            return None
+        return self.spark.read.parquet(*files)
+
+    def process_batch(self, docs: DataFrame) -> DataFrame:
+        """Returns the batch's surviving rows (first occurrence of each
+        new digest) and appends their digests to the index.  Materializes
+        the survivors (the anti-join must run against the pre-append
+        index)."""
+        digested = docs.withColumn(
+            "__digest", F.md5(F.col(self.text_col))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__digest").orderBy(F.col(self.id_col))
+        first_in_batch = (
+            digested.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+        hist = self._index()
+        if hist is not None:
+            survivors = first_in_batch.join(
+                hist, first_in_batch["__digest"] == hist["digest"], "left_anti"
+            )
+        else:
+            survivors = first_in_batch
+        survivors = survivors.persist()
+        survivors.count()
+        survivors.select(F.col("__digest").alias("digest")).write.mode(
+            "append"
+        ).parquet(self.index_dir)
+        return survivors.drop("__digest")
+
+    def attach(self, sink) -> "callable":
+        """``foreachBatch`` adapter like :meth:`IncrementalLSHDedup.attach`."""
+
+        def _fn(df: DataFrame, batch_id: int) -> None:
+            sink(self.process_batch(df), batch_id)
+
+        return _fn
