@@ -5764,3 +5764,676 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ts(F.date_trunc("hour", F.col("ts"))).alias("grp"), "user_id"
     )
     return hll_distinct(hourly, ["grp"], "user_id")
+
+
+# ===========================================================================
+# TPC-H completion suite (round 3): the remaining classic query shapes,
+# adapted to the driver's column subset (no partsupp, no commit/receipt
+# dates).  Each exercises a distinct plan pattern — EXISTS semi-join,
+# scalar-subquery broadcast, correlated-aggregate decorrelation,
+# disjunctive pushdown, anti-join, min_by argmin — expressed Spark-first
+# so Catalyst picks broadcast/partial-agg physical strategies.
+# ===========================================================================
+
+
+@q(
+    "q148_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS -> left-semi join): orders with at least one
+    late-shipping lineitem, counted per priority.  The semi join carries
+    only o_orderkey/o_orderdate through the shuffle and stops probing an
+    order after the first match — no duplicate-then-distinct blowup."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "q149_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             extract('year' FROM l.l_shipdate)::BIGINT AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping between two nations): the nation filters
+    push THROUGH the dimension joins to the fact scan sides — supplier
+    and customer shrink to one nation each before touching lineitem, and
+    both dims broadcast."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    )
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(pair | rpair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@q(
+    "q150_important_parts",
+    """
+    WITH rev AS (
+      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+      FROM lineitem GROUP BY l_partkey
+    ),
+    total AS (SELECT sum(value) AS total_value FROM rev)
+    SELECT r.l_partkey AS partkey, round(r.value, 4) AS value
+    FROM rev r, total t
+    WHERE r.value > 0.00065 * t.total_value
+    ORDER BY value DESC, partkey
+    """,
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (scalar-subquery threshold): per-part revenue vs a
+    global total.  The total is a 1-row aggregate broadcast into the
+    filter — Spark decorrelates this as a cross join with a
+    single-row build side, not a per-row subquery."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__value")
+    )
+    total = rev.agg(F.sum("__value").alias("__total"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .filter(F.col("__value") > 0.00065 * F.col("__total"))
+        .select("partkey", F.round("__value", 4).alias("value"))
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+@q(
+    "q151_custdist",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                           AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT join keeps
+    zero-order customers; the join predicate (not a WHERE) preserves
+    them.  Two cascaded aggregations, the second over at most
+    |distinct counts| rows."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@q(
+    "q152_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promo revenue share): conditional aggregation over a
+    broadcast part join; the one-month shipdate range prunes the
+    lineitem scan before the join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@q(
+    "q153_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the max-revenue scalar subquery becomes a
+    1-row broadcast joined back against the per-supplier aggregate —
+    the aggregate is computed once and reused for both sides via an
+    explicit reuse of the same frame (Spark plans an exchange reuse)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@q(
+    "q154_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size IN (9, 14, 19, 23, 36, 45, 49, 3)
+      AND p.p_type <> 'MEDIUM'
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (NOT IN -> left-anti join): distinct supplier count
+    per part attribute triple, excluding "complaint" suppliers (negative
+    balance).  The anti join broadcasts the tiny exclusion set; distinct
+    count is a two-stage partial aggregation."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(9, 14, 19, 23, 36, 45, 49, 3)
+        & (F.col("p_type") != "MEDIUM")
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@q(
+    "q155_small_qty_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN (SELECT l_partkey, 0.5 * avg(l_quantity) AS qty_cut
+            FROM lineitem GROUP BY l_partkey) t
+        ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND p.p_type = 'PROMO'
+      AND l.l_quantity < t.qty_cut
+    """,
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity revenue): the correlated per-part AVG
+    decorrelates into a pre-aggregation joined back to the fact — the
+    Spark-first rewrite of a correlated scalar subquery.  Both the part
+    filter and the per-part cutoffs broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "PROMO")
+    )
+    cuts = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(cuts), li.l_partkey == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@q(
+    "q156_large_orders",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+           round(o.o_totalprice, 4) AS totalprice,
+           round(sum(l.l_quantity), 4) AS total_qty
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 180
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume orders): the IN-subquery is a left-semi
+    join against a HAVING aggregate on the same fact — big keys found
+    once, then only their rows re-aggregated with the dimensions."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 180)
+        .select(F.col("l_orderkey").alias("__big_ok"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(big, li.l_orderkey == F.col("__big_ok"), "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            _ts(F.col("o_orderdate")).alias("orderdate"),
+            F.round(F.col("o_totalprice"), 4).alias("totalprice"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@q(
+    "q157_disjunctive_pred",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_type = 'SMALL'  AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_type = 'MEDIUM' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_type = 'LARGE'  AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (disjunctive predicates): three OR'd brand/size/quantity
+    branches evaluated after a single broadcast join — Catalyst extracts
+    the common join key and keeps the disjunction as one post-join
+    filter, scanning each table once."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b1 = (
+        (F.col("p_type") == "SMALL")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_type") == "MEDIUM")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_type") == "LARGE")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(b1 | b2 | b3).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        )
+    )
+
+
+@q(
+    "q158_excess_suppliers",
+    """
+    SELECT s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l.l_suppkey
+      HAVING sum(l.l_quantity) > 190
+    )
+    ORDER BY s.s_name
+    """,
+)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested IN chain -> cascaded semi joins): parts by
+    name prefix -> their heavy shippers in one year -> supplier names.
+    Every level shrinks before the next join; the part filter is a
+    broadcast semi join into the fact scan."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 190)
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name")
+        .orderBy("s_name")
+    )
+
+
+@q(
+    "q159_waiting_orders",
+    """
+    WITH per_supp AS (
+      SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_last
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    win AS (
+      SELECT l_orderkey, l_suppkey, supp_last,
+             count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+             max(supp_last) OVER (PARTITION BY l_orderkey) AS order_last
+      FROM per_supp
+    ),
+    marked AS (
+      SELECT *, sum(CASE WHEN supp_last = order_last THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY l_orderkey) AS n_latest
+      FROM win
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM marked m JOIN supplier s ON m.l_suppkey = s.s_suppkey
+    WHERE m.n_supp > 1 AND m.n_latest = 1 AND m.supp_last = m.order_last
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (sole-blame supplier): in multi-supplier orders,
+    the one supplier whose last shipment is strictly latest.  The
+    reference formulation is EXISTS+NOT EXISTS self-joins; here one
+    aggregation plus windows over the SAME (l_orderkey) partitioning —
+    a single shuffle serves the aggregate and all three windows."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_last")
+    )
+    w = Window.partitionBy("l_orderkey")
+    marked = (
+        per_supp.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("order_last", F.max("supp_last").over(w))
+        .withColumn(
+            "n_latest",
+            F.sum(
+                F.when(F.col("supp_last") == F.max("supp_last").over(w), 1).otherwise(0)
+            ).over(w),
+        )
+        .filter(
+            (F.col("n_supp") > 1)
+            & (F.col("n_latest") == 1)
+            & (F.col("supp_last") == F.col("order_last"))
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        marked.join(F.broadcast(supp), marked.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+@q(
+    "q160_sales_opportunity",
+    """
+    SELECT c.c_nationkey AS nationkey, count(*) AS numcust,
+           round(sum(c.c_acctbal), 4) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (sales opportunity): above-average-balance customers
+    with no RECENT orders (every customer has some order at this data
+    density).  The global-average scalar broadcasts into the filter;
+    NOT EXISTS is a left-anti join against the recent-orders key set —
+    the date filter prunes the orders scan before the anti join."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@q(
+    "q161_min_cost_supplier",
+    """
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             round(sum(l_extendedprice) / sum(l_quantity), 4) AS unit_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    ranked AS (
+      SELECT p.p_partkey, p.p_name, e.s_name, e.s_acctbal, e.n_name, u.unit_price,
+             row_number() OVER (PARTITION BY p.p_partkey
+                                ORDER BY u.unit_price, e.s_suppkey) AS rn
+      FROM unit u
+        JOIN eu e   ON u.l_suppkey = e.s_suppkey
+        JOIN part p ON u.l_partkey = p.p_partkey
+      WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+    )
+    SELECT p_partkey AS partkey, p_name, s_name,
+           round(s_acctbal, 4) AS s_acctbal, n_name AS nation, unit_price
+    FROM ranked WHERE rn = 1
+    ORDER BY s_acctbal DESC, partkey
+    LIMIT 25
+    """,
+)
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (argmin per part): cheapest EU supplier per
+    STANDARD/size-15 part.  The correlated MIN becomes a row_number
+    window over the per-(part,supplier) unit-price aggregate; region
+    and nation collapse the supplier side before it broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.sum("l_extendedprice") / F.sum("l_quantity"), 4).alias("unit_price")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    w = Window.partitionBy("p_partkey").orderBy("unit_price", "s_suppkey")
+    return (
+        unit.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            "p_name",
+            "s_name",
+            F.round("s_acctbal", 4).alias("s_acctbal"),
+            F.col("n_name").alias("nation"),
+            "unit_price",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "partkey")
+        .limit(25)
+    )
+
+
+@q(
+    "q162_late_priority_lines",
+    """
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (late shipments by priority class): conditional
+    counts after a fact-fact equi join; the year filter prunes the
+    lineitem scan and the lateness predicate rides the join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
