@@ -6437,3 +6437,145 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+# ===========================================================================
+# Sketch algebra / attribution / graph analytics (round 3)
+# ===========================================================================
+
+
+@q(
+    "q163_kmv_overlap",
+    """
+    WITH d AS (
+      SELECT DISTINCT event_type AS g, user_id AS it
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    h AS (
+      SELECT g, CAST('0x' || substr(md5(it::VARCHAR), 1, 13) AS UBIGINT)::DOUBLE
+                  / 4503599627370496.0 AS h
+      FROM d
+    ),
+    t AS (
+      SELECT g, h FROM (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM h
+      ) WHERE rk <= 64
+    ),
+    gs AS (SELECT DISTINCT g FROM t),
+    pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+    merged AS (
+      SELECT ga, gb, h, max(in_a) AS ia, max(in_b) AS ib FROM (
+        SELECT p.ga, p.gb, t.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN t ON t.g = p.ga
+        UNION ALL
+        SELECT p.ga, p.gb, t.h, 0, 1
+        FROM pairs p JOIN t ON t.g = p.gb
+      ) GROUP BY 1, 2, 3
+    ),
+    u AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+        FROM merged
+      ) WHERE rk <= 64
+    )
+    SELECT ga AS group_a, gb AS group_b,
+           round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                 ELSE 63.0 / max(h) END, 4) AS union_est,
+           round(sum(ia * ib)::DOUBLE / count(*), 4) AS jaccard,
+           round(sum(ia * ib)::DOUBLE / count(*)
+                 * CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                   ELSE 63.0 / max(h) END, 4) AS intersect_est
+    FROM u GROUP BY 1, 2
+    """,
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set-algebra (operators/sketches.py: kmv_overlap):
+    pairwise audience overlap between event types from k-minimum-value
+    sketches — union/Jaccard/intersection estimated from |groups| x k
+    sketch rows, never an |A| x |B| item join."""
+    from .operators.sketches import kmv_overlap
+
+    ev = _events(spark, sf_dir)
+    return kmv_overlap(ev, "event_type", "user_id", k=64)
+
+
+@q(
+    "q164_attribution",
+    """
+    WITH tagged AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type IN ('click', 'view', 'signup')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY floor(epoch(ts))::BIGINT, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch
+      FROM events
+    )
+    SELECT coalesce(ch, 'direct') AS channel,
+           count(*) AS n_conversions,
+           round(sum(value), 4) AS attributed_value
+    FROM tagged WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution (operators/events.py:
+    attribute_conversions): each purchase credits the user's most recent
+    preceding touch channel via one running window — no self-join, one
+    shuffle on the user key."""
+    from .operators.events import attribute_conversions
+
+    ev = _events(spark, sf_dir)
+    return attribute_conversions(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        "event_id",
+        conversion_type="purchase",
+        touch_types=["click", "view", "signup"],
+        mode="last",
+    ).orderBy("channel")
+
+
+@q(
+    "q165_triangle_count",
+    """
+    WITH pk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM pk a JOIN pk b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+        JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    per AS (
+      SELECT node, count(*) AS n_triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY 1
+    )
+    SELECT node, n_triangles FROM per
+    ORDER BY n_triangles DESC, node LIMIT 15
+    """,
+)
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle counting (operators/graph.py:
+    triangle_count) over the parts-bought-together graph: wedges
+    generate from each triangle's lowest-degree corner, so hub nodes
+    contribute no quadratic blowup; the closing edge is a plain
+    equi-join."""
+    from .operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    pk = li.select("l_orderkey", "l_partkey").distinct()
+    a = pk.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = pk.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return triangle_count(edges, "src", "dst", top_n=15)

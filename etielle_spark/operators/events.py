@@ -8,7 +8,7 @@ scale) plus a tiny final rollup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def funnel_counts(
@@ -531,5 +531,60 @@ def ohlc_bars(
             F.round(F.min(value_col), round_to).alias("low"),
             F.round(F.max_by(F.col(value_col), order), round_to).alias("close"),
             F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def attribute_conversions(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    conversion_type: str,
+    touch_types: list[str],
+    mode: str = "last",
+    round_to: int = 4,
+) -> DataFrame:
+    """Marketing-style conversion attribution: credit each conversion
+    event's value to the user's first or last preceding touch channel
+    (``mode='first'`` / ``'last'``); conversions with no preceding touch
+    land in the ``'direct'`` channel.
+
+    One window over (user, time, event-id) — the id breaks equal-second
+    ties deterministically in any engine — computes the running
+    first/last non-null touch type; conversions then roll up by that
+    channel.  Single shuffle on the user key, no self-join: the window
+    carries the channel forward, so a 100 TB event log is read once and
+    partial-aggregated map-side after the window pass.
+
+    Returns ``(channel, n_conversions, attributed_value)``.
+    """
+    if mode not in ("first", "last"):
+        raise ValueError(f"mode must be 'first' or 'last', got {mode!r}")
+    sec = F.unix_timestamp(F.col(ts_col))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(sec.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(F.col(type_col).isin(touch_types), F.col(type_col))
+    carried = (
+        F.first(touch, ignorenulls=True).over(w)
+        if mode == "first"
+        else F.last(touch, ignorenulls=True).over(w)
+    )
+    tagged = events.select(
+        F.col(type_col).alias("__t"),
+        F.col(value_col).alias("__v"),
+        carried.alias("__channel"),
+    ).filter(F.col("__t") == conversion_type)
+    return (
+        tagged.groupBy(F.coalesce(F.col("__channel"), F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum("__v"), round_to).alias("attributed_value"),
         )
     )

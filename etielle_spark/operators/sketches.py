@@ -278,3 +278,89 @@ def hll_distinct(
         bucket_hex=bucket_hex,
         round_to=round_to,
     )
+
+
+def kmv_overlap(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    k: int = 64,
+    round_to: int = 4,
+) -> DataFrame:
+    """Pairwise audience overlap between every two groups from KMV
+    sketches — union size, Jaccard, and intersection estimates without
+    ever joining the raw item sets.
+
+    The KMV set-operation identity (Beyer et al. 2007): the union sketch
+    of A and B is the k smallest hashes of ``topk(A) ∪ topk(B)``; with
+    ``x`` = how many of those appear in BOTH top-k sets,
+    ``jaccard = x / k'`` and ``intersection = jaccard * union_est``
+    (``k'`` = union sketch size, < k for small groups where estimates
+    degenerate to exact).
+
+    Scale shape: the raw data is touched ONCE (distinct + per-group
+    top-k, exactly ``kmv_distinct``'s plan); everything pairwise
+    operates on |groups| x k sketch rows — at 100 TB that is the whole
+    point, audience-overlap matrices come from sketch algebra, not
+    |A| x |B| joins.  The pair frame is |groups|^2 and broadcasts.
+
+    Returns ``(group_a, group_b, union_est, jaccard, intersect_est)``
+    for every unordered pair, ``group_a < group_b``.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    hashed = (
+        df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("__item"))
+        .filter(F.col("__item").isNotNull())
+        .distinct()
+        .select(
+            "__g",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("__item").cast("string")), 1, _HEX_CHARS),
+                    16,
+                    10,
+                ).cast("double")
+                / F.lit(_DENOM)
+            ).alias("__h"),
+        )
+    )
+    w = Window.partitionBy("__g").orderBy(F.col("__h").asc())
+    topk = (
+        hashed.select("__g", "__h", F.row_number().over(w).alias("__rk"))
+        .filter(F.col("__rk") <= k)
+        .select("__g", "__h")
+    )
+
+    groups = topk.select("__g").distinct()
+    pairs = (
+        groups.select(F.col("__g").alias("group_a"))
+        .crossJoin(groups.select(F.col("__g").alias("group_b")))
+        .filter(F.col("group_a") < F.col("group_b"))
+    )
+    side_a = pairs.join(
+        topk.select(F.col("__g").alias("group_a"), "__h"), "group_a"
+    ).select("group_a", "group_b", "__h", F.lit(1).alias("__in_a"), F.lit(0).alias("__in_b"))
+    side_b = pairs.join(
+        topk.select(F.col("__g").alias("group_b"), "__h"), "group_b"
+    ).select("group_a", "group_b", "__h", F.lit(0).alias("__in_a"), F.lit(1).alias("__in_b"))
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("group_a", "group_b", "__h")
+        .agg(F.max("__in_a").alias("__a"), F.max("__in_b").alias("__b"))
+    )
+    wp = Window.partitionBy("group_a", "group_b").orderBy(F.col("__h").asc())
+    union_topk = merged.select(
+        "group_a", "group_b", "__h", "__a", "__b", F.row_number().over(wp).alias("__rk")
+    ).filter(F.col("__rk") <= k)
+
+    kp = F.count(F.lit(1)).cast("double")
+    union_est = F.when(kp < k, kp).otherwise(F.lit(float(k - 1)) / F.max("__h"))
+    x = F.sum(F.col("__a") * F.col("__b")).cast("double")
+    return union_topk.groupBy("group_a", "group_b").agg(
+        F.round(union_est, round_to).alias("union_est"),
+        F.round(x / kp, round_to).alias("jaccard"),
+        F.round((x / kp) * union_est, round_to).alias("intersect_est"),
+    )
