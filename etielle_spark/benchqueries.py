@@ -6579,3 +6579,100 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = pk.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
     edges = a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
     return triangle_count(edges, "src", "dst", top_n=15)
+
+
+@q(
+    "q166_curriculum_interleave",
+    """
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             ntile(4) OVER (ORDER BY n_chars, doc_id) AS bucket
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, bucket,
+             row_number() OVER (PARTITION BY bucket ORDER BY n_chars, doc_id)
+               AS pos_in_bucket
+      FROM scored
+    )
+    SELECT doc_id, bucket::BIGINT AS bucket, pos_in_bucket
+    FROM pos
+    ORDER BY pos_in_bucket, bucket, doc_id
+    LIMIT 40
+    """,
+)
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering with difficulty interleaving: docs ntile into
+    4 difficulty buckets (here: length as the difficulty proxy), then
+    the training order round-robins across buckets so every batch mixes
+    easy and hard examples.  The interleave is pure window arithmetic —
+    (pos_in_bucket, bucket) IS the global curriculum order; no shuffle
+    beyond the two windows, which share nothing but are each one pass.
+    At 100 TB the ntile global sort is replaced by range-partitioned
+    bucketing on precomputed difficulty quantiles (q137's binning) —
+    the interleave arithmetic is unchanged."""
+    d = _t(spark, sf_dir, "documents")
+    wb = Window.orderBy("n_chars", "doc_id")
+    scored = d.select(
+        "doc_id", "n_chars", F.ntile(4).over(wb).alias("bucket")
+    )
+    wp = Window.partitionBy("bucket").orderBy("n_chars", "doc_id")
+    return (
+        scored.select(
+            "doc_id",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.row_number().over(wp).alias("pos_in_bucket"),
+        )
+        .orderBy("pos_in_bucket", "bucket", "doc_id")
+        .limit(40)
+    )
+
+
+@q(
+    "q167_balanced_sample",
+    """
+    WITH sizes AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    tgt AS (SELECT min(n_docs) AS min_n FROM sizes),
+    kept AS (
+      SELECT d.lang,
+             (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE
+               / 4294967296.0
+              < t.min_n::DOUBLE / s.n_docs) AS keep
+      FROM documents d
+        JOIN sizes s USING (lang)
+        CROSS JOIN tgt t
+    )
+    SELECT lang, count(*) AS n_docs, sum(keep::INT) AS n_kept
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency language balancing: per-language keep
+    probability min_size/size computed FROM the data (unlike q101's
+    static epoch weights), applied as a deterministic md5-uniform
+    Bernoulli per doc.  The size table is a tiny aggregate broadcast
+    back onto the corpus — one scan, one broadcast join, no shuffle of
+    document rows; the same plan balances a 100 TB corpus because the
+    join key cardinality is |languages|."""
+    d = _t(spark, sf_dir, "documents")
+    sizes = d.groupBy("lang").agg(F.count(F.lit(1)).alias("__n"))
+    tgt = sizes.agg(F.min("__n").alias("__min_n"))
+    unif = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    keep = unif < F.col("__min_n").cast("double") / F.col("__n")
+    return (
+        d.join(F.broadcast(sizes), "lang")
+        .crossJoin(F.broadcast(tgt))
+        .select("lang", keep.alias("__keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("__keep").cast("int")).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
