@@ -6584,10 +6584,17 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q166_curriculum_interleave",
     """
-    WITH scored AS (
-      SELECT doc_id, n_chars,
-             ntile(4) OVER (ORDER BY n_chars, doc_id) AS bucket
+    WITH b AS (
+      SELECT quantile_cont(n_chars, 0.25) AS b1,
+             quantile_cont(n_chars, 0.50) AS b2,
+             quantile_cont(n_chars, 0.75) AS b3
       FROM documents
+    ),
+    scored AS (
+      SELECT d.doc_id, d.n_chars,
+             1 + (d.n_chars > b.b1)::INT + (d.n_chars > b.b2)::INT
+               + (d.n_chars > b.b3)::INT AS bucket
+      FROM documents d CROSS JOIN b
     ),
     pos AS (
       SELECT doc_id, bucket,
@@ -6602,26 +6609,35 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Curriculum ordering with difficulty interleaving: docs ntile into
-    4 difficulty buckets (here: length as the difficulty proxy), then
-    the training order round-robins across buckets so every batch mixes
-    easy and hard examples.  The interleave is pure window arithmetic —
-    (pos_in_bucket, bucket) IS the global curriculum order; no shuffle
-    beyond the two windows, which share nothing but are each one pass.
-    At 100 TB the ntile global sort is replaced by range-partitioned
-    bucketing on precomputed difficulty quantiles (q137's binning) —
-    the interleave arithmetic is unchanged."""
+    """Curriculum ordering with difficulty interleaving: docs bucket into
+    4 difficulty tiers by PRECOMPUTED quartile boundaries (here: length
+    as the difficulty proxy), then the training order round-robins
+    across tiers so every batch mixes easy and hard examples.
+
+    Scale shape: the boundaries are a 1-row exact-percentile aggregate
+    broadcast onto one corpus scan — bucketing is a projection, NOT a
+    global ntile sort (which would funnel 100 TB through one window
+    task); the only window partitions by bucket, and the interleave
+    order (pos_in_bucket, bucket) needs no further shuffle."""
     d = _t(spark, sf_dir, "documents")
-    wb = Window.orderBy("n_chars", "doc_id")
-    scored = d.select(
-        "doc_id", "n_chars", F.ntile(4).over(wb).alias("bucket")
+    bounds = d.agg(
+        F.expr("percentile(n_chars, 0.25)").alias("__b1"),
+        F.expr("percentile(n_chars, 0.50)").alias("__b2"),
+        F.expr("percentile(n_chars, 0.75)").alias("__b3"),
+    )
+    bucket = (
+        F.lit(1)
+        + (F.col("n_chars") > F.col("__b1")).cast("int")
+        + (F.col("n_chars") > F.col("__b2")).cast("int")
+        + (F.col("n_chars") > F.col("__b3")).cast("int")
+    )
+    scored = d.crossJoin(F.broadcast(bounds)).select(
+        "doc_id", "n_chars", bucket.cast("bigint").alias("bucket")
     )
     wp = Window.partitionBy("bucket").orderBy("n_chars", "doc_id")
     return (
         scored.select(
-            "doc_id",
-            F.col("bucket").cast("bigint").alias("bucket"),
-            F.row_number().over(wp).alias("pos_in_bucket"),
+            "doc_id", "bucket", F.row_number().over(wp).alias("pos_in_bucket")
         )
         .orderBy("pos_in_bucket", "bucket", "doc_id")
         .limit(40)

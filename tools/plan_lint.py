@@ -31,6 +31,7 @@ sys.path.insert(0, "/root/repo")
 ALLOW = {
     "nested_loop": {
         "q32_embedding_neardup": "all-pairs correctness baseline; scale paths are q54 (LSH) / q61 (IVF)",
+        "q163_kmv_overlap": "pair enumeration over the |groups| dimension (a crossJoin of two tiny DISTINCT group lists); all per-item work is sketch-bounded equi-joins",
         "q31_cosine_topk": "broadcast of a 5-row query side against the corpus — the intended plan",
         "q49_range_join": "broadcast interval join — small interval side by contract",
         "q123_rrf_fusion": "broadcast of a 5-row query side for both input rankings — the intended plan; rankings at scale come from LSH/IVF candidate generators",
