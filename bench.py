@@ -344,7 +344,7 @@ def main() -> None:
     tiny = (
         spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20).cache()
     )
-    minhash_signatures(tiny, "doc_id", "text", num_hashes=16).count()
+    minhash_signatures(tiny, "doc_id", "text", num_hashes=8).count()
     lsh_candidate_pairs(tiny, "doc_id", "text", num_hashes=8, bands=4).count()
     simhash(tiny, "doc_id", "text").count()
     tiny.unpersist()

@@ -6692,3 +6692,183 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@q(
+    "q168_association_rules",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM baskets),
+    item_supp AS (
+      SELECT l_partkey, count(*) AS cnt FROM baskets GROUP BY l_partkey
+    ),
+    pair_supp AS (
+      SELECT a.l_partkey AS ante, b.l_partkey AS cons, count(*) AS pair_cnt
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    )
+    SELECT p.ante, p.cons, p.pair_cnt,
+           round(p.pair_cnt::DOUBLE / n.n, 6) AS support,
+           round(p.pair_cnt::DOUBLE / ia.cnt, 6) AS confidence,
+           round((p.pair_cnt::DOUBLE / ia.cnt) / (ic.cnt::DOUBLE / n.n), 6) AS lift
+    FROM pair_supp p
+      JOIN item_supp ia ON ia.l_partkey = p.ante
+      JOIN item_supp ic ON ic.l_partkey = p.cons
+      CROSS JOIN n_orders n
+    ORDER BY lift DESC, p.ante, p.cons
+    LIMIT 25
+    """,
+)
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (support / confidence / lift) over
+    order baskets — the frequent-pair half of Apriori, which is the part
+    that matters at scale (higher orders prune from these pairs).
+
+    Plan shape: one distinct on (basket, item), a self-join ON THE BASKET
+    KEY (bounded per-basket fan-out, not item x item), an early HAVING
+    that prunes rare pairs BEFORE the dimension joins, and the two
+    item-support joins run against a frame of |items| rows that
+    broadcasts.  The global order count is a 1-row broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("__n")
+    )
+    item_supp = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a = baskets.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("ante"))
+    b = baskets.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("cons"))
+    pair_supp = (
+        a.join(b, "ok")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 3)
+    )
+    ia = item_supp.select(F.col("l_partkey").alias("ante"), F.col("cnt").alias("__ca"))
+    ic = item_supp.select(F.col("l_partkey").alias("cons"), F.col("cnt").alias("__cc"))
+    return (
+        pair_supp.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "ante",
+            "cons",
+            "pair_cnt",
+            F.round(F.col("pair_cnt") / F.col("__n"), 6).alias("support"),
+            F.round(F.col("pair_cnt") / F.col("__ca"), 6).alias("confidence"),
+            F.round(
+                (F.col("pair_cnt") / F.col("__ca")) / (F.col("__cc") / F.col("__n")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "ante", "cons")
+        .limit(25)
+    )
+
+
+@q(
+    "q169_psi_drift",
+    """
+    WITH ref AS (
+      SELECT o_totalprice FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    ),
+    cur AS (
+      SELECT o_totalprice FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ),
+    b AS (
+      SELECT quantile_cont(o_totalprice, 0.2) AS b1,
+             quantile_cont(o_totalprice, 0.4) AS b2,
+             quantile_cont(o_totalprice, 0.6) AS b3,
+             quantile_cont(o_totalprice, 0.8) AS b4
+      FROM ref
+    ),
+    rb AS (
+      SELECT 1 + (o_totalprice > b1)::INT + (o_totalprice > b2)::INT
+               + (o_totalprice > b3)::INT + (o_totalprice > b4)::INT AS bin,
+             count(*) OVER () AS n_tot
+      FROM ref CROSS JOIN b
+    ),
+    cb AS (
+      SELECT 1 + (o_totalprice > b1)::INT + (o_totalprice > b2)::INT
+               + (o_totalprice > b3)::INT + (o_totalprice > b4)::INT AS bin,
+             count(*) OVER () AS n_tot
+      FROM cur CROSS JOIN b
+    ),
+    rp AS (SELECT bin, count(*)::DOUBLE / max(n_tot) AS p FROM rb GROUP BY bin),
+    cp AS (SELECT bin, count(*)::DOUBLE / max(n_tot) AS p FROM cb GROUP BY bin)
+    SELECT rp.bin::BIGINT AS bin,
+           round(rp.p, 6) AS ref_frac,
+           round(cp.p, 6) AS cur_frac,
+           round((cp.p - rp.p) * ln(cp.p / rp.p), 6) AS psi_term
+    FROM rp JOIN cp USING (bin)
+    ORDER BY bin
+    """,
+)
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift detection: bin the current
+    period's feature by the REFERENCE period's quintile boundaries and
+    report each bin's PSI contribution ((cur-ref)*ln(cur/ref); total
+    > 0.2 conventionally flags drift).
+
+    Scale shape: boundaries are a 1-row exact-percentile aggregate over
+    the reference slice, broadcast onto single scans of each period;
+    both histograms aggregate to 5 rows before the final join — no
+    per-row shuffle anywhere, so the same plan monitors a 100 TB
+    feature log per day."""
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_totalprice")
+    cur = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_totalprice")
+    bounds = ref.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {q})").alias(f"__b{i}")
+            for i, q in enumerate([0.2, 0.4, 0.6, 0.8], start=1)
+        ]
+    )
+    binx = (
+        F.lit(1)
+        + (F.col("o_totalprice") > F.col("__b1")).cast("int")
+        + (F.col("o_totalprice") > F.col("__b2")).cast("int")
+        + (F.col("o_totalprice") > F.col("__b3")).cast("int")
+        + (F.col("o_totalprice") > F.col("__b4")).cast("int")
+    )
+
+    def hist(side: DataFrame, frac_name: str) -> DataFrame:
+        binned = side.crossJoin(F.broadcast(bounds)).select(
+            binx.cast("bigint").alias("bin")
+        )
+        tot = binned.agg(F.count(F.lit(1)).cast("double").alias("__tot"))
+        return (
+            binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .crossJoin(F.broadcast(tot))
+            .select("bin", (F.col("__c") / F.col("__tot")).alias(frac_name))
+        )
+
+    rp = hist(ref, "__rp")
+    cp = hist(cur, "__cp")
+    return (
+        rp.join(cp, "bin")
+        .select(
+            "bin",
+            F.round("__rp", 6).alias("ref_frac"),
+            F.round("__cp", 6).alias("cur_frac"),
+            F.round(
+                (F.col("__cp") - F.col("__rp")) * F.log(F.col("__cp") / F.col("__rp")),
+                6,
+            ).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
