@@ -36,6 +36,7 @@ ALLOW = {
         "q49_range_join": "broadcast interval join — small interval side by contract",
         "q123_rrf_fusion": "broadcast of a 5-row query side for both input rankings — the intended plan; rankings at scale come from LSH/IVF candidate generators",
         "q124_hard_negatives": "broadcast of a 5-row query side against the corpus — the intended plan; scale path composes the label filter with lsh_bucket_topk/ivf_topk",
+        "q169_psi_drift": "every nested-loop build side is a 1-row aggregate (quantile boundaries / histogram totals) broadcast onto a scan — the intended plan; both histograms reduce to 5 rows before the final join",
     },
     "single_partition": {
         "q16_window_topk_per_group": "final presentation sort of an already-reduced frame",
