@@ -6872,3 +6872,200 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@q(
+    "q170_embedding_decontam",
+    """
+    WITH e AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    hp AS (
+      SELECT p, i,
+             CASE WHEN strpos('02468ace',
+                              substr(md5(p::VARCHAR || '|' || (i - 1)::VARCHAR), 1, 1)) > 0
+                  THEN 1.0 ELSE -1.0 END AS h
+      FROM (SELECT unnest(range(0, 8)) AS p) pl,
+           (SELECT unnest(range(1, 65)) AS i) dims
+    ),
+    bits AS (
+      SELECT e.vec_id, hp.p,
+             CASE WHEN sum(e.v * hp.h) >= 0 THEN '1' ELSE '0' END AS bit
+      FROM e JOIN hp USING (i)
+      GROUP BY e.vec_id, hp.p
+    ),
+    buckets AS (
+      SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+      FROM bits GROUP BY vec_id
+    ),
+    eb AS (SELECT vec_id AS eval_id, bucket FROM buckets WHERE vec_id < 5),
+    eprobe AS (
+      SELECT eval_id, bucket FROM eb
+      UNION
+      SELECT eval_id,
+             substr(bucket, 1, j - 1)
+             || (CASE WHEN substr(bucket, j, 1) = '1' THEN '0' ELSE '1' END)
+             || substr(bucket, j + 1, 8 - j) AS bucket
+      FROM eb, (SELECT unnest(range(1, 9)) AS j) js
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+    cand AS (
+      SELECT DISTINCT cb.vec_id AS cid, ep.eval_id AS eid
+      FROM eprobe ep JOIN buckets cb USING (bucket)
+      WHERE cb.vec_id >= 5
+    ),
+    dots AS (
+      SELECT c.cid, c.eid, sum(ec.v * ee.v) AS dot
+      FROM cand c
+      JOIN e ec ON ec.vec_id = c.cid
+      JOIN e ee ON ee.vec_id = c.eid AND ee.i = ec.i
+      GROUP BY 1, 2
+    ),
+    hits AS (
+      SELECT cid, eid, round(dot / (nc.nrm * ne.nrm), 6) AS cosine
+      FROM dots JOIN norms nc ON cid = nc.vec_id
+                JOIN norms ne ON eid = ne.vec_id
+      WHERE round(dot / (nc.nrm * ne.nrm), 6) >= 0.25
+    )
+    SELECT cid::BIGINT AS vec_id,
+           max(cosine) AS max_cosine,
+           (SELECT h2.eid FROM hits h2 WHERE h2.cid = hits.cid
+            ORDER BY h2.cosine DESC, h2.eid LIMIT 1)::BIGINT AS matched_eval_id,
+           count(*) AS n_eval_hits
+    FROM hits GROUP BY cid
+    """,
+)
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (operators/decontam.py:embedding_contamination): the semantic twin of
+    q63's n-gram pass — corpus vectors within cosine 0.25 of any eval
+    vector (vec_id < 5), candidates from broadcast LSH buckets with
+    Hamming-1 multi-probe, one verdict row per contaminated id."""
+    from .operators.decontam import embedding_contamination
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    eval_set = emb.filter(F.col("vec_id") < 5)
+    return embedding_contamination(
+        corpus, eval_set, "vec_id", "embedding",
+        threshold=0.25, planes=8, dim=64, probes=2, round_cosine=6,
+    )
+
+
+@q(
+    "q171_pooled_embeddings",
+    """
+    WITH e AS (
+      SELECT label, vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    m AS (
+      SELECT label, i, avg(v) AS mv, count(*) AS n
+      FROM e GROUP BY label, i
+    ),
+    nrm AS (SELECT label, sqrt(sum(mv * mv)) AS nr, max(n) AS n_vectors
+            FROM m GROUP BY label)
+    SELECT m.label::INT AS label,
+           nrm.n_vectors::BIGINT AS n_vectors,
+           list(round(m.mv / nrm.nr, 6) ORDER BY m.i) AS pooled
+    FROM m JOIN nrm USING (label)
+    GROUP BY m.label, nrm.n_vectors
+    """,
+)
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-to-document embedding pooling
+    (operators/similarity.py:pool_embeddings): element-wise mean per
+    label, L2-normalized — the (group, dim)-keyed aggregation that never
+    buffers a group's vectors."""
+    from .operators.similarity import pool_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pool_embeddings(emb, "label", "embedding", normalize=True)
+    return out.select(
+        "label",
+        "n_vectors",
+        F.transform(F.col("pooled"), lambda v: F.round(v, 6)).alias("pooled"),
+    )
+
+
+@q(
+    "q172_nucleus_select",
+    """
+    WITH scored AS (
+      SELECT source, doc_id, n_chars::DOUBLE AS s,
+             sum(n_chars::DOUBLE) OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(n_chars::DOUBLE) OVER (PARTITION BY source) AS tot,
+             row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id)::BIGINT AS rank
+      FROM documents
+    )
+    SELECT doc_id, source, rank, round(cum / tot, 6) AS cum_frac
+    FROM scored
+    WHERE (cum - s) < 0.8 * tot
+    """,
+)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted top-p curation (operators/curation.py:nucleus_select):
+    per source keep the highest-scoring prefix covering 80% of the
+    group's total score mass — the adaptive alternative to fixed top-k."""
+    from .operators.curation import nucleus_select
+
+    docs = _t(spark, sf_dir, "documents")
+    out = nucleus_select(docs, "source", "n_chars", "doc_id", p=0.8)
+    return out.select(
+        "doc_id", "source", "rank", F.round("cum_frac", 6).alias("cum_frac")
+    )
+
+
+@q(
+    "q173_containment",
+    f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             substr(text, 1, (length(text) // 2)::INT) AS text
+      FROM documents WHERE doc_id < 20
+    ),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM all_docs),
+    sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(i::DOUBLE / sa.sz, 6) AS cont_a_in_b,
+           round(i::DOUBLE / sb.sz, 6) AS cont_b_in_a
+    FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+    WHERE greatest(i::DOUBLE / sa.sz, i::DOUBLE / sb.sz) >= 0.9
+    """,
+)
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-subset detection (operators/dedup.py:containment_pairs):
+    directed n-gram containment over documents plus half-length
+    truncations of the first 20 — the prefix copies score containment
+    ~1 on the short side where Jaccard would sit near 0.5."""
+    from .operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    halves = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.substring(
+            F.col("text"), 1, F.floor(F.length("text") / 2).cast("int")
+        ).alias("text"),
+    )
+    out = containment_pairs(
+        docs.union(halves), "doc_id", "text", threshold=0.9
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("cont_a_in_b", 6).alias("cont_a_in_b"),
+        F.round("cont_b_in_a", 6).alias("cont_b_in_a"),
+    )

@@ -66,3 +66,56 @@ def curate_corpus(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__ntok").cast("bigint").alias("total_tokens"),
     )
+
+
+def nucleus_select(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    *,
+    p: float = 0.9,
+) -> DataFrame:
+    """Top-p ("nucleus") selection per group: rank rows by score
+    descending and keep the smallest prefix whose cumulative score
+    reaches fraction ``p`` of the group total (the row that crosses the
+    threshold is included).
+
+    This is budgeted curation — "keep the highest-quality documents
+    covering 90% of each source's total quality mass" — a
+    diminishing-returns cut that, unlike a fixed top-k, adapts to how
+    concentrated each group's quality distribution is (a group where a
+    few documents dominate keeps few; a flat group keeps most).
+
+    One shuffle partitioned by the group: a running-sum window ordered by
+    (score desc, id) and a group-total window over the same partition
+    ride the same exchange (the whole-partition frame spills through
+    Spark's external sorter on skewed groups rather than OOMing).
+    Scores are assumed non-negative — quality scores, token counts,
+    sampling weights.  Deterministic: ties break on id in any engine.
+
+    Returns the selected rows with ``rank`` and ``cum_frac`` (the
+    cumulative share including the row itself).
+    """
+    if not 0 < p <= 1:
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    score = F.col(score_col).cast("double")
+    order = [score.desc(), F.col(id_col).asc()]
+    wrun = (
+        Window.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(group_col)
+    cum = F.sum(score).over(wrun)
+    tot = F.sum(score).over(wall)
+    out = (
+        df.withColumn("__cum", cum)
+        .withColumn("__tot", tot)
+        .withColumn("rank", F.row_number().over(Window.partitionBy(group_col).orderBy(*order)))
+        # keep while the mass BEFORE this row is still short of p*total
+        .filter((F.col("__cum") - score) < F.lit(p) * F.col("__tot"))
+        .withColumn("cum_frac", F.col("__cum") / F.col("__tot"))
+        .drop("__cum", "__tot")
+    )
+    return out

@@ -79,3 +79,95 @@ def ngram_contamination(
             "contam_frac"
         ),
     )
+
+
+def embedding_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.85,
+    planes: int = 8,
+    dim: int | None = None,
+    probes: int = 2,
+    round_cosine: int | None = None,
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus rows whose embedding
+    is within cosine ``threshold`` of ANY eval-set embedding.
+
+    N-gram contamination (:func:`ngram_contamination`) misses paraphrased
+    benchmark leakage; the embedding pass catches semantic near-matches
+    the way SemDedup catches semantic near-duplicates.  Candidate pairs
+    come from the same sign-random-projection buckets as the ANN path
+    (``similarity.lsh_bucket_topk``): the eval side (small by nature) is
+    bucketed, multi-probed to Hamming-1 neighbors, and broadcast; the
+    corpus streams once through a map-side bucket probe, exact cosine is
+    computed only inside matching buckets, and the per-document verdict
+    aggregates to one row per contaminated id.  No corpus shuffle, no
+    all-pairs anything.
+
+    Returns ``(id_col, max_cosine, matched_eval_id, n_eval_hits)`` for
+    flagged corpus rows only; anti-join it back on the id to drop them.
+    """
+    from .similarity import _dot, _hyperplane, cosine
+
+    if dim is None:
+        first = corpus.select(vec_col).head(1)
+        if not first:
+            raise ValueError(
+                "embedding_contamination: empty corpus and no explicit dim="
+            )
+        dim = len(first[0][0])
+
+    def bucket(vec):
+        bits = [
+            F.when(_dot(vec, _hyperplane(p, dim)) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for p in range(planes)
+        ]
+        return F.concat(*bits)
+
+    c = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("bucket", bucket(F.col("__cv")))
+    e = eval_set.select(
+        F.col(id_col).alias("__eid"),
+        F.col(vec_col).cast("array<double>").alias("__ev"),
+    ).withColumn("bucket", bucket(F.col("__ev")))
+
+    if probes > 1:
+        def flip(b, i):
+            flipped = F.when(
+                F.substring(b, i + 1, 1) == "1", F.lit("0")
+            ).otherwise(F.lit("1"))
+            return F.concat(
+                F.substring(b, 1, i), flipped, F.substring(b, i + 2, planes - i - 1)
+            )
+
+        probe_buckets = F.array(
+            F.col("bucket"), *[flip(F.col("bucket"), i) for i in range(planes)]
+        )
+        e = e.withColumn("bucket", F.explode(probe_buckets))
+
+    cos = cosine(F.col("__cv"), F.col("__ev"))
+    if round_cosine is not None:
+        cos = F.round(cos, round_cosine)
+    hits = (
+        c.join(F.broadcast(e), "bucket")
+        .filter(F.col("__cid") != F.col("__eid"))
+        .select("__cid", "__eid", cos.alias("__cos"))
+        # multi-probe can reach the same (corpus, eval) pair through
+        # several buckets — collapse before the verdict aggregation
+        .dropDuplicates(["__cid", "__eid"])
+        .filter(F.col("__cos") >= threshold)
+    )
+    return hits.groupBy("__cid").agg(
+        F.max("__cos").alias("max_cosine"),
+        F.max_by("__eid", F.struct(F.col("__cos"), -F.col("__eid"))).alias(
+            "matched_eval_id"
+        ),
+        F.count("*").alias("n_eval_hits"),
+    ).withColumnRenamed("__cid", id_col)

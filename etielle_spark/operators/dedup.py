@@ -848,3 +848,56 @@ def prefix_filter_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.0,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Directed n-gram containment for document pairs: for each pair the
+    fraction of EACH side's shingles found in the other —
+    ``cont_a_in_b = |Sa ∩ Sb| / |Sa|`` and ``cont_b_in_a = |Sa ∩ Sb| / |Sb|``.
+
+    Containment is the right signal where Jaccard fails on length
+    mismatch: a tweet quoted inside a long article has near-zero Jaccard
+    (the union is dominated by the article) but containment ≈ 1 for the
+    quoted side.  Standard for quote/boilerplate/near-subset detection in
+    corpus curation (Broder's resemblance-and-containment framing).
+
+    Same distributed shape as :func:`jaccard_pairs`: one shingle join
+    pruned to pairs sharing a shingle (optionally pre-pruned by an LSH
+    ``candidates`` frame before the pair aggregation), one pair groupBy,
+    two broadcast-sized size joins.  ``threshold`` keeps pairs where the
+    GREATER of the two containments reaches it.
+    """
+    pairs = shingle_df(df, id_col, text_col, n)
+    sizes = pairs.groupBy(id_col).agg(F.count("*").alias("sz"))
+
+    a = pairs.select(F.col(id_col).alias("id_a"), "shingle")
+    b = pairs.select(F.col(id_col).alias("id_b"), "shingle")
+    joined = a.join(b, ["shingle"]).filter(F.col("id_a") < F.col("id_b"))
+    if candidates is not None:
+        joined = joined.join(candidates, ["id_a", "id_b"], "left_semi")
+    inter = joined.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / F.col("sz_a")).alias("cont_a_in_b"),
+            (F.col("inter") / F.col("sz_b")).alias("cont_b_in_a"),
+        )
+    )
+    if threshold > 0.0:
+        out = out.filter(
+            F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= threshold
+        )
+    return out

@@ -743,3 +743,57 @@ def random_projection(
         for p in range(out_dim)
     ]
     return emb.select(F.col(id_col).alias("id"), F.array(*comps).alias("proj"))
+
+
+def pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    *,
+    normalize: bool = True,
+) -> DataFrame:
+    """Element-wise mean of embeddings per group, optionally L2-normalized
+    — the pooling step that turns chunk/passage embeddings into one
+    document (or label-centroid) vector before indexing or clustering.
+
+    Distributed shape for 100 TB: ``posexplode`` the vectors into
+    (group, dim_index, component) rows, aggregate ``avg`` keyed on
+    (group, dim_index) — partial map-side aggregation applies, the
+    shuffle key is 2 small ints and a double — then reassemble the array
+    with a second groupBy on the group alone (``array_sort`` over
+    collect_list of (index, mean) structs; the collected list is bounded
+    by the embedding dim, not the group size).  No Python, no driver
+    collection, no per-group vector buffering.
+
+    Returns ``(group_col, n_vectors, pooled: array<double>)``.
+    """
+    exploded = df.select(
+        F.col(group_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).select(
+        group_col,
+        F.posexplode("__v").alias("__i", "__x"),
+    )
+    # n_vectors = rows at any one dim index; count only index 0 so the
+    # count rides the same aggregation as the means
+    dim_means = exploded.groupBy(group_col, "__i").agg(
+        F.avg("__x").alias("__m"),
+        F.count("__x").alias("__n"),
+    )
+    pooled = dim_means.groupBy(group_col).agg(
+        F.max("__n").alias("n_vectors"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__i", "__m"))),
+            lambda s: s["__m"],
+        ).alias("pooled"),
+    )
+    if normalize:
+        nrm = F.sqrt(
+            F.aggregate(F.col("pooled"), F.lit(0.0), lambda acc, v: acc + v * v)
+        )
+        pooled = pooled.select(
+            group_col,
+            "n_vectors",
+            F.transform(F.col("pooled"), lambda v: v / nrm).alias("pooled"),
+        )
+    return pooled
