@@ -755,6 +755,23 @@ _DOCS_PLUS_CLONES = (
 )
 
 
+def _minhash_mins_sql(num_hashes: int) -> str:
+    """DuckDB fragment reproducing operators/dedup.py minhash exactly:
+    one 32-bit md5-prefix base hash per shingle, then multiply-mod-P
+    universal-hash permutations with the same md5-derived (a, b)
+    constants."""
+    from .operators.dedup import MINHASH_P, minhash_perm_constants
+
+    base = f"(('0x' || substr(md5(shingle), 1, 8))::BIGINT % {MINHASH_P})"
+    return ",\n             ".join(
+        f"min(({a} * {base} + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_perm_constants(num_hashes))
+    )
+
+
+_MINHASH_MINS8 = _minhash_mins_sql(8)
+
+
 def _docs_plus_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     clones = (
@@ -885,13 +902,10 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM toks),
     mins AS (
       SELECT doc_id,
-             min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
-             min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
-             min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
-             min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+             {_MINHASH_MINS8}
       FROM sh GROUP BY doc_id
     )
-    SELECT doc_id, h0 || '|' || h1 || '|' || h2 || '|' || h3 || '|' || h4 || '|' || h5 || '|' || h6 || '|' || h7 AS sig
+    SELECT doc_id, h0::VARCHAR || '|' || h1::VARCHAR || '|' || h2::VARCHAR || '|' || h3::VARCHAR || '|' || h4::VARCHAR || '|' || h5::VARCHAR || '|' || h6::VARCHAR || '|' || h7::VARCHAR AS sig
     FROM mins
     """,
 )
@@ -912,17 +926,14 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM toks),
     mins AS (
       SELECT doc_id,
-             min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
-             min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
-             min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
-             min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+             {_MINHASH_MINS8}
       FROM sh GROUP BY doc_id
     ),
     bands AS (
-      SELECT doc_id, 0 AS b, md5(h0 || '|' || h1) AS d FROM mins UNION ALL
-      SELECT doc_id, 1 AS b, md5(h2 || '|' || h3) AS d FROM mins UNION ALL
-      SELECT doc_id, 2 AS b, md5(h4 || '|' || h5) AS d FROM mins UNION ALL
-      SELECT doc_id, 3 AS b, md5(h6 || '|' || h7) AS d FROM mins
+      SELECT doc_id, 0 AS b, md5(h0::VARCHAR || '|' || h1::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 1 AS b, md5(h2::VARCHAR || '|' || h3::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 2 AS b, md5(h4::VARCHAR || '|' || h5::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 3 AS b, md5(h6::VARCHAR || '|' || h7::VARCHAR) AS d FROM mins
     )
     SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
     FROM bands l JOIN bands r ON l.b = r.b AND l.d = r.d AND l.doc_id < r.doc_id
@@ -1864,17 +1875,14 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM toks),
     mins AS (
       SELECT doc_id,
-             min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
-             min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
-             min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
-             min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+             {_MINHASH_MINS8}
       FROM sh GROUP BY doc_id
     ),
     bands AS (
-      SELECT doc_id, 0 AS b, md5(h0 || '|' || h1) AS d FROM mins UNION ALL
-      SELECT doc_id, 1 AS b, md5(h2 || '|' || h3) AS d FROM mins UNION ALL
-      SELECT doc_id, 2 AS b, md5(h4 || '|' || h5) AS d FROM mins UNION ALL
-      SELECT doc_id, 3 AS b, md5(h6 || '|' || h7) AS d FROM mins
+      SELECT doc_id, 0 AS b, md5(h0::VARCHAR || '|' || h1::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 1 AS b, md5(h2::VARCHAR || '|' || h3::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 2 AS b, md5(h4::VARCHAR || '|' || h5::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 3 AS b, md5(h6::VARCHAR || '|' || h7::VARCHAR) AS d FROM mins
     ),
     cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -2003,17 +2011,14 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM toks),
     mins AS (
       SELECT doc_id,
-             min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
-             min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
-             min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
-             min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+             {_MINHASH_MINS8}
       FROM sh GROUP BY doc_id
     ),
     bands AS (
-      SELECT doc_id, 0 AS b, md5(h0 || '|' || h1) AS d FROM mins UNION ALL
-      SELECT doc_id, 1 AS b, md5(h2 || '|' || h3) AS d FROM mins UNION ALL
-      SELECT doc_id, 2 AS b, md5(h4 || '|' || h5) AS d FROM mins UNION ALL
-      SELECT doc_id, 3 AS b, md5(h6 || '|' || h7) AS d FROM mins
+      SELECT doc_id, 0 AS b, md5(h0::VARCHAR || '|' || h1::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 1 AS b, md5(h2::VARCHAR || '|' || h3::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 2 AS b, md5(h4::VARCHAR || '|' || h5::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 3 AS b, md5(h6::VARCHAR || '|' || h7::VARCHAR) AS d FROM mins
     ),
     cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -2529,17 +2534,14 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM toks),
     mins AS (
       SELECT doc_id,
-             min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
-             min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
-             min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
-             min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+             {_MINHASH_MINS8}
       FROM sh GROUP BY doc_id
     ),
     bands AS (
-      SELECT doc_id, 0 AS b, md5(h0 || '|' || h1) AS d FROM mins UNION ALL
-      SELECT doc_id, 1 AS b, md5(h2 || '|' || h3) AS d FROM mins UNION ALL
-      SELECT doc_id, 2 AS b, md5(h4 || '|' || h5) AS d FROM mins UNION ALL
-      SELECT doc_id, 3 AS b, md5(h6 || '|' || h7) AS d FROM mins
+      SELECT doc_id, 0 AS b, md5(h0::VARCHAR || '|' || h1::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 1 AS b, md5(h2::VARCHAR || '|' || h3::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 2 AS b, md5(h4::VARCHAR || '|' || h5::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 3 AS b, md5(h6::VARCHAR || '|' || h7::VARCHAR) AS d FROM mins
     ),
     pairs AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -2645,17 +2647,14 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM toks),
     mins AS (
       SELECT doc_id,
-             min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
-             min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
-             min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
-             min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+             {_MINHASH_MINS8}
       FROM sh GROUP BY doc_id
     ),
     bands AS (
-      SELECT doc_id, 0 AS b, md5(h0 || '|' || h1) AS d FROM mins UNION ALL
-      SELECT doc_id, 1 AS b, md5(h2 || '|' || h3) AS d FROM mins UNION ALL
-      SELECT doc_id, 2 AS b, md5(h4 || '|' || h5) AS d FROM mins UNION ALL
-      SELECT doc_id, 3 AS b, md5(h6 || '|' || h7) AS d FROM mins
+      SELECT doc_id, 0 AS b, md5(h0::VARCHAR || '|' || h1::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 1 AS b, md5(h2::VARCHAR || '|' || h3::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 2 AS b, md5(h4::VARCHAR || '|' || h5::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 3 AS b, md5(h6::VARCHAR || '|' || h7::VARCHAR) AS d FROM mins
     ),
     cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -3304,17 +3303,14 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM toks),
     mins AS (
       SELECT doc_id,
-             min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
-             min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
-             min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
-             min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+             {_MINHASH_MINS8}
       FROM sh GROUP BY doc_id
     ),
     bands AS (
-      SELECT doc_id, 0 AS b, md5(h0 || '|' || h1) AS d FROM mins UNION ALL
-      SELECT doc_id, 1 AS b, md5(h2 || '|' || h3) AS d FROM mins UNION ALL
-      SELECT doc_id, 2 AS b, md5(h4 || '|' || h5) AS d FROM mins UNION ALL
-      SELECT doc_id, 3 AS b, md5(h6 || '|' || h7) AS d FROM mins
+      SELECT doc_id, 0 AS b, md5(h0::VARCHAR || '|' || h1::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 1 AS b, md5(h2::VARCHAR || '|' || h3::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 2 AS b, md5(h4::VARCHAR || '|' || h5::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 3 AS b, md5(h6::VARCHAR || '|' || h7::VARCHAR) AS d FROM mins
     ),
     cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -5562,17 +5558,14 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM toks),
     mins AS (
       SELECT doc_id,
-             min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
-             min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
-             min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
-             min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+             {_MINHASH_MINS8}
       FROM sh GROUP BY doc_id
     ),
     bands AS (
-      SELECT doc_id, 0 AS b, md5(h0 || '|' || h1) AS d FROM mins UNION ALL
-      SELECT doc_id, 1 AS b, md5(h2 || '|' || h3) AS d FROM mins UNION ALL
-      SELECT doc_id, 2 AS b, md5(h4 || '|' || h5) AS d FROM mins UNION ALL
-      SELECT doc_id, 3 AS b, md5(h6 || '|' || h7) AS d FROM mins
+      SELECT doc_id, 0 AS b, md5(h0::VARCHAR || '|' || h1::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 1 AS b, md5(h2::VARCHAR || '|' || h3::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 2 AS b, md5(h4::VARCHAR || '|' || h5::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 3 AS b, md5(h6::VARCHAR || '|' || h7::VARCHAR) AS d FROM mins
     ),
     cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
