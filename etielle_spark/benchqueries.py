@@ -7062,3 +7062,72 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cont_a_in_b", 6).alias("cont_a_in_b"),
         F.round("cont_b_in_a", 6).alias("cont_b_in_a"),
     )
+
+
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("e", "s"), ("o", "r"), ("e", "n"),
+    ("an", "d"), ("in", "g"), ("a", "t"), ("o", "u"), ("s", "t"),
+    ("e", "d"),
+]
+
+_BPE_MERGES_SQL = ", ".join(
+    f"({i}, '{a}', '{b}')" for i, (a, b) in enumerate(_BPE_MERGES)
+)
+
+
+@q(
+    "q174_bpe_encode",
+    f"""
+    WITH RECURSIVE
+    merges(rank, a, b) AS (VALUES {_BPE_MERGES_SQL}),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    spine AS (
+      SELECT doc_id, i AS pos, t[i+1] AS w
+      FROM toks, unnest(range(len(t))) AS u(i)
+    ),
+    words AS (SELECT DISTINCT w FROM spine),
+    enc AS (
+      SELECT w, 0 AS rank, regexp_extract_all(w, '.') AS toks FROM words
+      UNION ALL
+      SELECT w,
+        CASE WHEN pos IS NULL THEN rank + 1 ELSE rank END,
+        CASE WHEN pos IS NULL THEN toks
+             ELSE toks[1:pos-1] || [toks[pos] || toks[pos+1]] || toks[pos+2:]
+        END
+      FROM (
+        SELECT e.w, e.rank, e.toks,
+          list_min(list_filter(
+            list_transform(e.toks, (x, i) -> i),
+            i -> i < len(e.toks) AND e.toks[i] = m.a AND e.toks[i+1] = m.b
+          )) AS pos
+        FROM enc e JOIN merges m ON m.rank = e.rank
+      )
+      WHERE rank <= (SELECT max(rank) FROM merges)
+    ),
+    final_enc AS (
+      SELECT w, toks FROM enc
+      WHERE rank = (SELECT max(rank) + 1 FROM merges)
+    ),
+    joined AS (
+      SELECT s.doc_id, s.pos, f.toks
+      FROM spine s JOIN final_enc f ON s.w = f.w
+    ),
+    assembled AS (
+      SELECT doc_id,
+             flatten(list(toks ORDER BY pos)) AS bpe_tokens
+      FROM joined GROUP BY doc_id
+    )
+    SELECT doc_id, bpe_tokens, len(bpe_tokens)::BIGINT AS n_bpe
+    FROM assembled
+    """,
+)
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenization (operators/text.py:bpe_encode): apply a
+    rank-ordered merge table to every document via the distinct-word
+    encode-once join; the merge loop is a Catalyst nested fold, no
+    Python.  Train/apply twin of q119 (bpe_merge_candidates)."""
+    from .operators.text import bpe_encode
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_encode(docs, "doc_id", "text", _BPE_MERGES)

@@ -33,6 +33,7 @@ from .similarity import (
 )
 from .sketches import hll_distinct, kmv_distinct
 from .text import (
+    bpe_encode,
     chunk_tokens,
     classifier_score,
     doc_fingerprint,
@@ -74,4 +75,5 @@ __all__ = [
     "quality_score",
     "lang_id",
     "doc_fingerprint",
+    "bpe_encode",
 ]

@@ -851,3 +851,92 @@ def classifier_score(
     )
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return df.select(F.col(id_col).alias("id"), F.round(score, round_to).alias("score"))
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: "list[tuple[str, str]]",
+) -> DataFrame:
+    """Full BPE tokenization: apply a learned, rank-ordered merge table
+    (Sennrich et al. 2016) to every document, character-level start.
+
+    The merge loop is a pure Catalyst nested fold — outer ``aggregate``
+    over the (literal) merge table in rank order, inner ``aggregate``
+    over the word's token array applying one merge exhaustively
+    left-to-right — so the hot path is JVM-side codegen, no Python.
+    Applying merges in rank order is exact BPE: a merged symbol only
+    exists after its own merge, so later adjacencies can only enable
+    later-ranked merges.
+
+    Scale shape (the trick every fast tokenizer uses, as a dataflow):
+    encode each DISTINCT word once, then join the per-word encodings
+    back onto the corpus' (doc, position, word) spine.  The distinct-word
+    table is Zipf-small relative to the corpus, so AQE turns the
+    join broadcast at runtime; the per-document reassembly is one
+    groupBy(id) with an order-preserving sorted-struct flatten.
+
+    Documents with zero tokens are dropped (consistent with the other
+    tokenizer-derived operators).  Returns ``(id, bpe_tokens, n_bpe)``.
+
+    Complements ``bpe_merge_candidates`` (the training step) — together
+    they are the tokenizer train/apply pair of a data pipeline.
+    """
+    if len(merges) > 2000:
+        raise ValueError(
+            f"bpe_encode: {len(merges)} merges is too large for a plan "
+            "literal; store the merge table in a DataFrame and encode "
+            "via an Arrow-batched pandas UDF over distinct words instead"
+        )
+    mlit = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in merges
+        ]
+    )
+
+    def apply_merge(ts: Column, a: Column, b: Column) -> Column:
+        return F.aggregate(
+            ts,
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == a)
+                & (x == b),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(a, b)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
+    spine = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "w"),
+    )
+    encoded = (
+        spine.select("w")
+        .distinct()
+        .select(
+            "w",
+            F.aggregate(
+                mlit,
+                F.split(F.col("w"), ""),
+                lambda acc, m: apply_merge(acc, m["a"], m["b"]),
+            ).alias("__bpe"),
+        )
+    )
+    return (
+        spine.join(encoded, "w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "__bpe"))),
+                    lambda s: s["__bpe"],
+                )
+            ).alias("bpe_tokens")
+        )
+        .withColumn("n_bpe", F.size("bpe_tokens").cast("bigint"))
+    )

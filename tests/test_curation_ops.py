@@ -307,3 +307,43 @@ def test_truncate_tokens(spark):
     assert out[1]["n_tokens"] == 5
     assert out[2]["text"] == "x y" and out[2]["truncated"] is False
     assert out[3]["text"] == "" and out[3]["n_tokens"] == 0
+
+
+def test_bpe_encode_known_merges(spark):
+    from etielle_spark.operators.text import bpe_encode
+
+    merges = [("t", "h"), ("th", "e"), ("e", "s"), ("a", "a")]
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="thesis the"),
+            Row(doc_id=2, text="aaab"),
+            Row(doc_id=3, text=""),  # zero tokens -> dropped
+        ]
+    )
+    out = {r["doc_id"]: r for r in
+           bpe_encode(docs, "doc_id", "text", merges).collect()}
+    assert set(out) == {1, 2}
+    # thesis: t h e s i s -> th -> the; (e,s) no longer adjacent
+    assert out[1]["bpe_tokens"] == ["the", "s", "i", "s", "the"]
+    assert out[1]["n_bpe"] == 5
+    # aaab: left-to-right exhaustive (a,a): aa a b
+    assert out[2]["bpe_tokens"] == ["aa", "a", "b"]
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        bpe_encode(docs, "doc_id", "text", [("a", "b")] * 2001)
+
+
+def test_bpe_encode_shared_words_consistent(spark):
+    """Every occurrence of a word encodes identically (the distinct-word
+    join must not mix encodings across documents)."""
+    from etielle_spark.operators.text import bpe_encode
+
+    merges = [("t", "h"), ("th", "e")]
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="the cat the"), Row(doc_id=2, text="the")]
+    )
+    out = {r["doc_id"]: r["bpe_tokens"] for r in
+           bpe_encode(docs, "doc_id", "text", merges).collect()}
+    assert out[1] == ["the", "c", "a", "t", "the"]
+    assert out[2] == ["the"]
