@@ -7131,3 +7131,41 @@ def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return bpe_encode(docs, "doc_id", "text", _BPE_MERGES)
+
+
+@q(
+    "q175_phash_near_dup",
+    f"""
+    WITH all_docs AS ({_DOCS_PLUS_CLONES}),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS phash
+      FROM all_docs
+    ),
+    bands AS (
+      SELECT doc_id, phash, b, (phash >> (b * 15)) & 32767 AS bv
+      FROM h, unnest([0, 1, 2, 3]) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.phash AS ha, r.phash AS hb
+      FROM bands l
+      JOIN bands r ON l.b = r.b AND l.bv = r.bv AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(ha, hb))::INT AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    """,
+)
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup (operators/multimodal.py:
+    perceptual_hash + hamming_near_dup): payloads -> Arrow-batched
+    60-bit pHash (codec stubbed, md5-derived) -> pigeonhole-banded
+    Hamming equi-join.  Exact clones surface at hamming 0; the banded
+    join, not all-pairs, is the scale path."""
+    from .operators.multimodal import attach_payload, hamming_near_dup, perceptual_hash
+
+    docs = _docs_plus_clones(spark, sf_dir)
+    payloads = attach_payload(docs, "text", mime="image/png")
+    hashes = perceptual_hash(payloads, "doc_id")
+    return hamming_near_dup(hashes, "id", "phash").select(
+        "id_a", "id_b", "hamming"
+    )

@@ -167,3 +167,104 @@ def sample_frames(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         op, "id bigint, frame_idx int, frame_digest string"
     )
+
+
+def perceptual_hash(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    *,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """60-bit perceptual hash per payload via Arrow-batched mapInPandas.
+
+    Real implementation: grayscale-decode, downscale to 32x32, 2D DCT,
+    threshold the top-left 8x8 coefficients against their median (the
+    classic pHash).  The codec is stubbed here like the rest of this
+    module: the deterministic fake derives 60 bits from the payload md5
+    (identical payloads get identical hashes, so downstream Hamming
+    plumbing is exercised for real).  60 bits keeps the value positive
+    in any signed-64 engine, which keeps the result oracle-checkable.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "image decode requires PIL/scipy; run with decode_stub=True"
+                )
+            hashes = pdf[payload_col].map(
+                lambda b: int(hashlib.md5(bytes(b)).hexdigest()[:15], 16)
+            )
+            yield pd.DataFrame({"id": pdf[id_col], "phash": hashes})
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op, "id bigint, phash bigint"
+    )
+
+
+def hamming_near_dup(
+    hashes: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "phash",
+    *,
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs under Hamming distance over fixed-width
+    hashes (pHash image dedup, SimHash text dedup) — banded equi-join,
+    never all-pairs.
+
+    Pigeonhole: two hashes within Hamming distance ``max_hamming`` <
+    ``bands`` differ in at most ``max_hamming`` of the ``bands`` disjoint
+    bit segments, so at least one segment matches EXACTLY — candidate
+    generation is an equi-join on (band index, segment value), then the
+    exact Hamming verify (``bit_count(xor)``) runs only on candidates.
+    All pure column expressions; the shuffle key is a (int, int) pair.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs at least {max_hamming + 1} "
+            f"bands for the pigeonhole guarantee (got bands={bands})"
+        )
+    if bits % bands:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    seg = bits // bands
+    mask = (1 << seg) - 1
+    h = hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+    banded = h.select(
+        "id",
+        "h",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("h"), b * seg).bitwiseAND(mask)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bv"),
+    )
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.h").alias("ha"),
+            F.col("r.h").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

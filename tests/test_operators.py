@@ -1386,3 +1386,41 @@ def test_pq_codes_identity_and_shape(spark, emb):
     for r in rows:
         if r["id"] == seed_ids[0]:
             assert r["dist"] == 0.0 and r["code"] == 0
+
+
+def test_hamming_near_dup_banded(spark):
+    """Pairs within max_hamming are found via the banded join (pigeonhole:
+    every <=3-bit difference leaves one 15-bit segment intact); pairs
+    beyond the threshold are excluded even when a band collides."""
+    from etielle_spark.operators.multimodal import hamming_near_dup
+
+    base = 0b101010101010101_111000111000111_000111000111000_110011001100110
+    rows = [
+        (1, base),
+        (2, base ^ 0b1),                      # hamming 1
+        (3, base ^ 0b111),                    # hamming 3 (one band touched)
+        (4, base ^ (1 | (1 << 15) | (1 << 30) | (1 << 45))),  # hamming 4, all bands touched
+        (5, base ^ ((1 << 15) | (1 << 16))),  # hamming 2, different band
+    ]
+    hashes = spark.createDataFrame(rows, ["id", "phash"])
+    out = {(r.id_a, r.id_b): r.hamming for r in
+           hamming_near_dup(hashes, "id", "phash").collect()}
+    assert out[(1, 2)] == 1 and out[(1, 3)] == 3 and out[(1, 5)] == 2
+    assert (1, 4) not in out  # within no-band-intact case is dropped pre-verify
+    assert (2, 3) in out  # hamming(2,3)=2
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        hamming_near_dup(hashes, "id", "phash", max_hamming=4, bands=4)
+    with _pt.raises(ValueError):
+        hamming_near_dup(hashes, "id", "phash", bits=61)
+
+
+def test_perceptual_hash_deterministic(spark):
+    from etielle_spark.operators.multimodal import attach_payload, perceptual_hash
+
+    docs = spark.createDataFrame([(1, "same"), (2, "same"), (3, "diff")],
+                                 ["doc_id", "text"])
+    h = {r.id: r.phash for r in
+         perceptual_hash(attach_payload(docs, "text"), "doc_id").collect()}
+    assert h[1] == h[2] != h[3]
+    assert 0 <= h[1] < (1 << 60)
