@@ -7169,3 +7169,76 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_near_dup(hashes, "id", "phash").select(
         "id_a", "id_b", "hamming"
     )
+
+
+@q(
+    "q176_simhash_near_dup",
+    f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text || ' zzz' AS text
+      FROM documents WHERE doc_id < 20
+    ),
+    toks AS (SELECT doc_id, unnest(t) AS tok FROM (SELECT doc_id, {_TOKS} AS t FROM all_docs) s(doc_id, t)),
+    h AS (SELECT doc_id, md5(tok) AS hex FROM toks),
+    bits AS (
+      SELECT doc_id, b,
+             instr('0123456789abcdef', substr(hex, (b // 4) + 1, 1)) - 1 AS nib
+      FROM h, (SELECT unnest(range(0, 32)) AS b) r
+    ),
+    summed AS (
+      SELECT doc_id, b,
+             sum((floor(nib / power(2, 3 - b % 4))::INT % 2) * 2 - 1) AS s
+      FROM bits GROUP BY doc_id, b
+    ),
+    sim AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS sh
+      FROM summed GROUP BY doc_id
+    ),
+    v AS (
+      SELECT doc_id,
+             list_sum([CASE WHEN sh[i] = '1' THEN (1::BIGINT << (32 - i))
+                       ELSE 0::BIGINT END for i in range(1, 33)]) AS hv
+      FROM sim
+    ),
+    bands AS (
+      SELECT doc_id, hv, b, (hv >> (b * 8)) & 255 AS bv
+      FROM v, unnest([0, 1, 2, 3]) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.hv AS ha, r.hv AS hb
+      FROM bands l
+      JOIN bands r ON l.b = r.b AND l.bv = r.bv AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(ha, hb))::INT AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    """,
+)
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text near-dup at bounded Hamming distance: SimHash (q30's map-only
+    operator) composed with the pigeonhole-banded Hamming join
+    (operators/multimodal.py:hamming_near_dup).  Exact clones land at
+    hamming 0; one-token-appended perturbations land within a few bits —
+    the banded equi-join finds both without all-pairs comparison."""
+    from .operators.dedup import simhash
+    from .operators.multimodal import hamming_near_dup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    perturbed = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    sh = simhash(docs.union(clones).union(perturbed), "doc_id", "text", bits=32)
+    hashes = sh.select(
+        "doc_id", F.conv("simhash", 2, 10).cast("bigint").alias("hv")
+    )
+    return hamming_near_dup(
+        hashes, "doc_id", "hv", bits=32, bands=4, max_hamming=3
+    ).select("id_a", "id_b", "hamming")

@@ -169,3 +169,22 @@ def test_interval_join_stream_stream_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got == {(1, "c1", 10.0)}
+
+
+def test_read_write_orc_roundtrip(spark, tmp_path):
+    """ORC is first-class next to parquet: write via write_partitioned,
+    read back via read_table, predicate pushdown visible in the plan."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    path = str(tmp_path / "orc_tbl")
+    write_partitioned(df, path, format="orc", partition_by=["k"])
+    back = read_table(spark, path, format="orc")
+    assert back.count() == 100
+    pruned = back.filter(F.col("k") == 3)
+    assert pruned.count() == 20
+    # partition pruning: the k=3 predicate lands in PartitionFilters
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "k" in plan
