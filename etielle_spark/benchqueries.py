@@ -7242,3 +7242,97 @@ def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_near_dup(
         hashes, "doc_id", "hv", bits=32, bands=4, max_hamming=3
     ).select("id_a", "id_b", "hamming")
+
+
+@q(
+    "q177_duplicate_spans",
+    f"""
+    WITH all_docs AS ({_DOCS_PLUS_CLONES}),
+    toks AS (
+      SELECT doc_id, t FROM (SELECT doc_id, {_TOKS} AS t FROM all_docs) s
+      WHERE len(t) >= 8
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(t[i+1:i+8], ' ')) AS d
+      FROM toks, unnest(range(len(t) - 7)) AS u(i)
+    ),
+    dup AS (
+      SELECT d FROM grams GROUP BY d HAVING count(DISTINCT doc_id) >= 2
+    ),
+    kept AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (d)),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS nw
+      FROM kept
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM flagged
+    )
+    SELECT doc_id, min(pos) AS start_tok, max(pos) + 7 AS end_tok,
+           max(pos) + 7 - min(pos) + 1 AS span_tokens
+    FROM islands GROUP BY doc_id, isl
+    """,
+)
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup spans (operators/dedup.py:duplicate_spans):
+    cross-document duplicated 8-gram positions merged into maximal spans
+    per document — full-document spans surface on the exact clones,
+    shared boilerplate surfaces as partial spans."""
+    from .operators.dedup import duplicate_spans
+
+    return duplicate_spans(
+        _docs_plus_clones(spark, sf_dir), "doc_id", "text", n=8, min_docs=2
+    )
+
+
+@q(
+    "q178_mutual_nn",
+    """
+    WITH e AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+    dots AS (
+      SELECT l.vec_id AS left_id, r.vec_id AS right_id, sum(l.v * r.v) AS dot
+      FROM (SELECT * FROM e WHERE vec_id % 2 = 0) l
+      JOIN (SELECT * FROM e WHERE vec_id % 2 = 1) r USING (i)
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT left_id, right_id, dot / (nl.nrm * nr.nrm) AS c
+      FROM dots JOIN norms nl ON left_id = nl.vec_id
+                JOIN norms nr ON right_id = nr.vec_id
+    ),
+    ranked AS (
+      SELECT left_id, right_id, c,
+             row_number() OVER (PARTITION BY left_id
+                                ORDER BY c DESC, right_id) AS rl,
+             row_number() OVER (PARTITION BY right_id
+                                ORDER BY c DESC, left_id) AS rr
+      FROM scored
+    )
+    SELECT left_id, right_id, round(c, 6) AS cosine
+    FROM ranked WHERE rl = 1 AND rr = 1
+    """,
+)
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual nearest neighbors (operators/similarity.py:mutual_nn):
+    bitext-mining rule over an even/odd split of the embeddings table —
+    keep (a, b) iff each is the other's cosine top-1.  Brute-force
+    baseline here; the candidates= parameter takes LSH/IVF buckets at
+    scale."""
+    from .operators.similarity import mutual_nn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = mutual_nn(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+    return out.select("left_id", "right_id", F.round("cosine", 6).alias("cosine"))

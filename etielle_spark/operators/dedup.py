@@ -954,3 +954,86 @@ def containment_pairs(
             F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= threshold
         )
     return out
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans per document — the
+    exact-substring dedup signal of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), re-expressed as a
+    gram-digest join instead of a suffix array.
+
+    A token position is "duplicated" when the ``n``-gram starting there
+    also occurs in at least ``min_docs`` distinct documents; overlapping
+    and adjacent duplicated grams merge into maximal spans
+    (gaps-and-islands over positions).  Returns
+    ``(id, start_tok, end_tok, span_tokens)`` — feed into a trimmer or a
+    drop rule.
+
+    Scale shape: the corpus-wide frequency pass shuffles only
+    (md5 digest, id) pairs; per-document span merging is one keyed
+    window.  Positional grams come from zip-with-shifted-arrays, never
+    ``slice`` inside a per-element lambda (the CollapseProject O(T²)
+    trap, see grams_of).
+    """
+    toks = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") >= n)
+
+    gram = F.col("__toks")
+    for k in range(1, n):
+        shifted = F.slice(
+            F.col("__toks"),
+            k + 1,
+            F.greatest(F.size("__toks") - k, F.lit(0)),
+        )
+        gram = F.zip_with(gram, shifted, lambda g, t: F.concat(g, F.lit(" "), t))
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.slice(gram, 1, F.size("__toks") - (n - 1))
+        ).alias("pos", "g"),
+    )
+    spine = grams.select(F.col(id_col), "pos", F.md5("g").alias("d"))
+
+    dup = (
+        spine.groupBy("d")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("d")
+    )
+    kept = spine.join(dup, "d").select(F.col(id_col), "pos")
+
+    from pyspark.sql import Window
+
+    w_lag = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        kept.withColumn(
+            "__new",
+            F.when(
+                F.lag("pos").over(w_lag).isNull()
+                | (F.col("pos") > F.lag("pos").over(w_lag) + n),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("__isl", F.sum("__new").over(w_lag))
+    )
+    return (
+        islands.groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + n - 1).alias("end_tok"),
+        )
+        .select(
+            F.col(id_col),
+            "start_tok",
+            "end_tok",
+            (F.col("end_tok") - F.col("start_tok") + 1).alias("span_tokens"),
+        )
+    )

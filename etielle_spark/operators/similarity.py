@@ -797,3 +797,59 @@ def pool_embeddings(
             F.transform(F.col("pooled"), lambda v: v / nrm).alias("pooled"),
         )
     return pooled
+
+
+def mutual_nn(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    candidates: DataFrame | None = None,
+    min_cosine: float = -1.0,
+) -> DataFrame:
+    """Mutual nearest neighbors between two embedding sets — the bitext /
+    parallel-pair mining rule: (a, b) is kept iff b is a's top-1 AND a is
+    b's top-1 by cosine.  Mutuality is the standard precision filter for
+    mined translation or caption pairs (margin-based mining keeps the
+    same shape).
+
+    ``candidates`` (left_id, right_id) restricts scoring to a candidate
+    set — at scale, generate it with lsh_bucket_topk / ivf_topk buckets
+    and this becomes two windowed argmaxes over an equi-joined frame.
+    Without it, the fallback scores all pairs with the right side
+    broadcast — the correctness baseline, quadratic by construction
+    (same contract as cosine_pairs vs the LSH paths).
+
+    Ties break on the partner id ascending; pairs below ``min_cosine``
+    drop.  Returns ``(left_id, right_id, cosine)``.
+    """
+    l = left.select(
+        F.col(id_col).alias("left_id"),
+        F.col(vec_col).cast("array<double>").alias("lv"),
+    )
+    r = right.select(
+        F.col(id_col).alias("right_id"),
+        F.col(vec_col).cast("array<double>").alias("rv"),
+    )
+    if candidates is not None:
+        pairs = candidates.select("left_id", "right_id").join(l, "left_id").join(r, "right_id")
+    else:
+        pairs = l.crossJoin(F.broadcast(r))
+    scored = pairs.select(
+        "left_id",
+        "right_id",
+        cosine(F.col("lv"), F.col("rv")).alias("cosine"),
+    ).filter(F.col("cosine") >= min_cosine)
+    wl = Window.partitionBy("left_id").orderBy(
+        F.col("cosine").desc(), F.col("right_id").asc()
+    )
+    wr = Window.partitionBy("right_id").orderBy(
+        F.col("cosine").desc(), F.col("left_id").asc()
+    )
+    return (
+        scored.withColumn("__rl", F.row_number().over(wl))
+        .withColumn("__rr", F.row_number().over(wr))
+        .filter((F.col("__rl") == 1) & (F.col("__rr") == 1))
+        .select("left_id", "right_id", "cosine")
+    )

@@ -1424,3 +1424,54 @@ def test_perceptual_hash_deterministic(spark):
          perceptual_hash(attach_payload(docs, "text"), "doc_id").collect()}
     assert h[1] == h[2] != h[3]
     assert 0 <= h[1] < (1 << 60)
+
+
+def test_duplicate_spans_islands(spark):
+    """Shared 8-gram runs merge into maximal spans; unique text yields no
+    spans; adjacent/overlapping duplicated grams never split."""
+    from etielle_spark.operators.dedup import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))       # 12 shared tokens
+    rows = [
+        (1, shared + " unique1 only here " + " ".join(f"u{i}" for i in range(8))),
+        (2, "prefix tokens first " + shared),
+        (3, " ".join(f"z{i}" for i in range(20))),      # no duplication
+    ]
+    out = duplicate_spans(
+        spark.createDataFrame(rows, ["doc_id", "text"]), "doc_id", "text", n=8
+    ).collect()
+    spans = {(r.doc_id): (r.start_tok, r.end_tok, r.span_tokens)
+             for r in out}
+    # doc 1: shared block at positions 0..11 -> one maximal span of 12
+    assert spans[1] == (0, 11, 12)
+    # doc 2: shared block after 3 prefix tokens -> 3..14
+    assert spans[2] == (3, 14, 12)
+    assert 3 not in spans
+    assert len(out) == 2
+
+
+def test_mutual_nn_mutuality(spark):
+    """Only mutually-top-1 pairs survive: a chain where b's best is a but
+    a's best is c yields no (a, b) pair."""
+    from etielle_spark.operators.similarity import mutual_nn
+
+    left = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    right = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (3, [0.1, 0.9]), (5, [0.8, 0.2])],
+        ["vec_id", "embedding"],
+    )
+    out = {(r.left_id, r.right_id) for r in mutual_nn(left, right).collect()}
+    # 0's top-1 is 1 (0.9,0.1 most aligned with x-axis); 1's top-1 is 0. mutual.
+    # 2's top-1 is 3; 3's top-1 is 2. mutual.  5's top-1 is 0 but 0 prefers 1.
+    assert out == {(0, 1), (2, 3)}
+
+    # candidates path restricts scoring: withhold (0,1) and the best
+    # surviving mutual pair for 0 becomes 5
+    cand = spark.createDataFrame(
+        [(0, 5), (2, 3), (2, 5)], ["left_id", "right_id"]
+    )
+    out2 = {(r.left_id, r.right_id)
+            for r in mutual_nn(left, right, candidates=cand).collect()}
+    assert out2 == {(0, 5), (2, 3)}
