@@ -7336,3 +7336,63 @@ def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 2 == 1),
     )
     return out.select("left_id", "right_id", F.round("cosine", 6).alias("cosine"))
+
+
+@q(
+    "q179_distribution_match",
+    """
+    WITH b AS (
+      SELECT quantile_cont(n_chars, 0.25) AS b1,
+             quantile_cont(n_chars, 0.50) AS b2,
+             quantile_cont(n_chars, 0.75) AS b3
+      FROM documents WHERE source = 'src0'
+    ),
+    bucketed AS (
+      SELECT d.doc_id AS id, d.source AS "group", d.n_chars AS value,
+             (1 + (d.n_chars > b.b1)::INT + (d.n_chars > b.b2)::INT
+                + (d.n_chars > b.b3)::INT)::BIGINT AS bucket
+      FROM documents d CROSS JOIN b
+    ),
+    counts AS (
+      SELECT "group", bucket, count(*) AS n FROM bucketed GROUP BY 1, 2
+    ),
+    fracs AS (
+      SELECT "group", bucket,
+             n::DOUBLE / sum(n) OVER (PARTITION BY "group") AS frac
+      FROM counts
+    ),
+    ratios AS (
+      SELECT f."group", f.bucket,
+             coalesce(r.frac, 0) / f.frac AS ratio
+      FROM fracs f
+      LEFT JOIN (SELECT bucket, frac FROM fracs WHERE "group" = 'src0') r
+        USING (bucket)
+    ),
+    keep AS (
+      SELECT "group", bucket,
+             CASE WHEN "group" = 'src0' THEN 1.0
+                  ELSE ratio / max(ratio) OVER (PARTITION BY "group") END
+               AS keep_p
+      FROM ratios
+    )
+    SELECT b.id, b."group", b.value, b.bucket, round(k.keep_p, 6) AS keep_p
+    FROM bucketed b JOIN keep k USING ("group", bucket)
+    WHERE ('0x' || substr(md5('dmr|' || b.id), 1, 8))::BIGINT / 4294967296.0
+          < k.keep_p
+    """,
+)
+def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-matching resample (operators/clusters.py:
+    distribution_match_resample): every source's n_chars profile is
+    bucket-wise downsampled toward src0's quartile shape; boundaries are
+    a 1-row broadcast aggregate, selection is the salted-md5 uniform."""
+    from .operators.clusters import distribution_match_resample
+
+    return distribution_match_resample(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "n_chars",
+        "source",
+        "src0",
+        buckets=4,
+    )

@@ -413,3 +413,122 @@ def leakage_safe_split(
         "bucket",
         "split",
     )
+
+
+def distribution_match_resample(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    group_col: str,
+    reference_group: str,
+    *,
+    buckets: int = 4,
+    salt: str = "dmr",
+    max_groups: int = 100_000,
+) -> DataFrame:
+    """Match every group's ``value_col`` distribution to the reference
+    group's by bucket-wise downsampling — the "make synthetic data's
+    length profile look like the real corpus" curation step.
+
+    Bucket boundaries are the reference group's exact quantiles; within
+    each non-reference group, a bucket's keep probability is
+    (reference bucket share / group bucket share), normalized per group
+    so the largest ratio keeps everything — the group's SHAPE converges
+    to the reference's while retaining maximal data.  Selection uses the
+    salted-md5 uniform (reproducible across engines and runs); the
+    reference group passes through untouched.
+
+    Scale shape: two corpus scans and ONE tiny shuffle (the
+    (group, bucket) count aggregate); boundaries and the keep-probability
+    table are driver-collected aggregates — (groups x buckets) rows,
+    size-guarded by ``max_groups`` — compiled back as literals, so the
+    final pass is a pure scan-project-filter with no join at all (the
+    same literal-probe idiom as the blocklist and classifier operators).
+    Returns ``(id, group, value, bucket, keep_p)`` for kept rows.
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    qs = [k / buckets for k in range(1, buckets)]
+    brow = (
+        df.filter(F.col(group_col) == reference_group)
+        .agg(
+            *[
+                F.expr(f"percentile({value_col}, {q})").alias(f"b{k}")
+                for k, q in enumerate(qs, start=1)
+            ]
+        )
+        .collect()[0]
+    )
+    bounds = [brow[f"b{k}"] for k in range(1, buckets)]
+    if any(b is None for b in bounds):
+        raise ValueError(
+            f"reference group {reference_group!r} has no rows (or NULL "
+            f"{value_col}); cannot derive boundaries"
+        )
+
+    bucket = F.lit(1)
+    for b in bounds:
+        bucket = bucket + (F.col(value_col) > F.lit(float(b))).cast("int")
+    bucket = bucket.cast("bigint")
+
+    counts = (
+        df.groupBy(F.col(group_col).alias("group"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if len(counts) > max_groups * buckets:
+        raise ValueError(
+            f"distribution_match_resample: {len(counts)} (group, bucket) "
+            f"cells exceeds the literal-probe cap; reduce group "
+            "cardinality or aggregate groups first"
+        )
+    totals: dict[str, int] = {}
+    for r in counts:
+        totals[r["group"]] = totals.get(r["group"], 0) + r["n"]
+    ref_frac = {
+        r["bucket"]: r["n"] / totals[reference_group]
+        for r in counts
+        if r["group"] == reference_group
+    }
+    ratios: dict[tuple[str, int], float] = {
+        (r["group"], r["bucket"]): ref_frac.get(r["bucket"], 0.0)
+        / (r["n"] / totals[r["group"]])
+        for r in counts
+    }
+    max_ratio: dict[str, float] = {}
+    for (g, _), ratio in ratios.items():
+        max_ratio[g] = max(max_ratio.get(g, 0.0), ratio)
+    keep_p = {
+        f"{g}|{b}": (1.0 if g == reference_group else ratio / max_ratio[g])
+        for (g, b), ratio in ratios.items()
+    }
+
+    pmap = F.create_map(
+        *[F.lit(x) for kv in keep_p.items() for x in (kv[0], float(kv[1]))]
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**8))
+    )
+    cell = F.concat(F.col(group_col).cast("string"), F.lit("|"), bucket)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(group_col).alias("group"),
+            F.col(value_col).alias("value"),
+            bucket.alias("bucket"),
+            F.coalesce(pmap[cell], F.lit(0.0)).alias("__p"),
+        )
+        .filter(u < F.col("__p"))
+        .select("id", "group", "value", "bucket", F.round("__p", 6).alias("keep_p"))
+    )

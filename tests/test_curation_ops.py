@@ -347,3 +347,35 @@ def test_bpe_encode_shared_words_consistent(spark):
            bpe_encode(docs, "doc_id", "text", merges).collect()}
     assert out[1] == ["the", "c", "a", "t", "the"]
     assert out[2] == ["the"]
+
+
+def test_distribution_match_resample_shape(spark):
+    """The reference group passes through; a skewed group is thinned
+    toward the reference's bucket shape with per-bucket keep_p =
+    ratio / max_ratio (largest ratio keeps everything)."""
+    from etielle_spark.operators.clusters import distribution_match_resample
+
+    # ref: uniform over values 1..8 (two per quartile bucket); skew: all
+    # mass in the top bucket except one low row
+    rows = [(i, "ref", v) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8])]
+    rows += [(100 + i, "skew", 8) for i in range(9)]
+    rows += [(200, "skew", 1)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "val"])
+    out = distribution_match_resample(
+        df, "doc_id", "val", "grp", "ref", buckets=4
+    )
+    rowsc = out.collect()
+    ref_rows = [r for r in rowsc if r["group"] == "ref"]
+    assert len(ref_rows) == 8  # reference untouched, keep_p 1.0
+    assert all(r.keep_p == 1.0 for r in ref_rows)
+    skew = {r.id: r for r in rowsc if r["group"] == "skew"}
+    # skew bucket 1 ratio: ref_frac .25 / skew_frac .1 = 2.5 (max);
+    # bucket 4 ratio: .25 / .9 -> keep_p = (0.2777...) / 2.5 = 0.1111...
+    assert 200 in skew and skew[200].keep_p == 1.0
+    top = [r for r in skew.values() if r.bucket == 4]
+    assert all(abs(r.keep_p - round(0.25 / 0.9 / 2.5, 6)) < 1e-9 for r in top)
+    assert len(top) < 9  # actually thinned
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        distribution_match_resample(df, "doc_id", "val", "grp", "ref", buckets=1)
