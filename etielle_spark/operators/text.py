@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .dedup import _normalize, tokens_col
+from .dedup import _normalize, let_, tokens_col
 
 # Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
 # Public knowledge; intentionally small — language ID at scale is a
@@ -853,6 +853,25 @@ def classifier_score(
     return df.select(F.col(id_col).alias("id"), F.round(score, round_to).alias("score"))
 
 
+def _apply_bpe_merge(ts: Column, a: Column, b: Column) -> Column:
+    """One BPE merge applied exhaustively left-to-right: a fold carrying
+    the output array, combining the last element with the current one
+    whenever they equal (a, b)."""
+    return F.aggregate(
+        ts,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == a)
+            & (x == b),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(a, b)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     id_col: str,
@@ -896,21 +915,6 @@ def bpe_encode(
         ]
     )
 
-    def apply_merge(ts: Column, a: Column, b: Column) -> Column:
-        return F.aggregate(
-            ts,
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == a)
-                & (x == b),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.concat(a, b)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-
     spine = df.select(
         F.col(id_col),
         F.posexplode(tokens_col(F.col(text_col))).alias("pos", "w"),
@@ -923,7 +927,7 @@ def bpe_encode(
             F.aggregate(
                 mlit,
                 F.split(F.col("w"), ""),
-                lambda acc, m: apply_merge(acc, m["a"], m["b"]),
+                lambda acc, m: _apply_bpe_merge(acc, m["a"], m["b"]),
             ).alias("__bpe"),
         )
     )
@@ -940,3 +944,83 @@ def bpe_encode(
         )
         .withColumn("n_bpe", F.size("bpe_tokens").cast("bigint"))
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    *,
+    num_merges: int = 16,
+    min_count: int = 2,
+) -> "list[tuple[str, str]]":
+    """Full BPE tokenizer training (Sennrich et al. 2016): iteratively
+    pick the most frequent adjacent symbol pair and add it to the merge
+    table, ``num_merges`` times.  Ties break on pair text ascending so
+    training is deterministic across engines and runs.
+
+    Scale shape: training never touches the corpus again after ONE pass
+    that builds the (word, count) table — the classic trick, since pair
+    statistics only depend on distinct words weighted by frequency, and
+    the distinct-word table is Zipf-small.  Each round re-encodes that
+    table with the merges learned so far (the same Catalyst nested fold
+    as ``bpe_encode``, so plan depth stays constant) and aggregates
+    adjacent-pair counts; the driver collects exactly one row per round.
+
+    Stops early when the best pair's count falls below ``min_count``.
+    Returns the merge list, ready for ``bpe_encode``.
+    """
+    words = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("w") >= 2)
+        .persist()
+    )
+    words.count()
+    try:
+        merges: list[tuple[str, str]] = []
+        for _ in range(num_merges):
+            if merges:
+                mlit = F.array(
+                    *[
+                        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                        for a, b in merges
+                    ]
+                )
+                toks = F.aggregate(
+                    mlit,
+                    F.split(F.col("w"), ""),
+                    lambda acc, m: _apply_bpe_merge(acc, m["a"], m["b"]),
+                )
+            else:
+                toks = F.split(F.col("w"), "")
+            pairs = words.select(
+                F.col("wc"),
+                F.explode(
+                    let_(
+                        toks,
+                        lambda ts: F.zip_with(
+                            ts,
+                            F.slice(
+                                ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))
+                            ),
+                            lambda x, y: F.struct(
+                                x.alias("a"), y.alias("b")
+                            ),
+                        ),
+                    )
+                ).alias("p"),
+            ).filter(F.col("p.b").isNotNull())
+            best = (
+                pairs.groupBy("p")
+                .agg(F.sum("wc").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("p.a"), F.col("p.b"))
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["cnt"] < min_count:
+                break
+            merges.append((best[0]["p"]["a"], best[0]["p"]["b"]))
+        return merges
+    finally:
+        words.unpersist()

@@ -379,3 +379,72 @@ def test_distribution_match_resample_shape(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         distribution_match_resample(df, "doc_id", "val", "grp", "ref", buckets=1)
+
+
+def test_bpe_train_differential_exact(spark):
+    """bpe_train must replicate the exact Sennrich training loop: a
+    pure-Python trainer over the same tokenization, weighted by word
+    frequency, ties broken on (count desc, pair asc)."""
+    import re
+    from collections import Counter
+    from etielle_spark.operators.text import bpe_encode, bpe_train
+
+    texts = [
+        "the theme of the thesis is the theme",
+        "low lower lowest low low",
+        "new newer newest news new",
+        "the lower the newer the better",
+        "",
+    ]
+
+    def py_train(texts, num_merges, min_count):
+        words = Counter()
+        for t in texts:
+            t = t.lower().strip()
+            for w in (re.split(r"\s+", t) if t else []):
+                if len(w) >= 2:
+                    words[w] += 1
+        merges = []
+        for _ in range(num_merges):
+            enc = {}
+            for w in words:
+                toks = list(w)
+                for a, b in merges:
+                    out = []
+                    for x in toks:
+                        if out and out[-1] == a and x == b:
+                            out[-1] = a + b
+                        else:
+                            out.append(x)
+                    toks = out
+                enc[w] = toks
+            pairs = Counter()
+            for w, wc in words.items():
+                toks = enc[w]
+                for i in range(len(toks) - 1):
+                    pairs[(toks[i], toks[i + 1])] += wc
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            if best[1] < min_count:
+                break
+            merges.append(best[0])
+        return merges
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    got = bpe_train(df, "text", num_merges=8, min_count=2)
+    want = py_train(texts, 8, 2)
+    assert got == want, (got, want)
+
+    # and the trained merges drive bpe_encode end-to-end
+    out = bpe_encode(df.filter("doc_id = 1"), "doc_id", "text", got).collect()
+    assert out and all(t for t in out[0].bpe_tokens)
+
+
+def test_bpe_train_min_count_stop(spark):
+    from etielle_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([(1, "ab cd ef")], ["doc_id", "text"])
+    # every adjacent pair occurs once; min_count=2 stops immediately
+    assert bpe_train(df, "text", num_merges=5, min_count=2) == []
