@@ -7396,3 +7396,36 @@ def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src0",
         buckets=4,
     )
+
+
+@q(
+    "q180_k_anonymity",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             count(*) AS group_size,
+             count(DISTINCT c_acctbal > 0) AS distinct_sensitive
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment, group_size,
+           distinct_sensitive::BIGINT AS distinct_sensitive,
+           CASE WHEN group_size < 40 AND distinct_sensitive < 2 THEN 'k+l'
+                WHEN group_size < 40 THEN 'k'
+                ELSE 'l' END AS violation
+    FROM g WHERE group_size < 40 OR distinct_sensitive < 2
+    """,
+)
+def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit (operators/rules.py:k_anonymity_audit): customer
+    rows grouped by (nation, market segment) quasi-identifiers; groups
+    under k=40 members or with fewer than 2 distinct values of the
+    sensitive attribute (account-balance sign) are flagged."""
+    from .operators.rules import k_anonymity_audit
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "__sens", F.col("c_acctbal") > 0
+    )
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], 40,
+        sensitive_col="__sens", l=2,
+    )

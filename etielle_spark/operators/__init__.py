@@ -34,6 +34,7 @@ from .similarity import (
 from .sketches import hll_distinct, kmv_distinct
 from .text import (
     bpe_encode,
+    bpe_train,
     chunk_tokens,
     classifier_score,
     doc_fingerprint,
@@ -76,4 +77,5 @@ __all__ = [
     "lang_id",
     "doc_fingerprint",
     "bpe_encode",
+    "bpe_train",
 ]

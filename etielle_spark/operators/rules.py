@@ -58,3 +58,45 @@ def check_rules(df: DataFrame, rules: dict[str, Column | str]) -> DataFrame:
             ),
         )
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: "list[str]",
+    k: int,
+    *,
+    sensitive_col: "str | None" = None,
+    l: int | None = None,
+) -> DataFrame:
+    """Privacy audit before publishing a dataset: find quasi-identifier
+    groups that violate k-anonymity (fewer than ``k`` rows share the
+    combination) and, when ``sensitive_col`` is given, l-diversity
+    (fewer than ``l`` distinct sensitive values inside the group).
+
+    One groupBy over the quasi-identifier columns — partial aggregation
+    applies, nothing is collected; the violating-groups result is
+    typically tiny relative to the input.  Returns the quasi columns plus
+    ``group_size`` (and ``distinct_sensitive``), one row per violating
+    group, with ``violation`` naming which rule failed ('k', 'l', or
+    'k+l').
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if sensitive_col is not None and (l is None or l < 2):
+        raise ValueError("l must be >= 2 when sensitive_col is given")
+    aggs = [F.count(F.lit(1)).alias("group_size")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).alias("distinct_sensitive")
+        )
+    grouped = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(*aggs)
+    k_viol = F.col("group_size") < k
+    if sensitive_col is None:
+        return grouped.filter(k_viol).withColumn("violation", F.lit("k"))
+    l_viol = F.col("distinct_sensitive") < l
+    return grouped.filter(k_viol | l_viol).withColumn(
+        "violation",
+        F.when(k_viol & l_viol, F.lit("k+l"))
+        .when(k_viol, F.lit("k"))
+        .otherwise(F.lit("l")),
+    )

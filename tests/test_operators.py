@@ -1475,3 +1475,26 @@ def test_mutual_nn_mutuality(spark):
     out2 = {(r.left_id, r.right_id)
             for r in mutual_nn(left, right, candidates=cand).collect()}
     assert out2 == {(0, 5), (2, 3)}
+
+
+def test_k_anonymity_audit_rules(spark):
+    from etielle_spark.operators.rules import k_anonymity_audit
+
+    rows = [("a", 1, "x")] * 5 + [("b", 1, "x")] * 2 + [("c", 1, "x")] * 5
+    rows += [("c", 2, "y")] * 0
+    df = spark.createDataFrame(rows, ["qa", "qb", "sens"])
+    # k only
+    out = {(r.qa, r.qb): (r.group_size, r.violation)
+           for r in k_anonymity_audit(df, ["qa", "qb"], 3).collect()}
+    assert out == {("b", 1): (2, "k")}
+    # k + l: group a has 5 rows but only one sensitive value
+    out2 = {(r.qa, r.qb): r.violation
+            for r in k_anonymity_audit(
+                df, ["qa", "qb"], 3, sensitive_col="sens", l=2
+            ).collect()}
+    assert out2[("a", 1)] == "l" and out2[("b", 1)] == "k+l"
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        k_anonymity_audit(df, ["qa"], 1)
+    with _pt.raises(ValueError):
+        k_anonymity_audit(df, ["qa"], 3, sensitive_col="sens")
