@@ -7429,3 +7429,76 @@ def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, ["c_nationkey", "c_mktsegment"], 40,
         sensitive_col="__sens", l=2,
     )
+
+
+@q(
+    "q181_bpe_pack_pipeline",
+    f"""
+    WITH RECURSIVE
+    merges(rank, a, b) AS (VALUES {_BPE_MERGES_SQL}),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    spine AS (
+      SELECT doc_id, i AS pos, t[i+1] AS w
+      FROM toks, unnest(range(len(t))) AS u(i)
+    ),
+    words AS (SELECT DISTINCT w FROM spine),
+    enc AS (
+      SELECT w, 0 AS rank, regexp_extract_all(w, '.') AS toks FROM words
+      UNION ALL
+      SELECT w,
+        CASE WHEN pos IS NULL THEN rank + 1 ELSE rank END,
+        CASE WHEN pos IS NULL THEN toks
+             ELSE toks[1:pos-1] || [toks[pos] || toks[pos+1]] || toks[pos+2:]
+        END
+      FROM (
+        SELECT e.w, e.rank, e.toks,
+          list_min(list_filter(
+            list_transform(e.toks, (x, i) -> i),
+            i -> i < len(e.toks) AND e.toks[i] = m.a AND e.toks[i+1] = m.b
+          )) AS pos
+        FROM enc e JOIN merges m ON m.rank = e.rank
+      )
+      WHERE rank <= (SELECT max(rank) FROM merges)
+    ),
+    final_enc AS (
+      SELECT w, len(toks) AS wn FROM enc
+      WHERE rank = (SELECT max(rank) + 1 FROM merges)
+    ),
+    sized AS (
+      SELECT s.doc_id, s.doc_id % 8 AS bucket, sum(f.wn)::BIGINT AS n
+      FROM spine s JOIN final_enc f ON s.w = f.w
+      GROUP BY 1, 2
+    ),
+    ord AS (
+      SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      FROM sized
+    ),
+    packed AS (
+      SELECT bucket, rn, doc_id, n, 0::BIGINT AS seq, n AS cum
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.bucket, o.rn, o.doc_id, o.n,
+             CASE WHEN p.cum + o.n <= 128 THEN p.seq ELSE p.seq + 1 END,
+             CASE WHEN p.cum + o.n <= 128 THEN p.cum + o.n ELSE o.n END
+      FROM packed p JOIN ord o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+    )
+    SELECT bucket * 1000000000 + seq AS pack_id, bucket,
+           count(*) AS n_docs, sum(n) AS n_tokens,
+           list(doc_id ORDER BY doc_id) AS doc_ids
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenize-and-pack: BPE-encode every document with the
+    q174 merge table (operators/text.py:bpe_encode), then greedily pack
+    the resulting per-document BPE token counts into 128-token training
+    packs (operators/packing.py:pack_counts) — the tokenizer-apply and
+    example-packing stages of an LLM data pipeline as one DAG."""
+    from .operators.packing import pack_counts
+    from .operators.text import bpe_encode
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    encoded = bpe_encode(docs, "doc_id", "text", _BPE_MERGES)
+    return pack_counts(
+        encoded, "doc_id", "n_bpe", capacity=128, num_buckets=8
+    )

@@ -35,30 +35,28 @@ PACK_SCHEMA = (
 _PACKS_PER_BUCKET = 1_000_000_000
 
 
-def pack_sequences(
+def pack_counts(
     df: DataFrame,
     id_col: str,
-    text_col: str,
+    count_col: str,
     *,
     capacity: int,
     num_buckets: int = 32,
 ) -> DataFrame:
-    """Pack documents into ≤``capacity``-token groups, greedy first-fit
-    in ``id_col`` order within ``id % num_buckets`` buckets.
+    """Pack pre-counted items into ≤``capacity``-token groups, greedy
+    first-fit in ``id_col`` order within ``id % num_buckets`` buckets —
+    the counts-level core of :func:`pack_sequences`, composable with any
+    upstream tokenizer (e.g. ``bpe_encode``'s ``n_bpe``).
 
     Returns ``(pack_id, bucket, n_docs, n_tokens, doc_ids)`` with
     ``pack_id = bucket * 1e9 + seq`` and ``doc_ids`` sorted ascending.
-    Documents with zero tokens still occupy a pack slot (they carry
-    document boundaries/metadata in a real pipeline).
     """
-    from .dedup import tokens_col
-
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
 
     sized = df.select(
         F.col(id_col).cast("bigint").alias("doc_id"),
-        F.size(tokens_col(F.col(text_col))).cast("bigint").alias("n"),
+        F.col(count_col).cast("bigint").alias("n"),
         F.pmod(F.col(id_col).cast("bigint"), F.lit(num_buckets)).alias("bucket"),
     )
 
@@ -86,3 +84,31 @@ def pack_sequences(
         )
 
     return sized.groupBy("bucket").applyInPandas(pack_bucket, PACK_SCHEMA)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    capacity: int,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Pack documents into ≤``capacity``-token groups, greedy first-fit
+    in ``id_col`` order within ``id % num_buckets`` buckets; token counts
+    are whitespace tokens computed JVM-side (the text never reaches
+    Python — the Arrow transfer per document is ~16 bytes).
+
+    Documents with zero tokens still occupy a pack slot (they carry
+    document boundaries/metadata in a real pipeline).  See
+    :func:`pack_counts` for the counts-level core.
+    """
+    from .dedup import tokens_col
+
+    sized = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(tokens_col(F.col(text_col))).cast("bigint").alias("__n"),
+    )
+    return pack_counts(
+        sized, "__id", "__n", capacity=capacity, num_buckets=num_buckets
+    )
