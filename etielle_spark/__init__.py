@@ -8,8 +8,66 @@ SURVEY.md for the full capability map.
 """
 
 from .core import Field, TempField, Transform
-from .models import InstanceBuilder, field_of
-from .fluent import PipelineBuilder, PipelineResult, compile_emission, etl
+from .models import (
+    ConstructorBuilder,
+    InstanceBuilder,
+    PydanticBuilder,
+    PydanticPartialBuilder,
+    TypedDictBuilder,
+    field_of,
+)
+from .fluent import (
+    ErrorMode,
+    FieldUnion,
+    PipelineBuilder,
+    PipelineResult,
+    TableStats,
+    compile_emission,
+    etl,
+)
+from .corespec import (
+    CoreField,
+    MappingResult,
+    FieldSpec,
+    InstanceEmit,
+    IterationLevel,
+    MappingSpec,
+    TableEmit,
+    TraversalSpec,
+    run_mapping,
+)
+from .relationships import (
+    ManyToOneSpec,
+    RelationshipIncompleteError,
+    bind_many_to_one,
+    compute_relationship_keys,
+    validate_relationship_completeness,
+)
+from .streaming import (
+    BufferedKeyFlushStrategy,
+    CallableChunkSource,
+    Chunk,
+    ChunkSource,
+    ExternalPartitionChunkSource,
+    GroupByChunkSource,
+    KeyCompleteFlushStrategy,
+    OneRecordPerChunkSource,
+    PreSegmentedChunkSource,
+    UpsertFlushStrategy,
+    partitioned_chunks,
+    stream,
+)
+from .streaming.pipeline import FlushStrategy
+from .telemetry import (
+    FlushCompleted,
+    FlushFailed,
+    FlushStarted,
+    MapCompleted,
+    MapStarted,
+    TelemetryCallback,
+    TelemetryEvent,
+    TelemetryEventTypes,
+)
 from .policies import (
     AddPolicy,
     AppendPolicy,
@@ -22,7 +80,9 @@ from .policies import (
 )
 from .session import get_spark
 from .transforms import (
+    Context,
     apply,
+    apply_ctx,
     coalesce,
     concat,
     format_id,
@@ -77,6 +137,56 @@ __all__ = [
     "parent_index",
     "parent_key",
     "transform",
+    "Context",
+    "apply_ctx",
+    # reference API parity: builders
+    "ConstructorBuilder",
+    "TypedDictBuilder",
+    "PydanticBuilder",
+    "PydanticPartialBuilder",
+    # fluent-level aliases
+    "ErrorMode",
+    "FieldUnion",
+    "TableStats",
+    # core-API (plan-level) specs
+    "CoreField",
+    "FieldSpec",
+    "InstanceEmit",
+    "IterationLevel",
+    "MappingSpec",
+    "MappingResult",
+    "TableEmit",
+    "TraversalSpec",
+    "run_mapping",
+    # relationships
+    "ManyToOneSpec",
+    "RelationshipIncompleteError",
+    "bind_many_to_one",
+    "compute_relationship_keys",
+    "validate_relationship_completeness",
+    # streaming / chunking
+    "stream",
+    "Chunk",
+    "ChunkSource",
+    "OneRecordPerChunkSource",
+    "CallableChunkSource",
+    "GroupByChunkSource",
+    "PreSegmentedChunkSource",
+    "ExternalPartitionChunkSource",
+    "partitioned_chunks",
+    "FlushStrategy",
+    "KeyCompleteFlushStrategy",
+    "UpsertFlushStrategy",
+    "BufferedKeyFlushStrategy",
+    # telemetry
+    "TelemetryEvent",
+    "TelemetryEventTypes",
+    "TelemetryCallback",
+    "MapStarted",
+    "MapCompleted",
+    "FlushStarted",
+    "FlushCompleted",
+    "FlushFailed",
 ]
 
 __version__ = "0.1.0"

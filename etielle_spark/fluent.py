@@ -515,6 +515,21 @@ def _trailing_level(
 # ---------------------------------------------------------------------------
 
 
+# API-parity aliases (reference fluent.py:41, 78)
+ErrorMode = str  # "collect" | "fail_fast"
+FieldUnion = Union[Field, TempField]
+
+
+@dataclass
+class TableStats:
+    """Per-table execution statistics (reference fluent.py:164-178)."""
+
+    mapped: int
+    errors: int
+    inserted: int = 0
+    failed: int = 0
+
+
 class PipelineResult:
     """Output tables as DataFrames (reference: PipelineResult/tables proxy,
     etielle/fluent.py:181-282)."""
@@ -534,6 +549,9 @@ class PipelineResult:
         self.write_order = write_order
         self._public_map = public_map or {}
         self._model_classes = model_classes or {}
+        # populated by run()'s flush when a sink is attached
+        self._flushed: dict[str, int] = {}
+        self._flush_failed: dict[str, int] = {}
 
     def __getitem__(self, name) -> DataFrame:
         # table name or model class (reference tables proxy,
@@ -601,6 +619,21 @@ class PipelineResult:
                 "mapped": df.count(),
                 "errors": errs.count() if errs is not None else 0,
             }
+        return out
+
+    def table_stats(self) -> dict[str, "TableStats"]:
+        """Per-table :class:`TableStats` (reference fluent.py:164-178).
+        ``inserted``/``failed`` are populated by ``run()``'s flush when a
+        sink is attached; without one they are 0, as in the reference's
+        no-session mode."""
+        out: dict[str, TableStats] = {}
+        for name, counts in self.stats().items():
+            out[name] = TableStats(
+                mapped=counts["mapped"],
+                errors=counts["errors"],
+                inserted=self._flushed.get(name, 0),
+                failed=self._flush_failed.get(name, 0),
+            )
         return out
 
     def row_set(self, name: str, *cols: str) -> set[tuple]:
@@ -997,6 +1030,7 @@ class PipelineBuilder:
                     obs = Observation()
                     df = df.observe(obs, F.count(F.lit(1)).alias("inserted"))
                     self._sink.write(t, df)
+                    result._flushed[t] = obs.get["inserted"]
                     emit(
                         self._on_event,
                         FlushCompleted(t, inserted=obs.get["inserted"]),

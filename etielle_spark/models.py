@@ -193,3 +193,47 @@ class InstanceBuilder:
 
     def build_all(self, cls: Optional[type], rows: list[dict]) -> list[Any]:
         return [self.build(cls, r) for r in rows]
+
+
+class ConstructorBuilder(InstanceBuilder):
+    """Instances via plain ``cls(**fields)`` (reference
+    instances.py:363-383) — the default ``build`` already constructs
+    through the constructor; this subclass pins that behavior by name."""
+
+
+class TypedDictBuilder(InstanceBuilder):
+    """TypedDict instances ARE dicts (reference instances.py:341-360),
+    restricted to the class's declared keys when a class is given."""
+
+    def build(self, cls, data):
+        if cls is not None and hasattr(cls, "__annotations__"):
+            known = set(cls.__annotations__)
+            return {k: v for k, v in data.items() if k in known}
+        return dict(data)
+
+
+class PydanticBuilder(InstanceBuilder):
+    """Validating pydantic construction (reference instances.py:279-307):
+    ``model_validate`` so field validators run; raises on invalid rows."""
+
+    def build(self, cls, data):
+        if cls is not None and hasattr(cls, "model_validate"):
+            known = set(cls.model_fields)
+            return cls.model_validate(
+                {k: v for k, v in data.items() if k in known}
+            )
+        return super().build(cls, data)
+
+
+class PydanticPartialBuilder(InstanceBuilder):
+    """Non-validating pydantic construction (reference
+    instances.py:310-338): ``model_construct`` — rows that failed
+    schema validation upstream can still materialize for inspection."""
+
+    def build(self, cls, data):
+        if cls is not None and hasattr(cls, "model_construct"):
+            known = set(cls.model_fields)
+            return cls.model_construct(
+                **{k: v for k, v in data.items() if k in known}
+            )
+        return super().build(cls, data)

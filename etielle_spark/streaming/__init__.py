@@ -18,6 +18,7 @@ from .chunks import (
     CallableChunkSource,
     Chunk,
     ChunkSource,
+    ExternalPartitionChunkSource,
     GroupByChunkSource,
     OneRecordPerChunkSource,
     PreSegmentedChunkSource,
@@ -40,6 +41,7 @@ __all__ = [
     "CallableChunkSource",
     "GroupByChunkSource",
     "PreSegmentedChunkSource",
+    "ExternalPartitionChunkSource",
     "partitioned_chunks",
     "RelationshipIncompleteError",
     "stream",

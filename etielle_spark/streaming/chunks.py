@@ -100,3 +100,19 @@ def partitioned_chunks(records: Iterable[Any], key: Callable[[Any], Any]) -> Ite
         buckets.setdefault(key(r), []).append(r)
     for _k, rs in buckets.items():  # dicts preserve first-appearance order
         yield Chunk(roots=tuple(rs), sequential=True)
+
+
+class ExternalPartitionChunkSource(ChunkSource):
+    """API-parity wrapper over :func:`partitioned_chunks` (reference
+    chunking.py:149-232): one chunk per distinct key in first-appearance
+    order.  The reference's disk-spill two-pass partitioner is a
+    hand-rolled hash shuffle; for DataFrame-shaped input use
+    ``df.repartition(key)`` instead — this class exists so reference
+    call-sites port verbatim for driver-side iterables."""
+
+    def __init__(self, records: Iterable[Any], key: Callable[[Any], Any]):
+        self._records = records
+        self._key = key
+
+    def chunks(self) -> Iterator[Chunk]:
+        yield from partitioned_chunks(self._records, self._key)

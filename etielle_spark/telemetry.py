@@ -10,7 +10,7 @@ for on-demand per-table counts (the reference's TableStats).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Optional, Union
 
 
 @dataclass(frozen=True)
@@ -50,3 +50,18 @@ def emit(callback: Optional[Callable[[Any], None]], event: Any) -> None:
     except Exception:
         # reference swallows callback errors (telemetry.py:118-124)
         pass
+
+
+# API-parity aliases (reference telemetry.py): the event union, the
+# isinstance-check tuple, and the callback signature.
+TelemetryEvent = Union[
+    MapStarted, MapCompleted, FlushStarted, FlushCompleted, FlushFailed
+]
+TelemetryEventTypes = (
+    MapStarted,
+    MapCompleted,
+    FlushStarted,
+    FlushCompleted,
+    FlushFailed,
+)
+TelemetryCallback = Callable[[Any], None]

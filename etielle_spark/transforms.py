@@ -10,6 +10,8 @@ pyspark.sql.functions at compile time (whole-stage codegen, vectorized).
 
 from __future__ import annotations
 
+import dataclasses
+
 from typing import Any, Callable, Optional, Sequence, Union
 
 from pyspark.sql import Column, functions as F
@@ -28,6 +30,8 @@ from .core import (
 )
 
 __all__ = [
+    "Context",
+    "apply_ctx",
     "get",
     "get_from_root",
     "get_from_parent",
@@ -501,10 +505,112 @@ def transform(func: Callable) -> Callable[..., Transform]:
         .map_to(..., fields=[Field("loud", shout(suffix="?!", returns="string"))])
     """
 
-    def factory(*args: Any, returns: Union[str, T.DataType] = "string", **kwargs: Any) -> Transform:
+    def factory(
+        *args: Any,
+        returns: Union[str, T.DataType] = "string",
+        context: bool = False,
+        **kwargs: Any,
+    ) -> Transform:
+        if context:
+            # reference-parity signature: func(ctx, *args) with the full
+            # Context chain (see apply_ctx)
+            return apply_ctx(
+                lambda ctx: func(ctx, *args, **kwargs), return_type=returns
+            )
+
         def fn(value: Any) -> Any:
             return func(value, *args, **kwargs)
 
         return apply(fn, node(), return_type=returns)
 
     return factory
+
+
+@dataclasses.dataclass
+class Context:
+    """Reference-parity per-row traversal context (reference
+    core.py:28-51), materialized ONLY inside context-aware UDFs
+    (``apply(..., with_context=True)`` / ``@transform`` with
+    ``context=True``).
+
+    The compiled engine has no per-row context objects — transforms are
+    Column expressions — so this chain is synthesized from the traversal
+    level columns at UDF call time: ``node`` / ``key`` / ``index`` per
+    level, ``parent`` walking outward, ``root`` at the top.  ``path`` is
+    not reconstructed (the static path is compile-time information;
+    ``slots`` likewise has no analog) — both documented divergences.
+    """
+
+    root: Any
+    node: Any
+    parent: Optional["Context"]
+    key: Optional[str]
+    index: Optional[int]
+
+
+def _context_col(env: CompileEnv) -> Column:
+    """One struct column carrying every traversal level's
+    (node, key, index) — the raw material for rebuilding the Context
+    chain inside the UDF."""
+    entries = []
+    for d, lvl in enumerate(env.levels):
+        node_col = lvl.node
+        if lvl.dtype is not None:
+            node_col, _ = strip_marker_fields(node_col, lvl.dtype)
+        key_col = (
+            lvl.key.cast("string")
+            if lvl.key is not None
+            else F.lit(None).cast("string")
+        )
+        idx_col = (
+            lvl.pos.cast("int")
+            if (lvl.pos is not None and lvl.key is None)
+            else F.lit(None).cast("int")
+        )
+        entries.append(
+            F.struct(
+                node_col.alias("node"),
+                key_col.alias("key"),
+                idx_col.alias("index"),
+            ).alias(f"l{d}")
+        )
+    return F.struct(*entries)
+
+
+def _rebuild_context(packed: Any) -> Context:
+    from .fluent import _plain_py
+
+    levels = [packed[f"l{d}"] for d in range(len(packed.__fields__))]
+    root_val = _plain_py(levels[0]["node"])
+    ctx: Optional[Context] = None
+    for lvl in levels:
+        ctx = Context(
+            root=root_val,
+            node=_plain_py(lvl["node"]),
+            parent=ctx,
+            key=lvl["key"],
+            index=lvl["index"],
+        )
+    assert ctx is not None
+    return ctx
+
+
+def apply_ctx(
+    func: Callable[[Context], Any],
+    *,
+    return_type: Union[str, T.DataType] = "string",
+) -> Transform:
+    """Context-aware ``apply`` (reference transforms.py:206-212 with the
+    full Context signature): the UDF receives a :class:`Context` chain —
+    ``ctx.node`` / ``ctx.key`` / ``ctx.index`` / ``ctx.parent`` /
+    ``ctx.root`` — exactly like a reference transform.  Strictly the
+    slow path: the context struct rides through Arrow per row; prefer
+    ``get`` / ``key`` / ``map_column`` compositions wherever possible.
+    """
+
+    def _c(env: CompileEnv):
+        udf = F.udf(lambda packed: func(_rebuild_context(packed)), return_type)
+        dt = return_type if isinstance(return_type, T.DataType) else None
+        return udf(_context_col(env)), dt
+
+    return Transform(_c)
