@@ -13,9 +13,11 @@ distributed engine and documented here once:
   :class:`~etielle_spark.fluent.PipelineResult` of DataFrames
   (``.rows()`` / ``.instances()`` recover driver-side objects);
 - ``Context`` (the reference's per-node traversal handle,
-  core.py:28-71) has no object analog — transforms compile to Column
-  expressions against :class:`~etielle_spark.core.CompileEnv` instead of
-  interpreting a context chain per row;
+  core.py:28-71) exists only inside context-aware UDFs — transforms
+  compile to Column expressions against
+  :class:`~etielle_spark.core.CompileEnv`, and
+  :func:`~etielle_spark.transforms.apply_ctx` materializes the
+  node/key/index/parent/root chain for the rows that need it;
 - ``FlushContext`` (chunking.py:236-256, a SQLAlchemy-session flush
   bundle) and ``MappingRuntimeState`` (executor.py:13-16, cross-root
   auto-key counters) are interpreter internals: flushing here is
