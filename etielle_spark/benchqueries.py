@@ -7502,3 +7502,151 @@ def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_counts(
         encoded, "doc_id", "n_bpe", capacity=128, num_buckets=8
     )
+
+
+@q(
+    "q182_grouping_sets",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           grouping(o_orderpriority)::INT AS g_prio,
+           grouping(o_orderstatus)::INT AS g_status
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form behind cube/rollup (q38/q52):
+    four explicit aggregation granularities in ONE pass over orders
+    (Spark expands to a single Expand + hash aggregate, not four scans),
+    with grouping() flags disambiguating NULL-as-total from NULL data."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__q182_orders")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status
+        FROM __q182_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus), ())
+    """)
+
+
+@q(
+    "q183_window_functions",
+    """
+    SELECT c_custkey,
+           c_mktsegment,
+           round(c_acctbal, 2) AS bal,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           round(first_value(c_acctbal) OVER w, 2) AS seg_min_bal,
+           round(nth_value(c_acctbal, 3) OVER
+                 (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS third_bal,
+           round(lag(c_acctbal, 2, -1.0) OVER w, 2) AS lag2_bal,
+           round(lead(c_acctbal, 1, -1.0) OVER w, 2) AS next_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    QUALIFY row_number() OVER w <= 50
+    """,
+)
+def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window-function surface: percent_rank / cume_dist /
+    first_value / nth_value (explicit ROWS frame) / lag+lead with
+    defaults, all sharing ONE window shuffle per segment; deterministic
+    total order via the (acctbal, custkey) tie-break."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("bal"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.round(F.first_value(F.col("c_acctbal")).over(w), 2).alias("seg_min_bal"),
+        F.round(F.nth_value(F.col("c_acctbal"), 3).over(wf), 2).alias("third_bal"),
+        F.round(F.lag("c_acctbal", 2, -1.0).over(w), 2).alias("lag2_bal"),
+        F.round(F.lead("c_acctbal", 1, -1.0).over(w), 2).alias("next_bal"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    return out.filter(F.col("__rn") <= 50).drop("__rn")
+
+
+@q(
+    "q184_calendar_functions",
+    """
+    SELECT o_orderkey,
+           o_orderdate,
+           date_trunc('week', o_orderdate)::DATE AS week_start,
+           date_trunc('quarter', o_orderdate)::DATE AS quarter_start,
+           last_day(o_orderdate) AS month_end,
+           dayofweek(o_orderdate)::INT AS dow,
+           dayofyear(o_orderdate)::INT AS doy,
+           weekofyear(o_orderdate)::INT AS woy,
+           (o_orderdate + INTERVAL 3 MONTH)::DATE AS plus_3m,
+           date_diff('day', o_orderdate, DATE '1998-12-31')::INT
+             AS days_to_end
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar/date function surface over orders: week/quarter
+    truncation, month end, day-of-week/year, ISO week, month
+    arithmetic, day difference — all codegen'd projections on one scan.
+    DuckDB's dayofweek is 0=Sunday..6; Spark's dayofweek is 1=Sunday..7,
+    aligned via -1."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week_start"),
+        F.date_trunc("quarter", F.col("o_orderdate")).cast("date").alias("quarter_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
+        F.dayofyear("o_orderdate").cast("int").alias("doy"),
+        F.weekofyear("o_orderdate").cast("int").alias("woy"),
+        F.add_months("o_orderdate", 3).alias("plus_3m"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate"))
+        .cast("int")
+        .alias("days_to_end"),
+    )
+
+
+@q(
+    "q185_statistical_aggregates",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4)
+             AS intercept,
+           regr_count(l_extendedprice, l_quantity) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface per return flag: sample
+    stddev/variance, covariance, correlation, and least-squares
+    regression slope/intercept/count — one hash aggregate with partial
+    (map-side) combine; every function is algebraic, so the shuffle
+    carries O(groups) state."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )
