@@ -7650,3 +7650,136 @@ def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
         F.regr_count("l_extendedprice", "l_quantity").alias("n"),
     )
+
+
+@q(
+    "q186_lateral_topn",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) o
+    WHERE c.c_custkey < 200
+    """,
+)
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — top-2 orders per customer expressed
+    as the SQL-standard lateral form; Catalyst decorrelates it into the
+    same join + per-key window plan a hand-written ranking would produce
+    (no per-customer re-execution)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__q186_c")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q186_o")
+    return spark.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM __q186_c c,
+        LATERAL (
+          SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+          FROM __q186_o
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) o
+        WHERE c.c_custkey < 200
+    """)
+
+
+@q(
+    "q187_higher_order_functions",
+    """
+    WITH lines AS (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             round(l_extendedprice, 2) AS p
+      FROM lineitem WHERE l_orderkey < 400
+    ),
+    per_order AS (
+      -- one ordered collect with a full tie-break (duplicate line
+      -- numbers exist), projected into aligned parallel arrays
+      SELECT l_orderkey,
+             list(l_quantity ORDER BY l_linenumber, l_quantity, p) AS qtys,
+             list(p ORDER BY l_linenumber, l_quantity, p) AS prices
+      FROM lines GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           list_transform(qtys, q -> q * 2) AS doubled,
+           list_filter(qtys, q -> q > 25) AS big_qtys,
+           list_sum(qtys) AS total_qty,
+           len(list_filter(qtys, q -> q > 25)) > 0 AS any_big,
+           len(list_filter(qtys, q -> q > 0)) = len(qtys) AS all_positive,
+           list_transform(list_zip(qtys, prices),
+                          t -> round(t[1] * t[2], 2)) AS line_amounts
+    FROM per_order
+    """,
+)
+def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function surface: transform / filter /
+    aggregate (sum) / exists / forall / zip_with, applied per order with
+    a deterministic line order — the codegen'd array algebra every
+    array-typed pipeline column relies on."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
+    # one ordered collect with a full tie-break (duplicate line numbers
+    # exist in the synthetic data), projected into aligned arrays
+    per = (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "l_linenumber",
+                        "l_quantity",
+                        F.round("l_extendedprice", 2).alias("p"),
+                    )
+                )
+            ).alias("__lines")
+        )
+        .select(
+            "l_orderkey",
+            F.transform("__lines", lambda s: s["l_quantity"]).alias("qtys"),
+            F.transform("__lines", lambda s: s["p"]).alias("prices"),
+        )
+    )
+    return per.select(
+        "l_orderkey",
+        F.transform("qtys", lambda q: q * 2).alias("doubled"),
+        F.filter("qtys", lambda q: q > 25).alias("big_qtys"),
+        F.aggregate("qtys", F.lit(0.0), lambda a, q: a + q).alias("total_qty"),
+        F.exists("qtys", lambda q: q > 25).alias("any_big"),
+        F.forall("qtys", lambda q: q > 0).alias("all_positive"),
+        F.zip_with(
+            "qtys", "prices", lambda q, p: F.round(q * p, 2)
+        ).alias("line_amounts"),
+    )
+
+
+@q(
+    "q188_unpivot_amounts",
+    """
+    SELECT l_orderkey, l_linenumber, component, round(amount, 2) AS amount
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax
+      FROM lineitem WHERE l_orderkey < 300
+    )
+    UNPIVOT (amount FOR component IN (l_extendedprice, l_discount, l_tax))
+    """,
+)
+def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT (DataFrame.unpivot / melt): the three money
+    components of each line item as (component, amount) rows — a
+    projection-time Expand, one scan, no shuffle."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    out = l.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "component",
+        "amount",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "component",
+        F.round("amount", 2).alias("amount"),
+    )
