@@ -51,3 +51,70 @@ def running_counts(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize_stateful(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Streaming gap-based sessionization with cross-batch state — the
+    stateful twin of ``operators.events.sessionize``.
+
+    State per key: the OPEN session (start, last-seen, count) as epoch
+    seconds.  Each batch's events are processed in timestamp order; an
+    event more than ``gap_seconds`` after the last closes the open
+    session (one output row) and starts a new one.  Only CLOSED sessions
+    are emitted — the final open session per key stays in the state
+    store until a later event (or a caller-fed sentinel) closes it,
+    which is what makes re-delivered batches append-safe.
+
+    State is O(keys) regardless of stream length; events inside one
+    batch are Arrow-batched through a single Python call per key.
+    """
+
+    key_type = dict(zip(df.schema.names, df.schema))[key_col].dataType.simpleString()
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        start, last, count = state.get if state.exists else (None, None, 0)
+        closed: list[tuple[int, int, int]] = []
+        ts_all: list[int] = []
+        for pdf in pdfs:
+            ts_all.extend(
+                int(t)
+                for t in (pdf[ts_col].astype("int64") // 1_000_000_000)
+            )
+        for t in sorted(ts_all):
+            if start is None:
+                start, last, count = t, t, 1
+            elif t - last > gap_seconds:
+                closed.append((start, last, count))
+                start, last, count = t, t, 1
+            else:
+                last, count = t, count + 1
+        state.update((start, last, count))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(closed),
+                "session_start": [c[0] for c in closed],
+                "session_end": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} {key_type}, session_start long, session_end long, "
+            "n_events long"
+        ),
+        stateStructType="start long, last long, count long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

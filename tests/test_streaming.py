@@ -607,3 +607,73 @@ def test_incremental_dedup_foreachbatch_stream(spark, tmp_path):
         ).collect()
     }
     assert set(collected) == expected and expected
+
+
+def test_sessionize_stateful_matches_batch(spark):
+    """Streaming stateful sessionization emits exactly the CLOSED
+    sessions that the batch sessionizer computes on the same events —
+    differential check, state carried across micro-batches."""
+    import datetime
+    import tempfile
+
+    from etielle_spark.operators.events import sessionize
+    from etielle_spark.streaming.stateful import sessionize_stateful
+
+    def ts(m):
+        return datetime.datetime(2026, 1, 1, 10, m, 0)
+
+    # user 1: sessions [0-2], [40-41], open [55]; user 2: [5], open [50]
+    b1 = [(1, ts(0)), (1, ts(1)), (2, ts(5)), (1, ts(2))]
+    b2 = [(1, ts(40)), (1, ts(41)), (2, ts(50)), (1, ts(55))]
+
+    src = tempfile.mkdtemp(prefix="sess_src_")
+    spark.createDataFrame(b1, "k long, ts timestamp").coalesce(1).write.parquet(f"{src}/b1")
+    spark.createDataFrame(b2, "k long, ts timestamp").coalesce(1).write.parquet(f"{src}/b2")
+    # the file source orders batches by modification time; pin b2 after b1
+    # so the micro-batches deliver in event order
+    import os, time as _time
+
+    now = _time.time()
+    for d, off in ((f"{src}/b1", 0), (f"{src}/b2", 30)):
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (now + off, now + off))
+
+    stream_df = (
+        spark.readStream.schema("k long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    out = sessionize_stateful(stream_df, "k", "ts", gap_seconds=600)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+
+    batch = sessionize(
+        spark.createDataFrame(b1 + b2, "k long, ts timestamp"),
+        "k", "ts", gap_seconds=600,
+    ).collect()
+    # drop each user's LAST session (still open in the state store)
+    last_per_user = {}
+    for r in batch:
+        if r["k"] not in last_per_user or r["session_id"] > last_per_user[r["k"]]["session_id"]:
+            last_per_user[r["k"]] = r
+    want = {
+        (
+            r["k"],
+            int(r["session_start"].timestamp()),
+            int(r["session_end"].timestamp()),
+            r["n_events"],
+        )
+        for r in batch
+        if r is not last_per_user[r["k"]]
+    }
+    assert got == want and len(got) == 3
