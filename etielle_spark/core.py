@@ -42,7 +42,23 @@ NULL = T.NullType()
 # reference's Python dict iteration yields (no phantom (key, NULL) rows)
 # and in the original insertion order.  Both are internal: they are
 # filtered out of iteration/len_of and stripped from materialized values.
-MARKER_FIELDS = ("__empty__", "__keys__")
+MARKER_FIELDS = ("__empty__", "__keys__", "__variant__")
+
+
+def is_variant_wrapper(dtype) -> bool:
+    """A serialize-time variant wrapper (see fluent._prepare_obj #3):
+    a struct carrying the raw JSON of a kind-mixed value in its
+    ``__variant__`` field."""
+    return isinstance(dtype, T.StructType) and any(
+        f.name == "__variant__" for f in dtype.fields
+    )
+
+
+def unwrap_variant(col: Column, dtype):
+    """(col, dtype) with any wrapper replaced by the parsed variant."""
+    if is_variant_wrapper(dtype):
+        return F.parse_json(col.getField("__variant__")), T.VariantType()
+    return col, dtype
 
 
 def has_marker_fields(dtype: T.DataType) -> bool:
@@ -81,6 +97,8 @@ def strip_marker_fields(col: Column, dtype: T.DataType):
     (column, dtype) unchanged when no marker is present.  A pure-{} struct
     (markers are its only fields) is left as-is — the representation
     boundary for emitting an empty dict verbatim."""
+    if is_variant_wrapper(dtype):
+        return F.parse_json(col.getField("__variant__")), T.VariantType()
     if not has_marker_fields(dtype):
         return col, dtype
     if isinstance(dtype, T.StructType):
@@ -114,13 +132,14 @@ def resolve_path(col: Column, dtype: T.DataType, segments: Sequence[PathSeg]):
     yield a NULL column (reference: etielle/transforms.py:95-114 returns
     None in those cases).  Returns ``(Column, DataType)``.
     """
+    col, dtype = unwrap_variant(col, dtype)
     for seg in segments:
         if isinstance(dtype, T.StructType):
             names = {f.name: f for f in dtype.fields}
             seg_s = str(seg)
             if seg_s in names:
                 col = col.getField(seg_s)
-                dtype = names[seg_s].dataType
+                col, dtype = unwrap_variant(col, names[seg_s].dataType)
             else:
                 return F.lit(None), NULL
         elif isinstance(dtype, T.ArrayType):
@@ -160,6 +179,9 @@ class LevelEnv:
     dtype: T.DataType
     key: Optional[Column] = None  # dict-iteration key (string) or None
     pos: Optional[Column] = None  # list/dict-entry position or None
+    # variant levels dispatch list-vs-dict PER ROW: key is NULL for array
+    # rows, set for object rows — key()/index() become row-level CASEs
+    variant: bool = False
 
 
 @dataclass

@@ -150,7 +150,44 @@ def _json_key(k: Any) -> str:
     return str(k)
 
 
-def _prepare_obj(obj: Any) -> Any:
+def _collect_kinds(obj: Any, path: tuple, kinds: dict) -> None:
+    """Record the JSON kind (dict / list / scalar) observed at every path
+    across a batch of roots; list elements share one path segment ('*')
+    because spark.read.json infers one element type per array."""
+    if obj is None:
+        return
+    if isinstance(obj, dict):
+        kinds.setdefault(path, set()).add("d")
+        for k, v in obj.items():
+            _collect_kinds(v, path + (_json_key(k),), kinds)
+    elif isinstance(obj, list):
+        kinds.setdefault(path, set()).add("l")
+        for v in obj:
+            _collect_kinds(v, path + ("*",), kinds)
+    else:
+        kinds.setdefault(path, set()).add("s")
+
+
+def _variant_paths(objs: list) -> frozenset:
+    """Paths where sibling documents DISAGREE on list vs dict vs scalar —
+    spark.read.json would squash those to raw JSON strings, destroying
+    the values; they are wrapped as variants instead (see _prepare_obj).
+    Only the OUTERMOST mixed path per branch is returned (everything
+    below it rides inside the variant payload)."""
+    kinds: dict = {}
+    for o in objs:
+        _collect_kinds(o, (), kinds)
+    mixed = {p for p, ks in kinds.items() if len(ks) > 1}
+    out = set()
+    for p in mixed:
+        if not any(p[:i] in mixed for i in range(len(p))):
+            out.add(p)
+    return frozenset(out)
+
+
+def _prepare_obj(
+    obj: Any, variant_paths: frozenset = frozenset(), path: tuple = ()
+) -> Any:
     """Serialize-time markers for in-memory JSON roots.
 
     1. {} -> {"__empty__": None}: spark.read.json silently DROPS fields
@@ -162,11 +199,19 @@ def _prepare_obj(obj: Any) -> Any:
        per row (phantom (key, NULL) entries) in alphabetical schema order;
        __keys__ restores exact per-row membership and insertion order —
        the reference's Python dict semantics.
+    3. Paths where sibling documents mix list/dict/scalar kinds (from
+       ``_variant_paths``) serialize as ``{"__variant__": <raw json>}``:
+       schema inference would squash the mix to a useless string, while
+       parse_json of the payload yields a faithful VariantType value —
+       per-row key membership included, so no ``__keys__`` is needed
+       inside.
 
     DataFrame roots carry no markers: there the struct schema itself is
     the document shape (a known representation boundary — every row
     iterates the full schema).
     """
+    if path in variant_paths and obj is not None:
+        return {"__variant__": json.dumps(obj)}
     if isinstance(obj, dict):
         if not obj:
             return {"__empty__": None}
@@ -180,11 +225,11 @@ def _prepare_obj(obj: Any) -> Any:
                     f"{jk!r} (internal serialization marker)"
                 )
             keys.append(jk)
-            out[jk] = _prepare_obj(v)
+            out[jk] = _prepare_obj(v, variant_paths, path + (jk,))
         out["__keys__"] = keys
         return out
     if isinstance(obj, list):
-        return [_prepare_obj(v) for v in obj]
+        return [_prepare_obj(v, variant_paths, path + ("*",)) for v in obj]
     return obj
 
 
@@ -194,7 +239,9 @@ def _df_from_obj(spark: SparkSession, obj: Any) -> tuple[DataFrame, T.DataType]:
     The root is wrapped so top-level lists/scalars stay a single node
     (spark.read.json would otherwise explode a top-level array into rows).
     """
-    payload = json.dumps({"__root__": _prepare_obj(obj)})
+    payload = json.dumps(
+        {"__root__": _prepare_obj(obj, _variant_paths([obj]))}
+    )
     jdf = spark.read.json(spark.sparkContext.parallelize([payload], 1))
     if "__root__" not in jdf.columns:
         # e.g. root == {} or None: no inferable schema
@@ -263,6 +310,52 @@ def _explode_level(
         # statically-missing path: zero rows
         df2 = df.filter(F.lit(False)).select("*", F.lit(None).alias(n))
         env.levels.append(LevelEnv(node=F.col(n), dtype=T.NullType()))
+        return df2, env
+
+    if isinstance(dtype, T.VariantType) and mode in ("auto", "items"):
+        # mixed kinds across sibling documents: per-row dispatch through
+        # LATERAL variant_explode_outer — array rows iterate with pos,
+        # object rows with (pos, key), non-null scalar rows behave as
+        # "single" (auto mode), null/VOID rows yield zero rows; exactly
+        # the reference's per-node auto semantics (executor:24-140) when
+        # siblings disagree on list vs dict vs scalar.
+        import uuid
+
+        src = f"__v{lvl}"
+        staged = df.select("*", nav.alias(src))
+        tmp = f"__etielle_variant_{lvl}_{uuid.uuid4().hex[:12]}"
+        staged.createOrReplaceTempView(tmp)
+        spark = staged.sparkSession
+        ex = spark.sql(
+            f"SELECT t.*, e.pos AS {p}, e.key AS {k}, e.value AS __e{lvl} "
+            f"FROM {tmp} t, LATERAL variant_explode_outer(t.{src}) e"
+        )
+        spark.catalog.dropTempView(tmp)
+        kind = F.schema_of_variant(F.col(src))
+        container = kind.startswith("ARRAY") | kind.startswith("OBJECT")
+        scalar = (
+            F.col(src).isNotNull() & ~container & (kind != F.lit("VOID"))
+        )
+        if mode == "items":
+            keep = kind.startswith("OBJECT") & F.col(p).isNotNull()
+        else:
+            keep = (container & F.col(p).isNotNull()) | scalar
+        df2 = ex.filter(keep).select(
+            "*",
+            F.when(scalar, F.col(src)).otherwise(F.col(f"__e{lvl}")).alias(n),
+            # raw entry position: NULL for scalar-single rows, so index()
+            # reports None exactly like the reference's non-iterated node
+            F.col(p).cast("long").alias(f"__pp{lvl}"),
+        ).drop(f"__e{lvl}", p).withColumnRenamed(f"__pp{lvl}", p)
+        env.levels.append(
+            LevelEnv(
+                node=F.col(n),
+                dtype=T.VariantType(),
+                key=F.col(k),
+                pos=F.col(p),
+                variant=True,
+            )
+        )
         return df2, env
 
     if mode == "single" or (
@@ -412,13 +505,17 @@ def _unify_types(types: list[T.DataType]) -> T.DataType:
     ``VariantType`` — a single column type that faithfully holds any JSON
     value, so the scalar sibling keeps its value instead of reading NULL
     (the round-1 representation boundary)."""
+    from .core import is_variant_wrapper
+
     non_null = [t for t in types if not isinstance(t, T.NullType)]
     if not non_null:
         return T.NullType()
     first = non_null[0]
-    if all(t == first for t in non_null):
+    if all(t == first for t in non_null) and not is_variant_wrapper(first):
         return first
-    if any(isinstance(t, T.VariantType) for t in non_null):
+    if any(
+        isinstance(t, T.VariantType) or is_variant_wrapper(t) for t in non_null
+    ):
         return T.VariantType()
     structs = [t for t in non_null if isinstance(t, T.StructType)]
     arrays = [t for t in non_null if isinstance(t, T.ArrayType)]
@@ -469,6 +566,8 @@ def _project_to(col: Column, src: T.DataType, dst: T.DataType) -> Column:
         # value itself); structs and struct-bearing containers need
         # to_variant_object, scalar/plain-array kinds cast directly
         col, src = strip_marker_fields(col, src)
+        if isinstance(src, T.VariantType):  # unwrapped serialize-time wrapper
+            return col
         if isinstance(src, (T.StructType, T.MapType)) or _contains_struct(src):
             return F.to_variant_object(col)
         return col.cast(T.VariantType())

@@ -23,7 +23,7 @@ from typing import Any, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..fluent import PipelineBuilder, PipelineResult, _prepare_obj
+from ..fluent import PipelineBuilder, PipelineResult, _prepare_obj, _variant_paths
 from .chunks import Chunk, ChunkSource, RelationshipIncompleteError
 
 
@@ -241,8 +241,10 @@ class StreamPipeline(PipelineBuilder):
                 )
         # _prepare_obj injects the __keys__/__empty__ presence markers, so
         # dict iteration over schema-unioned chunk rows stays per-row exact
+        vp = _variant_paths(objs)
         payloads = [
-            json.dumps({"__roword": i, **_prepare_obj(o)}) for i, o in enumerate(objs)
+            json.dumps({"__roword": i, **_prepare_obj(o, vp)})
+            for i, o in enumerate(objs)
         ]
         return spark.read.json(spark.sparkContext.parallelize(payloads, 1))
 

@@ -109,6 +109,9 @@ def index() -> Transform:
 
     def _c(env: CompileEnv):
         cur = env.current
+        if cur.variant:
+            # per-row dispatch: array rows (no key) expose the index
+            return F.when(cur.key.isNull(), cur.pos), T.LongType()
         if cur.pos is None or cur.key is not None:
             return F.lit(None), NULL
         return cur.pos, T.IntegerType()
@@ -133,7 +136,11 @@ def parent_index(depth: int = 1) -> Transform:
 
     def _c(env: CompileEnv):
         anc = env.ancestor(depth)
-        if anc is None or anc.pos is None or anc.key is not None:
+        if anc is None:
+            return F.lit(None), NULL
+        if anc.variant:
+            return F.when(anc.key.isNull(), anc.pos), T.LongType()
+        if anc.pos is None or anc.key is not None:
             return F.lit(None), NULL
         return anc.pos, T.IntegerType()
 
@@ -222,6 +229,23 @@ def len_of(inner: Transform) -> Transform:
             # not entries (len_of({}) == 0, not 1)
             n = len([f for f in dtype.fields if f.name not in MARKER_FIELDS])
             return F.when(col.isNotNull(), F.lit(n)), T.IntegerType()
+        if isinstance(dtype, T.VariantType):
+            # per-row kind dispatch, mirroring Python len(): arrays and
+            # dicts count entries, strings count characters, everything
+            # else (numbers, booleans, null) has no len -> NULL
+            kind = F.schema_of_variant(col)
+            arr = col.try_cast("array<variant>")
+            obj = col.try_cast("map<string, variant>")
+            return (
+                F.when(kind.startswith("ARRAY"), F.size(arr))
+                .when(kind.startswith("OBJECT"), F.size(obj))
+                .when(
+                    kind == F.lit("STRING"),
+                    F.length(F.try_variant_get(col, "$", "string")),
+                )
+                .cast("int"),
+                T.IntegerType(),
+            )
         if isinstance(dtype, T.StringType) or dtype is None:
             return F.length(col.cast("string")).cast("int"), T.IntegerType()
         return F.lit(None), NULL

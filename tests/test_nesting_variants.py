@@ -340,3 +340,73 @@ def test_mixed_kind_siblings_variant_unification(spark):
     assert rows["k1"]["a"] == [1, 2]
     assert rows["k2"]["a"] == {"b": 5} and rows["k2"]["ab"] == 5
     assert rows["k3"]["a"] is None and rows["k3"]["n"] == "plain"
+
+
+def test_each_over_kind_mixed_siblings(spark):
+    """each() over a path whose siblings disagree on list vs dict vs
+    scalar: per-row dispatch via the variant serialization — array rows
+    iterate with index, object rows with key, scalars behave as single,
+    None yields nothing (the last round-1 representation boundary)."""
+    from etielle_spark import Field, etl, get, get_from_parent, index, key, node
+
+    docs = [
+        {"id": 1, "x": [10, 20]},
+        {"id": 2, "x": {"a": 1, "b": 2}},
+        {"id": 3, "x": 5},
+        {"id": 4, "x": None},
+        {"id": 5, "x": {"n": {"deep": 7}}},
+    ]
+    res = (
+        etl({"docs": docs}, spark=spark)
+        .goto("docs").each().goto("x").each()
+        .map_to("vals", [
+            Field("pid", get_from_parent("id")),
+            Field("k", key()),
+            Field("i", index()),
+            Field("deep", get("deep")),
+        ])
+        .run()
+    )
+    got = {(r["pid"], r["k"], r["i"], r["deep"]) for r in res.rows("vals")}
+    assert got == {
+        (1, None, 0, None), (1, None, 1, None),
+        (2, "a", None, None), (2, "b", None, None),
+        (3, None, None, None),
+        (5, "n", None, 7),
+    }
+
+    # items mode restricts to object rows
+    res2 = (
+        etl({"docs": docs}, spark=spark)
+        .goto("docs").each().goto("x").each("items")
+        .map_to("it", [Field("pid", get_from_parent("id")), Field("k", key())])
+        .run()
+    )
+    assert {(r["pid"], r["k"]) for r in res2.rows("it")} == {
+        (2, "a"), (2, "b"), (5, "n")
+    }
+
+
+def test_len_of_variant_kind_dispatch(spark):
+    """len_of over a kind-mixed (variant) node mirrors Python len():
+    arrays/dicts count entries, strings count chars, numbers/None have
+    no len."""
+    from etielle_spark import Field, etl, get, len_of
+
+    docs = [
+        {"id": 1, "x": [10, 20, 30]},
+        {"id": 2, "x": {"a": 1, "b": 2}},
+        {"id": 3, "x": "hello"},
+        {"id": 4, "x": 5},
+        {"id": 5, "x": None},
+    ]
+    res = (
+        etl({"docs": docs}, spark=spark)
+        .goto("docs").each()
+        .map_to("t", [Field("id", get("id")), Field("n", len_of(get("x")))],
+                join_on=["id"])
+        .run()
+    )
+    assert sorted((r["id"], r["n"]) for r in res.rows("t")) == [
+        (1, 3), (2, 2), (3, 5), (4, None), (5, None)
+    ]

@@ -251,7 +251,36 @@ def main() -> None:
                 got5.add((d["k"], str(d.get("a")), str(d.get("ab"))))
         check("variant-mixed", seed, want5, got5)
 
-    print(f"\nfuzz done: {n} seeds x 6 shapes, {len(failures)} mismatches")
+        # shape 6: each() DIRECTLY over the kind-mixed field — per-row
+        # dispatch (array rows iterate with index, dict rows with key,
+        # scalars single, None skipped) must match the reference executor
+        r6 = (
+            retl(data5)
+            .goto("root").each().goto("a").each()
+            .map_to(table="v", fields=[
+                RF("pk", rkey()),
+                RF("v", rnode()),
+            ])
+            .run()
+        )
+        s6 = (
+            etl(data5, spark=spark)
+            .goto("root").each().goto("a").each()
+            .map_to("v", fields=[Field("pk", key()), Field("v", node())])
+            .run()
+        )
+        want6 = set()
+        if "v" in r6.tables:
+            for row in r6.tables["v"].values():
+                d = dict(row)
+                want6.add((str(d.get("pk")), str(d.get("v"))))
+        got6 = set()
+        if "v" in s6.tables:
+            for d in s6.rows("v"):
+                got6.add((str(d.get("pk")), str(d.get("v"))))
+        check("variant-each", seed, want6, got6)
+
+    print(f"\nfuzz done: {n} seeds x 7 shapes, {len(failures)} mismatches")
     if failures:
         sys.exit(1)
 
