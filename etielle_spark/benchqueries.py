@@ -7783,3 +7783,46 @@ def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "component",
         F.round("amount", 2).alias("amount"),
     )
+
+
+@q(
+    "q189_winnow_fingerprints",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t FROM (SELECT doc_id, {{toks}} AS t FROM documents) s
+      WHERE len(t) >= 7
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             ('0x' || substr(md5(array_to_string(t[i+1:i+4], ' ')), 1, 8))::BIGINT
+               % 2147483647 AS h
+      FROM toks, unnest(range(len(t) - 3)) AS u(i)
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    anchors AS (
+      SELECT g.doc_id, g.pos AS i
+      FROM grams g JOIN counts c USING (doc_id)
+      WHERE g.pos <= c.n - 4
+    ),
+    wins AS (
+      SELECT a.doc_id, a.i,
+             arg_min(b.pos, b.h * 4 + (a.i + 3 - b.pos))::INT AS pos,
+             min(b.h) AS fp
+      FROM anchors a
+      JOIN grams b ON b.doc_id = a.doc_id AND b.pos BETWEEN a.i AND a.i + 3
+      GROUP BY 1, 2
+    )
+    SELECT DISTINCT doc_id, pos, fp FROM wins
+    """.replace("{toks}", _TOKS),
+)
+def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators/dedup.py:winnow_fingerprints,
+    Schleimer et al. 2003): rightmost-minimum 4-gram hash per sliding
+    window of 4 — position-robust overlap fingerprints, map-only on the
+    Spark side; the oracle replays the window scan as a bounded
+    range self-join with a composite arg_min tie-break."""
+    from .operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=4, window=4
+    )

@@ -1037,3 +1037,82 @@ def duplicate_spans(
             (F.col("end_tok") - F.col("start_tok") + 1).alias("span_tokens"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): hash every token ``n``-gram, slide a ``window`` over the
+    hash sequence, and keep each window's minimum hash (rightmost
+    position on ties).  Guarantees: any shared substring of at least
+    ``window + n - 1`` tokens produces at least one shared fingerprint,
+    and fingerprint density is ~2/(window+1) — position-robust partial
+    overlap detection that md5-of-whole-document cannot give.
+
+    Map-only: grams, hashes, window minima and deduplication are all
+    per-row array expressions over staged columns — no explode before
+    the final fingerprint un-nesting, no shuffle at all.  The inner scan
+    is O(tokens * window) with ``window`` a small constant.  Hashes are
+    the 32-bit md5-prefix mod P (same base hash as MinHash) so any
+    engine reproduces them.  Returns ``(id, pos, fp)`` — join on ``fp``
+    for candidate overlaps, keep ``pos`` for span alignment.
+    """
+    toks = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") >= n)
+
+    gram = F.col("__toks")
+    for k in range(1, n):
+        shifted = F.slice(
+            F.col("__toks"), k + 1, F.greatest(F.size("__toks") - k, F.lit(0))
+        )
+        gram = F.zip_with(gram, shifted, lambda g, t: F.concat(g, F.lit(" "), t))
+    grams = toks.select(
+        F.col(id_col),
+        F.slice(gram, 1, F.size("__toks") - (n - 1)).alias("__grams"),
+    )
+    hashes = grams.select(
+        F.col(id_col),
+        F.transform("__grams", lambda g: minhash_base_col(g)).alias("__h"),
+    ).filter(F.size("__h") >= window)
+
+    def window_winner(i: Column) -> Column:
+        # rightmost minimum inside [i, i+window-1] (1-based slice)
+        return F.aggregate(
+            F.sequence(i, i + window - 1),
+            F.struct(
+                F.lit(MINHASH_P).cast("bigint").alias("h"),
+                F.lit(-1).cast("int").alias("p"),
+            ),
+            lambda acc, j: let_(
+                F.element_at(F.col("__h"), j.cast("int")),
+                lambda hj: F.when(
+                    hj <= acc["h"],
+                    F.struct(hj.alias("h"), (j - 1).cast("int").alias("p")),
+                ).otherwise(acc),
+            ),
+        )
+
+    wins = hashes.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__h") - (window - 1)),
+                lambda i: window_winner(i),
+            )
+        ).alias("__wins"),
+    )
+    return wins.select(
+        F.col(id_col),
+        F.explode("__wins").alias("__w"),
+    ).select(
+        F.col(id_col),
+        F.col("__w.p").alias("pos"),
+        F.col("__w.h").alias("fp"),
+    )

@@ -1498,3 +1498,33 @@ def test_k_anonymity_audit_rules(spark):
         k_anonymity_audit(df, ["qa"], 1)
     with _pt.raises(ValueError):
         k_anonymity_audit(df, ["qa"], 3, sensitive_col="sens")
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: two documents sharing a substring of at least
+    window + n - 1 tokens share at least one fingerprint VALUE; density
+    is far below one fingerprint per gram; disjoint docs share none."""
+    from etielle_spark.operators.dedup import winnow_fingerprints
+
+    shared = " ".join(f"s{i}" for i in range(12))  # 12 shared tokens >= 7
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + shared + " tail one two three"),
+            (2, shared + " completely different ending here now"),
+            (3, " ".join(f"z{i}" for i in range(30))),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs, "doc_id", "text", n=4, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+    # density ~ 2/(w+1): doc 3 has 27 grams; far fewer fingerprints
+    assert len(by_doc[3]) < 20
+    # positions are within range and deterministic across runs
+    fps2 = winnow_fingerprints(docs, "doc_id", "text", n=4, window=4).collect()
+    assert {(r.doc_id, r.pos, r.fp) for r in fps} == {
+        (r.doc_id, r.pos, r.fp) for r in fps2
+    }
