@@ -7826,3 +7826,72 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(
         _t(spark, sf_dir, "documents"), "doc_id", "text", n=4, window=4
     )
+
+
+@q(
+    "q190_dedup_against_corpus",
+    f"""
+    WITH new_docs AS (
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id < 20
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text || ' zzz' AS text
+      FROM documents WHERE doc_id < 20
+    ),
+    ref_digests AS (SELECT DISTINCT md5(text) AS d FROM documents),
+    exact AS (
+      SELECT n.doc_id, r.d IS NOT NULL AS exact_dup
+      FROM (SELECT doc_id, md5(text) AS d FROM new_docs) n
+      LEFT JOIN ref_digests r USING (d)
+    ),
+    ref_toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    ref_sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM ref_toks),
+    ref_mins AS (
+      SELECT doc_id, {_MINHASH_MINS8} FROM ref_sh GROUP BY doc_id
+    ),
+    ref_bands AS (
+      SELECT DISTINCT b, d FROM (
+        SELECT 0 AS b, md5(h0::VARCHAR || '|' || h1::VARCHAR) AS d FROM ref_mins UNION ALL
+        SELECT 1 AS b, md5(h2::VARCHAR || '|' || h3::VARCHAR) AS d FROM ref_mins UNION ALL
+        SELECT 2 AS b, md5(h4::VARCHAR || '|' || h5::VARCHAR) AS d FROM ref_mins UNION ALL
+        SELECT 3 AS b, md5(h6::VARCHAR || '|' || h7::VARCHAR) AS d FROM ref_mins
+      )
+    ),
+    new_toks AS (SELECT doc_id, {_TOKS} AS t FROM new_docs),
+    new_sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM new_toks),
+    new_mins AS (
+      SELECT doc_id, {_MINHASH_MINS8} FROM new_sh GROUP BY doc_id
+    ),
+    new_bands AS (
+      SELECT doc_id, 0 AS b, md5(h0::VARCHAR || '|' || h1::VARCHAR) AS d FROM new_mins UNION ALL
+      SELECT doc_id, 1 AS b, md5(h2::VARCHAR || '|' || h3::VARCHAR) AS d FROM new_mins UNION ALL
+      SELECT doc_id, 2 AS b, md5(h4::VARCHAR || '|' || h5::VARCHAR) AS d FROM new_mins UNION ALL
+      SELECT doc_id, 3 AS b, md5(h6::VARCHAR || '|' || h7::VARCHAR) AS d FROM new_mins
+    ),
+    near AS (
+      SELECT DISTINCT nb.doc_id
+      FROM new_bands nb JOIN ref_bands rb ON nb.b = rb.b AND nb.d = rb.d
+    )
+    SELECT e.doc_id, e.exact_dup, near.doc_id IS NOT NULL AS near_dup
+    FROM exact e LEFT JOIN near ON e.doc_id = near.doc_id
+    """,
+)
+def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus dedup (operators/dedup.py:dedup_against): a batch of
+    exact clones and one-token perturbations checked against the full
+    documents corpus — clones flag exact+near, perturbations flag near
+    via shared LSH band buckets; joins carry only 32-byte digests."""
+    from .operators.dedup import dedup_against
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    perturbed = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    return dedup_against(
+        clones.union(perturbed), docs, "doc_id", "text",
+        num_hashes=8, bands=4,
+    )

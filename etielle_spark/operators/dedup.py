@@ -1116,3 +1116,73 @@ def winnow_fingerprints(
         F.col("__w.p").alias("pos"),
         F.col("__w.h").alias("fp"),
     )
+
+
+def dedup_against(
+    new: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Cross-corpus dedup: flag each NEW document that exactly or nearly
+    duplicates the REFERENCE corpus — the "dedup this crawl against the
+    existing training set" batch step (the streaming twin is
+    streaming/incremental_dedup).
+
+    - ``exact_dup``: the new document's content digest exists in the
+      reference (join on md5, 32-byte keys).
+    - ``near_dup``: the new document shares at least one LSH band bucket
+      with a reference document (equi-join on (band, band digest); the
+      reference side honors ``max_bucket_size`` as the boilerplate
+      stop-list).
+
+    Each corpus is scanned once per signal; neither join ever carries
+    document bodies.  Returns ``(id, exact_dup, near_dup)`` — filter
+    ``~exact_dup & ~near_dup`` for survivors, or join flags back for
+    provenance.
+    """
+    ref_digests = (
+        reference.select(F.md5(F.col(text_col)).alias("__d")).distinct()
+    )
+    new_digests = new.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__d")
+    )
+    exact = (
+        new_digests.join(ref_digests.withColumn("__hit", F.lit(True)), "__d", "left")
+        .select(F.col(id_col), F.coalesce("__hit", F.lit(False)).alias("exact_dup"))
+    )
+
+    ref_bands = band_digests(
+        reference, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
+    ).select("band", "band_digest")
+    if max_bucket_size is not None:
+        ref_bands = (
+            ref_bands.groupBy("band", "band_digest")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .select("band", "band_digest")
+        )
+    else:
+        ref_bands = ref_bands.distinct()
+    new_bands = band_digests(
+        new, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
+    )
+    near_ids = (
+        new_bands.join(ref_bands, ["band", "band_digest"])
+        .select(id_col)
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    return (
+        exact.join(near_ids, id_col, "left")
+        .select(
+            F.col(id_col),
+            "exact_dup",
+            F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+        )
+    )

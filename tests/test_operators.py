@@ -1528,3 +1528,26 @@ def test_winnow_fingerprints_guarantee(spark):
     assert {(r.doc_id, r.pos, r.fp) for r in fps} == {
         (r.doc_id, r.pos, r.fp) for r in fps2
     }
+
+
+def test_dedup_against_corpus_flags(spark):
+    from etielle_spark.operators.dedup import dedup_against
+
+    base = " ".join(f"w{i}" for i in range(30))
+    ref = spark.createDataFrame(
+        [(1, base), (2, "other content entirely " + " ".join("abc"))],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),                      # exact clone
+            (11, base + " extra"),           # near (shares bands)
+            (12, " ".join(f"q{i}" for i in range(30))),  # fresh
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: (r.exact_dup, r.near_dup)
+           for r in dedup_against(new, ref, "doc_id", "text").collect()}
+    assert out[10] == (True, True)
+    assert out[11] == (False, True)
+    assert out[12] == (False, False)
