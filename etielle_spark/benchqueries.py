@@ -7895,3 +7895,44 @@ def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
         clones.union(perturbed), docs, "doc_id", "text",
         num_hashes=8, bands=4,
     )
+
+
+@q(
+    "q191_pmi_collocations",
+    f"""
+    WITH toks AS (
+      SELECT {_TOKS} AS t FROM documents
+    ),
+    bigrams AS (
+      SELECT t[i+1] AS w1, t[i+2] AS w2
+      FROM (SELECT t FROM toks WHERE len(t) >= 2) s,
+           unnest(range(len(t) - 1)) AS u(i)
+    ),
+    bg AS (
+      SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY 1, 2
+      HAVING count(*) >= 5
+    ),
+    uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ),
+    uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    n AS (SELECT count(*) AS n FROM bigrams)
+    SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+           round(ln(c12::DOUBLE * n.n / (u1.c::DOUBLE * u2.c)), 6) AS pmi
+    FROM bg
+    JOIN uc u1 ON bg.w1 = u1.w
+    JOIN uc u2 ON bg.w2 = u2.w
+    CROSS JOIN n
+    ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+)
+def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations (operators/text.py:pmi_collocations): adjacent
+    word pairs beating chance co-occurrence over the documents corpus —
+    bigram/unigram aggregations plus two count-attach joins, nothing
+    collected."""
+    from .operators.text import pmi_collocations
+
+    return pmi_collocations(
+        _t(spark, sf_dir, "documents"), "text", min_count=5, top_n=50
+    )

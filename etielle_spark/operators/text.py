@@ -1024,3 +1024,71 @@ def bpe_train(
         return merges
     finally:
         words.unpersist()
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    *,
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information: adjacent word
+    pairs whose co-occurrence beats chance — ``pmi = ln(c12 * N / (c1 *
+    c2))`` over corpus bigram/unigram counts (Church & Hanks 1990), the
+    multi-word-expression signal of a vocabulary pipeline.
+
+    Three aggregations on word-shaped keys (bigram counts, unigram
+    counts, one scalar total), then two equi-joins to attach the member
+    word counts — partial aggregation applies everywhere, nothing is
+    collected, no text rides a shuffle.  ``min_count`` suppresses the
+    unstable low-frequency tail; output is the ``top_n`` by PMI with a
+    deterministic (pmi desc, w1, w2) order.  Returns
+    ``(w1, w2, c12, c1, c2, pmi)``.
+    """
+    toks = df.select(tokens_col(F.col(text_col)).alias("__t")).filter(
+        F.size("__t") >= 2
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.col("__t"),
+                F.slice(F.col("__t"), 2, F.greatest(F.size("__t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).filter(F.col("bg.w2").isNotNull())
+    bg_counts = (
+        bigrams.groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    uni = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_bigrams = bigrams.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        bg_counts.join(
+            uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1"
+        )
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_bigrams))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("n")
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(top_n)

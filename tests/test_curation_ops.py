@@ -448,3 +448,23 @@ def test_bpe_train_min_count_stop(spark):
     df = spark.createDataFrame([(1, "ab cd ef")], ["doc_id", "text"])
     # every adjacent pair occurs once; min_count=2 stops immediately
     assert bpe_train(df, "text", num_merges=5, min_count=2) == []
+
+
+def test_pmi_collocations_hand_computed(spark):
+    from math import log
+
+    from etielle_spark.operators.text import pmi_collocations
+
+    # "new york" always adjacent; "the the" frequent but independent
+    docs = [("new york city",) , ("new york times",), ("the a the b",),
+            ("the c the d",), ("new york again",)]
+    df = spark.createDataFrame(docs, ["text"])
+    out = {(r.w1, r.w2): r for r in
+           pmi_collocations(df, "text", min_count=2, top_n=10).collect()}
+    ny = out[("new", "york")]
+    # N bigrams = 2+2+3+3+2 = 12; c12=3, c1(new)=3, c2(york)=3
+    assert ny.c12 == 3 and ny.c1 == 3 and ny.c2 == 3
+    assert abs(ny.pmi - round(log(3 * 12 / (3 * 3)), 6)) < 1e-9
+    # ordering: highest PMI first
+    rows = pmi_collocations(df, "text", min_count=2, top_n=10).collect()
+    assert rows[0].pmi >= rows[-1].pmi
