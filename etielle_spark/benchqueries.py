@@ -7936,3 +7936,63 @@ def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(
         _t(spark, sf_dir, "documents"), "text", min_count=5, top_n=50
     )
+
+
+def _rake_stops_sql() -> str:
+    from .operators.text import RAKE_STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+
+
+@q(
+    "q192_rake_keyphrases",
+    f"""
+    WITH spine AS (
+      SELECT doc_id, i AS pos, t[i+1] AS w,
+             t[i+1] IN ({_rake_stops_sql()}) AS stop
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents) s,
+           unnest(range(len(t))) AS u(i)
+    ),
+    isl AS (
+      SELECT doc_id, pos, w, stop,
+             sum(stop::INT) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM spine
+    ),
+    phrases AS (
+      SELECT doc_id, g,
+             array_to_string(list(w ORDER BY pos), ' ') AS phrase,
+             count(*) AS n_words
+      FROM isl WHERE NOT stop
+      GROUP BY doc_id, g
+    ),
+    members AS (
+      SELECT phrase, n_words, unnest(string_split(phrase, ' ')) AS w
+      FROM phrases
+    ),
+    wscore AS (
+      SELECT w, sum(n_words)::DOUBLE / count(*) AS s FROM members GROUP BY w
+    ),
+    ptotal AS (
+      SELECT m.phrase, sum(ws.s) AS total
+      FROM members m JOIN wscore ws USING (w) GROUP BY m.phrase
+    ),
+    pfreq AS (
+      SELECT phrase, n_words, count(*) AS freq
+      FROM phrases GROUP BY phrase, n_words
+    )
+    SELECT p.phrase, p.n_words, p.freq,
+           round(t.total / p.freq, 6) AS score
+    FROM pfreq p JOIN ptotal t USING (phrase)
+    ORDER BY score DESC, phrase LIMIT 50
+    """,
+)
+def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (operators/text.py:rake_keyphrases):
+    stopword-delimited phrase islands scored by member-word
+    degree/frequency — corpus top-50 phrases, all shuffles on word or
+    phrase keys."""
+    from .operators.text import rake_keyphrases
+
+    return rake_keyphrases(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", top_n=50
+    )

