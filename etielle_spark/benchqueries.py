@@ -7996,3 +7996,89 @@ def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rake_keyphrases(
         _t(spark, sf_dir, "documents"), "doc_id", "text", top_n=50
     )
+
+
+@q(
+    "q193_textrank_keywords",
+    f"""
+    WITH spine AS (
+      SELECT doc_id, i AS pos, t[i+1] AS w
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents) s,
+           unnest(range(len(t))) AS u(i)
+    ),
+    kept AS (
+      SELECT doc_id, pos, w,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      FROM spine WHERE w NOT IN ({_rake_stops_sql()})
+    ),
+    adj AS (
+      SELECT DISTINCT a.w AS src, b.w AS dst
+      FROM kept a JOIN kept b
+        ON a.doc_id = b.doc_id AND b.rn = a.rn + 1 AND a.w <> b.w
+    ),
+    edges AS (
+      SELECT src, dst FROM adj UNION SELECT dst, src FROM adj
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY src),
+    pr0 AS (SELECT node, 1.0 AS pr FROM nodes),
+    it1 AS (
+      SELECT e.dst AS node, sum(p.pr / d.deg) AS inc
+      FROM edges e JOIN pr0 p ON e.src = p.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    pr1 AS (
+      SELECT n.node, (1 - 0.85) + 0.85 * COALESCE(i.inc, 0.0) AS pr
+      FROM nodes n LEFT JOIN it1 i ON n.node = i.node
+    ),
+    it2 AS (
+      SELECT e.dst AS node, sum(p.pr / d.deg) AS inc
+      FROM edges e JOIN pr1 p ON e.src = p.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    pr2 AS (
+      SELECT n.node, (1 - 0.85) + 0.85 * COALESCE(i.inc, 0.0) AS pr
+      FROM nodes n LEFT JOIN it2 i ON n.node = i.node
+    )
+    SELECT node AS word, round(pr, 6) AS rank
+    FROM pr2 ORDER BY rank DESC, word LIMIT 30
+    """,
+)
+def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords (Mihalcea & Tarau 2004): PageRank over the
+    stopword-filtered word co-occurrence graph (adjacent kept tokens,
+    undirected) — composes operators/graph.py:pagerank with the text
+    spine; corpus top-30 keywords."""
+    from pyspark.sql import Window as W
+
+    from .operators.graph import pagerank
+    from .operators.text import RAKE_STOPWORDS
+
+    from .operators.dedup import tokens_col
+
+    spine = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "w"))
+        .filter(~F.col("w").isin(RAKE_STOPWORDS))
+    )
+    kept = spine.withColumn(
+        "rn", F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    adj = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.rn") == F.col("a.rn") + 1)
+            & (F.col("a.w") != F.col("b.w")),
+        )
+        .select(F.col("a.w").alias("src"), F.col("b.w").alias("dst"))
+        .distinct()
+    )
+    edges = adj.union(adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    pr = pagerank(edges, "src", "dst", iterations=2)
+    return (
+        pr.select(F.col("node").alias("word"), "rank")
+        .orderBy(F.col("rank").desc(), "word")
+        .limit(30)
+    )
