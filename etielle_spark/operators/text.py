@@ -908,12 +908,20 @@ def bpe_encode(
             "literal; store the merge table in a DataFrame and encode "
             "via an Arrow-batched pandas UDF over distinct words instead"
         )
-    mlit = F.array(
-        *[
-            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for a, b in merges
-        ]
-    )
+    if merges:
+        mlit = F.array(
+            *[
+                F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                for a, b in merges
+            ]
+        )
+        encode_word = lambda w: F.aggregate(  # noqa: E731
+            mlit, F.split(w, ""), lambda acc, m: _apply_bpe_merge(acc, m["a"], m["b"])
+        )
+    else:
+        # empty merge table: characters pass through (a zero-element
+        # struct array is VOID-typed — the fold cannot run over it)
+        encode_word = lambda w: F.split(w, "")  # noqa: E731
 
     spine = df.select(
         F.col(id_col),
@@ -922,14 +930,7 @@ def bpe_encode(
     encoded = (
         spine.select("w")
         .distinct()
-        .select(
-            "w",
-            F.aggregate(
-                mlit,
-                F.split(F.col("w"), ""),
-                lambda acc, m: _apply_bpe_merge(acc, m["a"], m["b"]),
-            ).alias("__bpe"),
-        )
+        .select("w", encode_word(F.col("w")).alias("__bpe"))
     )
     return (
         spine.join(encoded, "w")

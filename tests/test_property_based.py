@@ -117,3 +117,77 @@ def test_salted_join_equals_plain_join(spark, left_keys, salt, how):
     assert sorted(map(tuple, got.select("k", "row", "v").collect())) == sorted(
         map(tuple, want.select("k", "row", "v").collect())
     )
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=6),
+        min_size=1,
+        max_size=10,
+    ),
+    n_merges=st.sampled_from([0, 2, 6]),
+)
+@settings(**_SETTINGS)
+def test_bpe_encode_concat_invariant(spark, words, n_merges):
+    """BPE never loses characters: concatenating a word's tokens yields
+    the word, for any learned merge table."""
+    from etielle_spark.operators.text import bpe_encode, bpe_train
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    merges = bpe_train(df, "text", num_merges=n_merges, min_count=1)
+    out = bpe_encode(df, "doc_id", "text", merges).collect()
+    assert len(out) == 1
+    rejoined = "".join(out[0].bpe_tokens)
+    assert rejoined == "".join(w.lower() for w in words)
+    assert out[0].n_bpe <= sum(len(w) for w in words)
+
+
+@given(
+    prefix=st.lists(st.sampled_from(_WORDS), min_size=0, max_size=5),
+    suffix=st.lists(st.sampled_from(_WORDS), min_size=0, max_size=5),
+    shared_len=st.sampled_from([7, 9, 12]),
+)
+@settings(**_SETTINGS)
+def test_winnowing_shared_substring_guarantee(spark, prefix, suffix, shared_len):
+    """Any shared run of >= window + n - 1 = 7 tokens yields at least one
+    common fingerprint between the two documents (the winnowing paper's
+    detection guarantee), at any position."""
+    from etielle_spark.operators.dedup import winnow_fingerprints
+
+    shared = [f"shared{i}" for i in range(shared_len)]
+    d1 = " ".join(prefix + shared + ["tailone"] * 7)
+    d2 = " ".join(["headtwo"] * 7 + shared + suffix)
+    df = spark.createDataFrame([(1, d1), (2, d2)], ["doc_id", "text"])
+    fps = winnow_fingerprints(df, "doc_id", "text", n=4, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc.get(1, set()) & by_doc.get(2, set())
+
+
+@given(
+    n_rows=st.sampled_from([5, 20]),
+    flips=st.lists(st.integers(min_value=0, max_value=59), max_size=3),
+)
+@settings(**_SETTINGS)
+def test_hamming_near_dup_completeness(spark, n_rows, flips):
+    """Pigeonhole completeness: a pair within Hamming distance 3 is
+    ALWAYS found by the banded join, wherever the differing bits fall."""
+    from etielle_spark.operators.multimodal import hamming_near_dup
+
+    base = 0x5A5A5A5A5A5A5A5 & ((1 << 60) - 1)
+    other = base
+    for f in set(flips):
+        other ^= 1 << f
+    rows = [(1, base), (2, other)] + [
+        (10 + i, (base * (i + 7)) & ((1 << 60) - 1)) for i in range(n_rows)
+    ]
+    hashes = spark.createDataFrame(rows, ["id", "phash"])
+    out = {(r.id_a, r.id_b): r.hamming
+           for r in hamming_near_dup(hashes, "id", "phash").collect()}
+    d = len(set(flips))
+    if 0 < d <= 3:
+        assert out[(1, 2)] == d
+    elif d == 0:
+        assert out[(1, 2)] == 0

@@ -677,3 +677,29 @@ def test_sessionize_stateful_matches_batch(spark):
         if r is not last_per_user[r["k"]]
     }
     assert got == want and len(got) == 3
+
+
+def test_sequential_chunk_cross_root_kind_mix(spark):
+    """Roots within one sequential chunk disagreeing on a field's kind
+    (list vs dict vs scalar) iterate per-row via the variant path — the
+    batch analyzer must see ALL the chunk's roots, not one at a time."""
+    from etielle_spark import get_from_parent, index, key
+
+    recs = [
+        {"items": [{"id": 1, "v": [10, 20]}]},
+        {"items": [{"id": 2, "v": {"a": 9}}]},
+        {"items": [{"id": 3, "v": 5}]},
+    ]
+    pipe = (
+        stream(PreSegmentedChunkSource([recs]), spark=spark)
+        .goto("items").each().goto("v").each()
+        .map_to("t", fields=[
+            Field("pid", get_from_parent("id")),
+            Field("k", key()),
+            Field("i", index()),
+        ])
+    )
+    res = pipe.run()
+    got = {(r["pid"], r["k"], r["i"])
+           for r in (dict(zip(res["t"].columns, row)) for row in res["t"].collect())}
+    assert got == {(1, None, 0), (1, None, 1), (2, "a", None), (3, None, None)}
