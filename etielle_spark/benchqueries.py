@@ -8082,3 +8082,49 @@ def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "word")
         .limit(30)
     )
+
+
+@q(
+    "q194_keyness_g2",
+    f"""
+    WITH words AS (
+      SELECT unnest(t) AS w, lang = 'en' AS tgt
+      FROM (SELECT {_TOKS} AS t, lang FROM documents) s
+    ),
+    counts AS (
+      SELECT w, sum(tgt::INT)::BIGINT AS a, sum((NOT tgt)::INT)::BIGINT AS b
+      FROM words GROUP BY w HAVING sum(tgt::INT) + sum((NOT tgt)::INT) >= 5
+    ),
+    totals AS (
+      SELECT sum(tgt::INT)::BIGINT AS na, sum((NOT tgt)::INT)::BIGINT AS nb
+      FROM words
+    )
+    SELECT w AS word, a, b,
+           round(
+             (CASE WHEN a::DOUBLE / na >= b::DOUBLE / nb THEN 1 ELSE -1 END) *
+             2 * (
+               CASE WHEN a > 0
+                    THEN a * ln(a / (na * (a + b)::DOUBLE / (na + nb)))
+                    ELSE 0 END +
+               CASE WHEN b > 0
+                    THEN b * ln(b / (nb * (a + b)::DOUBLE / (na + nb)))
+                    ELSE 0 END
+             ), 4) AS g2
+    FROM counts CROSS JOIN totals
+    ORDER BY abs(g2) DESC, word LIMIT 50
+    """,
+)
+def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning G2 keyness (operators/text.py:keyness_g2): words
+    over/under-represented in the English subcorpus vs the rest — one
+    conditional-sum word aggregation plus a broadcast total; signed by
+    relative-rate direction."""
+    from .operators.text import keyness_g2
+
+    return keyness_g2(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        F.col("lang") == "en",
+        min_count=5,
+        top_n=50,
+    )

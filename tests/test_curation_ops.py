@@ -493,3 +493,26 @@ def test_rake_keyphrases_hand_computed(spark):
     a = [r.phrase for r in rake_keyphrases(df, "doc_id", "text", top_n=20).collect()]
     b = [r.phrase for r in rake_keyphrases(df, "doc_id", "text", top_n=20).collect()]
     assert a == b
+
+
+def test_keyness_g2_hand_computed(spark):
+    from math import log
+
+    from etielle_spark.operators.text import keyness_g2
+    from pyspark.sql import functions as F
+
+    # target: "cat" dominant; background: "dog" dominant; "the" balanced
+    docs = [
+        (1, True, "cat cat cat the"),
+        (2, True, "cat the"),
+        (3, False, "dog dog the"),
+        (4, False, "dog the"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "tgt", "text"])
+    out = {r.word: r for r in
+           keyness_g2(df, "text", "tgt", min_count=2, top_n=10).collect()}
+    # na=6, nb=5; cat: a=4,b=0 -> E1=6*4/11, g2=2*4*ln(4/(24/11))
+    g2_cat = 2 * 4 * log(4 / (6 * 4 / 11))
+    assert abs(out["cat"].g2 - round(g2_cat, 4)) < 1e-9
+    assert out["cat"].g2 > 0 and out["dog"].g2 < 0
+    assert abs(out["the"].g2) < out["cat"].g2
