@@ -8128,3 +8128,63 @@ def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_count=5,
         top_n=50,
     )
+
+
+@q(
+    "q195_vocab_growth",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    first_seen AS (SELECT w, min(doc_id) AS fd FROM words GROUP BY w),
+    doc_tokens AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+    marks AS (SELECT unnest([50, 100, 200, 300, 400, 500]) AS upto)
+    SELECT m.upto,
+           (SELECT sum(n) FROM doc_tokens WHERE doc_id < m.upto)::BIGINT
+             AS tokens,
+           (SELECT count(*) FROM first_seen WHERE fd < m.upto)::BIGINT
+             AS types,
+           round((SELECT count(*) FROM first_seen WHERE fd < m.upto)::DOUBLE
+                 / (SELECT sum(n) FROM doc_tokens WHERE doc_id < m.upto),
+                 6) AS ttr
+    FROM marks m
+    """,
+)
+def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law): cumulative type and token
+    counts at document checkpoints, computed WITHOUT any per-prefix
+    rescan — each word aggregates to its first-occurrence document, each
+    document to its token count, and the curve is a broadcast of six
+    checkpoint marks against those two tiny aggregates."""
+    from .operators.dedup import tokens_col
+
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens_col(F.col("text"))).alias("w"))
+    )
+    first_seen = words.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    doc_tokens = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    marks = F.array(*[F.lit(x) for x in (50, 100, 200, 300, 400, 500)])
+    mdf = words.sparkSession.range(1).select(
+        F.explode(marks).alias("upto")
+    )
+    tok_counts = (
+        mdf.join(doc_tokens, doc_tokens["doc_id"] < mdf["upto"])
+        .groupBy("upto")
+        .agg(F.sum("n").alias("tokens"))
+    )
+    type_counts = (
+        mdf.join(first_seen, first_seen["fd"] < mdf["upto"])
+        .groupBy("upto")
+        .agg(F.count(F.lit(1)).alias("types"))
+    )
+    return (
+        tok_counts.join(type_counts, "upto")
+        .select(
+            "upto",
+            "tokens",
+            "types",
+            F.round(
+                F.col("types").cast("double") / F.col("tokens"), 6
+            ).alias("ttr"),
+        )
+    )

@@ -38,6 +38,7 @@ ALLOW = {
         "q124_hard_negatives": "broadcast of a 5-row query side against the corpus — the intended plan; scale path composes the label filter with lsh_bucket_topk/ivf_topk",
         "q169_psi_drift": "every nested-loop build side is a 1-row aggregate (quantile boundaries / histogram totals) broadcast onto a scan — the intended plan; both histograms reduce to 5 rows before the final join",
         "q178_mutual_nn": "brute-force mutual-NN correctness baseline (same contract as q32); the candidates= parameter takes LSH/IVF candidate pairs at scale and the plan becomes two windowed argmaxes over an equi-join",
+        "q195_vocab_growth": "both nested-loop build sides are the 6-row checkpoint-marks frame broadcast onto ALREADY-AGGREGATED inputs (per-word first-occurrence docs, per-doc token counts) — 6 range comparisons per aggregated row, the intended plan",
     },
     "single_partition": {
         "q16_window_topk_per_group": "final presentation sort of an already-reduced frame",
