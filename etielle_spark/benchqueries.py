@@ -8188,3 +8188,89 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ttr"),
         )
     )
+
+
+@q(
+    "q196_zipf_slope",
+    f"""
+    WITH words AS (
+      SELECT lang, unnest(t) AS w
+      FROM (SELECT lang, {_TOKS} AS t FROM documents) s
+    ),
+    freqs AS (
+      SELECT lang, w, count(*) AS c FROM words GROUP BY lang, w
+    ),
+    ranked AS (
+      SELECT lang, c,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, w) AS r
+      FROM freqs
+    )
+    SELECT lang,
+           round(regr_slope(ln(c), ln(r)), 4) AS zipf_slope,
+           round(regr_r2(ln(c), ln(r)), 4) AS r2,
+           count(*) AS n_types
+    FROM ranked GROUP BY lang
+    """,
+)
+def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent per language: regress log frequency on log rank
+    over each language's word-frequency table — the power-law fit that
+    flags degenerate subcorpora (templated or machine-generated text
+    bends the slope).  One word aggregation, one per-language rank
+    window, one regression aggregate."""
+    from .operators.dedup import tokens_col
+
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select("lang", F.explode(tokens_col(F.col("text"))).alias("w"))
+    )
+    freqs = words.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), "w")
+    ranked = freqs.withColumn("r", F.row_number().over(w))
+    return ranked.groupBy("lang").agg(
+        F.round(F.regr_slope(F.log("c"), F.log("r")), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("c"), F.log("r")), 4).alias("r2"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+
+
+@q(
+    "q197_cdc_chunks",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t FROM (SELECT doc_id, {_TOKS} AS t FROM documents) s
+      WHERE len(t) > 0
+    ),
+    entries AS (
+      SELECT doc_id, i AS pos, t[i+1] AS w,
+             CASE WHEN i + 2 <= len(t)
+                  THEN (('0x' || substr(md5(t[i+1] || ' ' || t[i+2]), 1, 8))::BIGINT
+                        % 2147483647) & 15 = 0
+                  ELSE FALSE END AS bnd
+      FROM toks, unnest(range(len(t))) AS u(i)
+    ),
+    chunked AS (
+      SELECT doc_id, pos, w,
+             coalesce(sum(bnd::INT) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS chunk_idx
+      FROM entries
+    )
+    SELECT doc_id, chunk_idx,
+           min(pos) AS start_tok, max(pos) AS end_tok,
+           count(*) AS n_tokens,
+           md5(array_to_string(list(w ORDER BY pos), ' ')) AS digest
+    FROM chunked GROUP BY doc_id, chunk_idx
+    """,
+)
+def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/text.py:cdc_chunks): documents
+    split where the local bigram hash's low 4 bits are zero — insertion-
+    robust boundaries (~16-token chunks) with per-chunk digests for
+    chunk-level dedup."""
+    from .operators.text import cdc_chunks
+
+    return cdc_chunks(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=2, mask_bits=4
+    )

@@ -1224,3 +1224,86 @@ def keyness_g2(
         F.col("w").alias("word"), "a", "b", F.round(signed, 4).alias("g2")
     )
     return out.orderBy(F.abs(F.col("g2")).desc(), "word").limit(top_n)
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+    mask_bits: int = 4,
+) -> DataFrame:
+    """Content-defined chunking: split each document at token positions
+    whose local ``n``-gram hash has its low ``mask_bits`` bits zero —
+    boundaries depend only on nearby content, so an insertion re-chunks
+    a neighborhood instead of shifting every downstream chunk (the
+    rsync/LBFS/FastCDC property, applied to text for chunk-level dedup).
+    Expected chunk length is ~2^mask_bits tokens.
+
+    One token spine, one per-document window for the running boundary
+    count, one (doc, chunk) rollup — a single document-keyed shuffle.
+    Chunk digests use md5 over the space-joined tokens, ready for
+    exact-dedup joins.  Returns ``(id, chunk_idx, start_tok, end_tok,
+    n_tokens, digest)``.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import minhash_base_col
+
+    toks = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+
+    gram = F.col("__toks")
+    for k in range(1, n):
+        shifted = F.slice(
+            F.col("__toks"), k + 1, F.greatest(F.size("__toks") - k, F.lit(0))
+        )
+        gram = F.zip_with(gram, shifted, lambda g, t: F.concat(g, F.lit(" "), t))
+    mask = (1 << mask_bits) - 1
+    entries = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.zip_with(
+                F.col("__toks"),
+                gram,
+                lambda w, g: F.struct(
+                    w.alias("w"),
+                    F.when(
+                        g.isNotNull(),
+                        minhash_base_col(g).bitwiseAND(F.lit(mask)) == 0,
+                    )
+                    .otherwise(F.lit(False))
+                    .alias("bnd"),
+                ),
+            )
+        ).alias("pos", "e"),
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    chunked = entries.withColumn(
+        "chunk_idx",
+        F.coalesce(
+            F.sum(F.col("e.bnd").cast("long")).over(
+                w_doc.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_idx")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            F.max("pos").alias("end_tok"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", F.col("e.w").alias("w")))),
+                        lambda s: s["w"],
+                    ),
+                    " ",
+                )
+            ).alias("digest"),
+        )
+    )

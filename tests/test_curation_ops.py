@@ -516,3 +516,29 @@ def test_keyness_g2_hand_computed(spark):
     assert abs(out["cat"].g2 - round(g2_cat, 4)) < 1e-9
     assert out["cat"].g2 > 0 and out["dog"].g2 < 0
     assert abs(out["the"].g2) < out["cat"].g2
+
+
+def test_cdc_chunks_insertion_robust(spark):
+    """Content-defined boundaries: inserting tokens at the FRONT of a
+    document leaves the trailing chunks' digests unchanged (the property
+    fixed-size chunking lacks)."""
+    from etielle_spark.operators.text import cdc_chunks
+
+    base = " ".join(f"w{i}" for i in range(200))
+    shifted = "ins1 ins2 ins3 " + base
+    df = spark.createDataFrame([(1, base), (2, shifted)], ["doc_id", "text"])
+    out = cdc_chunks(df, "doc_id", "text", n=2, mask_bits=3).collect()
+    d1 = {r.digest for r in out if r.doc_id == 1}
+    d2 = {r.digest for r in out if r.doc_id == 2}
+    shared = d1 & d2
+    # all chunks after the first boundary re-align -> most digests shared
+    assert len(shared) >= max(1, len(d1) - 2)
+    # coverage: chunks tile the document exactly
+    for doc, text in ((1, base), (2, shifted)):
+        rows = sorted((r for r in out if r.doc_id == doc),
+                      key=lambda r: r.start_tok)
+        assert rows[0].start_tok == 0
+        assert rows[-1].end_tok == len(text.split()) - 1
+        for a, b in zip(rows, rows[1:]):
+            assert b.start_tok == a.end_tok + 1
+        assert sum(r.n_tokens for r in rows) == len(text.split())
