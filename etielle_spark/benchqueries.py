@@ -8274,3 +8274,50 @@ def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunks(
         _t(spark, sf_dir, "documents"), "doc_id", "text", n=2, mask_bits=4
     )
+
+
+@q(
+    "q198_stylometric_deviation",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, t
+      FROM (SELECT doc_id, source, {_TOKS} AS t FROM documents) s
+      WHERE len(t) > 0
+    ),
+    topk AS (
+      SELECT w FROM (
+        SELECT unnest(t) AS w FROM toks
+      ) GROUP BY w ORDER BY count(*) DESC, w LIMIT 10
+    ),
+    freqs AS (
+      SELECT d.doc_id, d.source, k.w,
+             len(list_filter(d.t, x -> x = k.w))::DOUBLE / len(d.t) AS f
+      FROM toks d CROSS JOIN topk k
+    ),
+    stats AS (
+      SELECT w, avg(f) AS m, stddev_samp(f) AS sd FROM freqs GROUP BY w
+    ),
+    z AS (
+      SELECT f.doc_id, f.source, f.w,
+             CASE WHEN s.sd > 0 THEN (f.f - s.m) / s.sd ELSE 0.0 END AS z
+      FROM freqs f JOIN stats s USING (w)
+    ),
+    cent AS (
+      SELECT source, w, avg(z) AS c FROM z GROUP BY source, w
+    )
+    SELECT z.doc_id AS id, z.source AS "group",
+           round(avg(abs(z.z - cent.c)), 6) AS delta
+    FROM z JOIN cent ON z.source = cent.source AND z.w = cent.w
+    GROUP BY z.doc_id, z.source
+    """,
+)
+def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stylometric deviation (operators/text.py:stylometric_deviation,
+    Burrows 2002): each document's function-word z-profile distance from
+    its own source's centroid — the injected-content / wrong-source
+    outlier signal; document text never shuffles."""
+    from .operators.text import stylometric_deviation
+
+    return stylometric_deviation(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "source", top_k=10
+    )

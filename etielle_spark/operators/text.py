@@ -1307,3 +1307,81 @@ def cdc_chunks(
             ).alias("digest"),
         )
     )
+
+
+def stylometric_deviation(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    *,
+    top_k: int = 10,
+) -> DataFrame:
+    """Burrows' Delta, turned inward: how far each document's
+    function-word profile sits from its OWN group's centroid — the
+    stylometric outlier signal (injected spam, machine-generated
+    passages, wrong-source attribution) used in authorship forensics
+    (Burrows 2002).
+
+    The ``top_k`` most frequent corpus words (the classic function-word
+    proxy) are collected once (tiny, tie-broken deterministically) and
+    compiled as literals; per-document relative frequencies are then
+    ``top_k`` map-only array-count expressions — the document text never
+    shuffles.  Corpus means/stds ride a broadcast 1-row aggregate,
+    z-scores are a projection, group centroids one groupBy, and delta =
+    mean |z - centroid| after a group-keyed join.  Returns
+    ``(id, group, delta)`` — sort descending to review outliers.
+    """
+    toks = tokens_col(F.col(text_col))
+    top = [
+        r["w"]
+        for r in (
+            df.select(F.explode(toks).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), "w")
+            .limit(top_k)
+            .collect()
+        )
+    ]
+    n_tok = F.size(toks)
+
+    def count_of(word: str):
+        # a closure, not a default-arg lambda — pyspark treats a
+        # two-parameter lambda as an (element, index) HOF
+        return F.size(F.filter(toks, lambda t: t == F.lit(word)))
+
+    freq_cols = [
+        (count_of(wd).cast("double") / n_tok).alias(f"__f{i}")
+        for i, wd in enumerate(top)
+    ]
+    base = df.filter(F.size(toks) > 0).select(
+        F.col(id_col).alias("id"), F.col(group_col).alias("group"), *freq_cols
+    )
+    stats = base.agg(
+        *[F.avg(f"__f{i}").alias(f"__m{i}") for i in range(len(top))],
+        *[F.stddev_samp(f"__f{i}").alias(f"__s{i}") for i in range(len(top))],
+    )
+    z = base.crossJoin(F.broadcast(stats)).select(
+        "id",
+        "group",
+        *[
+            F.when(
+                F.col(f"__s{i}") > 0,
+                (F.col(f"__f{i}") - F.col(f"__m{i}")) / F.col(f"__s{i}"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"__z{i}")
+            for i in range(len(top))
+        ],
+    )
+    centroids = z.groupBy("group").agg(
+        *[F.avg(f"__z{i}").alias(f"__c{i}") for i in range(len(top))]
+    )
+    delta = sum(
+        F.abs(F.col(f"__z{i}") - F.col(f"__c{i}")) for i in range(len(top))
+    ) / F.lit(float(len(top)))
+    return (
+        z.join(centroids, "group")
+        .select("id", "group", F.round(delta, 6).alias("delta"))
+    )

@@ -542,3 +542,19 @@ def test_cdc_chunks_insertion_robust(spark):
         for a, b in zip(rows, rows[1:]):
             assert b.start_tok == a.end_tok + 1
         assert sum(r.n_tokens for r in rows) == len(text.split())
+
+
+def test_stylometric_deviation_flags_outlier(spark):
+    """A document stylistically unlike its group scores a higher delta
+    than its conformist peers."""
+    from etielle_spark.operators.text import stylometric_deviation
+
+    normal = "the cat and the dog and the bird"
+    rows = [(i, "a", normal) for i in range(6)]
+    rows.append((99, "a", "zzz qqq xxx yyy www vvv uuu ttt"))  # no function words
+    rows += [(100 + i, "b", "one two three four five six") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "text"])
+    out = {r.id: r.delta for r in
+           stylometric_deviation(df, "doc_id", "text", "grp", top_k=5).collect()}
+    peers = [out[i] for i in range(6)]
+    assert out[99] > max(peers)

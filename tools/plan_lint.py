@@ -39,6 +39,7 @@ ALLOW = {
         "q169_psi_drift": "every nested-loop build side is a 1-row aggregate (quantile boundaries / histogram totals) broadcast onto a scan — the intended plan; both histograms reduce to 5 rows before the final join",
         "q178_mutual_nn": "brute-force mutual-NN correctness baseline (same contract as q32); the candidates= parameter takes LSH/IVF candidate pairs at scale and the plan becomes two windowed argmaxes over an equi-join",
         "q195_vocab_growth": "both nested-loop build sides are the 6-row checkpoint-marks frame broadcast onto ALREADY-AGGREGATED inputs (per-word first-occurrence docs, per-doc token counts) — 6 range comparisons per aggregated row, the intended plan",
+        "q198_stylometric_deviation": "both nested-loop build sides are the 1-row corpus mean/std aggregate broadcast onto the per-doc frequency scan (appears twice because the z frame feeds both the centroid aggregate and the final join) — the intended plan, same class as q169",
     },
     "single_partition": {
         "q16_window_topk_per_group": "final presentation sort of an already-reduced frame",
