@@ -8321,3 +8321,66 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stylometric_deviation(
         _t(spark, sf_dir, "documents"), "doc_id", "text", "source", top_k=10
     )
+
+
+@q(
+    "q199_lang_agreement_kappa",
+    """
+    WITH pred AS (
+      SELECT d.doc_id, d.lang AS a,
+             (SELECT CASE WHEN max(hits) > 0
+                     THEN max_by(code, hits * 10 + CASE code
+                          WHEN 'de' THEN 0 WHEN 'en' THEN 1
+                          WHEN 'es' THEN 2 ELSE 3 END)
+                     ELSE 'und' END
+              FROM (
+                SELECT 'en' AS code, len(list_filter(t, x -> x IN
+                  ('the','and','of','to','in','is','that','it','with','for'))) AS hits
+                UNION ALL
+                SELECT 'de', len(list_filter(t, x -> x IN
+                  ('der','die','das','und','ist','nicht','mit','ein','zu','von')))
+                UNION ALL
+                SELECT 'fr', len(list_filter(t, x -> x IN
+                  ('le','la','les','et','est','pas','pour','que','une','dans')))
+                UNION ALL
+                SELECT 'es', len(list_filter(t, x -> x IN
+                  ('el','la','los','las','es','no','por','que','una','para')))
+              )) AS b
+      FROM (SELECT doc_id, lang,
+                   CASE WHEN length(trim(text)) > 0
+                        THEN string_split_regex(lower(trim(text)), '\\s+')
+                        ELSE []::VARCHAR[] END AS t
+            FROM documents) d
+    ),
+    base AS (SELECT a, b FROM pred WHERE a IS NOT NULL AND b IS NOT NULL),
+    totals AS (
+      SELECT count(*) AS n, sum((a = b)::INT) AS agree FROM base
+    ),
+    ma AS (SELECT a, count(*) AS ca FROM base GROUP BY a),
+    mb AS (SELECT b, count(*) AS cb FROM base GROUP BY b),
+    pe AS (
+      SELECT sum(ca::DOUBLE * cb) AS pe_num
+      FROM ma JOIN mb ON ma.a = mb.b
+    )
+    SELECT n,
+           round(agree::DOUBLE / n, 6) AS po,
+           round(coalesce(pe_num, 0) / (n::DOUBLE * n), 6) AS pe,
+           round((agree::DOUBLE / n - coalesce(pe_num, 0) / (n::DOUBLE * n))
+                 / (1 - coalesce(pe_num, 0) / (n::DOUBLE * n)), 6) AS kappa
+    FROM totals CROSS JOIN pe
+    """,
+)
+def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (operators/profile.py:agreement_kappa) between the
+    documents table's lang metadata and the marker-token language ID
+    (q24's operator) — chance-corrected agreement as the label-quality
+    audit; only label-vocabulary-sized frames shuffle."""
+    from .operators.profile import agreement_kappa
+    from .operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = lang_id(docs, "doc_id", "text").select(
+        "doc_id", F.col("pred_lang")
+    )
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return agreement_kappa(joined, "lang", "pred_lang")

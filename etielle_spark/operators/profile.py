@@ -313,3 +313,59 @@ def winsorize(
     return joined.select(
         *df.columns, clipped.alias(f"{value_col}_winsorized")
     ).drop()
+
+
+def agreement_kappa(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Cohen's kappa between two categorical columns — chance-corrected
+    agreement (Cohen 1960), the standard audit for "does the metadata
+    label agree with the model's prediction" and for inter-annotator
+    checks on labeling pipelines.
+
+    ``kappa = (po - pe) / (1 - pe)`` with observed agreement ``po`` and
+    chance agreement ``pe`` from the marginal label distributions.  One
+    pass: a single aggregation computes N and the observed matches, two
+    tiny label-marginal aggregates join to form ``pe`` — nothing larger
+    than the label vocabulary shuffles.  Returns one row
+    ``(n, po, pe, kappa)``.
+    """
+    base = df.select(
+        F.col(col_a).cast("string").alias("a"),
+        F.col(col_b).cast("string").alias("b"),
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    totals = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("a") == F.col("b")).cast("long")).alias("agree"),
+    )
+    ma = base.groupBy("a").agg(F.count(F.lit(1)).alias("ca"))
+    mb = base.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    pe_sum = (
+        ma.join(mb, ma["a"] == mb["b"])
+        .agg(F.sum(F.col("ca").cast("double") * F.col("cb")).alias("pe_num"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(pe_sum))
+        .select(
+            "n",
+            F.round(F.col("agree").cast("double") / F.col("n"), 6).alias("po"),
+            F.round(
+                F.coalesce(F.col("pe_num"), F.lit(0.0))
+                / (F.col("n").cast("double") * F.col("n")),
+                6,
+            ).alias("pe"),
+            F.round(
+                (
+                    F.col("agree").cast("double") / F.col("n")
+                    - F.coalesce(F.col("pe_num"), F.lit(0.0))
+                    / (F.col("n").cast("double") * F.col("n"))
+                )
+                / (
+                    F.lit(1.0)
+                    - F.coalesce(F.col("pe_num"), F.lit(0.0))
+                    / (F.col("n").cast("double") * F.col("n"))
+                ),
+                6,
+            ).alias("kappa"),
+        )
+    )

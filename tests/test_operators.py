@@ -1551,3 +1551,18 @@ def test_dedup_against_corpus_flags(spark):
     assert out[10] == (True, True)
     assert out[11] == (False, True)
     assert out[12] == (False, False)
+
+
+def test_agreement_kappa_hand_computed(spark):
+    from etielle_spark.operators.profile import agreement_kappa
+
+    # 10 rows: 8 agree; marginals: a: x6/y4, b: x6/y4 -> pe = (36+16)/100
+    rows = [("x", "x")] * 5 + [("y", "y")] * 3 + [("x", "y"), ("y", "x")]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = agreement_kappa(df, "a", "b").collect()[0]
+    assert r.n == 10 and r.po == 0.8
+    assert abs(r.pe - 0.52) < 1e-9
+    assert abs(r.kappa - round((0.8 - 0.52) / 0.48, 6)) < 1e-9
+    # NULLs excluded
+    df2 = spark.createDataFrame(rows + [(None, "x")], ["a", "b"])
+    assert agreement_kappa(df2, "a", "b").collect()[0].n == 10
