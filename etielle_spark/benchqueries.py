@@ -8384,3 +8384,80 @@ def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = docs.select("doc_id", "lang").join(pred, "doc_id")
     return agreement_kappa(joined, "lang", "pred_lang")
+
+
+@q(
+    "q200_corpus_health_report",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, lang, text, {_TOKS} AS t FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, source, lang, md5(text) AS dg, len(t) AS n_tok,
+             length(text) AS n_chars
+      FROM toks
+    ),
+    words AS (SELECT source, unnest(t) AS w FROM toks),
+    src_vocab AS (
+      SELECT source, count(DISTINCT w) AS types, count(*) AS tokens
+      FROM words GROUP BY source
+    ),
+    src_docs AS (
+      SELECT source,
+             count(*) AS n_docs,
+             count(DISTINCT dg) AS distinct_docs,
+             round(avg(n_chars), 2) AS avg_chars,
+             round(avg(n_tok), 2) AS avg_tokens,
+             count(DISTINCT lang)::BIGINT AS n_langs
+      FROM per_doc GROUP BY source
+    )
+    SELECT d.source, d.n_docs,
+           round(1.0 - d.distinct_docs::DOUBLE / d.n_docs, 6) AS dup_rate,
+           d.avg_chars, d.avg_tokens, d.n_langs,
+           v.types, v.tokens,
+           round(v.types::DOUBLE / v.tokens, 6) AS ttr
+    FROM src_docs d JOIN src_vocab v USING (source)
+    """,
+)
+def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report — the dataset-card row every
+    curation run ends with: document counts, exact-duplicate rate (via
+    content digests), size averages, language spread, vocabulary size
+    and type-token ratio, all from two source-keyed aggregations."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.dedup import tokens_col
+
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.md5("text").alias("dg"),
+        F.size(tokens_col(F.col("text"))).alias("n_tok"),
+        F.length("text").alias("n_chars"),
+    )
+    src_docs = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("dg").alias("distinct_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.avg("n_tok"), 2).alias("avg_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    words = docs.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("w")
+    )
+    src_vocab = words.groupBy("source").agg(
+        F.countDistinct("w").alias("types"),
+        F.count(F.lit(1)).alias("tokens"),
+    )
+    return src_docs.join(src_vocab, "source").select(
+        "source",
+        "n_docs",
+        F.round(
+            1.0 - F.col("distinct_docs").cast("double") / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+        "avg_chars",
+        "avg_tokens",
+        "n_langs",
+        "types",
+        "tokens",
+        F.round(F.col("types").cast("double") / F.col("tokens"), 6).alias("ttr"),
+    )
