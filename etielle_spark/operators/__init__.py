@@ -9,6 +9,9 @@ honest tool (multimodal decode).
 """
 
 from .dedup import (
+    containment_pairs,
+    dedup_against,
+    duplicate_spans,
     exact_dedup,
     exact_dedup_by_content,
     jaccard_pairs,
@@ -16,7 +19,14 @@ from .dedup import (
     minhash_signatures,
     shingle_df,
     simhash,
+    winnow_fingerprints,
 )
+from .clusters import distribution_match_resample
+from .multimodal import hamming_near_dup, perceptual_hash
+from .packing import pack_counts, pack_sequences
+from .profile import agreement_kappa
+from .rules import k_anonymity_audit
+from .similarity import mutual_nn
 from .clusters import (
     per_key_sample,
     rendezvous_assign,
@@ -35,6 +45,11 @@ from .sketches import hll_distinct, kmv_distinct
 from .text import (
     bpe_encode,
     bpe_train,
+    cdc_chunks,
+    keyness_g2,
+    pmi_collocations,
+    rake_keyphrases,
+    stylometric_deviation,
     chunk_tokens,
     classifier_score,
     doc_fingerprint,
@@ -78,4 +93,21 @@ __all__ = [
     "doc_fingerprint",
     "bpe_encode",
     "bpe_train",
+    "containment_pairs",
+    "dedup_against",
+    "duplicate_spans",
+    "winnow_fingerprints",
+    "distribution_match_resample",
+    "hamming_near_dup",
+    "perceptual_hash",
+    "pack_counts",
+    "pack_sequences",
+    "agreement_kappa",
+    "k_anonymity_audit",
+    "mutual_nn",
+    "cdc_chunks",
+    "keyness_g2",
+    "pmi_collocations",
+    "rake_keyphrases",
+    "stylometric_deviation",
 ]
