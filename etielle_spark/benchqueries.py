@@ -8461,3 +8461,45 @@ def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens",
         F.round(F.col("types").cast("double") / F.col("tokens"), 6).alias("ttr"),
     )
+
+
+@q(
+    "q201_skew_report",
+    """
+    WITH counts AS (
+      SELECT o_custkey::VARCHAR AS key, count(*) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT key, cnt,
+             row_number() OVER (ORDER BY cnt ASC, key ASC) AS i
+      FROM counts
+    ),
+    stats AS (
+      SELECT count(*) AS n_keys, sum(cnt) AS total,
+             round(2.0 * sum(i * cnt) / (count(*)::DOUBLE * sum(cnt))
+                   - (count(*) + 1.0) / count(*), 6) AS gini
+      FROM ranked
+    ),
+    top AS (
+      SELECT key, cnt,
+             row_number() OVER (ORDER BY cnt DESC, key ASC) AS r
+      FROM counts QUALIFY r <= 10
+    )
+    SELECT t.key, t.cnt,
+           round(t.cnt::DOUBLE / s.total, 6) AS share,
+           round(sum(t.cnt::DOUBLE) OVER (ORDER BY t.r
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / s.total, 6) AS cum_share,
+           s.gini, s.n_keys
+    FROM top t CROSS JOIN stats s
+    """,
+)
+def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic (operators/profile.py:skew_report) over the
+    orders-per-customer distribution: hot-key shares, cumulative share,
+    and the global Gini coefficient — the pre-join report that decides
+    whether plans.skew salting is warranted."""
+    from .operators.profile import skew_report
+
+    return skew_report(_t(spark, sf_dir, "orders"), "o_custkey", top_n=10)

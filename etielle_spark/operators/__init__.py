@@ -24,7 +24,7 @@ from .dedup import (
 from .clusters import distribution_match_resample
 from .multimodal import hamming_near_dup, perceptual_hash
 from .packing import pack_counts, pack_sequences
-from .profile import agreement_kappa
+from .profile import agreement_kappa, skew_report
 from .rules import k_anonymity_audit
 from .similarity import mutual_nn
 from .clusters import (
@@ -103,6 +103,7 @@ __all__ = [
     "pack_counts",
     "pack_sequences",
     "agreement_kappa",
+    "skew_report",
     "k_anonymity_audit",
     "mutual_nn",
     "cdc_chunks",

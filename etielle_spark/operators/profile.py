@@ -369,3 +369,60 @@ def agreement_kappa(
             ).alias("kappa"),
         )
     )
+
+
+def skew_report(
+    df: DataFrame, key_col: str, *, top_n: int = 10
+) -> DataFrame:
+    """Key-distribution skew diagnostic — run it BEFORE a big join or
+    aggregation to decide whether `plans.skew.salted_join`/`salted_agg`
+    (or an LSH stop-list) is needed.
+
+    Per top-``top_n`` hot key: row count, share of all rows, cumulative
+    share; every row also carries the global Gini coefficient of the
+    key-count distribution (0 = perfectly even, ->1 = one key owns
+    everything) and the total distinct-key count.  Shuffle budget: one
+    groupBy on the key, then windows over the (much smaller) key-count
+    table.  Returns ``(key, cnt, share, cum_share, gini, n_keys)``.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_asc = Window.orderBy(F.col("cnt").asc(), F.col("key").asc())
+    ranked = counts.withColumn("__i", F.row_number().over(w_asc))
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total"),
+        F.sum(F.col("__i").cast("double") * F.col("cnt")).alias("__iw"),
+    ).select(
+        "n_keys",
+        "total",
+        F.round(
+            (2.0 * F.col("__iw"))
+            / (F.col("n_keys").cast("double") * F.col("total"))
+            - (F.col("n_keys") + 1.0) / F.col("n_keys"),
+            6,
+        ).alias("gini"),
+    )
+    w_desc = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    top = (
+        counts.withColumn("__r", F.row_number().over(w_desc))
+        .filter(F.col("__r") <= top_n)
+    )
+    w_cum = Window.orderBy("__r").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.sum(F.col("cnt").cast("double")).over(w_cum) / F.col("total"),
+                6,
+            ).alias("cum_share"),
+            "gini",
+            "n_keys",
+        )
+    )

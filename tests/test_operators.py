@@ -1566,3 +1566,21 @@ def test_agreement_kappa_hand_computed(spark):
     # NULLs excluded
     df2 = spark.createDataFrame(rows + [(None, "x")], ["a", "b"])
     assert agreement_kappa(df2, "a", "b").collect()[0].n == 10
+
+
+def test_skew_report_hand_computed(spark):
+    from etielle_spark.operators.profile import skew_report
+
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("cold",)] * 1
+    df = spark.createDataFrame(rows, ["k"])
+    out = skew_report(df, "k", top_n=2).collect()
+    assert [(r.key, r.cnt) for r in out] == [("hot", 6), ("warm", 3)]
+    assert out[0].share == 0.6 and out[0].cum_share == 0.6
+    assert out[1].cum_share == 0.9
+    assert out[0].n_keys == 3
+    # gini for sorted counts [1,3,6], n=3: 2*(1*1+2*3+3*6)/(3*10) - 4/3
+    want_gini = round(2 * (1 * 1 + 2 * 3 + 3 * 6) / (3 * 10) - 4 / 3, 6)
+    assert abs(out[0].gini - want_gini) < 1e-9
+    # even distribution -> gini ~ 0
+    even = spark.createDataFrame([("a",), ("b",), ("c",)], ["k"])
+    assert abs(skew_report(even, "k").collect()[0].gini) < 1e-9
