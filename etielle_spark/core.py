@@ -146,13 +146,13 @@ def resolve_path(col: Column, dtype: T.DataType, segments: Sequence[PathSeg]):
             if isinstance(seg, int):
                 idx = seg + 1 if seg >= 0 else seg
                 col = F.try_element_at(col, F.lit(idx))
-                dtype = dtype.elementType
+                col, dtype = unwrap_variant(col, dtype.elementType)
             else:
                 return F.lit(None), NULL
         elif isinstance(dtype, T.MapType):
             key = F.lit(seg).cast(dtype.keyType)
             col = F.try_element_at(col, key)
-            dtype = dtype.valueType
+            col, dtype = unwrap_variant(col, dtype.valueType)
         elif isinstance(dtype, T.VariantType):
             # mixed-kind value (see fluent._unify_types): navigate inside
             # the variant; wrong-kind or missing access yields NULL like

@@ -42,7 +42,14 @@ from .core import (
 )
 from .models import is_model_class, spark_schema_of, table_name_of
 from .policies import LastWriteWinsPolicy, MergePolicy
-from .telemetry import FlushCompleted, FlushStarted, MapCompleted, MapStarted, emit
+from .telemetry import (
+    FlushCompleted,
+    FlushFailed,
+    FlushStarted,
+    MapCompleted,
+    MapStarted,
+    emit,
+)
 from .utils import topological_order
 
 _ORD = "__ord"
@@ -1109,33 +1116,45 @@ class PipelineBuilder:
             t for t in order if t not in self._eager_tables
         ]
 
-        for t in public:
-            emit(self._on_event, MapStarted(t))
-            emit(self._on_event, MapCompleted(t))
-
         result = PipelineResult(
             public, internal, errors, order, public_map, self._model_classes
         )
-        if self._sink is not None:
-            for t in order:
-                emit(self._on_event, FlushStarted(t))
-                df = public[t]
-                if self._on_event is not None:
-                    # observe() rides along the write job — the inserted
-                    # count costs nothing extra (the round-1 df.count()
-                    # re-executed the whole plan per table)
-                    from pyspark.sql import Observation
+        if self._sink is None:
+            # lazy engine: without a sink nothing materializes, so counts
+            # are unknown at this point (reference fluent.py:1496-1528
+            # emits real counts because its executor is eager)
+            for t in public:
+                emit(self._on_event, MapStarted(t))
+                emit(self._on_event, MapCompleted(t))
+        else:
+            from pyspark.sql import Observation
 
-                    obs = Observation()
-                    df = df.observe(obs, F.count(F.lit(1)).alias("inserted"))
+            for t in order:
+                emit(self._on_event, MapStarted(t))
+                emit(self._on_event, FlushStarted(t))
+                # observe() rides along the write job — the inserted
+                # count costs nothing extra (the round-1 df.count()
+                # re-executed the whole plan per table).  Observed
+                # regardless of callback so table_stats().inserted is
+                # always populated when a sink is attached.
+                obs = Observation()
+                df = public[t].observe(obs, F.count(F.lit(1)).alias("inserted"))
+                try:
                     self._sink.write(t, df)
-                    result._flushed[t] = obs.get["inserted"]
-                    emit(
-                        self._on_event,
-                        FlushCompleted(t, inserted=obs.get["inserted"]),
-                    )
-                else:
-                    self._sink.write(t, df)
+                except Exception as e:
+                    # reference fluent.py:1003-1019: emit FlushFailed,
+                    # record all attempted rows as failed, re-raise
+                    n_failed = public[t].count()
+                    result._flush_failed[t] = n_failed
+                    emit(self._on_event, FlushFailed(t, error=str(e)))
+                    raise
+                inserted = obs.get["inserted"]
+                result._flushed[t] = inserted
+                # the write materialized the table, so the mapped count is
+                # now known for free — MapCompleted carries it (emitted
+                # after FlushStarted by necessity in a lazy engine)
+                emit(self._on_event, MapCompleted(t, count=inserted))
+                emit(self._on_event, FlushCompleted(t, inserted=inserted))
         return result
 
 

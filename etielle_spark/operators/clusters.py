@@ -498,8 +498,15 @@ def distribution_match_resample(
     max_ratio: dict[str, float] = {}
     for (g, _), ratio in ratios.items():
         max_ratio[g] = max(max_ratio.get(g, 0.0), ratio)
+    # max_ratio[g] == 0 means every bucket the group occupies has zero
+    # reference mass (collapsed reference quantiles can leave reference
+    # buckets empty) — keep nothing from that group instead of dividing
     keep_p = {
-        f"{g}|{b}": (1.0 if g == reference_group else ratio / max_ratio[g])
+        f"{g}|{b}": (
+            1.0
+            if g == reference_group
+            else (ratio / max_ratio[g] if max_ratio[g] > 0.0 else 0.0)
+        )
         for (g, b), ratio in ratios.items()
     }
 

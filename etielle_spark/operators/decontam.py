@@ -155,9 +155,12 @@ def embedding_contamination(
     cos = cosine(F.col("__cv"), F.col("__ev"))
     if round_cosine is not None:
         cos = F.round(cos, round_cosine)
+    # NOTE: no `__cid != __eid` filter — corpus and eval are independent
+    # datasets whose id namespaces commonly collide (both zero-based);
+    # a cross-set join cannot produce a true self-pair, so equality of
+    # ids must not suppress a genuine contamination hit.
     hits = (
         c.join(F.broadcast(e), "bucket")
-        .filter(F.col("__cid") != F.col("__eid"))
         .select("__cid", "__eid", cos.alias("__cos"))
         # multi-probe can reach the same (corpus, eval) pair through
         # several buckets — collapse before the verdict aggregation

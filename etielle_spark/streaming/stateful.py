@@ -97,7 +97,13 @@ def sessionize_stateful(
                 closed.append((start, last, count))
                 start, last, count = t, t, 1
             else:
-                last, count = t, count + 1
+                # cross-batch late event: t can be < last (within-batch
+                # events are sorted) — never rewind the session frontier,
+                # or a subsequent on-time event would spuriously close
+                # it.  The late event may still extend the session START
+                # backwards (batch-sessionizer parity).
+                start = min(start, t)
+                last, count = max(last, t), count + 1
         state.update((start, last, count))
         yield pd.DataFrame(
             {

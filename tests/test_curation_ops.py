@@ -558,3 +558,22 @@ def test_stylometric_deviation_flags_outlier(spark):
            stylometric_deviation(df, "doc_id", "text", "grp", top_k=5).collect()}
     peers = [out[i] for i in range(6)]
     assert out[99] > max(peers)
+
+
+def test_distribution_match_resample_zero_ref_mass_group(spark):
+    """A group whose every occupied bucket has zero reference mass
+    (collapsed reference quantiles) gets keep_p 0 instead of a
+    ZeroDivisionError at plan build (round-2 ADVICE)."""
+    from etielle_spark.operators.clusters import distribution_match_resample
+
+    # ref all-equal -> bounds collapse to [5,5,5]; ref occupies bucket 1
+    # only.  Group "hi" sits entirely in bucket 4 (no ref mass there).
+    rows = [(i, "ref", 5) for i in range(4)]
+    rows += [(100 + i, "hi", 9) for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "val"])
+    out = distribution_match_resample(
+        df, "doc_id", "val", "grp", "ref", buckets=4
+    ).collect()
+    groups = {r["group"] for r in out}
+    assert "ref" in groups and "hi" not in groups
+    assert sum(1 for r in out if r["group"] == "ref") == 4

@@ -410,3 +410,50 @@ def test_len_of_variant_kind_dispatch(spark):
     assert sorted((r["id"], r["n"]) for r in res.rows("t")) == [
         (1, 3), (2, 2), (3, 5), (4, None), (5, None)
     ]
+
+
+def test_path_through_variant_array_element(spark):
+    """get('a.0.x') where `a`'s ELEMENTS are kind-mixed across siblings
+    (variant-wrapped): element access must unwrap the wrapper before the
+    struct-field step, else it returns NULL instead of the value
+    (round-2 ADVICE: resolve_path only unwrapped at entry/struct)."""
+    docs = [
+        {"id": 1, "a": [{"x": 11}]},  # struct elements
+        {"id": 2, "a": [5, 6]},       # scalar elements -> variant unification
+        {"id": 3, "a": None},
+    ]
+    res = (
+        etl({"docs": docs}, spark=spark)
+        .goto("docs").each()
+        .map_to("t", [
+            Field("id", get("id")),
+            Field("x", get(["a", 0, "x"])),
+            Field("e0", get(["a", 0])),
+        ], join_on=["id"])
+        .run()
+    )
+    rows = {r["id"]: (r["x"], r["e0"]) for r in res.rows("t")}
+    assert rows[1] == (11, {"x": 11})
+    assert rows[2] == (None, 5)
+    assert rows[3] == (None, None)
+
+
+def test_path_through_variant_map_value(spark):
+    """Same unwrap requirement after MAP value access: dict-of-mixed
+    values navigated by key then field."""
+    docs = [
+        {"id": 1, "m": {"k": {"x": 3}}},
+        {"id": 2, "m": {"k": "str"}},
+    ]
+    res = (
+        etl({"docs": docs}, spark=spark)
+        .goto("docs").each()
+        .map_to("t", [
+            Field("id", get("id")),
+            Field("x", get("m.k.x")),
+        ], join_on=["id"])
+        .run()
+    )
+    rows = {r["id"]: r["x"] for r in res.rows("t")}
+    assert rows[1] == 3
+    assert rows[2] is None

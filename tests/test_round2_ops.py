@@ -141,3 +141,19 @@ def test_compact_sorted_rewrite_prunes(spark, tmp_path):
     out = spark.read.parquet(dst)
     assert out.count() == 10_000
     assert out.filter(F.col("k") == 7).count() == 100
+
+
+def test_embedding_contamination_id_collision_not_dropped(spark):
+    """Corpus and eval ids come from independent namespaces — a corpus
+    doc whose id EQUALS the matching eval id must still be flagged
+    (round-2 ADVICE: a __cid != __eid filter silently dropped it)."""
+    df_eval = spark.createDataFrame([(7, [1.0, 0.0, 0.0, 0.0])], ["id", "v"])
+    df_corp = spark.createDataFrame(
+        [(7, [2.0, 0.0, 0.0, 0.0]), (8, [0.0, 3.0, 0.0, 0.0])], ["id", "v"]
+    )
+    from etielle_spark.operators.decontam import embedding_contamination
+
+    got = embedding_contamination(
+        df_corp, df_eval, "id", "v", threshold=0.9, planes=4, dim=4, probes=2
+    ).collect()
+    assert [(r.id, r.matched_eval_id) for r in got] == [(7, 7)]

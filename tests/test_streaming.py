@@ -703,3 +703,66 @@ def test_sequential_chunk_cross_root_kind_mix(spark):
     got = {(r["pid"], r["k"], r["i"])
            for r in (dict(zip(res["t"].columns, row)) for row in res["t"].collect())}
     assert got == {(1, None, 0), (1, None, 1), (2, "a", None), (3, None, None)}
+
+
+def test_sessionize_stateful_late_event_no_rewind(spark):
+    """A late cross-batch event (t < last, within gap) must NOT rewind
+    the session frontier — with the rewind bug an on-time follow-up
+    appeared > gap after `last` and spuriously closed the session
+    (round-2 ADVICE)."""
+    import datetime
+    import os
+    import tempfile
+    import time as _time
+
+    from etielle_spark.streaming.stateful import sessionize_stateful
+
+    def ts(m):
+        return datetime.datetime(2026, 1, 1, 10, 0, 0) + datetime.timedelta(
+            minutes=m
+        )
+
+    def ep(m):
+        return int(ts(m).replace(tzinfo=datetime.timezone.utc).timestamp())
+
+    # gap 600s. b1: 10:10; b2: LATE 10:05 (within gap); b3: 10:16
+    # (360s after true last 10:10 -> same session; 660s after the
+    # rewound 10:05 -> spurious close with the bug); b4: 11:00 closes.
+    batches = [
+        [(1, ts(10))],
+        [(1, ts(5))],
+        [(1, ts(16))],
+        [(1, ts(60))],
+    ]
+    src = tempfile.mkdtemp(prefix="sess_late_")
+    now = _time.time()
+    for i, b in enumerate(batches):
+        d = f"{src}/b{i}"
+        spark.createDataFrame(b, "k long, ts timestamp").coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (now + 10 * i, now + 10 * i))
+
+    stream_df = (
+        spark.readStream.schema("k long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    out = sessionize_stateful(stream_df, "k", "ts", gap_seconds=600)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_late_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_late_out").collect()
+    }
+    # one closed session covering all three early events; frontier at
+    # 10:16 (never rewound to 10:05).  Compare spans, not absolute
+    # epochs (session-timezone neutral).
+    assert len(got) == 1
+    (k, s0, s1, n) = next(iter(got))
+    assert (k, s1 - s0, n) == (1, 660, 3)
