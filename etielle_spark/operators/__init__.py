@@ -22,7 +22,7 @@ from .dedup import (
     winnow_fingerprints,
 )
 from .clusters import distribution_match_resample
-from .multimodal import hamming_near_dup, perceptual_hash
+from .multimodal import generate_images, hamming_near_dup, perceptual_hash
 from .packing import pack_counts, pack_sequences
 from .profile import agreement_kappa, skew_report
 from .rules import k_anonymity_audit

@@ -6,11 +6,13 @@ column is ``binary`` payload plus a ``struct`` metadata column
 Arrow-batched ``mapInPandas`` operators so the heavy Python (PIL/ffmpeg/...)
 touches each partition's rows exactly once, in batches.
 
-The actual codec libraries are NOT available in this environment, so the
-decode step is stubbed: ``decode_stub=True`` produces deterministic fake
-features (so the Spark-side plumbing — schema, batching, partitioning —
-is real and testable), while ``decode_stub=False`` raises
-NotImplementedError where the codec call would go.
+Image decode is REAL: ``decode_stub=False`` routes through the
+stdlib-only PNG/BMP codec in ``operators/imagecodec.py`` (zlib inflate,
+scanline unfilter, luma, box resize, DCT) — no PIL required.  Video
+decode still has no dependency-free path, so ``sample_frames`` keeps a
+deterministic stub (``decode_stub=True``) and raises otherwise.
+``decode_stub=True`` elsewhere keeps the round-2 digest-derived fakes
+for plumbing-only tests.
 """
 
 from __future__ import annotations
@@ -70,17 +72,27 @@ def extract_features(
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not decode_stub:
+            from . import imagecodec as ic
+
+            def real_feat(b: bytes) -> list[float]:
+                w, h, mode, px = ic.decode_image(bytes(b))
+                gray = ic.to_grayscale(mode, w, h, px)
+                cells = ic.box_resize(gray, 8, 8).reshape(-1) / 255.0
+                head = [float(w), float(h), float(gray.mean()), float(gray.std())]
+                return (head + cells.tolist())[:feat_dim]
+
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires codec libraries not present "
-                    "in this environment; run with decode_stub=True"
-                )
             payloads = pdf[payload_col]
             digests = payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest())
-            feats = digests.map(
-                lambda h: [int(h[2 * i : 2 * i + 2], 16) / 255.0 for i in range(feat_dim)]
-            )
+            if decode_stub:
+                feats = digests.map(
+                    lambda h: [
+                        int(h[2 * i : 2 * i + 2], 16) / 255.0 for i in range(feat_dim)
+                    ]
+                )
+            else:
+                feats = payloads.map(real_feat)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
@@ -104,26 +116,41 @@ def resize_images(
 ) -> DataFrame:
     """Image resize as an Arrow-batched operator.
 
-    Real plumbing (schema, batching, partition-at-a-time Python), stubbed
-    codec: the deterministic fake emits the target dimensions and a
-    digest-derived 'thumbnail' payload.  Swap the stub branch for
-    PIL.Image.resize when codecs are present.
+    ``decode_stub=False`` is the REAL path: PNG/BMP decode → luma →
+    box resize → PNG re-encode (operators/imagecodec.py, stdlib-only).
+    ``decode_stub=True`` keeps the digest-derived fake thumbnail for
+    plumbing-only tests.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not decode_stub:
+            import numpy as np
+
+            from . import imagecodec as ic
+
+            def real_resize(b: bytes) -> bytes:
+                w, h, mode, px = ic.decode_image(bytes(b))
+                gray = ic.to_grayscale(mode, w, h, px)
+                small = ic.box_resize(gray, width, height)
+                out = np.clip(np.rint(small), 0, 255).astype("uint8")
+                return ic.encode_png(width, height, out.tobytes(), "L")
+
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "image decode requires PIL; run with decode_stub=True"
+            if decode_stub:
+                digests = pdf[payload_col].map(
+                    lambda b: hashlib.md5(bytes(b)).digest()
                 )
-            digests = pdf[payload_col].map(lambda b: hashlib.md5(bytes(b)).digest())
+                resized = digests.map(
+                    lambda d: (d * (width * height // 16 + 1))[: width * height // 8]
+                )
+            else:
+                resized = pdf[payload_col].map(real_resize)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
                     "width": width,
                     "height": height,
-                    "resized": digests.map(lambda d: d * (width * height // 16 + 1))
-                    .map(lambda b: b[: width * height // 8]),
+                    "resized": resized,
                 }
             )
 
@@ -175,27 +202,32 @@ def perceptual_hash(
     payload_col: str = "payload",
     *,
     decode_stub: bool = True,
+    method: str = "phash",
 ) -> DataFrame:
     """60-bit perceptual hash per payload via Arrow-batched mapInPandas.
 
-    Real implementation: grayscale-decode, downscale to 32x32, 2D DCT,
-    threshold the top-left 8x8 coefficients against their median (the
-    classic pHash).  The codec is stubbed here like the rest of this
-    module: the deterministic fake derives 60 bits from the payload md5
-    (identical payloads get identical hashes, so downstream Hamming
-    plumbing is exercised for real).  60 bits keeps the value positive
-    in any signed-64 engine, which keeps the result oracle-checkable.
+    ``decode_stub=False`` is the REAL pipeline (operators/imagecodec.py,
+    stdlib-only): PNG/BMP decode → luma → box-resize 32x32 → orthonormal
+    2-D DCT → sign of the 60 low-frequency AC coefficients
+    (``method="phash"``), or 8x8 box-average thresholding
+    (``method="ahash"``).  ``decode_stub=True`` keeps the round-2
+    md5-derived fake for plumbing-only tests.  60 bits keeps the value
+    positive in any signed-64 engine, which keeps the result
+    oracle-checkable.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not decode_stub:
+            from . import imagecodec as ic
+
+            hash_fn = ic.phash_bytes if method == "phash" else ic.ahash_bytes
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "image decode requires PIL/scipy; run with decode_stub=True"
+            if decode_stub:
+                hashes = pdf[payload_col].map(
+                    lambda b: int(hashlib.md5(bytes(b)).hexdigest()[:15], 16)
                 )
-            hashes = pdf[payload_col].map(
-                lambda b: int(hashlib.md5(bytes(b)).hexdigest()[:15], 16)
-            )
+            else:
+                hashes = pdf[payload_col].map(lambda b: hash_fn(bytes(b)))
             yield pd.DataFrame({"id": pdf[id_col], "phash": hashes})
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
@@ -268,3 +300,54 @@ def hamming_near_dup(
         "id_b",
         F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def generate_images(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    style: str = "dct",
+    amplitude: float = 30.0,
+) -> DataFrame:
+    """Render one REAL 32x32 grayscale PNG per row, deterministically
+    derived from md5(text) — the dependency-free image fixture path.
+
+    ``style="dct"`` embeds the 60 md5-prefix bits as ±amplitude DCT
+    coefficients (``imagecodec.render_bits_dct``), so the full real
+    pipeline decode→luma→resize→DCT→sign (``perceptual_hash`` with
+    ``decode_stub=False``) provably recovers
+    ``int(md5(text)[:15], 16)`` — an engine-independent value any SQL
+    oracle can compute.  ``style="blocks"`` does the same for the
+    average-hash path (4x4 constant blocks).
+
+    Output: ``(id, payload binary, media_meta struct)``.
+    """
+    if style not in ("dct", "blocks"):
+        raise ValueError(f"unknown style {style!r}")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import imagecodec as ic
+
+        render = (
+            (lambda v: ic.render_bits_dct(v, amplitude=amplitude))
+            if style == "dct"
+            else ic.render_bits_blocks
+        )
+
+        for pdf in batches:
+            payloads = pdf[text_col].map(
+                lambda t: render(int(hashlib.md5(t.encode()).hexdigest()[:15], 16))
+            )
+            yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
+
+    rendered = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        op, "id bigint, payload binary"
+    )
+    meta = F.struct(
+        F.lit("image/png").alias("mime"),
+        F.lit(32).alias("width"),
+        F.lit(32).alias("height"),
+        F.lit(None).cast("bigint").alias("duration_ms"),
+    )
+    return rendered.withColumn("media_meta", meta)
