@@ -8607,3 +8607,182 @@ def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = generate_images(docs, "doc_id", "text", style="dct")
     hashes = perceptual_hash(imgs, "id", decode_stub=False, method="phash")
     return hamming_near_dup(hashes, "id", "phash").select("id_a", "id_b", "hamming")
+
+
+@q(
+    "q205_mutual_nn_lsh_composed",
+    """
+    WITH e AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    hp AS (
+      SELECT p, i,
+             CASE WHEN strpos('02468ace',
+                              substr(md5(p::VARCHAR || '|' || (i - 1)::VARCHAR), 1, 1)) > 0
+                  THEN 1.0 ELSE -1.0 END AS h
+      FROM (SELECT unnest(range(0, 8)) AS p) pl,
+           (SELECT unnest(range(1, 65)) AS i) dims
+    ),
+    bits AS (
+      SELECT e.vec_id, hp.p,
+             CASE WHEN sum(e.v * hp.h) >= 0 THEN '1' ELSE '0' END AS bit
+      FROM e JOIN hp USING (i)
+      GROUP BY e.vec_id, hp.p
+    ),
+    buckets AS (
+      SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+      FROM bits GROUP BY vec_id
+    ),
+    qb AS (SELECT vec_id AS left_id, bucket FROM buckets WHERE vec_id % 2 = 0),
+    cb AS (SELECT vec_id AS right_id, bucket FROM buckets WHERE vec_id % 2 = 1),
+    qprobe AS (
+      SELECT left_id, bucket FROM qb
+      UNION
+      SELECT left_id,
+             substr(bucket, 1, j - 1)
+             || (CASE WHEN substr(bucket, j, 1) = '1' THEN '0' ELSE '1' END)
+             || substr(bucket, j + 1, 8 - j) AS bucket
+      FROM qb, (SELECT unnest(range(1, 9)) AS j) js
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+    cand AS (
+      SELECT DISTINCT qp.left_id, cb.right_id
+      FROM qprobe qp JOIN cb USING (bucket)
+    ),
+    dots AS (
+      SELECT c.left_id, c.right_id, sum(el.v * er.v) AS dot
+      FROM cand c
+      JOIN e el ON el.vec_id = c.left_id
+      JOIN e er ON er.vec_id = c.right_id AND er.i = el.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT left_id, right_id,
+             dot / (nl.nrm * nr.nrm) AS c,
+             round(dot / (nl.nrm * nr.nrm), 6) AS rc
+      FROM dots JOIN norms nl ON left_id = nl.vec_id
+                JOIN norms nr ON right_id = nr.vec_id
+    ),
+    topk AS (
+      SELECT left_id, right_id, c FROM (
+        SELECT left_id, right_id, c,
+               row_number() OVER (PARTITION BY left_id
+                                  ORDER BY rc DESC, right_id) AS rk
+        FROM scored
+      ) WHERE rk <= 5
+    ),
+    ranked AS (
+      SELECT left_id, right_id, c,
+             row_number() OVER (PARTITION BY left_id
+                                ORDER BY c DESC, right_id) AS rl,
+             row_number() OVER (PARTITION BY right_id
+                                ORDER BY c DESC, left_id) AS rr
+      FROM topk
+    )
+    SELECT left_id, right_id, round(c, 6) AS cosine
+    FROM ranked WHERE rl = 1 AND rr = 1
+    """,
+)
+def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED bitext-mining scale path (round-2 VERDICT missing
+    #1): mutual_nn restricted to lsh_bucket_topk candidates.  Candidate
+    generation is the q54 machinery (md5-parity hyperplanes, Hamming-1
+    multi-probe, top-5 per query within probed buckets); mutuality is
+    then two windowed argmaxes over the candidate frame only — no
+    all-pairs stage anywhere.  The oracle replays both stages in SQL."""
+    from .operators.similarity import lsh_bucket_topk, mutual_nn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    cand = lsh_bucket_topk(
+        right, left, "vec_id", "embedding",
+        k=5, planes=8, dim=64, probes=2, round_cosine=6,
+    ).select(
+        F.col("query_id").alias("left_id"),
+        F.col("neighbor_id").alias("right_id"),
+    )
+    out = mutual_nn(left, right, candidates=cand)
+    return out.select("left_id", "right_id", F.round("cosine", 6).alias("cosine"))
+
+
+@q(
+    "q206_jaccard_join_lsh_composed",
+    f"""
+    WITH rdocs AS (
+      SELECT doc_id, text || ' extra tail marker' AS text
+      FROM documents WHERE doc_id < 30
+    ),
+    un AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM rdocs
+    ),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM un),
+    sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM toks),
+    mins AS (
+      SELECT doc_id,
+             {_MINHASH_MINS8}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS b, md5(h0::VARCHAR || '|' || h1::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 1 AS b, md5(h2::VARCHAR || '|' || h3::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 2 AS b, md5(h4::VARCHAR || '|' || h5::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 3 AS b, md5(h6::VARCHAR || '|' || h7::VARCHAR) AS d FROM mins
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_l, r.doc_id - 1000000 AS id_r
+      FROM bands l JOIN bands r ON l.b = r.b AND l.d = r.d AND l.doc_id < r.doc_id
+      WHERE l.doc_id < 1000000 AND r.doc_id >= 1000000
+    ),
+    dtl AS (
+      SELECT doc_id AS id_l, unnest(list_distinct(t)) AS tok
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents) s
+    ),
+    dtr AS (
+      SELECT doc_id AS id_r, unnest(list_distinct(t)) AS tok
+      FROM (SELECT doc_id, {_TOKS} AS t FROM rdocs) s
+    ),
+    szl AS (SELECT id_l, count(*) AS nl FROM dtl GROUP BY id_l),
+    szr AS (SELECT id_r, count(*) AS nr FROM dtr GROUP BY id_r),
+    inter AS (
+      SELECT c.id_l, c.id_r, count(*) AS i
+      FROM dtl JOIN dtr USING (tok)
+      JOIN cand c ON c.id_l = dtl.id_l AND c.id_r = dtr.id_r
+      GROUP BY 1, 2
+    )
+    SELECT i.id_l, i.id_r,
+           round(i.i::DOUBLE / (szl.nl + szr.nr - i.i), 6) AS jaccard
+    FROM inter i JOIN szl ON i.id_l = szl.id_l JOIN szr ON i.id_r = szr.id_r
+    WHERE round(i.i::DOUBLE / (szl.nl + szr.nr - i.i), 6) >= 0.5
+    """,
+)
+def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED record-linkage scale path (round-2 VERDICT missing
+    #1b): two-table token-Jaccard similarity join fed by MinHash-LSH
+    candidates.  Blocking = lsh_candidate_pairs over the UNION of both
+    tables with disjoint id namespaces (cross-namespace pairs only);
+    verification = exact token Jaccard, aggregated over candidate pairs
+    alone.  The oracle replays both stages in SQL."""
+    from .operators.dedup import jaccard_similarity_join, lsh_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    right = docs.filter(F.col("doc_id") < 30).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" extra tail marker")).alias("text")
+    )
+    un = docs.union(right.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    cand = (
+        lsh_candidate_pairs(un, "doc_id", "text", num_hashes=8, bands=4)
+        .filter((F.col("id_a") < 1000000) & (F.col("id_b") >= 1000000))
+        .select(
+            F.col("id_a").alias("id_l"),
+            (F.col("id_b") - 1000000).alias("id_r"),
+        )
+    )
+    return jaccard_similarity_join(
+        docs, right, "doc_id", "text", "doc_id", "text",
+        threshold=0.5, candidates=cand,
+    )

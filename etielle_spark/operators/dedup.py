@@ -556,11 +556,18 @@ def jaccard_similarity_join(
     *,
     threshold: float,
     max_df: int | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Fuzzy (token-Jaccard) similarity join between two tables: all
     (left, right) pairs whose token sets overlap with Jaccard >=
     ``threshold`` — the record-linkage / entity-resolution join ("match
     dirty catalog names to canonical products").
+
+    ``candidates`` (id_l, id_r) restricts scoring to a candidate set —
+    the scale composition feeds it MinHash-LSH pairs over the union of
+    both tables (``lsh_candidate_pairs`` with disjoint id namespaces),
+    so the blocking volume is the LSH buckets', not the shared-token
+    join's (q206 is the oracle-checked composition).
 
     Plan shape: explode distinct tokens on both sides, equi-join on the
     token (the blocking step — only pairs sharing >= 1 token are ever
@@ -598,11 +605,14 @@ def jaccard_similarity_join(
     else:
         sz_l = tl.select("id_l", F.size("__tl").alias("__nl"))
         sz_r = tr.select("id_r", F.size("__tr").alias("__nr"))
-    inter = (
-        gl.join(gr, "tok")
-        .groupBy("id_l", "id_r")
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
+    joined = gl.join(gr, "tok")
+    if candidates is not None:
+        # prune to the candidate set BEFORE the pair aggregation (a
+        # semi-join cannot be pushed below the groupBy by Catalyst)
+        joined = joined.join(
+            candidates.select("id_l", "id_r"), ["id_l", "id_r"], "left_semi"
+        )
+    inter = joined.groupBy("id_l", "id_r").agg(F.count(F.lit(1)).alias("__inter"))
     jac = F.round(
         F.col("__inter").cast("double")
         / (F.col("__nl") + F.col("__nr") - F.col("__inter")),

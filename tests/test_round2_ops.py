@@ -157,3 +157,27 @@ def test_embedding_contamination_id_collision_not_dropped(spark):
         df_corp, df_eval, "id", "v", threshold=0.9, planes=4, dim=4, probes=2
     ).collect()
     assert [(r.id, r.matched_eval_id) for r in got] == [(7, 7)]
+
+
+def test_jaccard_similarity_join_candidates_prune(spark):
+    """candidates= restricts scoring to the given (id_l, id_r) pairs —
+    an uncandidated match must NOT appear, a candidated one must, with
+    the same jaccard as the exact path (hand-computed)."""
+    from etielle_spark.operators.dedup import jaccard_similarity_join
+
+    left = spark.createDataFrame(
+        [(1, "red green blue"), (2, "alpha beta gamma")], ["id", "text"]
+    )
+    right = spark.createDataFrame(
+        [(10, "red green yellow"), (20, "alpha beta gamma")], ["id", "text"]
+    )
+    cand = spark.createDataFrame([(1, 10)], ["id_l", "id_r"])
+    got = {
+        (r.id_l, r.id_r): r.jaccard
+        for r in jaccard_similarity_join(
+            left, right, "id", "text", "id", "text",
+            threshold=0.1, candidates=cand,
+        ).collect()
+    }
+    # (1,10): inter {red,green}=2, union 4 -> 0.5; (2,20) pruned out
+    assert got == {(1, 10): 0.5}
