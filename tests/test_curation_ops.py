@@ -577,3 +577,21 @@ def test_distribution_match_resample_zero_ref_mass_group(spark):
     groups = {r["group"] for r in out}
     assert "ref" in groups and "hi" not in groups
     assert sum(1 for r in out if r["group"] == "ref") == 4
+
+
+def test_bpe_train_spark_fallback_matches_local(spark):
+    """collect_cap=0 forces the per-round Spark loop; it must produce
+    exactly the merges the (default) collected driver loop produces."""
+    from etielle_spark.operators.text import bpe_train
+
+    texts = [
+        "the theme of the thesis is the theme",
+        "low lower lowest low low",
+        "new newer newest news new",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    local = bpe_train(df, "text", num_merges=6, min_count=2)
+    dist = bpe_train(df, "text", num_merges=6, min_count=2, collect_cap=0)
+    assert local == dist and len(local) > 0
