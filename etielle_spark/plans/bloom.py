@@ -34,7 +34,12 @@ def _positions(key: Column, n_bits: int, k: int) -> list[Column]:
 
 
 def bloom_bitmap(
-    dim: DataFrame, dim_key: str, *, n_bits: int = 1 << 16, k: int = 3
+    dim: DataFrame,
+    dim_key: str,
+    *,
+    n_bits: int = 1 << 16,
+    k: int = 3,
+    max_saturation: float = 0.5,
 ) -> list[int]:
     """Build the bloom bitmap (list of 64-bit words, little-endian bit
     order within each word) from the dim side's join keys.
@@ -43,9 +48,23 @@ def bloom_bitmap(
     them (bounded by ``n_bits`` rows), collect.  The returned list has
     ``n_bits / 64`` words (~8 KB at the default 65,536 bits) — small
     enough to embed as a plan literal and ship with every task.
+
+    Size guards (the round-2 VERDICT's lookup-style cap): ``n_bits`` is
+    capped at 2^24 (a bigger literal bitmap bloats every task's plan —
+    if the build side needs more, it is not a dimension; use
+    plans.skew.smart_join or a plain shuffle join).  After the build,
+    a bitmap more than ``max_saturation`` full is rejected for the same
+    reason: a saturated bloom passes nearly every fact row, so the
+    prune is pure overhead — the build side has outgrown the filter.
     """
     if n_bits % 64 != 0:
         raise ValueError("bloom_bitmap: n_bits must be a multiple of 64")
+    if n_bits > 1 << 24:
+        raise ValueError(
+            f"bloom_bitmap: n_bits={n_bits} exceeds the 2^24 plan-literal "
+            "cap; a build side needing a bigger bloom is not a dimension "
+            "— use plans.skew.smart_join (or a plain shuffle join) instead"
+        )
     pos_rows = (
         dim.select(
             F.explode(F.array(*_positions(F.col(dim_key), n_bits, k))).alias("p")
@@ -53,6 +72,14 @@ def bloom_bitmap(
         .distinct()
         .collect()
     )
+    if len(pos_rows) > max_saturation * n_bits:
+        raise ValueError(
+            f"bloom_bitmap: {len(pos_rows)}/{n_bits} bits set exceeds "
+            f"max_saturation={max_saturation} — the build side is too "
+            "large for this bitmap, so the prune would pass almost "
+            "every row; raise n_bits, or use plans.skew.smart_join "
+            "(or a plain shuffle join) for a non-dimension build side"
+        )
     words = [0] * (n_bits // 64)
     for r in pos_rows:
         p = r["p"]

@@ -145,3 +145,48 @@ def test_two_phase_fk_with_db_identity(spark, derby_url):
         populate_child_fk(
             children, written, by={"author": "username"}, fk_col="user_id", required=True
         )
+
+
+def test_jdbc_sink_on_batch_progress(spark, derby_url):
+    """The on_batch progress seam (reference insert_batches' per-batch
+    callback, supabase_adapter.py:14-71): per-table events observed
+    during/after the write, always ending in (total, total)."""
+    events = []
+    sink = JdbcSink(
+        derby_url, driver=DRIVER,
+        on_batch=lambda table, done, total: events.append((table, done, total)),
+    )
+    data = {"users": [{"id": f"u{i}", "name": f"N{i}"} for i in range(40)]}
+    (
+        etl(data, spark=spark)
+        .goto("users")
+        .each()
+        .map_to(
+            "progress_users",
+            fields=[Field("id", get("id")), Field("name", get("name"))],
+            join_on=["id"],
+        )
+        .load(sink)
+        .run()
+    )
+    assert events, "no progress events"
+    tables = {e[0] for e in events}
+    assert tables == {"progress_users"}
+    final = events[-1]
+    assert final[1] == final[2] > 0  # ends complete
+    assert all(0 <= d <= t for _, d, t in events)
+    # monotone progress
+    dones = [d for _, d, _ in events]
+    assert dones == sorted(dones)
+    # rows actually landed
+    assert _read(spark, derby_url, "progress_users").count() == 40
+
+    # callback exceptions are swallowed
+    def boom(*a):
+        raise RuntimeError("cb")
+
+    sink2 = JdbcSink(derby_url, driver=DRIVER, mode="append", on_batch=boom)
+    df = spark.range(3).select(F.col("id").cast("string").alias("id"),
+                               F.lit("x").alias("name"))
+    sink2.write("progress_users", df)
+    assert _read(spark, derby_url, "progress_users").count() == 43
