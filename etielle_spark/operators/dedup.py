@@ -502,25 +502,30 @@ def gram_duplication_stats(
     spans show up as runs of shared n-grams) without suffix arrays.
 
     Plan shape at scale: explode distinct grams (linear ``grams_of``
-    construction), aggregate each gram's distinct-document count keyed
-    by the gram digest (32-byte shuffle key, never document text), then
-    one join back on the digest and a per-document aggregation.  The
-    gram->count table is the only wide state; heavy grams are just large
-    groups (AQE splits them), and the second shuffle is on the doc id.
+    construction), then ONE shuffle on the gram digest (32-byte key,
+    never document text) where a window count attaches each gram's
+    document count — no join-back, no second scan of the gram
+    construction (the round-2 shape paid both) — and a per-document
+    aggregation on the doc id.  Heavy grams are just large window
+    groups; the count, not the postings, is what rides into the doc
+    aggregation.
 
     Returns ``(id, n_grams, n_shared_grams, shared_frac, drop)``;
     documents with no tokens report 0 grams and shared_frac NULL.
     """
+    from pyspark.sql import Window
+
     toks = df.select(F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t"))
     grams = toks.select(
         "id", F.explode(grams_of(F.col("t"), n)).alias("gram")
     ).select("id", F.md5(F.col("gram")).alias("g"))
-    counts = grams.groupBy("g").agg(
-        F.count_distinct(F.col("id")).alias("n_docs")
+    # grams_of is per-doc distinct, so count(*) per digest == distinct
+    # documents holding the gram
+    counted = grams.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("g"))
     )
     per_doc = (
-        grams.join(counts, "g")
-        .groupBy("id")
+        counted.groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.sum((F.col("n_docs") > 1).cast("bigint")).alias("n_shared_grams"),

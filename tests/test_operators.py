@@ -1584,3 +1584,25 @@ def test_skew_report_hand_computed(spark):
     # even distribution -> gini ~ 0
     even = spark.createDataFrame([("a",), ("b",), ("c",)], ["k"])
     assert abs(skew_report(even, "k").collect()[0].gini) < 1e-9
+
+
+def test_semdedup_engines_agree(spark, emb):
+    """engine='arrow' (numpy GEMM per cell) and engine='sql' (pure
+    column expressions) must produce identical verdicts."""
+    from etielle_spark.operators.similarity import semdedup
+
+    clones = emb.withColumn("vec_id", F.col("vec_id") + 100000)
+    both = emb.union(clones)
+    a = {
+        (r.id, r.cell, r.dropped, r.dup_of)
+        for r in semdedup(
+            both, "vec_id", "embedding", threshold=0.999, nlist=8, engine="arrow"
+        ).collect()
+    }
+    s = {
+        (r.id, r.cell, r.dropped, r.dup_of)
+        for r in semdedup(
+            both, "vec_id", "embedding", threshold=0.999, nlist=8, engine="sql"
+        ).collect()
+    }
+    assert a == s and len(a) > 0
