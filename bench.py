@@ -309,6 +309,94 @@ def streaming_incremental_dedup(spark) -> float:
         shutil.rmtree(work, ignore_errors=True)
 
 
+
+# --- 10x scale curve (round-3 VERDICT ask #3) -------------------------------
+
+SCALE_FACTOR = 10
+DOC_SCALE_FACTOR = 100  # documents are only 5k rows at sf0.1 — 10x would
+#                         still be overhead-dominated; 100x (500k docs)
+#                         makes the text-path factors meaningful
+SCALE_QUERIES = {
+    # linear-path queries whose cost should scale ~ the data factor:
+    # scan/agg (q01), join+topk (q03), text single-scan (q22), digest
+    # dedup (q26), simhash fold (q30)
+    "q01_pricing_summary": SCALE_FACTOR,
+    "q03_shipping_priority": SCALE_FACTOR,
+    "q22_token_stats": DOC_SCALE_FACTOR,
+    "q26_exact_dedup_docs": DOC_SCALE_FACTOR,
+    "q30_simhash": DOC_SCALE_FACTOR,
+}
+SCALE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchdata", "sf1synth")
+
+
+def ensure_scaled(spark) -> str:
+    """Synthesize a 10x corpus from sf0.1 (~6M lineitem) under
+    .benchdata/ (gitignored), FK-consistent: every key column shifts by
+    copy * 100M, document text gets a per-copy suffix so dedup keys stay
+    unique.  Idempotent — reuses the dataset when present."""
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(SCALE_DIR, "_DONE")
+    if os.path.exists(marker):
+        return SCALE_DIR
+    os.makedirs(SCALE_DIR, exist_ok=True)
+    stride = 100_000_000
+
+    def scaled(table: str, keys: list[str], text_col: str | None = None,
+               factor: int = SCALE_FACTOR):
+        copies = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__c")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet").select("*", copies)
+        for k in keys:
+            df = df.withColumn(k, F.col(k) + F.col("__c").cast("long") * stride)
+        if text_col is not None:
+            df = df.withColumn(
+                text_col,
+                F.concat(F.col(text_col), F.lit(" rep"), F.col("__c").cast("string")),
+            )
+        df.drop("__c").write.mode("overwrite").parquet(
+            os.path.join(SCALE_DIR, f"{table}.parquet")
+        )
+
+    scaled("lineitem", ["l_orderkey"])
+    scaled("orders", ["o_orderkey", "o_custkey"])
+    scaled("customer", ["c_custkey"])
+    scaled("documents", ["doc_id"], text_col="text", factor=DOC_SCALE_FACTOR)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return SCALE_DIR
+
+
+def scale_curve(spark, base_times: dict[str, float]) -> dict:
+    """Run the linear-path subset on the synthesized 10x corpus and
+    report per-query scaling factors vs the sf0.1 medians.  A factor
+    well under SCALE_FACTOR means the sf0.1 number is overhead-
+    dominated; a factor well over it means the plan has a superlinear
+    term — both are what this section exists to expose."""
+    from etielle_spark.benchqueries import QUERIES
+
+    big_dir = ensure_scaled(spark)
+    big_times: dict[str, float] = {}
+    factors: dict[str, float] = {}
+    data_factors: dict[str, int] = {}
+    for name, dfac in SCALE_QUERIES.items():
+        fn, _sql = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, big_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        big_times[name] = round(dt, 3)
+        data_factors[name] = dfac
+        base = base_times.get(name)
+        if base:
+            factors[name] = round(dt / base, 2)
+    return {
+        "sf": 1.0,
+        "synthesized_from": sf_dir,
+        "data_factor": data_factors,
+        "queries": big_times,
+        "factors_vs_sf0.1": factors,
+    }
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -349,24 +437,39 @@ def main() -> None:
     simhash(tiny, "doc_id", "text").count()
     tiny.unpersist()
 
+    # median of 3 runs per query (the r01->r02 comparison was dominated
+    # by single-run variance — up to 2x swing on a shared box); the
+    # min/max spread ships alongside so regressions can be judged
+    # against the noise envelope
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    samples["ref_workload_users_posts_8k"] = []
+    fused_names = ["q27_minhash_signatures", "q28_lsh_candidate_pairs"]
+    for fn_name in fused_names:
+        samples[fn_name] = []
+    for _ in range(runs):
+        for name in HEADLINE:
+            fn, _sql = QUERIES[name]
+            t0 = time.perf_counter()
+            # noop sink materializes EVERY column — a bare count() lets
+            # Catalyst prune map-only computations entirely (q22's
+            # "timing" was a scan)
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+        for fn_name, dt in minhash_lsh_fused(spark).items():
+            samples[fn_name].append(dt)
+        samples["ref_workload_users_posts_8k"].append(reference_workload(spark))
+
+    import statistics
+
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     total = 0.0
-    for name in HEADLINE:
-        fn, _sql = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
-        times[name] = round(dt, 3)
-        total += dt
-
-    for name, dt in minhash_lsh_fused(spark).items():
-        times[name] = dt
-        total += dt
-
-    ref_dt = reference_workload(spark)
-    times["ref_workload_users_posts_8k"] = round(ref_dt, 3)
-    total += ref_dt
+    for name, vals in samples.items():
+        med = statistics.median(vals)
+        times[name] = round(med, 3)
+        spread[name] = [round(min(vals), 3), round(max(vals), 3)]
+        total += med
 
     # streaming path, reported separately (not part of the batch headline
     # total): native watermarked windows + the reference's streaming-mode
@@ -381,19 +484,26 @@ def main() -> None:
         ),
     }
 
+    curve = None
+    if os.environ.get("SPARK_GRAFT_SCALE_CURVE", "1") != "0":
+        try:
+            curve = scale_curve(spark, times)
+        except Exception as e:  # keep the bench line robust
+            curve = {"error": str(e)[:200]}
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": times,
-                "streaming": streaming,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "spread": spread,
+        "streaming": streaming,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if curve is not None:
+        out["scale_curve"] = curve
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
