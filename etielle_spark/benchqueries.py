@@ -8786,3 +8786,71 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, right, "doc_id", "text", "doc_id", "text",
         threshold=0.5, candidates=cand,
     )
+
+
+@q(
+    "q207_cluster_dedup_cc",
+    f"""
+    WITH RECURSIVE all_docs AS (
+      SELECT doc_id, text FROM documents UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text || ' zzz' AS text
+      FROM documents WHERE doc_id < 20
+    ),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM all_docs),
+    sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM toks),
+    mins AS (
+      SELECT doc_id,
+             {_MINHASH_MINS8}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS b, md5(h0::VARCHAR || '|' || h1::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 1 AS b, md5(h2::VARCHAR || '|' || h3::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 2 AS b, md5(h4::VARCHAR || '|' || h5::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 3 AS b, md5(h6::VARCHAR || '|' || h7::VARCHAR) AS d FROM mins
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r ON l.b = r.b AND l.d = r.d AND l.doc_id < r.doc_id
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS dd FROM cand
+      UNION
+      SELECT id_b AS s, id_a AS dd FROM cand
+    ),
+    verts AS (SELECT DISTINCT s AS id FROM sym),
+    reach(id, r) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT sym.dd, reach.r FROM reach JOIN sym ON sym.s = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT a.doc_id AS id,
+           coalesce(c.component, a.doc_id) AS component,
+           (coalesce(c.component, a.doc_id) = a.doc_id) AS keep
+    FROM all_docs a LEFT JOIN comp c ON c.id = a.doc_id
+    """,
+)
+def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER dedup end-to-end (operators/dedup.py:
+    cluster_dedup): MinHash-LSH candidate pairs -> DISTRIBUTED connected
+    components (operators/graph.py:connected_components_df — iterative
+    min-label propagation, one join + one min-agg per round) -> keep one
+    min-id representative per component; singletons keep themselves.
+    The oracle replays the pair generation and closes the components
+    with a recursive CTE — transitivity included, which pairwise dedup
+    verdicts miss."""
+    from .operators.dedup import cluster_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    perturbed = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    all_docs = docs.union(clones).union(perturbed)
+    return cluster_dedup(all_docs, "doc_id", "text", num_hashes=8, bands=4)

@@ -151,3 +151,80 @@ def triangle_count(
             F.col("n_triangles").desc(), F.col("node").asc()
         ).limit(top_n)
     return per_node
+
+
+def connected_components_df(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components over an edge DataFrame by
+    iterative min-label propagation: every vertex starts labeled with
+    itself; each round takes the min of its own label and its
+    neighbors' labels.  Converges in O(max component diameter) rounds —
+    for dedup candidate graphs (LSH pairs are clique-ish) that is a
+    handful; ``max_iter`` bounds pathological chains, raising rather
+    than returning a half-converged labeling.
+
+    Plan shape per round: one join of the symmetrized edge frame with
+    the (one-row-per-vertex) label frame on the destination key, one
+    min-aggregation on the vertex key, and one scalar convergence count
+    — the label frame rides every shuffle, edges are re-scanned from
+    their persisted form, nothing is collected.  This is the standard
+    scalable CC recipe (hash-to-min; cf. Rastogi et al. 2013 — public
+    algorithm, reimplemented here on DataFrames).
+
+    Each round CHECKPOINTS the label frame (reliable checkpoint when a
+    checkpoint dir is configured, local otherwise): the round's plan
+    references the previous labels twice, so without truncation the
+    logical plan doubles per round — exponential planner blowup, the
+    known failure mode of every iterative DataFrame algorithm.  On a
+    real cluster set ``sparkContext.setCheckpointDir`` so label loss on
+    executor failure recovers from storage instead of rerunning the
+    loop.
+
+    Returns ``(id, component)`` with ``component`` = the smallest id in
+    the vertex's component, one row per vertex that appears in any edge.
+    """
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+
+    reliable = sym.sparkSession.sparkContext.getCheckpointDir() is not None
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+    labels = _truncate(
+        sym.select(F.col("s").alias("id")).distinct().withColumn("component", F.col("id"))
+    )
+
+    for _ in range(max_iter):
+        prop = sym.join(labels, sym["d"] == labels["id"]).select(
+            F.col("s").alias("id"), F.col("component")
+        )
+        new_labels = _truncate(
+            labels.select("id", "component")
+            .union(prop)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            sym.unpersist()
+            return labels
+    sym.unpersist()
+    raise RuntimeError(
+        f"connected_components_df: not converged after {max_iter} rounds — "
+        "raise max_iter (component diameter exceeds it)"
+    )

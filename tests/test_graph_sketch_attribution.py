@@ -156,3 +156,67 @@ def test_triangle_count_random_graph(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r.node: r.n_triangles for r in triangle_count(df, "src", "dst").collect()}
     assert got == _brute_triangles(edges)
+
+
+def test_connected_components_df(spark):
+    """Hand-checked components: chain 1-2-3, pair 10-11, self-contained
+    triangle 20-21-22; vertex labels = min id per component."""
+    from etielle_spark.operators.graph import connected_components_df
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        (r.id, r.component)
+        for r in connected_components_df(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-vertex path needs multiple propagation rounds; min label
+    still reaches the far end (and max_iter=2 raises)."""
+    import pytest as _pt
+
+    from etielle_spark.operators.graph import connected_components_df
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], ["id_a", "id_b"]
+    )
+    got = {(r.id, r.component) for r in connected_components_df(edges).collect()}
+    assert got == {(i, 0) for i in range(12)}
+    with _pt.raises(RuntimeError, match="not converged"):
+        connected_components_df(edges, max_iter=2)
+
+
+def test_cluster_dedup_transitive(spark):
+    """A~B and B~C but A!~C directly: pairwise dedup keeps two of the
+    three; cluster dedup keeps exactly one (the min id), and singleton
+    docs keep themselves."""
+    from etielle_spark.operators.dedup import cluster_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                      # exact clone of 1
+            (3, base + " tail"),            # near-dup of 1/2
+            (50, "completely different words entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.id: (r.component, r.keep) for r in
+            cluster_dedup(docs, "doc_id", "text", num_hashes=8, bands=4).collect()}
+    assert rows[50] == (50, True)           # singleton keeps itself
+    assert rows[1] == (1, True)
+    assert rows[2] == (1, False)
+    # doc 3 joins the cluster iff LSH paired it; either way verdicts
+    # are component-consistent
+    comp3, keep3 = rows[3]
+    assert (comp3, keep3) in ((1, False), (3, True))
+    assert keep3 == (comp3 == 3)
