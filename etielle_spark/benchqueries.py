@@ -8854,3 +8854,41 @@ def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     all_docs = docs.union(clones).union(perturbed)
     return cluster_dedup(all_docs, "doc_id", "text", num_hashes=8, bands=4)
+
+
+@q(
+    "q208_audio_decode_features",
+    """
+    WITH h AS (
+      SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS v
+      FROM documents
+    )
+    SELECT doc_id AS id, 16000 AS sample_rate, 960::BIGINT AS n_frames,
+           60.0 AS duration_ms, 16384.0 AS rms, 16384 AS peak,
+           bit_count(xor(v, v >> 1) & ((1::BIGINT << 59) - 1))::INT
+             AS zero_crossings
+    FROM h
+    """,
+)
+def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end (the WAV twin of q202): render one
+    PCM WAV per document (operators/multimodal.py:generate_audio — 16
+    samples of ±16384 per md5-prefix bit), then extract_audio_features
+    (operators/audiocodec.py: stdlib RIFF parse, numpy features).  The
+    decoded features are closed-form functions of the bits — RMS and
+    peak are the amplitude exactly, zero crossings = popcount of
+    adjacent-bit flips — so the oracle needs no codec."""
+    from .operators.multimodal import extract_audio_features, generate_audio
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    wavs = generate_audio(docs, "doc_id", "text")
+    feats = extract_audio_features(wavs, "id")
+    return feats.select(
+        F.col("id").alias("doc_id"),
+        "sample_rate",
+        "n_frames",
+        "duration_ms",
+        "rms",
+        "peak",
+        "zero_crossings",
+    )

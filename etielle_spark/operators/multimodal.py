@@ -351,3 +351,82 @@ def generate_images(
         F.lit(None).cast("bigint").alias("duration_ms"),
     )
     return rendered.withColumn("media_meta", meta)
+
+
+def generate_audio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    sample_rate: int = 16000,
+    amplitude: int = 16384,
+) -> DataFrame:
+    """Render one REAL mono 16-bit PCM WAV per row, deterministically
+    derived from md5(text) — the audio twin of ``generate_images``
+    (operators/audiocodec.py:render_bits_wav): 16 samples of ±amplitude
+    per md5-prefix bit, so decoded features are closed-form functions
+    of the bits any SQL oracle can compute.
+
+    Output: ``(id, payload binary, media_meta struct)``.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import audiocodec as ac
+
+        for pdf in batches:
+            payloads = pdf[text_col].map(
+                lambda t: ac.render_bits_wav(
+                    int(hashlib.md5(t.encode()).hexdigest()[:15], 16),
+                    amplitude=amplitude,
+                    sample_rate=sample_rate,
+                )
+            )
+            yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
+
+    rendered = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        op, "id bigint, payload binary"
+    )
+    meta = F.struct(
+        F.lit("audio/wav").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(int(60 * 16 / sample_rate * 1000)).cast("bigint").alias("duration_ms"),
+    )
+    return rendered.withColumn("media_meta", meta)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL audio feature extraction via Arrow-batched ``mapInPandas``:
+    PCM WAV decode (operators/audiocodec.py — stdlib-only, no stub) →
+    sample-rate/duration/RMS/peak/zero-crossings over channel 0.
+
+    Same batch shape as ``extract_features``: one Python worker per
+    partition, Arrow record batches, no per-row serde.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import audiocodec as ac
+
+        for pdf in batches:
+            feats = pdf[payload_col].map(lambda b: ac.wav_features(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "sample_rate": feats.map(lambda f: f["sample_rate"]),
+                    "n_frames": feats.map(lambda f: f["n_frames"]),
+                    "duration_ms": feats.map(lambda f: f["duration_ms"]),
+                    "rms": feats.map(lambda f: f["rms"]),
+                    "peak": feats.map(lambda f: f["peak"]),
+                    "zero_crossings": feats.map(lambda f: f["zero_crossings"]),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op,
+        "id bigint, sample_rate int, n_frames bigint, duration_ms double, "
+        "rms double, peak int, zero_crossings int",
+    )

@@ -202,3 +202,64 @@ def test_real_multimodal_operators(spark):
         np.rint(ic.box_resize(ic.to_grayscale(m0, w0, h0, px0), 8, 8)), 0, 255
     )
     assert (np.frombuffer(px, dtype=np.uint8).reshape(8, 8) == expect).all()
+
+
+def test_wav_decode_known_bytes():
+    """Hand-assembled WAV (independent of encode_wav): 4 frames stereo
+    16-bit PCM at 22050 Hz, plus an 8-bit mono file."""
+    import struct
+
+    from etielle_spark.operators import audiocodec as ac
+
+    frames = [(100, -100), (200, -200), (-32768, 32767), (0, 1)]
+    raw = b"".join(struct.pack("<hh", a, b) for a, b in frames)
+    fmt = struct.pack("<HHIIHH", 1, 2, 22050, 22050 * 4, 4, 16)
+    body = b"WAVEfmt " + struct.pack("<I", 16) + fmt + b"data" + struct.pack("<I", len(raw)) + raw
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, ch, samples = ac.decode_wav(wav)
+    assert (rate, ch) == (22050, 2)
+    assert samples.tolist() == [list(f) for f in frames]
+
+    raw8 = bytes([128, 255, 0, 128])  # recentred: 0, 127, -128, 0
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body8 = b"WAVEfmt " + struct.pack("<I", 16) + fmt8 + b"data" + struct.pack("<I", 4) + raw8
+    rate, ch, s8 = ac.decode_wav(b"RIFF" + struct.pack("<I", len(body8)) + body8)
+    assert s8[:, 0].tolist() == [0, 127, -128, 0]
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="RIFF"):
+        ac.decode_wav(b"nope")
+
+
+def test_wav_zero_crossing_zero_handling():
+    """Zeros inherit the previous sign: +,0,- counts one crossing."""
+    import numpy as np
+
+    from etielle_spark.operators import audiocodec as ac
+
+    wav = ac.encode_wav(8000, np.asarray([5, 0, -5, -5, 0, 0, 5], dtype="<i2"))
+    f = ac.wav_features(wav)
+    assert f["zero_crossings"] == 2
+
+
+def test_audio_operators_on_session(spark):
+    """generate_audio -> extract_audio_features over a live session."""
+    import hashlib
+
+    from etielle_spark.operators.multimodal import (
+        extract_audio_features,
+        generate_audio,
+    )
+
+    docs = spark.createDataFrame([(1, "hello"), (2, "world")], ["doc_id", "text"])
+    feats = {
+        r["id"]: r
+        for r in extract_audio_features(
+            generate_audio(docs, "doc_id", "text"), "id"
+        ).collect()
+    }
+    for i, t in ((1, "hello"), (2, "world")):
+        v = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        flips = bin((v ^ (v >> 1)) & ((1 << 59) - 1)).count("1")
+        assert feats[i]["zero_crossings"] == flips
+        assert feats[i]["rms"] == 16384.0 and feats[i]["duration_ms"] == 60.0
