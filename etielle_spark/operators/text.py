@@ -27,25 +27,39 @@ def token_count(text: Column) -> Column:
 
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document token statistics: count, distinct count, avg length,
-    and a BPE-ish subword estimate (chars/4 heuristic used by LLM costing)."""
-    toks = tokens_col(F.col(text_col))
+    and a BPE-ish subword estimate (chars/4 heuristic used by LLM costing).
+
+    One tokenizer pass per row: the token array binds once through
+    ``let_`` (CollapseProject would otherwise inline the regex split
+    into every stat — 3 splits/row in the round-2 shape), and the
+    token-length sum is the count of non-whitespace characters (tokens
+    ARE the non-whitespace segments), one codegen'd regexp_replace
+    instead of an interpreted transform+aggregate fold."""
+    text = F.col(text_col)
+    n_nonspace = F.length(
+        F.regexp_replace(F.lower(F.trim(text)), r"\s+", "")
+    ).cast("double")
+
+    def stats(toks: Column) -> Column:
+        n = F.size(toks)
+        return F.struct(
+            n.cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        )
+
+    s = let_(tokens_col(text), stats)
     return df.select(
         F.col(id_col),
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        s.getField("n_tokens").alias("n_tokens"),
+        s.getField("n_distinct").alias("n_distinct_tokens"),
         F.round(
             F.when(
-                F.size(toks) > 0,
-                F.aggregate(
-                    F.transform(toks, lambda t: F.length(t).cast("double")),
-                    F.lit(0.0),
-                    lambda a, v: a + v,
-                )
-                / F.size(toks),
+                s.getField("n_tokens") > 0,
+                n_nonspace / s.getField("n_tokens"),
             ),
             4,
         ).alias("avg_token_len"),
-        F.ceil(F.length(F.col(text_col)) / 4).cast("bigint").alias("est_bpe_tokens"),
+        F.ceil(F.length(text) / 4).cast("bigint").alias("est_bpe_tokens"),
     )
 
 
