@@ -325,6 +325,7 @@ SCALE_QUERIES = {
     "q22_token_stats": DOC_SCALE_FACTOR,
     "q26_exact_dedup_docs": DOC_SCALE_FACTOR,
     "q30_simhash": DOC_SCALE_FACTOR,
+    "q100_gram_duplication": DOC_SCALE_FACTOR,
 }
 SCALE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchdata", "sf1synth")
 

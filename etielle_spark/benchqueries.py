@@ -8892,3 +8892,40 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak",
         "zero_crossings",
     )
+
+
+@q(
+    "q209_resize_decode_roundtrip",
+    """
+    SELECT doc_id AS id, 8.0 AS width, 8.0 AS height,
+           round(bit_count(('0x' || substr(md5(text), 1, 15))::BIGINT)
+                 * 255.0 / 64, 6) AS mean_luma
+    FROM documents
+    """,
+)
+def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two REAL codec hops chained: blocks-rendered PNG -> resize_images
+    (decode -> box resize 8x8 -> PNG re-encode, decode_stub=False) ->
+    extract_features on the RESIZED payload (second decode).  Box means
+    over constant 4x4 cells are exact and PNG is lossless twice over,
+    so the final mean luminance is popcount(md5-prefix) * 255 / 64 — a
+    codec-free oracle across an encode/decode/resize/encode/decode
+    chain."""
+    from .operators.multimodal import (
+        extract_features,
+        generate_images,
+        resize_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    imgs = generate_images(docs, "doc_id", "text", style="blocks")
+    resized = resize_images(imgs, "id", width=8, height=8, decode_stub=False)
+    feats = extract_features(
+        resized, "id", payload_col="resized", feat_dim=4, decode_stub=False
+    )
+    return feats.select(
+        "id",
+        F.element_at("feat", 1).alias("width"),
+        F.element_at("feat", 2).alias("height"),
+        F.round(F.element_at("feat", 3), 6).alias("mean_luma"),
+    )

@@ -191,3 +191,61 @@ def test_hamming_near_dup_completeness(spark, n_rows, flips):
         assert out[(1, 2)] == d
     elif d == 0:
         assert out[(1, 2)] == 0
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    mode=st.sampled_from(["L", "LA", "RGB", "RGBA"]),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(**_SETTINGS)
+def test_png_roundtrip_property(w, h, mode, seed):
+    """Any 8-bit pixel buffer round-trips encode_png/decode_png exactly."""
+    import random
+
+    from etielle_spark.operators import imagecodec as ic
+
+    nch = {"L": 1, "LA": 2, "RGB": 3, "RGBA": 4}[mode]
+    rng = random.Random(seed)
+    px = bytes(rng.randrange(256) for _ in range(w * h * nch))
+    assert ic.decode_png(ic.encode_png(w, h, px, mode)) == (w, h, mode, px)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    channels=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(**_SETTINGS)
+def test_wav_roundtrip_property(n, channels, seed):
+    """Any int16 sample matrix round-trips encode_wav/decode_wav exactly."""
+    import random
+
+    import numpy as np
+
+    from etielle_spark.operators import audiocodec as ac
+
+    rng = random.Random(seed)
+    arr = np.asarray(
+        [[rng.randrange(-32768, 32768) for _ in range(channels)] for _ in range(n)],
+        dtype="<i2",
+    )
+    rate, ch, got = ac.decode_wav(ac.encode_wav(12345, arr))
+    assert (rate, ch) == (12345, channels)
+    assert (got == arr.astype(np.int32)).all()
+
+
+@given(v=st.integers(min_value=0, max_value=(1 << 60) - 1))
+@settings(**_SETTINGS)
+def test_media_bit_recovery_property(v):
+    """EVERY 60-bit value survives the render->encode->decode->hash
+    chain for all three media fixtures (pHash DCT, aHash blocks, WAV
+    zero-crossings)."""
+    from etielle_spark.operators import audiocodec as ac
+    from etielle_spark.operators import imagecodec as ic
+
+    assert ic.phash_bytes(ic.render_bits_dct(v)) == v
+    assert ic.ahash_bytes(ic.render_bits_blocks(v)) == v
+    f = ac.wav_features(ac.render_bits_wav(v))
+    assert f["zero_crossings"] == bin((v ^ (v >> 1)) & ((1 << 59) - 1)).count("1")
