@@ -604,3 +604,62 @@ def test_differential_len_of_dicts(spark, seed):
     want = ref_tables(ref, r, "t")
     got = norm_rows(s.rows("t"))
     assert got == want, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_differential_paths_through_mixed_kind_elements(spark, seed):
+    """Round-3 fix (resolve_path variant unwrap after array/map element
+    access): paths like a.0.x and m.k.x where the ELEMENT kind varies
+    across siblings — verified against the reference's own executor on
+    seeded-random shapes."""
+    ref = _load_reference()
+    from etielle_spark import Field, etl, get
+
+    from etielle.transforms import get as r_get
+
+    rng = random.Random(4200 + seed)
+    docs = []
+    for i in range(rng.randint(2, 8)):
+        kind = rng.choice(["structs", "scalars", "mixed", "none"])
+        if kind == "structs":
+            a = [{"x": rng.randint(0, 99)} for _ in range(rng.randint(1, 3))]
+        elif kind == "scalars":
+            a = [rng.randint(0, 99) for _ in range(rng.randint(1, 3))]
+        elif kind == "mixed":
+            a = [{"x": rng.randint(0, 99)}, rng.randint(0, 99)]
+        else:
+            a = None
+        m_kind = rng.choice(["struct", "scalar", "absent"])
+        doc = {"id": i, "a": a}
+        if m_kind == "struct":
+            doc["m"] = {"k": {"x": rng.randint(0, 99)}}
+        elif m_kind == "scalar":
+            doc["m"] = {"k": rng.randint(0, 99)}
+        docs.append(doc)
+    data = {"docs": docs}
+
+    def fields(F_, g):
+        return [
+            F_("id", g("id")),
+            F_("ax", g(["a", 0, "x"])),
+            F_("a0", g(["a", 0])),
+            F_("mkx", g("m.k.x")),
+        ]
+
+    r = (
+        ref["etl"](data)
+        .goto("docs")
+        .each()
+        .map_to(table="t", fields=fields(ref["Field"], r_get))
+        .run()
+    )
+    s = (
+        etl(data, spark=spark)
+        .goto("docs")
+        .each()
+        .map_to("t", fields=fields(Field, get))
+        .run()
+    )
+    want = ref_tables(ref, r, "t")
+    got = norm_rows(s.rows("t"))
+    assert got == want, f"seed={seed}\nwant={want}\ngot={got}"
