@@ -20,6 +20,18 @@ sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/reference")
 
 
+def canon(v):
+    """Order-insensitive repr: dicts render with sorted keys (Python dict
+    equality ignores insertion order; Spark struct fields are schema-ordered,
+    so per-row insertion order is not representable — nor semantically
+    required for dict-valued results)."""
+    if isinstance(v, dict):
+        return "{" + ", ".join(f"{k!r}: {canon(x)}" for k, x in sorted(v.items(), key=lambda kv: str(kv[0]))) + "}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
 def norm_rows(rows):
     out = set()
     for r in rows:
@@ -280,7 +292,56 @@ def main() -> None:
                 got6.add((str(d.get("pk")), str(d.get("v"))))
         check("variant-each", seed, want6, got6)
 
-    print(f"\nfuzz done: {n} seeds x 7 shapes, {len(failures)} mismatches")
+        # shape 8 (round 3): integer/key segment paths THROUGH kind-mixed
+        # containers — resolve_path must unwrap variant wrappers after
+        # array and map element access, not only at struct fields
+        rng8 = random.Random(8000 + seed)
+        docs8 = []
+        for i in range(rng8.randint(1, 7)):
+            docs8.append(
+                {
+                    "id": i,
+                    "a": rand_value(rng8),
+                    "m": rng8.choice(
+                        [
+                            None,
+                            {"k": rand_value(rng8)},
+                            {"k": {"x": rng8.randint(0, 9)}},
+                        ]
+                    ),
+                }
+            )
+        data8 = {"docs": docs8}
+        fields8 = [
+            ("id", lambda g: g("id")),
+            ("a0x", lambda g: g(["a", 0, "x"])),
+            ("a1", lambda g: g(["a", 1])),
+            ("mkx", lambda g: g("m.k.x")),
+        ]
+        r8 = (
+            retl(data8)
+            .goto("docs").each()
+            .map_to(table="t", fields=[RF(nm, fn(rget)) for nm, fn in fields8])
+            .run()
+        )
+        s8 = (
+            etl(data8, spark=spark)
+            .goto("docs").each()
+            .map_to("t", fields=[Field(nm, fn(get)) for nm, fn in fields8])
+            .run()
+        )
+        want8 = set()
+        if "t" in r8.tables:
+            for row in r8.tables["t"].values():
+                d = dict(row)
+                want8.add(tuple(canon(d.get(nm)) for nm, _ in fields8))
+        got8 = set()
+        if "t" in s8.tables:
+            for d in s8.rows("t"):
+                got8.add(tuple(canon(d.get(nm)) for nm, _ in fields8))
+        check("variant-path-segments", seed, want8, got8)
+
+    print(f"\nfuzz done: {n} seeds x 8 shapes, {len(failures)} mismatches")
     if failures:
         sys.exit(1)
 
