@@ -8929,3 +8929,248 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("feat", 2).alias("height"),
         F.round(F.element_at("feat", 3), 6).alias("mean_luma"),
     )
+
+
+@q(
+    "q210_kmeans_fit_2iter",
+    """
+    WITH e AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+    cent_ids AS (
+      SELECT vec_id AS cvid,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    ce AS (SELECT c.cell, e.i, e.v FROM cent_ids c JOIN e ON e.vec_id = c.cvid),
+    cnorm AS (SELECT cell, sqrt(sum(v * v)) AS cn FROM ce GROUP BY cell),
+    vcdot AS (
+      SELECT e.vec_id, ce.cell, sum(e.v * ce.v) AS dot
+      FROM e JOIN ce ON ce.i = e.i
+      GROUP BY 1, 2
+    ),
+    vc AS (
+      SELECT d.vec_id, d.cell, round(d.dot / (n.nrm * cn.cn), 6) AS cos
+      FROM vcdot d
+      JOIN norms n ON n.vec_id = d.vec_id
+      JOIN cnorm cn ON cn.cell = d.cell
+    ),
+    assign1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell) AS rk
+        FROM vc
+      ) WHERE rk = 1
+    ),
+    ce2 AS (
+      SELECT a.cell, e.i, round(avg(e.v), 6) AS v
+      FROM assign1 a JOIN e USING (vec_id) GROUP BY 1, 2
+    ),
+    cnorm2 AS (SELECT cell, sqrt(sum(v * v)) AS cn FROM ce2 GROUP BY cell),
+    vcdot2 AS (
+      SELECT e.vec_id, ce2.cell, sum(e.v * ce2.v) AS dot
+      FROM e JOIN ce2 ON ce2.i = e.i
+      GROUP BY 1, 2
+    ),
+    vc2 AS (
+      SELECT d.vec_id, d.cell, round(d.dot / (n.nrm * cn.cn), 6) AS cos
+      FROM vcdot2 d
+      JOIN norms n ON n.vec_id = d.vec_id
+      JOIN cnorm2 cn ON cn.cell = d.cell
+    ),
+    assign2 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell) AS rk
+        FROM vc2
+      ) WHERE rk = 1
+    ),
+    upd2 AS (
+      SELECT a.cell, e.i, round(avg(e.v), 6) AS m
+      FROM assign2 a JOIN e USING (vec_id) GROUP BY 1, 2
+    ),
+    cent3 AS (SELECT cell, list(m ORDER BY i) AS centroid FROM upd2 GROUP BY cell),
+    mem2 AS (SELECT cell, count(*) AS n_members FROM assign2 GROUP BY cell)
+    SELECT cell, n_members, centroid FROM cent3 JOIN mem2 USING (cell)
+    """,
+)
+def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd loop (operators/similarity.py: kmeans_fit), two
+    iterations unrolled in the oracle.  Each round is one corpus pass;
+    the nlist*D centroid table collects to the driver between rounds —
+    the MLlib iteration pattern.  Verifies the feedback edge the
+    single-step q73 cannot: round 2 assigns against round 1's ROUNDED
+    collected centroids."""
+    from .operators.similarity import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kmeans_fit(emb, "vec_id", "embedding", nlist=16, n_iter=2)
+
+
+@q(
+    "q211_covariance_matrix",
+    """
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings
+    ),
+    p AS (
+      SELECT a.i AS i, b.i AS j, count(*) AS n,
+             sum(a.v * b.v) AS sxy, sum(a.v) AS sx, sum(b.v) AS sy
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    )
+    SELECT i, j, round(sxy / n - (sx / n) * (sy / n), 6) + 0.0 AS cov
+    FROM p
+    """,
+)
+def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance matrix (operators/similarity.py:
+    gram_matrix): one corpus pass, upper-triangle products pipelined
+    into a hash aggregate — the shuffle carries D*(D+1)/2 partial sums
+    regardless of corpus size (the oracle's self-join is the naive
+    formulation the operator avoids)."""
+    from .operators.similarity import gram_matrix
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return gram_matrix(emb, "vec_id", "embedding", center=True, round_to=6)
+
+
+@q(
+    "q212_pca_project_2d",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+      FROM embeddings
+    ),
+    st AS (
+      SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+             round(sum(x * x) / count(*) - avg(x) * avg(x), 12) AS a,
+             round(sum(x * y) / count(*) - avg(x) * avg(y), 12) AS b,
+             round(sum(y * y) / count(*) - avg(y) * avg(y), 12) AS c
+      FROM e
+    ),
+    comp AS (
+      SELECT mx, my,
+             cos(0.5 * atan2(2 * b, a - c)) AS v0,
+             sin(0.5 * atan2(2 * b, a - c)) AS v1
+      FROM st
+    ),
+    signed AS (
+      SELECT mx, my,
+             CASE WHEN (CASE WHEN abs(v0) >= abs(v1) THEN v0 ELSE v1 END) < 0
+                  THEN -v0 ELSE v0 END AS c0,
+             CASE WHEN (CASE WHEN abs(v0) >= abs(v1) THEN v0 ELSE v1 END) < 0
+                  THEN -v1 ELSE v1 END AS c1
+      FROM comp
+    )
+    SELECT e.vec_id, 0 AS comp,
+           round((e.x - s.mx) * s.c0 + (e.y - s.my) * s.c1, 6) AS score
+    FROM e, signed s
+    """,
+)
+def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA fit + project end-to-end (operators/similarity.py: pca_fit /
+    pca_project) on the first two embedding dims — small enough that the
+    oracle can fit the SAME principal axis in closed form (2x2 symmetric
+    eigenproblem: theta = atan2(2b, a-c) / 2) and replay the centered
+    projection.  Validates the distributed covariance -> driver eigh ->
+    literal-component projection pipeline numerically."""
+    from .operators.similarity import pca_fit, pca_project
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice(F.col("embedding").cast("array<double>"), 1, 2).alias("e2")
+    )
+    comps = pca_fit(emb, "vec_id", "e2", k=1)
+    means_row = emb.select(
+        F.avg(F.element_at("e2", 1)).alias("m0"),
+        F.avg(F.element_at("e2", 2)).alias("m1"),
+    ).collect()[0]
+    return pca_project(
+        emb,
+        "vec_id",
+        "e2",
+        comps,
+        center_means=[float(means_row["m0"]), float(means_row["m1"])],
+    ).select("vec_id", "comp", "score")
+
+
+@q(
+    "q213_quantize_int8",
+    """
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings
+    ),
+    st AS (SELECT i, min(v) AS mn, max(v) AS mx FROM e GROUP BY i),
+    c AS (
+      SELECT e.vec_id, e.i, e.v, st.mn, st.mx,
+             CASE WHEN st.mx > st.mn
+                  THEN CAST(floor((e.v - st.mn) / (st.mx - st.mn) * 255.0 + 0.5) AS INT) - 128
+                  ELSE -128 END AS code
+      FROM e JOIN st USING (i)
+    ),
+    r AS (
+      SELECT vec_id, i, code,
+             CASE WHEN mx > mn
+                  THEN (code + 128.0) / 255.0 * (mx - mn) + mn
+                  ELSE mn END AS recon,
+             v
+      FROM c
+    )
+    SELECT vec_id, list(code ORDER BY i) AS codes,
+           round(avg((v - recon) * (v - recon)), 6) AS mse
+    FROM r GROUP BY vec_id
+    """,
+)
+def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization (operators/similarity.py: quantize_int8):
+    per-dim min/max from a D-row aggregate broadcast into a map-only
+    encode; mse is the per-vector reconstruction error.  The 4x
+    compression step before shipping vectors to an ANN index."""
+    from .operators.similarity import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return quantize_int8(emb, "vec_id", "embedding")
+
+
+@q(
+    "q214_temperature_mixture",
+    """
+    WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+    t AS (SELECT sum(pow(cnt, 0.5)) AS z, sum(cnt) AS n FROM c),
+    w AS (
+      SELECT lang, round(pow(cnt, 0.5) / z * n / cnt, 9) AS weight
+      FROM c, t
+    ),
+    d AS (
+      SELECT doc_id, d.lang, w.weight,
+             CAST(floor(w.weight) AS INT)
+             + CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE
+                         / 4294967296.0 < w.weight - floor(w.weight)
+                    THEN 1 ELSE 0 END AS nc
+      FROM documents d JOIN w USING (lang)
+    )
+    SELECT doc_id, lang, weight, unnest(range(nc)) AS copy_idx
+    FROM d WHERE nc > 0
+    """,
+)
+def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual mixture (operators/clusters.py:
+    temperature_mixture, tau=0.5): target share c^tau / sum c^tau boosts
+    low-resource langs; group counts shuffle one row per lang, the
+    weight table broadcasts into a shuffle-free sequence-explode with
+    md5-uniform fractional copies."""
+    from .operators.clusters import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mixture(docs, "doc_id", "lang", tau=0.5).select(
+        "doc_id", "lang", "weight", "copy_idx"
+    )

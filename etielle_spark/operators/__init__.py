@@ -38,9 +38,15 @@ from .search import bm25_topk, inverted_index
 from .similarity import (
     brute_force_topk,
     cosine_pairs,
+    gram_matrix,
+    kmeans_fit,
     lsh_bucket_topk,
+    pca_fit,
+    pca_project,
+    quantize_int8,
     random_projection,
 )
+from .clusters import temperature_mixture
 from .sketches import hll_distinct, kmv_distinct
 from .text import (
     bpe_encode,

@@ -236,6 +236,67 @@ def mixture_resample(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    *,
+    tau: float = 0.7,
+    budget: int | None = None,
+) -> DataFrame:
+    """Temperature-based mixture re-sampling: target share of group ``g``
+    is ``c_g^tau / sum_h c_h^tau`` (the multilingual-LM sampling rule —
+    ``tau < 1`` boosts low-resource groups, ``tau = 1`` is natural
+    frequency).  ``budget`` is the total output row budget (default: the
+    input size), so group ``g`` receives weight ``w_g = share_g * budget
+    / c_g`` epochs — up-sampled (repeated) when ``w_g > 1``.
+
+    Scale shape: the group-count aggregate shuffles one row per group;
+    the weight table is tiny and broadcasts into the copy-expansion,
+    which is the same shuffle-free ``sequence`` explode as
+    ``mixture_resample`` with the same md5-uniform fractional copy, so
+    the draw is reproducible across engines.  Returns the input columns
+    plus ``copy_idx`` (0-based) and the group's ``weight`` (rounded to 9
+    decimals for engine-stable comparisons).
+    """
+    if tau < 0:
+        raise ValueError("tau must be >= 0")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__c"))
+    tot = counts.groupBy().agg(
+        F.sum(F.pow(F.col("__c").cast("double"), F.lit(float(tau)))).alias("__z"),
+        F.sum("__c").alias("__n"),
+    )
+    weights = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        (
+            F.pow(F.col("__c").cast("double"), F.lit(float(tau)))
+            / F.col("__z")
+            * (F.lit(float(budget)) if budget is not None else F.col("__n").cast("double"))
+            / F.col("__c").cast("double")
+        ).alias("__w"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(16**8))
+    )
+    # round the weight BEFORE the floor/frac split so Spark and a SQL
+    # replay agree on boundary rows (pow() can differ in the last ulp)
+    w = F.round(F.col("__w"), 9)
+    n_copies = (F.floor(w) + (u < (w - F.floor(w))).cast("int")).cast("int")
+    return (
+        df.join(F.broadcast(weights), group_col)
+        .withColumn("weight", w)
+        .withColumn("__n_copies", n_copies)
+        .filter(F.col("__n_copies") > 0)
+        .withColumn(
+            "copy_idx", F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1))
+        )
+        .drop("__n_copies", "__w")
+        .withColumn("copy_idx", F.col("copy_idx").cast("bigint"))
+    )
+
+
 def shard_assign(
     df: DataFrame,
     id_col: str,

@@ -371,6 +371,315 @@ def kmeans_iteration(
     )
 
 
+def kmeans_fit(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    nlist: int = 16,
+    n_iter: int = 2,
+    round_cosine: int | None = 6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Full Lloyd loop of cosine k-means: ``n_iter`` passes of
+    ``kmeans_iteration``, feeding each round's centroids into the next.
+
+    Scale shape: each round is ONE corpus pass (assignment is a
+    literal-centroid projection, no shuffle; the update shuffle carries
+    only ``nlist * D`` partial sums).  Between rounds the centroid table
+    — ``nlist`` rows of ``D`` doubles, a few KB — collects to the driver,
+    the same driver-coordinated iteration MLlib's KMeans uses.  Cost is
+    therefore ``n_iter`` sequential corpus scans; persist the corpus
+    upstream when it is not a cheap parquet re-read.
+
+    Cells that go empty in a round simply drop out (their centroid is
+    not carried forward), matching the per-round semantics of
+    ``kmeans_iteration`` so a SQL replay of the unrolled rounds
+    reproduces membership exactly.  Returns the final round's
+    ``(cell, n_members, centroid)``.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    centroids = _seed_vectors(corpus, id_col, vec_col, nlist)
+    result = None
+    for _ in range(n_iter):
+        result = kmeans_iteration(
+            corpus,
+            id_col,
+            vec_col,
+            nlist=nlist,
+            centroids=centroids,
+            round_cosine=round_cosine,
+            round_to=round_to,
+        )
+        rows = result.collect()
+        centroids = sorted(
+            ((int(r["cell"]), [float(x) for x in r["centroid"]]) for r in rows),
+            key=lambda t: t[0],
+        )
+    return result
+
+
+def gram_matrix(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    center: bool = True,
+    round_to: int = 6,
+    engine: str = "sql",
+) -> DataFrame:
+    """Covariance (``center=True``) or raw second-moment (``center=False``)
+    matrix of an embedding column, as ``(i, j, cov)`` rows with
+    ``i <= j`` — the input PCA / whitening / Mahalanobis need.
+
+    One pass, no self-join: per row, emit the upper-triangular products
+    via a nested ``transform`` explode and hash-aggregate them.  The
+    explode is pipelined into the partial aggregation inside one stage,
+    so the shuffle carries only ``D * (D + 1) / 2`` partial sums no
+    matter the corpus size.  Means come from the same pass (grouping on
+    the dim pair), and ``cov = E[xy] - E[x] * E[y]``.
+
+    ``engine="arrow"``: per Arrow batch, compute ``X^T X`` with one
+    numpy GEMM (``mapInPandas``) and emit partial sums — at ``D`` in the
+    hundreds this replaces ``N * D^2 / 2`` Catalyst row emissions with a
+    BLAS call per batch; the final aggregation input is
+    ``n_batches * D^2`` rows.  Identical results (same rounding).
+    """
+    src = emb.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    if engine == "arrow":
+        import pandas as pd  # noqa: F401
+
+        def part(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                mat = np.array(pdf["__v"].tolist(), dtype=np.float64)
+                if mat.size == 0:
+                    continue
+                g = mat.T @ mat
+                s = mat.sum(axis=0)
+                d = g.shape[0]
+                iu, ju = np.triu_indices(d)
+                yield pd.DataFrame(
+                    {
+                        "i": iu.astype("int64"),
+                        "j": ju.astype("int64"),
+                        "sxy": g[iu, ju],
+                        # per-pair row count and the two dim sums ride
+                        # along so the reducer never needs a second input
+                        "n": np.full(len(iu), float(mat.shape[0])),
+                        "sx": s[iu],
+                        "sy": s[ju],
+                    }
+                )
+
+        parts = src.mapInPandas(
+            part, "i long, j long, sxy double, n double, sx double, sy double"
+        )
+        agg = parts.groupBy("i", "j").agg(
+            F.sum("sxy").alias("sxy"),
+            F.sum("n").alias("n"),
+            F.sum("sx").alias("sx"),
+            F.sum("sy").alias("sy"),
+        )
+    else:
+        ex = src.select(
+            F.posexplode("__v").alias("i", "x"),
+            F.col("__v").alias("__v"),
+        ).select(
+            F.col("i").cast("long").alias("i"),
+            "x",
+            F.posexplode(F.slice("__v", F.col("i") + 1, F.size("__v"))).alias(
+                "__joff", "y"
+            ),
+        )
+        agg = ex.select(
+            "i", (F.col("i") + F.col("__joff")).cast("long").alias("j"),
+            "x", "y",
+        ).groupBy("i", "j").agg(
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+        )
+    cov = F.col("sxy") / F.col("n")
+    if center:
+        cov = cov - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))
+    # + 0.0 folds IEEE -0.0 to 0.0 (engine-stable value compare)
+    return agg.select(
+        "i", "j", (F.round(cov, round_to) + F.lit(0.0)).alias("cov")
+    )
+
+
+def pca_fit(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 2,
+    engine: str = "sql",
+) -> list[tuple[int, list[float]]]:
+    """Top-``k`` principal components of the embedding column.
+
+    The distributed part is ``gram_matrix`` (one corpus pass, ``D^2``
+    shuffle rows); the eigendecomposition runs driver-side with numpy on
+    the collected ``D x D`` covariance — a few KB even at ``D = 4096``,
+    the standard split for PCA on Spark (MLlib's RowMatrix does the
+    same).  Sign is fixed so each component's largest-|magnitude| entry
+    is positive, making the result deterministic across BLAS builds.
+
+    Returns ``[(comp_id, unit_vector), ...]`` ordered by descending
+    eigenvalue — feed directly into ``pca_project``.
+    """
+    import numpy as np
+
+    rows = gram_matrix(
+        emb, id_col, vec_col, center=True, round_to=12, engine=engine
+    ).collect()
+    d = max(int(r["j"]) for r in rows) + 1
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[int(r["i"]), int(r["j"])] = float(r["cov"])
+        cov[int(r["j"]), int(r["i"])] = float(r["cov"])
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][: min(k, d)]
+    out = []
+    for rank, idx in enumerate(order):
+        v = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        out.append((rank, [float(x) for x in v]))
+    return out
+
+
+def pca_project(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    components: list[tuple[int, list[float]]],
+    *,
+    center_means: list[float] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Project vectors onto fixed ``components`` (from ``pca_fit`` or any
+    literal basis): map-only, one dot product per component compiled as a
+    Catalyst ``aggregate`` fold — no shuffle, no UDF, output
+    ``(id, comp, score)``.
+
+    ``center_means`` (per-dim means, also literal) subtracts the corpus
+    mean first — pass the means from the same pass that fit the PCA to
+    get true principal scores.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    if center_means is not None:
+        mean_arr = F.array(*[F.lit(float(m)) for m in center_means])
+        vec = F.zip_with(vec, mean_arr, lambda a, b: a - b)
+    outs = []
+    for cid, cvec in components:
+        comp_arr = F.array(*[F.lit(float(x)) for x in cvec])
+        outs.append(
+            F.struct(
+                F.lit(int(cid)).alias("comp"),
+                F.round(_dot(vec, comp_arr), round_to).alias("score"),
+            )
+        )
+    return emb.select(
+        F.col(id_col), F.explode(F.array(*outs)).alias("__s")
+    ).select(
+        id_col,
+        F.col("__s.comp").cast("long").alias("comp"),
+        F.col("__s.score").alias("score"),
+    )
+
+
+def quantize_int8(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-dimension scalar int8 quantization of an embedding column —
+    the 4x storage cut applied before shipping vectors to an ANN index.
+
+    Pass 1 computes per-dim min/max (posexplode -> groupBy(dim): shuffle
+    rows = D, not corpus size); the tiny stats frame broadcasts into the
+    encode pass, which is map-only: ``code = floor((v - mn) / (mx - mn)
+    * 255 + 0.5) - 128`` (constant dims encode to -128).  Emits
+    ``(id, codes array<int>, mse)`` where mse is the per-vector mean
+    squared reconstruction error — the quality gauge for choosing
+    int8 vs PQ vs float16.
+    """
+    src = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    stats = (
+        src.select(F.posexplode("__v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .groupBy()
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "mn", "mx"))).alias("__st")
+        )
+        .select(
+            F.transform("__st", lambda s: s["mn"]).alias("mns"),
+            F.transform("__st", lambda s: s["mx"]).alias("mxs"),
+        )
+    )
+    with_stats = src.crossJoin(F.broadcast(stats))
+    scale = lambda v, mn, mx: F.when(  # noqa: E731
+        mx > mn, F.floor((v - mn) / (mx - mn) * 255.0 + 0.5)
+    ).otherwise(F.lit(0))
+    idx = F.sequence(F.lit(1), F.size("__v"))
+    codes = F.transform(
+        idx,
+        lambda i: (
+            scale(
+                F.element_at("__v", i),
+                F.element_at("mns", i),
+                F.element_at("mxs", i),
+            )
+            - 128
+        ).cast("int"),
+    )
+    recon = lambda c, mn, mx: F.when(  # noqa: E731
+        mx > mn, (c + 128.0) / 255.0 * (mx - mn) + mn
+    ).otherwise(mn)
+    return (
+        with_stats.withColumn("codes", codes)
+        .withColumn(
+            "mse",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__v"),
+                        F.transform(
+                            idx,
+                            lambda i: recon(
+                                F.element_at("codes", i).cast("double"),
+                                F.element_at("mns", i),
+                                F.element_at("mxs", i),
+                            ),
+                        ),
+                        lambda v, r: (v - r) * (v - r),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, e: acc + e,
+                )
+                / F.size("__v"),
+                round_to,
+            ),
+        )
+        .select(id_col, "codes", "mse")
+    )
+
+
 def zscore_normalize(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,164 @@
+"""Round-3 operators: full k-means loop, distributed PCA, int8
+quantization, temperature mixture sampling."""
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def _emb_df(spark, n=40, d=6, seed=3):
+    rng = np.random.RandomState(seed)
+    rows = [(i, [float(x) for x in rng.randn(d)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_fit_one_iter_equals_iteration(spark):
+    from etielle_spark.operators.similarity import kmeans_fit, kmeans_iteration
+
+    emb = _emb_df(spark)
+    a = sorted(
+        (r["cell"], r["n_members"], tuple(r["centroid"]))
+        for r in kmeans_fit(emb, "vec_id", "embedding", nlist=4, n_iter=1).collect()
+    )
+    b = sorted(
+        (r["cell"], r["n_members"], tuple(r["centroid"]))
+        for r in kmeans_iteration(emb, "vec_id", "embedding", nlist=4).collect()
+    )
+    assert a == b
+
+
+def test_kmeans_fit_converges_membership(spark):
+    """On two well-separated blobs with 2 centroids, members are the blobs
+    and total membership is preserved across iterations."""
+    from etielle_spark.operators.similarity import kmeans_fit
+
+    rows = [(i, [10.0 + 0.01 * i, 0.1]) for i in range(10)] + [
+        (100 + i, [-0.1, 8.0 + 0.01 * i]) for i in range(10)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_fit(emb, "vec_id", "embedding", nlist=2, n_iter=3).collect()
+    assert sum(r["n_members"] for r in out) == 20
+    assert sorted(r["n_members"] for r in out) == [10, 10]
+
+
+def test_gram_matrix_sql_vs_arrow_vs_numpy(spark):
+    from etielle_spark.operators.similarity import gram_matrix
+
+    emb = _emb_df(spark, n=30, d=5)
+    mat = np.array([r["embedding"] for r in emb.orderBy("vec_id").collect()])
+    want = np.cov(mat, rowvar=False, bias=True)
+    for engine in ("sql", "arrow"):
+        got = gram_matrix(
+            emb, "vec_id", "embedding", center=True, round_to=9, engine=engine
+        ).collect()
+        assert len(got) == 5 * 6 // 2
+        for r in got:
+            assert math.isclose(
+                r["cov"], want[r["i"], r["j"]], abs_tol=2e-9
+            ), (engine, r)
+
+
+def test_gram_matrix_uncentered(spark):
+    from etielle_spark.operators.similarity import gram_matrix
+
+    emb = _emb_df(spark, n=12, d=3)
+    mat = np.array([r["embedding"] for r in emb.orderBy("vec_id").collect()])
+    want = (mat.T @ mat) / mat.shape[0]
+    got = gram_matrix(
+        emb, "vec_id", "embedding", center=False, round_to=9
+    ).collect()
+    for r in got:
+        assert math.isclose(r["cov"], want[r["i"], r["j"]], abs_tol=2e-9)
+
+
+def test_pca_fit_matches_numpy_eigh(spark):
+    from etielle_spark.operators.similarity import pca_fit
+
+    emb = _emb_df(spark, n=50, d=4, seed=7)
+    mat = np.array([r["embedding"] for r in emb.orderBy("vec_id").collect()])
+    cov = np.cov(mat, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    comps = pca_fit(emb, "vec_id", "embedding", k=2)
+    assert [c for c, _ in comps] == [0, 1]
+    for rank, (_, got) in enumerate(comps):
+        v = vecs[:, order[rank]]
+        piv = int(np.argmax(np.abs(v)))
+        if v[piv] < 0:
+            v = -v
+        assert np.allclose(got, v, atol=1e-6), rank
+
+
+def test_pca_project_centered_scores(spark):
+    from etielle_spark.operators.similarity import pca_project
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    out = {
+        (r["vec_id"], r["comp"]): r["score"]
+        for r in pca_project(
+            emb, "vec_id", "embedding", [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            center_means=[2.0, 3.0],
+        ).collect()
+    }
+    assert out == {(1, 0): -1.0, (1, 1): -1.0, (2, 0): 1.0, (2, 1): 1.0}
+
+
+def test_quantize_int8_roundtrip_and_constant_dim(spark):
+    from etielle_spark.operators.similarity import quantize_int8
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 5.0]), (2, [1.0, 5.0]), (3, [0.5, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in quantize_int8(spark.createDataFrame(
+        [(1, [0.0, 5.0]), (2, [1.0, 5.0]), (3, [0.5, 5.0])],
+        "vec_id long, embedding array<double>",
+    ), "vec_id", "embedding").collect()}
+    # dim 0 spans [0,1] -> codes -128, 127, floor(0.5*255+0.5)-128 = -0
+    assert got[1]["codes"][0] == -128
+    assert got[2]["codes"][0] == 127
+    assert got[3]["codes"][0] == 128 - 128  # 0.5 -> floor(128.0)-128 = 0
+    # constant dim encodes to -128 with zero error contribution
+    assert all(got[i]["codes"][1] == -128 for i in (1, 2, 3))
+    assert got[1]["mse"] == 0.0  # endpoints reconstruct exactly
+    assert got[2]["mse"] == 0.0
+    del emb
+
+
+def test_temperature_mixture_tau1_identity(spark):
+    from etielle_spark.operators.clusters import temperature_mixture
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 8 else "b") for i in range(12)], "id long, g string"
+    )
+    out = temperature_mixture(df, "id", "g", tau=1.0)
+    rows = out.collect()
+    # tau=1, default budget: weight == 1 for every group -> exactly one copy
+    assert len(rows) == 12
+    assert all(r["copy_idx"] == 0 and r["weight"] == 1.0 for r in rows)
+
+
+def test_temperature_mixture_boosts_small_group(spark):
+    from etielle_spark.operators.clusters import temperature_mixture
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)], "id long, g string"
+    )
+    out = temperature_mixture(df, "id", "g", tau=0.0)
+    w = {r["g"]: r["weight"] for r in out.select("g", "weight").distinct().collect()}
+    # tau=0: equal target shares -> small group up-weighted, big down
+    assert w["small"] > 1.0 > w["big"]
+    assert math.isclose(w["small"], 50 / 10, rel_tol=1e-6)
+    assert math.isclose(w["big"], 50 / 90, rel_tol=1e-6)
+
+
+def test_temperature_mixture_budget_scales_output(spark):
+    from etielle_spark.operators.clusters import temperature_mixture
+
+    df = spark.createDataFrame([(i, "a") for i in range(20)], "id long, g string")
+    out = temperature_mixture(df, "id", "g", tau=1.0, budget=60)
+    assert out.count() == 60  # weight exactly 3.0 -> 3 copies each
+    assert out.agg(F.max("copy_idx")).collect()[0][0] == 2
