@@ -8884,7 +8884,7 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
     wavs = generate_audio(docs, "doc_id", "text")
     feats = extract_audio_features(wavs, "id")
     return feats.select(
-        F.col("id").alias("doc_id"),
+        "id",
         "sample_rate",
         "n_frames",
         "duration_ms",
@@ -9174,3 +9174,90 @@ def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture(docs, "doc_id", "lang", tau=0.5).select(
         "doc_id", "lang", "weight", "copy_idx"
     )
+
+
+@q(
+    "q215_logreg_train_2step",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(CASE WHEN length(trim(text)) > 0
+                    THEN string_split_regex(lower(trim(text)), '\\s+')
+                    ELSE []::VARCHAR[] END) AS tok
+      FROM documents
+    ),
+    f0 AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+             count(*)::DOUBLE AS n
+      FROM toks GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, sum(n) AS t FROM f0 GROUP BY 1),
+    x AS (
+      SELECT f0.doc_id, f0.bucket, f0.n / tot.t AS v
+      FROM f0 JOIN tot USING (doc_id)
+    ),
+    y AS (
+      SELECT d.doc_id, CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents d WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM x)
+    ),
+    nd AS (SELECT count(*)::DOUBLE AS n FROM y),
+    spine AS (SELECT unnest(range(64)) AS bucket),
+    r1 AS (SELECT doc_id, 0.5 - y AS r FROM y),
+    g1 AS (
+      SELECT x.bucket, sum(r1.r * x.v) AS g
+      FROM x JOIN r1 USING (doc_id) GROUP BY x.bucket
+    ),
+    w1 AS (
+      SELECT s.bucket,
+             round(-0.1 * coalesce(g1.g, 0.0) / nd.n, 9) AS w
+      FROM spine s LEFT JOIN g1 USING (bucket), nd
+    ),
+    b1 AS (SELECT round(-0.1 * sum(r) / nd.n, 9) AS b FROM r1, nd GROUP BY nd.n),
+    z2 AS (
+      SELECT x.doc_id, round(b1.b + sum(x.v * w1.w), 9) AS z
+      FROM x JOIN w1 USING (bucket), b1
+      GROUP BY x.doc_id, b1.b
+    ),
+    r2 AS (
+      SELECT y.doc_id, 1.0 / (1.0 + exp(-z2.z)) - y.y AS r
+      FROM y JOIN z2 USING (doc_id)
+    ),
+    g2 AS (
+      SELECT x.bucket, sum(r2.r * x.v) AS g
+      FROM x JOIN r2 USING (doc_id) GROUP BY x.bucket
+    ),
+    w2 AS (
+      SELECT w1.bucket,
+             round(w1.w - 0.1 * coalesce(g2.g, 0.0) / nd.n, 9) AS w
+      FROM w1 LEFT JOIN g2 USING (bucket), nd
+    ),
+    b2 AS (SELECT round(b1.b - 0.1 * sum(r) / nd.n, 9) AS b FROM r2, b1, nd GROUP BY b1.b, nd.n)
+    SELECT bucket, w FROM w2
+    UNION ALL
+    SELECT -1 AS bucket, b AS w FROM b2
+    """,
+)
+def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier TRAINING on Spark (operators/text.py:
+    logreg_train): hashed token features (feature_hash) densified once
+    (densify_counts — the one corpus shuffle, amortized over all steps),
+    then two full-batch gradient steps of logistic regression against an
+    is-English label.  Each step is one map-only margin pass plus a
+    D-row gradient shuffle; the oracle unrolls both steps in SQL.
+    Bias is emitted as bucket -1."""
+    from .operators.text import densify_counts, feature_hash, logreg_train
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    feats = feature_hash(docs, "doc_id", "text", n_buckets=64)
+    dense = densify_counts(feats, "id", "bucket", "n", n_buckets=64)
+    labeled = dense.join(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            (F.col("lang") == "en").cast("double").alias("y"),
+        ),
+        "id",
+    )
+    w, b = logreg_train(labeled, "id", "x", "y", lr=0.1, n_steps=2)
+    rows = [(int(j), float(w[j])) for j in range(len(w))] + [(-1, float(b))]
+    return spark.createDataFrame(rows, "bucket long, w double")

@@ -50,6 +50,9 @@ from .clusters import temperature_mixture
 from .sketches import hll_distinct, kmv_distinct
 from .text import (
     bpe_encode,
+    densify_counts,
+    logreg_score,
+    logreg_train,
     bpe_train,
     cdc_chunks,
     keyness_g2,

@@ -867,6 +867,141 @@ def classifier_score(
     return df.select(F.col(id_col).alias("id"), F.round(score, round_to).alias("score"))
 
 
+def densify_counts(
+    feats: DataFrame,
+    id_col: str,
+    bucket_col: str,
+    n_col: str,
+    *,
+    n_buckets: int,
+    normalize: bool = True,
+) -> DataFrame:
+    """Turn long-form hashed features (``feature_hash`` output) into
+    dense per-document vectors: one groupBy(id) building a bucket->count
+    map, then a fixed ``n_buckets``-wide probe — the ONE shuffle that
+    amortizes across every subsequent training pass (margins and
+    gradients over dense arrays are map-only).
+
+    ``normalize=True`` divides by the document's total count (bounded
+    [0, 1] features keep logistic margins from saturating).  Returns
+    ``(id, x array<double>)``.
+    """
+    if n_buckets < 1 or n_buckets > 65536:
+        raise ValueError("n_buckets must be in [1, 65536]")
+    agg = feats.groupBy(F.col(id_col).alias("id")).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col(bucket_col), F.col(n_col).cast("double")))
+        ).alias("__m"),
+        F.sum(F.col(n_col).cast("double")).alias("__t"),
+    )
+    probe = F.transform(
+        F.sequence(F.lit(0), F.lit(int(n_buckets) - 1)),
+        lambda i: F.coalesce(F.element_at("__m", i.cast("long")), F.lit(0.0)),
+    )
+    if normalize:
+        probe = F.transform(
+            probe,
+            lambda v: F.when(F.col("__t") > 0, v / F.col("__t")).otherwise(F.lit(0.0)),
+        )
+    return agg.select("id", probe.alias("x"))
+
+
+def logreg_train(
+    df: DataFrame,
+    id_col: str,
+    feat_col: str,
+    label_col: str,
+    *,
+    lr: float = 0.1,
+    n_steps: int = 2,
+    round_to: int = 9,
+) -> tuple[list[float], float]:
+    """Full-batch gradient-descent training of a logistic-regression
+    classifier over dense feature vectors — the quality-classifier
+    training loop (fastText-linear shape) run natively on Spark.
+
+    Scale shape: each step is ONE corpus pass.  Margins are a literal-
+    weight dot product (map-only, whole-stage codegen); the gradient is
+    a posexplode -> groupBy(dim) partial-sum whose shuffle carries ``D``
+    rows regardless of corpus size; the ``D + 1`` sums collect to the
+    driver for the update — the same driver-coordinated iteration as
+    ``kmeans_fit`` (and MLlib's own LBFGS/SGD).  Weights and margins are
+    rounded to ``round_to`` each step so a SQL replay of the unrolled
+    loop reproduces the trajectory exactly.
+
+    Returns ``(weights, bias)`` after ``n_steps`` updates from zero
+    init.
+    """
+    if n_steps < 0:
+        raise ValueError("n_steps must be >= 0")
+    src = df.select(
+        F.col(feat_col).cast("array<double>").alias("__x"),
+        F.col(label_col).cast("double").alias("__y"),
+    )
+    first = src.select(F.size("__x").alias("d")).first()
+    if first is None:
+        raise ValueError("logreg_train: empty input")
+    dim = int(first["d"])
+    n = src.count()
+    w = [0.0] * dim
+    b = 0.0
+    for _ in range(int(n_steps)):
+        w_arr = F.array(*[F.lit(x) for x in w])
+        z = F.round(
+            F.lit(b)
+            + F.aggregate(
+                F.zip_with("__x", w_arr, lambda xv, wv: xv * wv),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            ),
+            round_to,
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        resid = src.select((p - F.col("__y")).alias("__r"), "__x")
+        sums = resid.select(
+            F.col("__r"), F.posexplode("__x").alias("dim", "v")
+        ).groupBy("dim").agg(F.sum(F.col("__r") * F.col("v")).alias("g"))
+        rsum = resid.agg(F.sum("__r").alias("rs")).collect()[0]["rs"]
+        gmap = {int(r["dim"]): float(r["g"]) for r in sums.collect()}
+
+        def rnd(x: float) -> float:
+            # half-away-from-zero, matching SQL round() (Python's built-in
+            # round is banker's)
+            import math
+
+            return math.copysign(
+                math.floor(abs(x) * 10**round_to + 0.5) / 10**round_to, x
+            )
+
+        w = [rnd(w[j] - lr * gmap.get(j, 0.0) / n) for j in range(dim)]
+        b = rnd(b - lr * float(rsum) / n)
+    return w, b
+
+
+def logreg_score(
+    df: DataFrame,
+    id_col: str,
+    feat_col: str,
+    weights: list[float],
+    bias: float = 0.0,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Score dense feature vectors with a trained logistic model:
+    ``sigmoid(bias + w . x)`` as a literal-weight fold — map-only, no
+    shuffle, one scan at any corpus size.  Returns ``(id, score)``."""
+    w_arr = F.array(*[F.lit(float(x)) for x in weights])
+    z = F.lit(float(bias)) + F.aggregate(
+        F.zip_with(F.col(feat_col).cast("array<double>"), w_arr, lambda xv, wv: xv * wv),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return df.select(
+        F.col(id_col).alias("id"), F.round(score, round_to).alias("score")
+    )
+
+
 def _apply_bpe_merge(ts: Column, a: Column, b: Column) -> Column:
     """One BPE merge applied exhaustively left-to-right: a fold carrying
     the output array, combining the last element with the current one

@@ -162,3 +162,58 @@ def test_temperature_mixture_budget_scales_output(spark):
     out = temperature_mixture(df, "id", "g", tau=1.0, budget=60)
     assert out.count() == 60  # weight exactly 3.0 -> 3 copies each
     assert out.agg(F.max("copy_idx")).collect()[0][0] == 2
+
+
+def test_densify_counts_probe_and_normalize(spark):
+    from etielle_spark.operators.text import densify_counts
+
+    feats = spark.createDataFrame(
+        [(1, 0, 2), (1, 3, 6), (2, 1, 5)], "id long, bucket long, n long"
+    )
+    out = {r["id"]: r["x"] for r in densify_counts(
+        feats, "id", "bucket", "n", n_buckets=4
+    ).collect()}
+    assert out[1] == [0.25, 0.0, 0.0, 0.75]
+    assert out[2] == [0.0, 1.0, 0.0, 0.0]
+    raw = {r["id"]: r["x"] for r in densify_counts(
+        feats, "id", "bucket", "n", n_buckets=4, normalize=False
+    ).collect()}
+    assert raw[1] == [2.0, 0.0, 0.0, 6.0]
+
+
+def test_logreg_train_matches_numpy_gd(spark):
+    from etielle_spark.operators.text import logreg_train
+
+    rng = np.random.RandomState(11)
+    X = rng.rand(60, 5)
+    yv = (X[:, 0] + X[:, 1] > 1.0).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]], float(yv[i])) for i in range(60)],
+        "id long, x array<double>, y double",
+    )
+    w, b = logreg_train(df, "id", "x", "y", lr=0.5, n_steps=3)
+    # numpy replay with the same rounding discipline
+    wn, bn = np.zeros(5), 0.0
+    for _ in range(3):
+        z = np.round(bn + X @ wn, 9)
+        r = 1.0 / (1.0 + np.exp(-z)) - yv
+        g = (X * r[:, None]).sum(axis=0) / len(yv)
+        wn = np.sign(wn - 0.5 * g) * np.floor(np.abs(wn - 0.5 * g) * 1e9 + 0.5) / 1e9
+        bu = bn - 0.5 * r.sum() / len(yv)
+        bn = math.copysign(math.floor(abs(bu) * 1e9 + 0.5) / 1e9, bu)
+    assert np.allclose(w, wn, atol=1e-9)
+    assert math.isclose(b, bn, abs_tol=1e-9)
+
+
+def test_logreg_train_then_score_separates(spark):
+    from etielle_spark.operators.text import logreg_score, logreg_train
+
+    rows = [(i, [1.0, 0.0], 1.0) for i in range(20)] + [
+        (100 + i, [0.0, 1.0], 0.0) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id long, x array<double>, y double")
+    w, b = logreg_train(df, "id", "x", "y", lr=2.0, n_steps=20)
+    assert w[0] > 0 > w[1]
+    scores = {r["id"]: r["score"] for r in logreg_score(df, "id", "x", w, b).collect()}
+    assert all(scores[i] > 0.5 for i in range(20))
+    assert all(scores[100 + i] < 0.5 for i in range(20))
