@@ -9261,3 +9261,300 @@ def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, b = logreg_train(labeled, "id", "x", "y", lr=0.1, n_steps=2)
     rows = [(int(j), float(w[j])) for j in range(len(w))] + [(-1, float(b))]
     return spark.createDataFrame(rows, "bucket long, w double")
+
+
+@q(
+    "q216_logreg_eval_metrics",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(CASE WHEN length(trim(text)) > 0
+                    THEN string_split_regex(lower(trim(text)), '\\s+')
+                    ELSE []::VARCHAR[] END) AS tok
+      FROM documents
+    ),
+    f0 AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+             count(*)::DOUBLE AS n
+      FROM toks GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, sum(n) AS t FROM f0 GROUP BY 1),
+    x AS (
+      SELECT f0.doc_id, f0.bucket, f0.n / tot.t AS v
+      FROM f0 JOIN tot USING (doc_id)
+    ),
+    y AS (
+      SELECT d.doc_id, CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents d WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM x)
+    ),
+    nd AS (SELECT count(*)::DOUBLE AS n FROM y),
+    spine AS (SELECT unnest(range(64)) AS bucket),
+    r1 AS (SELECT doc_id, 0.5 - y AS r FROM y),
+    g1 AS (
+      SELECT x.bucket, sum(r1.r * x.v) AS g
+      FROM x JOIN r1 USING (doc_id) GROUP BY x.bucket
+    ),
+    w1 AS (
+      SELECT s.bucket,
+             round(-0.1 * coalesce(g1.g, 0.0) / nd.n, 9) AS w
+      FROM spine s LEFT JOIN g1 USING (bucket), nd
+    ),
+    b1 AS (SELECT round(-0.1 * sum(r) / nd.n, 9) AS b FROM r1, nd GROUP BY nd.n),
+    z2 AS (
+      SELECT x.doc_id, round(b1.b + sum(x.v * w1.w), 9) AS z
+      FROM x JOIN w1 USING (bucket), b1
+      GROUP BY x.doc_id, b1.b
+    ),
+    r2 AS (
+      SELECT y.doc_id, 1.0 / (1.0 + exp(-z2.z)) - y.y AS r
+      FROM y JOIN z2 USING (doc_id)
+    ),
+    g2 AS (
+      SELECT x.bucket, sum(r2.r * x.v) AS g
+      FROM x JOIN r2 USING (doc_id) GROUP BY x.bucket
+    ),
+    w2 AS (
+      SELECT w1.bucket,
+             round(w1.w - 0.1 * coalesce(g2.g, 0.0) / nd.n, 9) AS w
+      FROM w1 LEFT JOIN g2 USING (bucket), nd
+    ),
+    b2 AS (SELECT round(b1.b - 0.1 * sum(r) / nd.n, 9) AS b
+           FROM r2, b1, nd GROUP BY b1.b, nd.n),
+    sy AS (
+      SELECT y.doc_id,
+             round(1.0 / (1.0 + exp(-(b2.b + zf.z))), 6) AS s, y.y
+      FROM y
+      JOIN (SELECT x.doc_id, sum(x.v * w2.w) AS z
+            FROM x JOIN w2 USING (bucket) GROUP BY x.doc_id) zf USING (doc_id),
+      b2
+    ),
+    dist AS (
+      SELECT s, sum(y) AS pos, sum(1.0 - y) AS neg FROM sy GROUP BY s
+    ),
+    cum AS (
+      SELECT s, pos, neg,
+             coalesce(sum(neg) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cumneg
+      FROM dist
+    ),
+    auc AS (
+      SELECT sum(pos * cumneg) + sum(pos * neg * 0.5) AS won,
+             sum(pos) AS pp, sum(neg) AS nneg
+      FROM cum
+    ),
+    conf AS (
+      SELECT count(*) AS n, sum(y)::BIGINT AS n_pos,
+             sum(CASE WHEN s >= 0.5 THEN y ELSE 0.0 END) AS tp,
+             sum(CASE WHEN s >= 0.5 THEN 1.0 - y ELSE 0.0 END) AS fp,
+             sum(CASE WHEN s < 0.5 THEN y ELSE 0.0 END) AS fn,
+             sum(CASE WHEN s < 0.5 THEN 1.0 - y ELSE 0.0 END) AS tn
+      FROM sy
+    )
+    SELECT n, n_pos,
+           round(CASE WHEN pp > 0 AND nneg > 0 THEN won / (pp * nneg) END, 6) AS auc,
+           round((tp + tn) / n, 6) AS accuracy,
+           round(CASE WHEN tp + fp > 0 THEN tp / (tp + fp) END, 6) AS precision,
+           round(CASE WHEN tp + fn > 0 THEN tp / (tp + fn) END, 6) AS recall,
+           round(CASE WHEN tp + fp > 0 AND tp + fn > 0
+                       AND tp / (tp + fp) + tp / (tp + fn) > 0
+                      THEN 2 * (tp / (tp + fp)) * (tp / (tp + fn))
+                           / (tp / (tp + fp) + tp / (tp + fn)) END, 6) AS f1
+    FROM conf, auc
+    """,
+)
+def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train -> score -> evaluate, end-to-end (operators/text.py:
+    logreg_train + logreg_score, operators/profile.py: binary_metrics):
+    the full quality-classifier loop with rank-sum AUC (tie-corrected,
+    computed over the score DISTRIBUTION — bounded by score resolution,
+    never a corpus sort) and thresholded confusion metrics.  The oracle
+    unrolls both gradient steps and replays the metrics."""
+    from .operators.profile import binary_metrics
+    from .operators.text import (
+        densify_counts,
+        feature_hash,
+        logreg_score,
+        logreg_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    feats = feature_hash(docs, "doc_id", "text", n_buckets=64)
+    dense = densify_counts(feats, "id", "bucket", "n", n_buckets=64)
+    labeled = dense.join(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            (F.col("lang") == "en").cast("double").alias("y"),
+        ),
+        "id",
+    )
+    w, b = logreg_train(labeled, "id", "x", "y", lr=0.1, n_steps=2)
+    scored = logreg_score(labeled, "id", "x", w, b).join(
+        labeled.select("id", "y"), "id"
+    )
+    return binary_metrics(scored, "score", "y", threshold=0.5)
+
+
+@q(
+    "q217_silhouette_after_step",
+    """
+    WITH e AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+    cent_ids AS (
+      SELECT vec_id AS cvid,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    ce AS (SELECT c.cell, e.i, e.v FROM cent_ids c JOIN e ON e.vec_id = c.cvid),
+    cnorm AS (SELECT cell, sqrt(sum(v * v)) AS cn FROM ce GROUP BY cell),
+    vcdot AS (
+      SELECT e.vec_id, ce.cell, sum(e.v * ce.v) AS dot
+      FROM e JOIN ce ON ce.i = e.i
+      GROUP BY 1, 2
+    ),
+    vc AS (
+      SELECT d.vec_id, d.cell, round(d.dot / (n.nrm * cn.cn), 6) AS cos
+      FROM vcdot d
+      JOIN norms n ON n.vec_id = d.vec_id
+      JOIN cnorm cn ON cn.cell = d.cell
+    ),
+    assign1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell) AS rk
+        FROM vc
+      ) WHERE rk = 1
+    ),
+    ce2 AS (
+      SELECT a.cell, e.i, round(avg(e.v), 6) AS v
+      FROM assign1 a JOIN e USING (vec_id) GROUP BY 1, 2
+    ),
+    cnorm2 AS (SELECT cell, sqrt(sum(v * v)) AS cn FROM ce2 GROUP BY cell),
+    vcdot2 AS (
+      SELECT e.vec_id, ce2.cell, sum(e.v * ce2.v) AS dot
+      FROM e JOIN ce2 ON ce2.i = e.i
+      GROUP BY 1, 2
+    ),
+    vc2 AS (
+      SELECT d.vec_id, d.cell, round(d.dot / (n.nrm * cn.cn), 6) AS cos
+      FROM vcdot2 d
+      JOIN norms n ON n.vec_id = d.vec_id
+      JOIN cnorm2 cn ON cn.cell = d.cell
+    ),
+    rk AS (
+      SELECT vec_id, cell, 1.0 - cos AS d,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cell) AS rk
+      FROM vc2
+    ),
+    a AS (SELECT vec_id, cell, d FROM rk WHERE rk = 1),
+    b AS (SELECT vec_id, d AS d2 FROM rk WHERE rk = 2)
+    SELECT a.vec_id, a.cell,
+           round(CASE WHEN greatest(a.d, b.d2) > 0
+                      THEN (b.d2 - a.d) / greatest(a.d, b.d2)
+                      ELSE 0.0 END, 6) AS silhouette
+    FROM a JOIN b USING (vec_id)
+    """,
+)
+def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality evaluation: one Lloyd step trains centroids
+    (kmeans_iteration, = q73), then silhouette_centroid scores every
+    vector against them map-only (centroids are plan literals; a = own
+    distance, b = second-nearest, s = (b-a)/max).  The k-selection
+    gauge that avoids the O(n²) pairwise silhouette."""
+    from .operators.similarity import kmeans_iteration, silhouette_centroid
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = [
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in kmeans_iteration(emb, "vec_id", "embedding", nlist=16).collect()
+    ]
+    return silhouette_centroid(emb, "vec_id", "embedding", cents)
+
+
+@q(
+    "q218_mmr_select_diverse",
+    """
+    WITH e AS (
+      SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    rel AS (
+      SELECT vec_id, any_value(label) AS label,
+             round(sqrt(sum(v * v)), 6) AS score,
+             sqrt(sum(v * v)) AS rn
+      FROM e GROUP BY vec_id
+    ),
+    first AS (
+      SELECT label, vec_id, score, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY label
+                                     ORDER BY score DESC, vec_id) AS rk
+        FROM rel
+      ) WHERE rk = 1
+    ),
+    fvec AS (
+      SELECT f.label, e.i, e.v FROM first f JOIN e ON e.vec_id = f.vec_id
+    ),
+    dots AS (
+      SELECT r.label, r.vec_id, sum(e.v * fv.v) AS dot
+      FROM rel r
+      JOIN e ON e.vec_id = r.vec_id
+      JOIN fvec fv ON fv.label = r.label AND fv.i = e.i
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT d.label, d.vec_id,
+             round(0.5 * r.score - 0.5 * round(d.dot / (r.rn * f.rn), 6), 6) AS ms
+      FROM dots d
+      JOIN rel r ON r.vec_id = d.vec_id
+      JOIN first f ON f.label = d.label
+      WHERE d.vec_id != f.vec_id
+    ),
+    second AS (
+      SELECT label, vec_id, ms FROM (
+        SELECT *, row_number() OVER (PARTITION BY label
+                                     ORDER BY ms DESC, vec_id) AS rk
+        FROM cand
+      ) WHERE rk = 1
+    )
+    SELECT label::VARCHAR AS bucket, vec_id AS id, 0::BIGINT AS rank,
+           score AS mmr_score
+    FROM first
+    UNION ALL
+    SELECT label::VARCHAR AS bucket, vec_id AS id, 1::BIGINT AS rank,
+           ms AS mmr_score
+    FROM second
+    """,
+)
+def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware exemplar selection (operators/similarity.py:
+    mmr_select): greedy MMR per label bucket — pick the most relevant
+    (here: largest-norm) vector, then the best lam*rel - (1-lam)*sim
+    trade-off.  Runs per bucket in applyInPandas with numpy GEMM
+    similarities (the semdedup in-cell pattern); the oracle unrolls the
+    k=2 recurrence in SQL."""
+    from .operators.similarity import mmr_select
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    scored = emb.withColumn(
+        "rel",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.col("embedding").cast("array<double>"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            ),
+            6,
+        ),
+    )
+    return mmr_select(
+        scored, "vec_id", "embedding", "rel", k=2, lam=0.5, bucket_col="label"
+    )

@@ -24,7 +24,7 @@ from .dedup import (
 from .clusters import distribution_match_resample
 from .multimodal import generate_images, hamming_near_dup, perceptual_hash
 from .packing import pack_counts, pack_sequences
-from .profile import agreement_kappa, skew_report
+from .profile import agreement_kappa, binary_metrics, skew_report
 from .rules import k_anonymity_audit
 from .similarity import mutual_nn
 from .clusters import (
@@ -45,6 +45,8 @@ from .similarity import (
     pca_project,
     quantize_int8,
     random_projection,
+    mmr_select,
+    silhouette_centroid,
 )
 from .clusters import temperature_mixture
 from .sketches import hll_distinct, kmv_distinct

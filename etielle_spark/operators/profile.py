@@ -371,6 +371,89 @@ def agreement_kappa(
     )
 
 
+def binary_metrics(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    threshold: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Binary-classifier evaluation in two bounded aggregations: rank-sum
+    AUC (Mann-Whitney with tie correction) plus thresholded accuracy /
+    precision / recall / F1 — the eval gate after ``logreg_train`` or
+    any quality-classifier scoring pass.
+
+    AUC never sorts the corpus: scores reduce to a (score -> pos, neg)
+    distribution first (one groupBy shuffle; the frame is bounded by
+    score RESOLUTION — at most ``10^round_to + 1`` rows for sigmoid
+    outputs — not corpus size), then one window over that reduced frame
+    accumulates negatives-below, and ``AUC = (sum_s pos_s * cumneg_s +
+    0.5 * pos_s * neg_s) / (P * N)``.  The confusion-matrix metrics are
+    plain global aggregates of the same scan.  Returns ONE row:
+    ``(n, n_pos, auc, accuracy, precision, recall, f1)``; AUC is NULL
+    when either class is absent, precision/F1 NULL when nothing is
+    predicted positive.
+    """
+    s = F.round(F.col(score_col).cast("double"), round_to)
+    y = F.col(label_col).cast("double")
+    base = df.select(s.alias("__s"), y.alias("__y"))
+    dist = base.groupBy("__s").agg(
+        F.sum("__y").alias("__pos"),
+        F.sum(F.lit(1.0) - F.col("__y")).alias("__neg"),
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    auc_parts = dist.select(
+        "__pos",
+        "__neg",
+        F.coalesce(F.sum("__neg").over(w), F.lit(0.0)).alias("__cumneg"),
+    ).agg(
+        F.sum(F.col("__pos") * F.col("__cumneg")).alias("__won"),
+        F.sum(F.col("__pos") * F.col("__neg") * 0.5).alias("__tie"),
+        F.sum("__pos").alias("__P"),
+        F.sum("__neg").alias("__N"),
+    )
+    pred = (F.col("__s") >= F.lit(float(threshold))).cast("double")
+    conf = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__y").cast("bigint").alias("n_pos"),
+        F.sum(pred * F.col("__y")).alias("__tp"),
+        F.sum(pred * (F.lit(1.0) - F.col("__y"))).alias("__fp"),
+        F.sum((F.lit(1.0) - pred) * F.col("__y")).alias("__fn"),
+        F.sum((F.lit(1.0) - pred) * (F.lit(1.0) - F.col("__y"))).alias("__tn"),
+    )
+    joined = conf.crossJoin(auc_parts)
+    precision = F.when(
+        F.col("__tp") + F.col("__fp") > 0,
+        F.col("__tp") / (F.col("__tp") + F.col("__fp")),
+    )
+    recall = F.when(
+        F.col("__tp") + F.col("__fn") > 0,
+        F.col("__tp") / (F.col("__tp") + F.col("__fn")),
+    )
+    f1 = F.when(
+        precision.isNotNull() & recall.isNotNull() & (precision + recall > 0),
+        2.0 * precision * recall / (precision + recall),
+    )
+    return joined.select(
+        "n",
+        "n_pos",
+        F.round(
+            F.when(
+                (F.col("__P") > 0) & (F.col("__N") > 0),
+                (F.col("__won") + F.col("__tie")) / (F.col("__P") * F.col("__N")),
+            ),
+            round_to,
+        ).alias("auc"),
+        F.round(
+            (F.col("__tp") + F.col("__tn")) / F.col("n"), round_to
+        ).alias("accuracy"),
+        F.round(precision, round_to).alias("precision"),
+        F.round(recall, round_to).alias("recall"),
+        F.round(f1, round_to).alias("f1"),
+    )
+
+
 def skew_report(
     df: DataFrame, key_col: str, *, top_n: int = 10
 ) -> DataFrame:

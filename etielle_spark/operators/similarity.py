@@ -420,6 +420,168 @@ def kmeans_fit(
     return result
 
 
+def silhouette_centroid(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    round_cosine: int | None = 6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette for a k-means clustering:
+    per vector, ``a`` = cosine distance to its own (nearest) centroid,
+    ``b`` = distance to the second-nearest, ``s = (b - a) / max(a, b)``
+    — the cluster-quality gauge that decides k without the O(n²)
+    pairwise silhouette.
+
+    Map-only: centroids are plan literals (same contract as
+    ``kmeans_iteration`` / ``ivf_topk``), so scoring any corpus size is
+    one scan with no shuffle.  Distances use the same rounded-cosine +
+    smaller-cell tie-break as assignment, so ``cell`` here equals the
+    assignment those operators produce.  Returns
+    ``(id, cell, silhouette)``; degenerate ``a = b = 0`` scores 0.
+    """
+    if len(centroids) < 2:
+        raise ValueError("silhouette needs >= 2 centroids")
+
+    def dists(vec: Column) -> Column:
+        entries = []
+        for cid, cvec in centroids:
+            cos = cosine(vec, F.array(*[F.lit(float(x)) for x in cvec]))
+            if round_cosine is not None:
+                cos = F.round(cos, round_cosine)
+            entries.append(
+                F.struct(
+                    (F.lit(1.0) - cos).alias("d"), F.lit(int(cid)).alias("cell")
+                )
+            )
+        return F.array_sort(F.array(*entries))
+
+    top2 = corpus.select(
+        F.col(id_col),
+        F.slice(dists(F.col(vec_col).cast("array<double>")), 1, 2).alias("__t"),
+    )
+    d1 = F.element_at("__t", 1).getField("d")
+    d2 = F.element_at("__t", 2).getField("d")
+    return top2.select(
+        id_col,
+        F.element_at("__t", 1).getField("cell").cast("long").alias("cell"),
+        F.round(
+            F.when(
+                F.greatest(d1, d2) > 0, (d2 - d1) / F.greatest(d1, d2)
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("silhouette"),
+    )
+
+
+def mmr_select(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    score_col: str,
+    *,
+    k: int,
+    lam: float = 0.5,
+    bucket_col: str | None = None,
+    max_bucket: int = 20000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Maximal-marginal-relevance selection: greedily pick ``k`` items
+    per bucket maximizing ``lam * relevance - (1 - lam) * max cosine
+    similarity to the already-selected set`` — the diversity-aware
+    exemplar sampling used to curate instruction/eval sets without
+    near-duplicate picks.
+
+    Scale shape: the greedy recurrence is inherently sequential, so it
+    runs per bucket inside ``applyInPandas`` with numpy GEMM similarity
+    (one shuffle on the bucket key; in-cell cost ``O(bucket² · D)`` like
+    ``semdedup``'s in-cell compare).  Bucket width is guarded by
+    ``max_bucket`` — bucket first (cluster / LSH / label) so cells are
+    bounded; with ``bucket_col=None`` everything is one cell and the
+    guard is the only thing between you and a driver-sized sort, so keep
+    that for small inputs.
+
+    Determinism: relevance and running MMR scores are rounded to
+    ``round_to`` before comparison; ties break to the smaller id.
+    Returns ``(bucket?, id, rank, mmr_score)`` with rank 0-based in pick
+    order; ``mmr_score`` of the first pick is its relevance.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    import pandas as pd  # noqa: F401
+
+    bucket_expr = (
+        F.col(bucket_col).cast("string")
+        if bucket_col
+        else F.lit("__all__")
+    )
+    src = corpus.select(
+        bucket_expr.alias("__b"),
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.round(F.col(score_col).cast("double"), round_to).alias("__score"),
+    )
+    kk, ll, cap, rt = int(k), float(lam), int(max_bucket), int(round_to)
+
+    def pick(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) > cap:
+            raise ValueError(
+                f"mmr_select: bucket {pdf['__b'].iloc[0]!r} has {len(pdf)} "
+                f"rows > max_bucket={cap}; pre-bucket with a cluster/LSH key"
+            )
+
+        def rnd(a):
+            # half-away-from-zero on the scaled double, matching SQL
+            # round() (np.round is banker's — and MMR scores with
+            # lam=0.5 land on the half boundary systematically)
+            f = 10.0 ** rt
+            return np.sign(a) * np.floor(np.abs(a) * f + 0.5) / f + 0.0
+
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        mat = np.array(pdf["__v"].tolist(), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        rel = pdf["__score"].to_numpy()
+        n = len(pdf)
+        selected: list[int] = []
+        best_sim = np.full(n, -np.inf)
+        out_rows = []
+        for rank in range(min(kk, n)):
+            if rank == 0:
+                cand = rel.copy()
+            else:
+                cand = rnd(ll * rel - (1.0 - ll) * best_sim)
+            cand[selected] = -np.inf
+            # first max in id order == smallest-id tie-break (sorted above)
+            j = int(np.argmax(cand))
+            out_rows.append(
+                (pdf["__b"].iloc[0], int(pdf["__id"].iloc[j]), rank, float(cand[j]))
+            )
+            sims = rnd(unit @ unit[j])
+            best_sim = np.maximum(best_sim, sims)
+            selected.append(j)
+        return pd.DataFrame(
+            out_rows, columns=["bucket", "id", "rank", "mmr_score"]
+        )
+
+    out = src.groupBy("__b").applyInPandas(
+        pick, "bucket string, id long, rank int, mmr_score double"
+    ).select(
+        "bucket", "id", F.col("rank").cast("long").alias("rank"), "mmr_score"
+    )
+    if not bucket_col:
+        out = out.drop("bucket")
+    return out
+
+
 def gram_matrix(
     emb: DataFrame,
     id_col: str,

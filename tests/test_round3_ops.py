@@ -217,3 +217,85 @@ def test_logreg_train_then_score_separates(spark):
     scores = {r["id"]: r["score"] for r in logreg_score(df, "id", "x", w, b).collect()}
     assert all(scores[i] > 0.5 for i in range(20))
     assert all(scores[100 + i] < 0.5 for i in range(20))
+
+
+def test_binary_metrics_known_values(spark):
+    from etielle_spark.operators.profile import binary_metrics
+
+    # scores: pos at .9/.8/.4, neg at .7/.3/.1 -> pairs won 8/9, 0 ties
+    df = spark.createDataFrame(
+        [(0.9, 1.0), (0.8, 1.0), (0.4, 1.0), (0.7, 0.0), (0.3, 0.0), (0.1, 0.0)],
+        "score double, y double",
+    )
+    r = binary_metrics(df, "score", "y").collect()[0]
+    assert r["n"] == 6 and r["n_pos"] == 3
+    assert math.isclose(r["auc"], 8 / 9, abs_tol=1e-6)
+    # threshold .5: tp=2 fp=1 fn=1 tn=2
+    assert math.isclose(r["accuracy"], 4 / 6, abs_tol=1e-6)
+    assert math.isclose(r["precision"], 2 / 3, abs_tol=1e-6)
+    assert math.isclose(r["recall"], 2 / 3, abs_tol=1e-6)
+    assert math.isclose(r["f1"], 2 / 3, abs_tol=1e-6)
+
+
+def test_binary_metrics_ties_and_degenerate(spark):
+    from etielle_spark.operators.profile import binary_metrics
+
+    # all scores equal: AUC = 0.5 exactly via tie correction
+    df = spark.createDataFrame(
+        [(0.5, 1.0), (0.5, 0.0), (0.5, 1.0), (0.5, 0.0)], "score double, y double"
+    )
+    assert binary_metrics(df, "score", "y").collect()[0]["auc"] == 0.5
+    # single class: AUC NULL; tp=1 fn=1 -> recall .5, precision 1
+    one = spark.createDataFrame([(0.9, 1.0), (0.2, 1.0)], "score double, y double")
+    r = binary_metrics(one, "score", "y").collect()[0]
+    assert r["auc"] is None and r["recall"] == 0.5 and r["precision"] == 1.0
+
+
+def test_silhouette_centroid_separated_blobs(spark):
+    from etielle_spark.operators.similarity import silhouette_centroid
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    emb = spark.createDataFrame(
+        [(1, [5.0, 0.1]), (2, [0.1, 7.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in silhouette_centroid(
+        emb, "vec_id", "embedding", cents
+    ).collect()}
+    assert out[1]["cell"] == 0 and out[1]["silhouette"] > 0.9
+    assert out[2]["cell"] == 1 and out[2]["silhouette"] > 0.9
+    # equidistant point: cell = smaller id tie-break, silhouette 0
+    assert out[3]["cell"] == 0 and out[3]["silhouette"] == 0.0
+
+
+def test_mmr_select_prefers_diverse_second_pick(spark):
+    from etielle_spark.operators.similarity import mmr_select
+
+    # id 1: best score; id 2: near-duplicate of 1 with 2nd-best score;
+    # id 3: orthogonal with lower score -> MMR must pick 3 over 2
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 1.0),
+            (2, [0.999, 0.04], 0.9),
+            (3, [0.0, 1.0], 0.5),
+        ],
+        "vec_id long, embedding array<double>, rel double",
+    )
+    out = mmr_select(emb, "vec_id", "embedding", "rel", k=2, lam=0.5).collect()
+    picks = {r["rank"]: r["id"] for r in out}
+    assert picks == {0: 1, 1: 3}
+
+
+def test_mmr_select_bucket_cap_raises(spark):
+    import pytest as _pytest
+
+    from etielle_spark.operators.similarity import mmr_select
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i)], 1.0) for i in range(5)],
+        "vec_id long, embedding array<double>, rel double",
+    )
+    with _pytest.raises(Exception, match="max_bucket"):
+        mmr_select(
+            emb, "vec_id", "embedding", "rel", k=2, max_bucket=3
+        ).collect()
