@@ -354,7 +354,11 @@ def ensure_scaled(spark) -> str:
                 text_col,
                 F.concat(F.col(text_col), F.lit(" rep"), F.col("__c").cast("string")),
             )
-        df.drop("__c").write.mode("overwrite").parquet(
+        # spread across enough files that the scan parallelizes — a real
+        # corpus at this size has many splits; 2-3 fat files starve 29 of
+        # 32 cores in every text-heavy stage (measured: gram construction
+        # 55 s on a 3-split scan vs ~6 s spread)
+        df.drop("__c").repartition(32).write.mode("overwrite").parquet(
             os.path.join(SCALE_DIR, f"{table}.parquet")
         )
 
