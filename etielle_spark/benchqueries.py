@@ -9558,3 +9558,95 @@ def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_select(
         scored, "vec_id", "embedding", "rel", k=2, lam=0.5, bucket_col="label"
     )
+
+
+@q(
+    "q220_doc_embedding_jl",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(CASE WHEN length(trim(text)) > 0
+                    THEN string_split_regex(lower(trim(text)), '\\s+')
+                    ELSE []::VARCHAR[] END) AS tok
+      FROM documents
+    ),
+    f0 AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+             count(*)::DOUBLE AS n
+      FROM toks GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, sum(n) AS t FROM f0 GROUP BY 1),
+    x AS (
+      SELECT f0.doc_id, f0.bucket, f0.n / tot.t AS v
+      FROM f0 JOIN tot USING (doc_id)
+    )
+    SELECT doc_id AS id,
+           round(sum(v * ([-1.0,1.0,1.0,1.0,-1.0,-1.0,-1.0,-1.0,-1.0,1.0,-1.0,-1.0,-1.0,-1.0,-1.0,-1.0,-1.0,1.0,-1.0,-1.0,1.0,-1.0,1.0,-1.0,-1.0,1.0,1.0,1.0,1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,-1.0,1.0,1.0,1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,1.0])[bucket + 1]) / 2.8284271247461903, 6) AS proj_0,
+           round(sum(v * ([-1.0,-1.0,-1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,-1.0,-1.0,1.0,1.0,1.0,1.0,1.0,-1.0,-1.0,-1.0,-1.0,1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0,-1.0,-1.0,-1.0,1.0,1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,-1.0,-1.0,-1.0,1.0,-1.0,1.0,-1.0,-1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0,-1.0,1.0,-1.0])[bucket + 1]) / 2.8284271247461903, 6) AS proj_1,
+           round(sum(v * ([1.0,-1.0,1.0,1.0,1.0,-1.0,1.0,-1.0,-1.0,-1.0,-1.0,-1.0,1.0,1.0,1.0,-1.0,1.0,-1.0,-1.0,-1.0,-1.0,-1.0,1.0,1.0,1.0,1.0,1.0,-1.0,-1.0,-1.0,-1.0,1.0,1.0,-1.0,-1.0,-1.0,1.0,-1.0,1.0,-1.0,1.0,-1.0,-1.0,-1.0,-1.0,1.0,1.0,1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,-1.0,-1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0])[bucket + 1]) / 2.8284271247461903, 6) AS proj_2,
+           round(sum(v * ([1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,-1.0,-1.0,1.0,1.0,1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,-1.0,-1.0,1.0,-1.0,1.0,1.0,-1.0,-1.0,-1.0,-1.0,1.0,1.0,-1.0,1.0,1.0,1.0,1.0,-1.0,-1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,1.0,-1.0,1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,-1.0,1.0,-1.0,-1.0])[bucket + 1]) / 2.8284271247461903, 6) AS proj_3,
+           round(sum(v * ([1.0,1.0,1.0,-1.0,1.0,-1.0,-1.0,-1.0,-1.0,1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,-1.0,-1.0,-1.0,-1.0,-1.0,1.0,1.0,-1.0,-1.0,1.0,1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,-1.0,-1.0,-1.0,-1.0,1.0,1.0,-1.0,-1.0,-1.0,1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,1.0])[bucket + 1]) / 2.8284271247461903, 6) AS proj_4,
+           round(sum(v * ([1.0,-1.0,-1.0,1.0,1.0,-1.0,-1.0,-1.0,-1.0,1.0,1.0,-1.0,-1.0,1.0,1.0,1.0,-1.0,1.0,1.0,-1.0,-1.0,-1.0,-1.0,1.0,-1.0,-1.0,-1.0,-1.0,1.0,1.0,-1.0,1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,1.0,-1.0,1.0,1.0,1.0,1.0,-1.0,1.0,1.0,-1.0,-1.0,-1.0,1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,-1.0,-1.0,-1.0])[bucket + 1]) / 2.8284271247461903, 6) AS proj_5,
+           round(sum(v * ([-1.0,-1.0,1.0,-1.0,-1.0,1.0,1.0,1.0,-1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,-1.0,1.0,-1.0,1.0,1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0,-1.0,1.0,1.0,-1.0,-1.0,-1.0,1.0,-1.0,1.0,-1.0,-1.0,-1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,1.0,1.0,1.0,1.0,1.0,-1.0,-1.0,-1.0,-1.0,-1.0,1.0,-1.0,-1.0,-1.0,1.0,-1.0,1.0,-1.0])[bucket + 1]) / 2.8284271247461903, 6) AS proj_6,
+           round(sum(v * ([1.0,-1.0,1.0,-1.0,-1.0,-1.0,1.0,1.0,-1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,-1.0,1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,-1.0,-1.0,-1.0,-1.0,1.0,1.0,-1.0,-1.0,1.0,1.0,1.0,-1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,-1.0,-1.0,-1.0,1.0,-1.0,-1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,-1.0,-1.0,-1.0,-1.0,1.0])[bucket + 1]) / 2.8284271247461903, 6) AS proj_7
+    FROM x GROUP BY doc_id
+    """,
+)
+def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free document embeddings: hashed bag-of-words
+    (feature_hash, 64 buckets, L1-normalized) projected to 8 dims by
+    the md5-parity JL sign projection (random_projection) — the bridge
+    that gives raw text a dense vector column for the whole similarity
+    stack (semdedup/IVF/MMR) without an external encoder.  One counts
+    shuffle + one densify shuffle, then map-only projection."""
+    from .operators.similarity import random_projection
+    from .operators.text import densify_counts, feature_hash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = feature_hash(docs, "doc_id", "text", n_buckets=64)
+    dense = densify_counts(feats, "id", "bucket", "n", n_buckets=64)
+    proj = random_projection(dense, "id", "x", 8, dim=64)
+    return proj.select(
+        "id", *[F.col("proj")[i].alias(f"proj_{i}") for i in range(8)]
+    )
+
+
+@q(
+    "q219_interpolated_nll",
+    f"""
+    WITH toksarr AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+      FROM toksarr WHERE len(t) >= 2
+    ),
+    vocab2 AS (SELECT bg, count(*) AS c2 FROM grams GROUP BY bg),
+    ctx AS (
+      SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1
+      FROM vocab2 GROUP BY 1
+    ),
+    toks AS (SELECT doc_id, unnest(t) AS tok FROM toksarr),
+    uni AS (SELECT tok, count(*) AS cu FROM toks GROUP BY 1),
+    tot AS (SELECT sum(cu) AS total FROM uni)
+    SELECT g.doc_id, count(*)::BIGINT AS n_bigrams,
+           round(avg(-ln(0.7 * v.c2::DOUBLE / x.c1
+                         + 0.3 * u.cu::DOUBLE / tot.total)), 6) AS nll
+    FROM grams g
+    JOIN vocab2 v ON g.bg = v.bg
+    JOIN ctx x ON string_split(g.bg, ' ')[1] = x.w1
+    JOIN uni u ON string_split(g.bg, ' ')[2] = u.tok
+    CROSS JOIN tot
+    GROUP BY g.doc_id
+    """,
+)
+def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram perplexity proxy
+    (operators/text.py: interpolated_nll, lam=0.7): bigram conditional
+    smoothed by the unigram backoff — the finite-for-rare-contexts form
+    a KenLM quality filter actually uses.  All shuffles carry type
+    counts, never occurrences."""
+    from .operators.text import interpolated_nll
+
+    return interpolated_nll(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", lam=0.7
+    )

@@ -53,6 +53,7 @@ from .sketches import hll_distinct, kmv_distinct
 from .text import (
     bpe_encode,
     densify_counts,
+    interpolated_nll,
     logreg_score,
     logreg_train,
     bpe_train,

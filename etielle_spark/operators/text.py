@@ -565,6 +565,60 @@ def bigram_nll(
     )
 
 
+def interpolated_nll(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    lam: float = 0.7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram LM score: mean
+    ``-ln(lam * c(w1 w2)/c(w1 .) + (1-lam) * c(w2)/T)`` per document —
+    the smoothing step between ``bigram_nll`` (which assigns unseen
+    bigrams nothing: they never miss, the model is corpus-fit) and a
+    real KenLM: the unigram backoff keeps the estimate finite for rare
+    contexts and is the form actually used for perplexity filtering.
+
+    Shape: bigram explode -> bigram-TYPE vocabulary (one shuffle row per
+    type), context totals folded from it; token explode -> unigram
+    vocabulary; joins back on bigram and second word, per-document
+    average.  All shuffles are counts-level (types, not occurrences).
+    Documents with fewer than two tokens are absent.
+
+    Returns ``(id, n_bigrams, nll)``.
+    """
+    if not 0.0 < lam <= 1.0:
+        raise ValueError("lam must be in (0, 1]")
+    from .dedup import tokens_col
+
+    toks_arr = tokens_col(F.col(text_col))
+    grams = df.select(
+        F.col(id_col), F.explode(ngrams_all(toks_arr, 2)).alias("bg")
+    )
+    vocab2 = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = vocab2.groupBy(
+        F.split(F.col("bg"), " ").getItem(0).alias("w1")
+    ).agg(F.sum("c2").alias("c1"))
+    toks = df.select(F.col(id_col), F.explode(toks_arr).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    total = uni.agg(F.sum("cu").alias("total"))
+    p = F.lit(float(lam)) * F.col("c2").cast("double") / F.col("c1") + F.lit(
+        1.0 - float(lam)
+    ) * F.col("cu").cast("double") / F.col("total")
+    return (
+        grams.join(vocab2, "bg")
+        .join(ctx, F.split(F.col("bg"), " ").getItem(0) == F.col("w1"))
+        .join(uni, F.split(F.col("bg"), " ").getItem(1) == F.col("tok"))
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), round_to).alias("nll"),
+        )
+    )
+
+
 # Portable approximation of the GPT-2 pre-tokenizer: letter runs, digit
 # runs, and punctuation runs, each optionally preceded by one space.
 # (The original's contraction cases and lookahead whitespace rule need

@@ -299,3 +299,36 @@ def test_mmr_select_bucket_cap_raises(spark):
         mmr_select(
             emb, "vec_id", "embedding", "rel", k=2, max_bucket=3
         ).collect()
+
+
+def test_interpolated_nll_hand_computed(spark):
+    from etielle_spark.operators.text import interpolated_nll
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "x")], "id long, text string"
+    )
+    out = {r["id"]: r for r in interpolated_nll(
+        df, "id", "text", lam=0.5
+    ).collect()}
+    # bigrams: "a b" x2, "b a" x1; ctx a->2 b->1; uni a:3 b:2 x:1 T=6
+    p_ab = 0.5 * 2 / 2 + 0.5 * 2 / 6
+    p_ba = 0.5 * 1 / 1 + 0.5 * 3 / 6
+    assert out[1]["n_bigrams"] == 2
+    assert math.isclose(
+        out[1]["nll"], -(math.log(p_ab) + math.log(p_ba)) / 2, abs_tol=1e-6
+    )
+    assert math.isclose(out[2]["nll"], -math.log(p_ab), abs_tol=1e-6)
+    assert 3 not in out  # single-token doc has no bigrams
+
+
+def test_interpolated_nll_lam1_equals_bigram(spark):
+    from etielle_spark.operators.text import bigram_nll, interpolated_nll
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ran")], "id long, text string"
+    )
+    a = {(r["id"], r["n_bigrams"], r["nll"])
+         for r in interpolated_nll(df, "id", "text", lam=1.0).collect()}
+    b = {(r["id"], r["n_bigrams"], r["nll"])
+         for r in bigram_nll(df, "id", "text").collect()}
+    assert a == b
