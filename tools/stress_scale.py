@@ -49,7 +49,9 @@ def main() -> None:
             F.col("l_partkey").cast("string"),
             F.col("l_suppkey").cast("string"),
         ).alias("text"),
-    ).cache()
+    ).repartition(8).cache()
+    # spread the cached corpus across the executor threads — the 2-3
+    # file-split scan otherwise starves 5 of 8 cores in every step
     n = docs.count()
 
     timings: dict[str, float] = {}
