@@ -324,6 +324,7 @@ SCALE_QUERIES = {
     "q03_shipping_priority": SCALE_FACTOR,
     "q22_token_stats": DOC_SCALE_FACTOR,
     "q26_exact_dedup_docs": DOC_SCALE_FACTOR,
+    "q27_minhash_signatures": DOC_SCALE_FACTOR,
     "q30_simhash": DOC_SCALE_FACTOR,
     "q100_gram_duplication": DOC_SCALE_FACTOR,
 }

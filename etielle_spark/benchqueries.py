@@ -9650,3 +9650,56 @@ def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interpolated_nll(
         _t(spark, sf_dir, "documents"), "doc_id", "text", lam=0.7
     )
+
+
+@q(
+    "q221_normalized_dedup",
+    """
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, upper(text) || ' !!!' AS text
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(trim(text)), '[^a-z0-9\\s]', ' ', 'g'),
+                 '[0-9]+', '0', 'g'),
+               '\\s+', ' ', 'g'))) AS g
+      FROM all_docs
+    ),
+    groups AS (
+      SELECT g, count(*) AS n_variants, min(doc_id) AS keeper
+      FROM norm GROUP BY g
+    )
+    SELECT n.doc_id, gr.n_variants, n.doc_id = gr.keeper AS keep
+    FROM norm n JOIN groups gr USING (g)
+    """,
+)
+def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-robust exact dedup (operators/dedup.py:
+    normalize_text, level='aggressive'): clones that differ only in
+    case, punctuation and digit runs collapse to one digest — the CCNet
+    pre-pass that makes exact/MinHash dedup catch trivial variants.
+    Map-only normalization + one 32-byte digest shuffle."""
+    from .operators.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit(" !!!")).alias("text"),
+    )
+    norm = docs.unionAll(clones).select(
+        "doc_id",
+        F.md5(normalize_text(F.col("text"), level="aggressive")).alias("g"),
+    )
+    groups = norm.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_variants"), F.min("doc_id").alias("keeper")
+    )
+    return norm.join(groups, "g").select(
+        "doc_id",
+        F.col("n_variants").cast("bigint").alias("n_variants"),
+        (F.col("doc_id") == F.col("keeper")).alias("keep"),
+    )

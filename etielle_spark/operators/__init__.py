@@ -10,6 +10,7 @@ honest tool (multimodal decode).
 
 from .dedup import (
     containment_pairs,
+    normalize_text,
     dedup_against,
     duplicate_spans,
     exact_dedup,

@@ -65,6 +65,40 @@ def _normalize(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
+def normalize_text(
+    text: Column,
+    *,
+    level: str = "basic",
+) -> Column:
+    """Dedup-robust text normalization (the CCNet / ExactSubstr
+    pre-pass): near-duplicates that differ only in case, punctuation,
+    digits, or spacing normalize to the SAME string, so exact and
+    MinHash dedup catch them.  Pure column expression — map-only,
+    composes in front of every dedup operator.
+
+    Levels (each includes the previous):
+
+    - ``basic``: lowercase, trim, collapse whitespace;
+    - ``punct``: strip everything but letters, digits and spaces;
+    - ``aggressive``: additionally fold every digit run to ``0`` (version
+      strings, timestamps and counters stop defeating dedup).
+
+    ASCII-oriented by design: the regexes are engine-portable (RE2-safe,
+    same semantics in DuckDB for the oracle) and the synthetic corpora
+    are ASCII; a full NFKC/accent fold needs ICU and would be a Pandas
+    UDF seam like the codecs.
+    """
+    if level not in ("basic", "punct", "aggressive"):
+        raise ValueError("level must be basic | punct | aggressive")
+    out = F.lower(F.trim(text))
+    if level in ("punct", "aggressive"):
+        out = F.regexp_replace(out, r"[^a-z0-9\s]", " ")
+    if level == "aggressive":
+        out = F.regexp_replace(out, r"[0-9]+", "0")
+    out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out
+
+
 def tokens_col(text: Column) -> Column:
     """Whitespace tokens of lowercased, trimmed text; empty or
     whitespace-only (or NULL) text yields an empty array.

@@ -332,3 +332,29 @@ def test_interpolated_nll_lam1_equals_bigram(spark):
     b = {(r["id"], r["n_bigrams"], r["nll"])
          for r in bigram_nll(df, "id", "text").collect()}
     assert a == b
+
+
+def test_normalize_text_levels(spark):
+    from etielle_spark.operators.dedup import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Hello,   World! v1.2.3  ")], "id long, t string"
+    )
+    got = df.select(
+        normalize_text(F.col("t"), level="basic").alias("b"),
+        normalize_text(F.col("t"), level="punct").alias("p"),
+        normalize_text(F.col("t"), level="aggressive").alias("a"),
+    ).collect()[0]
+    assert got["b"] == "hello, world! v1.2.3"
+    assert got["p"] == "hello world v1 2 3"
+    assert got["a"] == "hello world v0 0 0"
+
+
+def test_normalize_text_collapses_noisy_clone(spark):
+    from etielle_spark.operators.dedup import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat."), (2, "THE CAT SAT!!!")], "id long, t string"
+    )
+    out = df.select(normalize_text(F.col("t"), level="punct").alias("n")).collect()
+    assert out[0]["n"] == out[1]["n"] == "the cat sat"
