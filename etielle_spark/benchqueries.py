@@ -9703,3 +9703,77 @@ def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_variants").cast("bigint").alias("n_variants"),
         (F.col("doc_id") == F.col("keeper")).alias("keep"),
     )
+
+
+@q(
+    "q222_cluster_dedup_keep_best",
+    f"""
+    WITH RECURSIVE all_docs AS (
+      SELECT doc_id, text FROM documents UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text || ' zzz' AS text
+      FROM documents WHERE doc_id < 20
+    ),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM all_docs),
+    sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM toks),
+    mins AS (
+      SELECT doc_id,
+             {_MINHASH_MINS8}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS b, md5(h0::VARCHAR || '|' || h1::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 1 AS b, md5(h2::VARCHAR || '|' || h3::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 2 AS b, md5(h4::VARCHAR || '|' || h5::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 3 AS b, md5(h6::VARCHAR || '|' || h7::VARCHAR) AS d FROM mins
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r ON l.b = r.b AND l.d = r.d AND l.doc_id < r.doc_id
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS dd FROM cand
+      UNION
+      SELECT id_b AS s, id_a AS dd FROM cand
+    ),
+    verts AS (SELECT DISTINCT s AS id FROM sym),
+    reach(id, r) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT sym.dd, reach.r FROM reach JOIN sym ON sym.s = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    labeled AS (
+      SELECT a.doc_id AS id,
+             coalesce(c.component, a.doc_id) AS component,
+             length(a.text) AS q
+      FROM all_docs a LEFT JOIN comp c ON c.id = a.doc_id
+    )
+    SELECT id, component,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY q DESC, id) = 1 AS keep
+    FROM labeled
+    """,
+)
+def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster dedup (operators/dedup.py: cluster_dedup
+    keep_by=): same LSH-pair + connected-components chain as q207, but
+    each near-dup component keeps its LONGEST member (ties -> smaller
+    id) — the Dolma/FineWeb policy.  Here the ' zzz'-suffixed clones
+    outrank their originals, flipping the representative q207 picks."""
+    from .operators.dedup import cluster_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = docs.filter(F.col("doc_id") < 20)
+    all_docs = docs.unionAll(
+        extra.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionAll(
+        extra.select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+        )
+    )
+    return cluster_dedup(
+        all_docs, "doc_id", "text", keep_by=F.length("text")
+    ).select("id", "component", "keep")

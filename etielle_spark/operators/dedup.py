@@ -1242,6 +1242,7 @@ def cluster_dedup(
     bands: int = 4,
     max_bucket_size: int | None = None,
     max_iter: int = 25,
+    keep_by: Column | str | None = None,
 ) -> DataFrame:
     """Near-dup CLUSTER dedup — the full production chain: MinHash-LSH
     candidate pairs -> distributed connected components -> keep one
@@ -1258,10 +1259,21 @@ def cluster_dedup(
     (operators/graph.py:connected_components_df), and documents never
     ride a shuffle — only ids and band digests do.
 
+    ``keep_by`` picks the representative by QUALITY instead of id: pass
+    a column (or column name) on ``df`` — e.g. text length or a
+    classifier score — and each component keeps its highest-scoring
+    member (ties -> smaller id).  This is how production pipelines
+    (Dolma / FineWeb) dedup: the longest or best-scored variant
+    survives, not an arbitrary one.  Costs one extra component-keyed
+    window over the (id, component, score) frame — ids and scores only,
+    never text.
+
     Returns ``(id, component, keep)`` for EVERY input document
     (documents with no candidate partner form their own singleton
     component and keep=true).
     """
+    from pyspark.sql import Window
+
     from .graph import connected_components_df
 
     pairs = lsh_candidate_pairs(
@@ -1270,11 +1282,22 @@ def cluster_dedup(
     )
     comp = connected_components_df(pairs, "id_a", "id_b", max_iter=max_iter)
     base = df.select(F.col(id_col).alias("id"))
-    return (
+    labeled = (
         base.join(comp, "id", "left")
         .select(
             "id",
             F.coalesce(F.col("component"), F.col("id")).alias("component"),
         )
-        .withColumn("keep", F.col("id") == F.col("component"))
     )
+    if keep_by is None:
+        return labeled.withColumn("keep", F.col("id") == F.col("component"))
+    score = F.col(keep_by) if isinstance(keep_by, str) else keep_by
+    scored = labeled.join(
+        df.select(F.col(id_col).alias("id"), score.alias("__q")), "id"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("__q").desc(), F.col("id").asc()
+    )
+    return scored.withColumn(
+        "keep", F.row_number().over(w) == 1
+    ).select("id", "component", "keep")

@@ -358,3 +358,30 @@ def test_normalize_text_collapses_noisy_clone(spark):
     )
     out = df.select(normalize_text(F.col("t"), level="punct").alias("n")).collect()
     assert out[0]["n"] == out[1]["n"] == "the cat sat"
+
+
+def test_cluster_dedup_keep_by_prefers_best(spark):
+    from etielle_spark.operators.dedup import cluster_dedup
+
+    # three near-identical docs; quality says id 3 (longest) should win
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta!"),
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (9, "completely different words nothing shared here at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in cluster_dedup(
+        df, "doc_id", "text", keep_by=F.length("text")
+    ).collect()}
+    cluster = {out[i]["component"] for i in (1, 2, 3)}
+    assert len(cluster) == 1  # 1,2,3 form one component
+    assert [out[i]["keep"] for i in (1, 2, 3)] == [False, False, True]
+    assert out[9]["keep"] is True  # singleton keeps itself
+    # default policy still keeps the min id
+    out2 = {r["id"]: r["keep"] for r in cluster_dedup(
+        df, "doc_id", "text"
+    ).collect()}
+    assert out2[1] is True and out2[3] is False
