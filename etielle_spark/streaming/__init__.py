@@ -54,3 +54,5 @@ __all__ = [
     "sliding_agg",
     "session_agg",
 ]
+
+from .incremental_sketch import IncrementalHLL

@@ -766,3 +766,63 @@ def test_sessionize_stateful_late_event_no_rewind(spark):
     assert len(got) == 1
     (k, s0, s1, n) = next(iter(got))
     assert (k, s1 - s0, n) == (1, 660, 3)
+
+
+def test_incremental_hll_equals_batch(spark, tmp_path):
+    """HLL register max-merge is associative: the estimate from state
+    accumulated over 3 batches EXACTLY equals the one-shot batch
+    estimate on the concatenated input."""
+    from etielle_spark.operators.sketches import hll_distinct
+    from etielle_spark.streaming.incremental_sketch import IncrementalHLL
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "lang", "text"
+    )
+    inc = IncrementalHLL(
+        spark, str(tmp_path / "hll"), group_cols=["lang"], item_col="text"
+    )
+    assert inc.estimate().count() == 0  # empty state
+    for k in range(3):
+        inc.process_batch(docs.filter(F.crc32("text") % 3 == k))
+    got = {
+        (r["lang"], r["est_distinct"]) for r in inc.estimate().collect()
+    }
+    want = {
+        (r["lang"], r["est_distinct"])
+        for r in hll_distinct(docs, ["lang"], "text").collect()
+    }
+    assert got == want and want
+
+
+def test_incremental_hll_foreachbatch_stream(spark, tmp_path):
+    """readStream -> foreachBatch drive; duplicate re-ingest does not
+    inflate the estimate (register merge is idempotent)."""
+    from etielle_spark.operators.sketches import hll_distinct
+    from etielle_spark.streaming.incremental_sketch import IncrementalHLL
+
+    src = str(tmp_path / "src")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "lang", "text"
+    )
+    docs.union(docs.limit(50)).repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    inc = IncrementalHLL(
+        spark, str(tmp_path / "hll2"), group_cols=["lang"], item_col="text"
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(inc.attach())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {(r["lang"], r["est_distinct"]) for r in inc.estimate().collect()}
+    want = {
+        (r["lang"], r["est_distinct"])
+        for r in hll_distinct(docs, ["lang"], "text").collect()
+    }
+    assert got == want and want
