@@ -9777,3 +9777,55 @@ def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_dedup(
         all_docs, "doc_id", "text", keep_by=F.length("text")
     ).select("id", "component", "keep")
+
+
+@q(
+    "q223_ridge_fit_2d",
+    """
+    WITH e AS (
+      SELECT embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y,
+             embedding[4]::DOUBLE AS t
+      FROM embeddings
+    ),
+    m AS (
+      SELECT count(*)::DOUBLE AS n, avg(x) AS mx, avg(y) AS my, avg(t) AS mt,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy,
+             sum(x * t) AS sxt, sum(y * t) AS syt
+      FROM e
+    ),
+    c AS (
+      SELECT mx, my, mt,
+             sxx / n - mx * mx + 0.01 AS a11,
+             sxy / n - mx * my AS a12,
+             syy / n - my * my + 0.01 AS a22,
+             sxt / n - mx * mt AS b1,
+             syt / n - my * mt AS b2
+      FROM m
+    ),
+    w AS (
+      SELECT mx, my, mt,
+             (a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12) AS w0,
+             (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12) AS w1
+      FROM c
+    )
+    SELECT 0::BIGINT AS dim, round(w0, 9) AS w FROM w
+    UNION ALL
+    SELECT 1::BIGINT AS dim, round(w1, 9) AS w FROM w
+    UNION ALL
+    SELECT -1::BIGINT AS dim, round(mt - w0 * mx - w1 * my, 9) AS w FROM w
+    """,
+)
+def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression (operators/similarity.py: ridge_fit,
+    l2=0.01): predict embedding dim 3 from dims 0-1.  One D²-bounded
+    moment aggregation, driver-side numpy solve; the oracle inverts the
+    2x2 centered system with Cramer's rule.  Bias emitted as dim -1."""
+    from .operators.similarity import ridge_fit
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.slice(F.col("embedding").cast("array<double>"), 1, 2).alias("x"),
+        F.element_at(F.col("embedding").cast("array<double>"), 4).alias("t"),
+    )
+    w, b = ridge_fit(emb, "x", "t", l2=0.01, fit_intercept=True)
+    rows = [(int(j), float(w[j])) for j in range(len(w))] + [(-1, float(b))]
+    return spark.createDataFrame(rows, "dim long, w double")

@@ -46,6 +46,7 @@ from .similarity import (
     pca_project,
     quantize_int8,
     random_projection,
+    ridge_fit,
     mmr_select,
     silhouette_centroid,
 )

@@ -760,6 +760,98 @@ def pca_project(
     )
 
 
+def ridge_fit(
+    df: DataFrame,
+    feat_col: str,
+    label_col: str,
+    *,
+    l2: float = 0.0,
+    fit_intercept: bool = True,
+    round_to: int = 9,
+) -> tuple[list[float], float]:
+    """Closed-form ridge regression over dense feature vectors:
+    ``w = (X'X + l2*n*I)^-1 X'y`` — the linear-probe / value-model fit,
+    exactly (no iterations), from ONE corpus pass.
+
+    Scale shape: the pass aggregates ``X'X`` (upper triangle, D(D+1)/2
+    sums), ``X'y`` (D sums), feature/label means and the row count in a
+    single hash aggregate whose shuffle is D²-bounded; the D x D solve
+    runs driver-side with numpy (same split as ``pca_fit`` — a few KB
+    even at D = 4096).  With ``fit_intercept`` the system is solved on
+    mean-centered moments and ``b = mean(y) - w . mean(x)``.
+
+    Returns ``(weights, intercept)`` rounded to ``round_to``
+    (half-away-from-zero, engine-stable).
+    """
+    import math as _math
+
+    import numpy as np
+
+    src = df.select(
+        F.col(feat_col).cast("array<double>").alias("__x"),
+        F.col(label_col).cast("double").alias("__y"),
+    )
+    ex = src.select(
+        "__y",
+        F.posexplode("__x").alias("i", "xi"),
+        F.col("__x").alias("__xv"),
+    ).select(
+        "__y",
+        F.col("i").cast("long").alias("i"),
+        "xi",
+        F.posexplode(F.slice("__xv", F.col("i") + 1, F.size("__xv"))).alias(
+            "__joff", "xj"
+        ),
+    )
+    pair_sums = ex.select(
+        "i",
+        (F.col("i") + F.col("__joff")).cast("long").alias("j"),
+        "xi",
+        "xj",
+        "__y",
+    ).groupBy("i", "j").agg(
+        F.sum(F.col("xi") * F.col("xj")).alias("sxx"),
+    )
+    # X'y, means and n come from the non-pair explode (D rows + 1)
+    lin = src.select(
+        "__y", F.posexplode("__x").alias("i", "xi")
+    ).groupBy(F.col("i").cast("long").alias("i")).agg(
+        F.sum(F.col("xi") * F.col("__y")).alias("sxy"),
+        F.sum("xi").alias("sx"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    ysum = src.agg(F.sum("__y").alias("sy")).collect()[0]["sy"]
+    prows = pair_sums.collect()
+    lrows = lin.collect()
+    d = max(int(r["i"]) for r in lrows) + 1
+    n = float(lrows[0]["n"])
+    xtx = np.zeros((d, d))
+    for r in prows:
+        xtx[int(r["i"]), int(r["j"])] = float(r["sxx"])
+        xtx[int(r["j"]), int(r["i"])] = float(r["sxx"])
+    xty = np.zeros(d)
+    mx = np.zeros(d)
+    for r in lrows:
+        xty[int(r["i"])] = float(r["sxy"])
+        mx[int(r["i"])] = float(r["sx"]) / n
+    my = float(ysum) / n
+    if fit_intercept:
+        a = xtx / n - np.outer(mx, mx)
+        b_vec = xty / n - mx * my
+    else:
+        a = xtx / n
+        b_vec = xty / n
+    w = np.linalg.solve(a + float(l2) * np.eye(d), b_vec)
+    bias = my - float(mx @ w) if fit_intercept else 0.0
+
+    def rnd(x: float) -> float:
+        return _math.copysign(
+            _math.floor(abs(x) * 10**round_to + 0.5) / 10**round_to, x
+        )
+
+    return [rnd(float(v)) for v in w], rnd(float(bias))
+
+
 def quantize_int8(
     emb: DataFrame,
     id_col: str,

@@ -385,3 +385,38 @@ def test_cluster_dedup_keep_by_prefers_best(spark):
         df, "doc_id", "text"
     ).collect()}
     assert out2[1] is True and out2[3] is False
+
+
+def test_ridge_fit_matches_numpy(spark):
+    from etielle_spark.operators.similarity import ridge_fit
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(80, 3)
+    yv = 2.0 * X[:, 0] - 1.5 * X[:, 1] + 0.5 * X[:, 2] + 3.0
+    df = spark.createDataFrame(
+        [([float(v) for v in X[i]], float(yv[i])) for i in range(80)],
+        "x array<double>, y double",
+    )
+    w, b = ridge_fit(df, "x", "y", l2=0.0, fit_intercept=True)
+    # exact linear relation, no noise, no regularization -> recover it
+    assert np.allclose(w, [2.0, -1.5, 0.5], atol=1e-6)
+    assert math.isclose(b, 3.0, abs_tol=1e-6)
+
+
+def test_ridge_fit_l2_shrinks_and_no_intercept(spark):
+    from etielle_spark.operators.similarity import ridge_fit
+
+    rng = np.random.RandomState(6)
+    X = rng.randn(60, 2)
+    yv = X[:, 0] + X[:, 1]
+    df = spark.createDataFrame(
+        [([float(v) for v in X[i]], float(yv[i])) for i in range(60)],
+        "x array<double>, y double",
+    )
+    w0, _ = ridge_fit(df, "x", "y", l2=0.0)
+    w1, _ = ridge_fit(df, "x", "y", l2=1.0)
+    assert abs(w1[0]) < abs(w0[0]) and abs(w1[1]) < abs(w0[1])
+    wn, bn = ridge_fit(df, "x", "y", l2=0.0, fit_intercept=False)
+    # numpy replay of the uncentered normal equations
+    want = np.linalg.solve(X.T @ X / len(X), X.T @ yv / len(X))
+    assert np.allclose(wn, want, atol=1e-6) and bn == 0.0
