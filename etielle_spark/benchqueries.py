@@ -9829,3 +9829,121 @@ def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, b = ridge_fit(emb, "x", "t", l2=0.01, fit_intercept=True)
     rows = [(int(j), float(w[j])) for j in range(len(w))] + [(-1, float(b))]
     return spark.createDataFrame(rows, "dim long, w double")
+
+
+@q(
+    "q224_ivf_trained_codebook",
+    """
+
+    WITH e AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+    cent_ids AS (
+      SELECT vec_id AS cvid,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    ce AS (SELECT c.cell, e.i, e.v FROM cent_ids c JOIN e ON e.vec_id = c.cvid),
+    cnorm AS (SELECT cell, sqrt(sum(v * v)) AS cn FROM ce GROUP BY cell),
+    vcdot AS (
+      SELECT e.vec_id, ce.cell, sum(e.v * ce.v) AS dot
+      FROM e JOIN ce ON ce.i = e.i
+      GROUP BY 1, 2
+    ),
+    vc AS (
+      SELECT d.vec_id, d.cell, round(d.dot / (n.nrm * cn.cn), 6) AS cos
+      FROM vcdot d
+      JOIN norms n ON n.vec_id = d.vec_id
+      JOIN cnorm cn ON cn.cell = d.cell
+    ),
+    assign1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell) AS rk
+        FROM vc
+      ) WHERE rk = 1
+    ),
+    ce2 AS (
+      SELECT a.cell, e.i, round(avg(e.v), 6) AS v
+      FROM assign1 a JOIN e USING (vec_id) GROUP BY 1, 2
+    ),
+    cnorm2 AS (SELECT cell, sqrt(sum(v * v)) AS cn FROM ce2 GROUP BY cell),
+    vcdot2 AS (
+      SELECT e.vec_id, ce2.cell, sum(e.v * ce2.v) AS dot
+      FROM e JOIN ce2 ON ce2.i = e.i
+      GROUP BY 1, 2
+    ),
+    vc2 AS (
+      SELECT d.vec_id, d.cell, round(d.dot / (n.nrm * cn.cn), 6) AS cos
+      FROM vcdot2 d
+      JOIN norms n ON n.vec_id = d.vec_id
+      JOIN cnorm2 cn ON cn.cell = d.cell
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell) AS rk
+        FROM vc2
+      ) WHERE rk = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell) AS rk
+        FROM vc2 WHERE vec_id < 5
+      ) WHERE rk <= 3
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+      FROM qprobe q JOIN assign a ON a.cell = q.cell
+      WHERE a.vec_id <> q.query_id
+    ),
+    dots AS (
+      SELECT c.query_id, c.neighbor_id, sum(eq.v * ec.v) AS dot
+      FROM cand c
+      JOIN e eq ON eq.vec_id = c.query_id
+      JOIN e ec ON ec.vec_id = c.neighbor_id AND ec.i = eq.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+      FROM dots JOIN norms nq ON query_id = nq.vec_id
+                JOIN norms nc ON neighbor_id = nc.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+      FROM scored
+    ) WHERE rank <= 10
+
+    """,
+)
+def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL IVF lifecycle: train the codebook with a Lloyd iteration
+    (kmeans_fit, = the q73 update) and search with it (ivf_topk
+    centroids=) — codebook training and probing composed end-to-end, the
+    production path q61\'s seed-centroid variant stands in for.  The
+    oracle replays training AND search in SQL."""
+    from .operators.similarity import ivf_topk, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = [
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in kmeans_fit(emb, "vec_id", "embedding", nlist=16, n_iter=1).collect()
+    ]
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        "vec_id",
+        "embedding",
+        k=10,
+        nprobe=3,
+        centroids=cents,
+    )
