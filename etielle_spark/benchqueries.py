@@ -9947,3 +9947,64 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=3,
         centroids=cents,
     )
+
+
+@q(
+    "q225_bootstrap_mean_ci",
+    """
+    WITH src AS (
+      SELECT doc_id::VARCHAR AS id, n_chars::DOUBLE AS v
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    rep AS (
+      SELECT id, v, unnest(range(50)) AS rep FROM src
+    ),
+    w AS (
+      SELECT rep,
+             CASE
+               WHEN u < 0.367879441 THEN 0
+               WHEN u < 0.735758882 THEN 1
+               WHEN u < 0.919698603 THEN 2
+               WHEN u < 0.981011843 THEN 3
+               WHEN u < 0.996340153 THEN 4
+               WHEN u < 0.999405815 THEN 5
+               WHEN u < 0.999916758 THEN 6
+               ELSE 7
+             END::DOUBLE AS wt,
+             v
+      FROM (
+        SELECT rep, v,
+               ('0x' || substr(md5(id || '|' || rep::VARCHAR), 1, 8))::BIGINT::DOUBLE
+                 / 4294967296.0 AS u
+        FROM rep
+      )
+    ),
+    per_rep AS (
+      SELECT rep, sum(wt * v) / sum(wt) AS m FROM w GROUP BY rep
+    ),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, rep) AS rk FROM per_rep
+    ),
+    bracket AS (
+      SELECT max(CASE WHEN rk = 2 THEN m END) AS lo,
+             max(CASE WHEN rk = 49 THEN m END) AS hi
+      FROM ranked
+    )
+    SELECT (SELECT count(*) FROM src)::BIGINT AS n,
+           50::BIGINT AS n_boot,
+           round((SELECT avg(v) FROM src), 6) AS mean,
+           round(lo, 6) AS ci_lo,
+           round(hi, 6) AS ci_hi
+    FROM bracket
+    """,
+)
+def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for a corpus mean (operators/profile.py:
+    bootstrap_mean_ci, n_boot=50): each row joins replicate r a
+    Poisson(1) number of times drawn from md5(id|r) through the shared
+    inverse-CDF literals — the distributed bootstrap (Chamandy et al.)
+    whose only shuffle is n_boot (sum, count) partials."""
+    from .operators.profile import bootstrap_mean_ci
+
+    docs = _t(spark, sf_dir, "documents")
+    return bootstrap_mean_ci(docs, "doc_id", "n_chars", n_boot=50)

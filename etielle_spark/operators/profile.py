@@ -11,6 +11,8 @@ engine-specific number formatting.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import (
     DateType,
@@ -451,6 +453,105 @@ def binary_metrics(
         F.round(precision, round_to).alias("precision"),
         F.round(recall, round_to).alias("recall"),
         F.round(f1, round_to).alias("f1"),
+    )
+
+
+# Poisson(1) CDF thresholds for the md5-uniform inverse draw, shared
+# verbatim with the SQL oracle (both engines compare against the SAME
+# literals, so the draw is engine-exact).  Capped at 6 copies
+# (P(X > 6) < 1e-4 — the truncation bias is far below reporting
+# precision).
+_POIS1_CDF = (
+    0.367879441,  # P(X <= 0)
+    0.735758882,
+    0.919698603,
+    0.981011843,
+    0.996340153,
+    0.999405815,
+    0.999916758,
+)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    *,
+    n_boot: int = 50,
+    lo_q: float = 0.025,
+    hi_q: float = 0.975,
+    round_to: int = 6,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean of
+    ``value_col`` — THE resampling scheme that works on distributed
+    data (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams"): instead of drawing N rows with replacement (which needs
+    global coordination), each row enters replicate ``r`` a
+    Poisson(1)-distributed number of times, drawn deterministically from
+    ``md5(id|r)`` via the inverse CDF.
+
+    Scale shape: the replicate fan-out is a ``sequence`` explode (no
+    shuffle) and each replicate's (sum, count) partials combine map-side,
+    so the single shuffle carries ``n_boot`` rows total regardless of
+    corpus size.  The replicate means are then a tiny frame; the
+    percentile bracket is computed over exactly ``n_boot`` values.
+
+    Returns ONE row ``(n, n_boot, mean, ci_lo, ci_hi)`` where mean is
+    the plain (unresampled) mean and the CI brackets the ``lo_q``/
+    ``hi_q`` replicate-mean quantiles (nearest-rank, deterministic).
+    """
+    if n_boot < 2:
+        raise ValueError("n_boot must be >= 2")
+    src = df.select(
+        F.col(id_col).cast("string").alias("__id"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    rep = src.select(
+        "__id", "__v",
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("rep"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("__id"), F.col("rep"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**8))
+    )
+    copies = F.lit(len(_POIS1_CDF))
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        copies = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(copies)
+    per_rep = (
+        rep.withColumn("__w", copies.cast("double"))
+        .groupBy("rep")
+        .agg(
+            (F.sum(F.col("__w") * F.col("__v")) / F.sum("__w")).alias("__m")
+        )
+    )
+    # nearest-rank bracket over exactly n_boot replicate means
+    from pyspark.sql import Window as _W
+
+    ranked = per_rep.withColumn(
+        "__rk", F.row_number().over(_W.orderBy(F.col("__m").asc(), F.col("rep")))
+    )
+    lo_rk = max(1, int(math.ceil(lo_q * n_boot)))
+    hi_rk = max(1, int(math.ceil(hi_q * n_boot)))
+    bracket = ranked.agg(
+        F.max(F.when(F.col("__rk") == lo_rk, F.col("__m"))).alias("__lo"),
+        F.max(F.when(F.col("__rk") == hi_rk, F.col("__m"))).alias("__hi"),
+    )
+    base = src.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("__v").alias("__mean"),
+    )
+    return base.crossJoin(bracket).select(
+        "n",
+        F.lit(int(n_boot)).cast("bigint").alias("n_boot"),
+        F.round("__mean", round_to).alias("mean"),
+        F.round("__lo", round_to).alias("ci_lo"),
+        F.round("__hi", round_to).alias("ci_hi"),
     )
 
 

@@ -420,3 +420,29 @@ def test_ridge_fit_l2_shrinks_and_no_intercept(spark):
     # numpy replay of the uncentered normal equations
     want = np.linalg.solve(X.T @ X / len(X), X.T @ yv / len(X))
     assert np.allclose(wn, want, atol=1e-6) and bn == 0.0
+
+
+def test_bootstrap_mean_ci_brackets_mean(spark):
+    from etielle_spark.operators.profile import bootstrap_mean_ci
+
+    df = spark.createDataFrame(
+        [(i, float(100 + (i % 7))) for i in range(200)], "id long, v double"
+    )
+    r = bootstrap_mean_ci(df, "id", "v", n_boot=40).collect()[0]
+    assert r["n"] == 200 and r["n_boot"] == 40
+    assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+    # values span [100, 106]; a mean CI must stay well inside
+    assert 100.0 < r["ci_lo"] and r["ci_hi"] < 106.0
+    # narrow spread: CI width far below the value range
+    assert r["ci_hi"] - r["ci_lo"] < 2.0
+
+
+def test_bootstrap_mean_ci_deterministic(spark):
+    from etielle_spark.operators.profile import bootstrap_mean_ci
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "id long, v double"
+    )
+    a = bootstrap_mean_ci(df, "id", "v", n_boot=20).collect()[0]
+    b = bootstrap_mean_ci(df, "id", "v", n_boot=20).collect()[0]
+    assert (a["ci_lo"], a["ci_hi"]) == (b["ci_lo"], b["ci_hi"])
