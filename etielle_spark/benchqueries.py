@@ -10008,3 +10008,69 @@ def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return bootstrap_mean_ci(docs, "doc_id", "n_chars", n_boot=50)
+
+
+@q(
+    "q226_image_dedup_clusters",
+    f"""
+    WITH RECURSIVE all_docs AS ({_DOCS_PLUS_CLONES}),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS phash
+      FROM all_docs
+    ),
+    bands AS (
+      SELECT doc_id, phash, b, (phash >> (b * 15)) & 32767 AS bv
+      FROM h, unnest([0, 1, 2, 3]) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l
+      JOIN bands r ON l.b = r.b AND l.bv = r.bv AND l.doc_id < r.doc_id
+      WHERE bit_count(xor(l.phash, r.phash)) <= 3
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS dd FROM cand
+      UNION
+      SELECT id_b AS s, id_a AS dd FROM cand
+    ),
+    verts AS (SELECT DISTINCT s AS id FROM sym),
+    reach(id, r) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT sym.dd, reach.r FROM reach JOIN sym ON sym.s = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT a.doc_id AS id,
+           coalesce(c.component, a.doc_id) AS component,
+           (coalesce(c.component, a.doc_id) = a.doc_id) AS keep
+    FROM all_docs a LEFT JOIN comp c ON c.id = a.doc_id
+    """,
+)
+def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup dedup END-TO-END on real bytes: render PNGs,
+    perceptual-hash (real decode), pigeonhole-banded Hamming pairs
+    (q175's chain), then distributed connected components pick one
+    representative per visual cluster (q207's chain) — the multimodal
+    twin of text cluster dedup.  The oracle replays hashes (md5-prefix
+    identity), banding, Hamming verify and components in SQL."""
+    from .operators.clusters import dedup_clusters
+    from .operators.multimodal import (
+        generate_images,
+        hamming_near_dup,
+        perceptual_hash,
+    )
+
+    docs = _docs_plus_clones(spark, sf_dir)
+    imgs = generate_images(docs, "doc_id", "text", style="blocks")
+    hashes = perceptual_hash(imgs, "id", decode_stub=False, method="ahash")
+    pairs = hamming_near_dup(hashes, "id", "phash").filter(F.col("hamming") <= 3)
+    comp = dedup_clusters(pairs, id_a="id_a", id_b="id_b")
+    base = docs.select(F.col("doc_id").alias("id"))
+    return (
+        base.join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("cluster_id"), F.col("id")).alias("component"),
+        )
+        .withColumn("keep", F.col("id") == F.col("component"))
+    )
