@@ -399,7 +399,9 @@ def binary_metrics(
     """
     s = F.round(F.col(score_col).cast("double"), round_to)
     y = F.col(label_col).cast("double")
-    base = df.select(s.alias("__s"), y.alias("__y"))
+    base = df.select(s.alias("__s"), y.alias("__y")).filter(
+        F.col("__s").isNotNull() & F.col("__y").isNotNull()
+    )
     dist = base.groupBy("__s").agg(
         F.sum("__y").alias("__pos"),
         F.sum(F.lit(1.0) - F.col("__y")).alias("__neg"),

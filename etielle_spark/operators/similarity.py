@@ -524,7 +524,7 @@ def mmr_select(
         F.col(id_col).cast("long").alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
         F.round(F.col(score_col).cast("double"), round_to).alias("__score"),
-    )
+    ).filter(F.col("__v").isNotNull() & F.col("__score").isNotNull())
     kk, ll, cap, rt = int(k), float(lam), int(max_bucket), int(round_to)
 
     def pick(pdf):
@@ -611,7 +611,7 @@ def gram_matrix(
     src = emb.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    )
+    ).filter(F.col("__v").isNotNull())
     if engine == "arrow":
         import pandas as pd  # noqa: F401
 
@@ -790,7 +790,7 @@ def ridge_fit(
     src = df.select(
         F.col(feat_col).cast("array<double>").alias("__x"),
         F.col(label_col).cast("double").alias("__y"),
-    )
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
     ex = src.select(
         "__y",
         F.posexplode("__x").alias("i", "xi"),
@@ -872,7 +872,7 @@ def quantize_int8(
     """
     src = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    )
+    ).filter(F.col("__v").isNotNull() & (F.size("__v") > 0))
     stats = (
         src.select(F.posexplode("__v").alias("dim", "x"))
         .groupBy("dim")

@@ -991,7 +991,7 @@ def logreg_train(
     src = df.select(
         F.col(feat_col).cast("array<double>").alias("__x"),
         F.col(label_col).cast("double").alias("__y"),
-    )
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
     first = src.select(F.size("__x").alias("d")).first()
     if first is None:
         raise ValueError("logreg_train: empty input")

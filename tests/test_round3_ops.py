@@ -446,3 +446,34 @@ def test_bootstrap_mean_ci_deterministic(spark):
     a = bootstrap_mean_ci(df, "id", "v", n_boot=20).collect()[0]
     b = bootstrap_mean_ci(df, "id", "v", n_boot=20).collect()[0]
     assert (a["ci_lo"], a["ci_hi"]) == (b["ci_lo"], b["ci_hi"])
+
+
+def test_null_robustness_round3_ops(spark):
+    """Null vectors/labels are excluded, not crashes or silent miscounts."""
+    from etielle_spark.operators.profile import binary_metrics
+    from etielle_spark.operators.similarity import gram_matrix, quantize_int8
+    from etielle_spark.operators.text import logreg_train
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    for engine in ("sql", "arrow"):
+        assert gram_matrix(
+            emb, "vec_id", "embedding", engine=engine
+        ).count() == 3  # 2x2 upper triangle; null row dropped
+    assert quantize_int8(emb, "vec_id", "embedding").count() == 2
+
+    lab = spark.createDataFrame(
+        [(1, [1.0], 1.0), (2, None, 0.0), (3, [0.0], None), (4, [0.0], 0.0)],
+        "id long, x array<double>, y double",
+    )
+    w, b = logreg_train(lab, "id", "x", "y", n_steps=1)
+    assert len(w) == 1  # trained on the 2 complete rows only
+
+    m = spark.createDataFrame(
+        [(0.9, 1.0), (None, 0.0), (0.1, None), (0.2, 0.0)],
+        "score double, y double",
+    )
+    r = binary_metrics(m, "score", "y").collect()[0]
+    assert r["n"] == 2 and r["auc"] == 1.0
