@@ -158,9 +158,17 @@ def _json_key(k: Any) -> str:
 
 
 def _collect_kinds(obj: Any, path: tuple, kinds: dict) -> None:
-    """Record the JSON kind (dict / list / scalar) observed at every path
-    across a batch of roots; list elements share one path segment ('*')
-    because spark.read.json infers one element type per array."""
+    """Record the JSON kind (dict / list / string / number) observed at
+    every path across a batch of roots; list elements share one path
+    segment ('*') because spark.read.json infers one element type per
+    array.
+
+    Strings and numbers are DISTINCT kinds: a path carrying 7 in one
+    sibling and '7' in another must not coerce (Python dict semantics —
+    the reference keeps them distinct values and ``lookup`` keys never
+    cross the number/string boundary), so such paths ride as variants.
+    int/float/bool stay one kind: Python's numeric tower already treats
+    1 == 1.0 == True as equal."""
     if obj is None:
         return
     if isinstance(obj, dict):
@@ -171,8 +179,10 @@ def _collect_kinds(obj: Any, path: tuple, kinds: dict) -> None:
         kinds.setdefault(path, set()).add("l")
         for v in obj:
             _collect_kinds(v, path + ("*",), kinds)
-    else:
+    elif isinstance(obj, str):
         kinds.setdefault(path, set()).add("s")
+    else:
+        kinds.setdefault(path, set()).add("n")
 
 
 def _variant_paths(objs: list) -> frozenset:
@@ -1177,11 +1187,17 @@ def _ord_struct(
 
 
 def _null_empty_key_filter(df: DataFrame, keys: list[str]) -> DataFrame:
-    """Rows with any None/"" key part are skipped (executor.py:189-191)."""
+    """Rows with any None/"" key part are skipped (executor.py:189-191).
+    Variant-typed keys (string/number-mixed fields) test emptiness on
+    their JSON form — ``""`` is the empty STRING key; numeric 0 and
+    ``"0"`` are valid keys."""
     cond = F.lit(True)
     for k in keys:
         c = F.col(k)
-        cond = cond & c.isNotNull() & (c.cast("string") != F.lit(""))
+        if isinstance(df.schema[k].dataType, T.VariantType):
+            cond = cond & c.isNotNull() & (F.to_json(c) != F.lit('""'))
+        else:
+            cond = cond & c.isNotNull() & (c.cast("string") != F.lit(""))
     return df.filter(cond)
 
 
@@ -1269,7 +1285,25 @@ def _assemble_table(
             aggs.append(pol.agg(F.col(name), F.col(f"__o_{name}"), dtype).alias(name))
         aggs.append(F.min(F.col(_ORD)).alias(_ORD))
 
-        grouped = unioned.groupBy(*[F.col(k) for k in join_on]).agg(*aggs)
+        # variant-typed keys (string/number-mixed fields) can't feed
+        # groupBy directly; group on their exact JSON form (7 vs "7"
+        # stay DISTINCT keys, Python-dict semantics) and rebuild the
+        # variant from it afterwards (parse_json∘to_json is identity on
+        # scalars)
+        key_exprs, key_restore = [], []
+        for k in join_on:
+            if isinstance(unioned.schema[k].dataType, T.VariantType):
+                key_exprs.append(F.to_json(F.col(k)).alias(f"__kc_{k}"))
+                key_restore.append(F.parse_json(F.col(f"__kc_{k}")).alias(k))
+            else:
+                key_exprs.append(F.col(k))
+                key_restore.append(F.col(k))
+        grouped = unioned.groupBy(*key_exprs).agg(*aggs)
+        grouped = grouped.select(
+            *key_restore,
+            *[F.col(n) for n in field_order if n not in join_on],
+            F.col(_ORD),
+        )
         # restore declared column order
         grouped = grouped.select(*field_order, _ORD)
         parts.append(grouped)
@@ -1403,6 +1437,37 @@ def _select_public(internal_df: DataFrame, pairs: list[tuple[str, str]]) -> Data
     return internal_df.select(*[F.col(i).alias(p) for p, i in pairs])
 
 
+_NUM_KINDS = ("BIGINT", "INT", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT", "BOOLEAN")
+
+
+def _key_canon(col: Column, dtype) -> Column:
+    """Kind-preserving canonical string for a join/lookup key: Python
+    equality semantics — numbers match across representations (7 == 7.0
+    == True) but never match strings ('7' != 7).  Used when a key column
+    is variant-typed (string/number-mixed field); the plain-typed other
+    side canonicalizes the same way so the equi-join lines up."""
+    if isinstance(dtype, T.VariantType):
+        kind = F.schema_of_variant(col)
+        is_num = kind.isin(*_NUM_KINDS) | kind.startswith("DECIMAL")
+        return (
+            F.when(
+                kind == F.lit("STRING"),
+                F.concat(F.lit("s:"), F.try_variant_get(col, "$", "string")),
+            )
+            .when(
+                is_num,
+                F.concat(
+                    F.lit("n:"),
+                    F.try_variant_get(col, "$", "double").cast("string"),
+                ),
+            )
+            .otherwise(F.concat(F.lit("j:"), F.to_json(col)))
+        )
+    if isinstance(dtype, (T.NumericType, T.BooleanType)):
+        return F.concat(F.lit("n:"), col.cast("double").cast("string"))
+    return F.concat(F.lit("s:"), col.cast("string"))
+
+
 def _apply_links(
     links: list[LinkSpec],
     internal: dict[str, DataFrame],
@@ -1441,6 +1506,25 @@ def _apply_links(
         if rest:
             raise ValueError("link_to: composite `by` not supported (reference limits to one pair)")
 
+        # string/number-mixed (variant) key on either side: join on the
+        # kind-preserving canonical form (Python equality — 7 matches
+        # 7.0, never '7')
+        cf_t = child_int.schema[cf].dataType
+        pf_t = parent_int.schema[pf].dataType
+        variant_key = isinstance(cf_t, T.VariantType) or isinstance(
+            pf_t, T.VariantType
+        )
+
+        def child_key():
+            return (
+                _key_canon(F.col(cf), cf_t) if variant_key else F.col(cf)
+            )
+
+        def parent_key():
+            return (
+                _key_canon(F.col(pf), pf_t) if variant_key else F.col(pf)
+            )
+
         if spec.fk:
             id_internal = dict(ppairs).get("id")
             fk_src = F.col(id_internal) if id_internal else F.col(pf)
@@ -1450,7 +1534,7 @@ def _apply_links(
             # relationships.py:461-538) — not an arbitrary dropDuplicates
             parent_side = (
                 parent_int.select(
-                    F.col(pf).alias("__lk_pf"),
+                    parent_key().alias("__lk_pf"),
                     fk_src.alias(spec.fk),
                     F.col(_SEQ).alias("__lk_seq"),
                 )
@@ -1459,7 +1543,7 @@ def _apply_links(
             )
             joined = child_int.join(
                 F.broadcast(parent_side),
-                child_int[cf] == parent_side["__lk_pf"],
+                child_key() == parent_side["__lk_pf"],
                 "left",
             ).drop("__lk_pf")
             internal[spec.child] = joined
@@ -1469,12 +1553,12 @@ def _apply_links(
             public[spec.child] = _select_public(joined, pairs)
 
         if spec.required:
-            parent_keys = parent_int.select(F.col(pf).alias("__lk_pf")).dropDuplicates()
+            parent_keys = parent_int.select(parent_key().alias("__lk_pf")).dropDuplicates()
             missing = (
                 child_int.filter(F.col(cf).isNotNull())
                 .join(
                     F.broadcast(parent_keys),
-                    child_int[cf] == parent_keys["__lk_pf"],
+                    child_key() == parent_keys["__lk_pf"],
                     "left_anti",
                 )
                 .select(

@@ -478,11 +478,6 @@ def lookup(index_name: str, key_transform: Transform, *, default: Any = None) ->
                 T.DecimalType,
             ),
         )
-        if numeric_probe:
-            chosen, probe_key = num_keys, kcol.cast("double")
-        else:
-            chosen, probe_key = str_keys, kcol.cast("string")
-
         dflt = (
             F.lit(default)
             if default is not None
@@ -490,18 +485,49 @@ def lookup(index_name: str, key_transform: Transform, *, default: Any = None) ->
                 vtype if not isinstance(vtype, T.NullType) else "string"
             )
         )
-        if chosen:
-            vals_arr, vtype = _values_array(list(chosen.values()), vtype)
+        def probe_map(kmap: dict, key_expr: Column) -> Column:
+            if not kmap:
+                return dflt
+            vals_arr, _vt = _values_array(list(kmap.values()), vtype)
             m = F.map_from_arrays(
-                F.array(*[F.lit(k) for k in chosen.keys()]), vals_arr
+                F.array(*[F.lit(k) for k in kmap.keys()]), vals_arr
             )
-            probe = F.try_element_at(m, probe_key)
+            got = F.try_element_at(m, key_expr)
             # the default applies only when the KEY is absent; a stored
             # None value stays None (reference: dict.get semantics,
             # transforms.py:236-247)
-            probe = F.when(F.map_contains_key(m, probe_key), probe).otherwise(dflt)
+            return F.when(F.map_contains_key(m, key_expr), got).otherwise(dflt)
+
+        if isinstance(ktype, T.VariantType):
+            # string/number-mixed probe (kind-mixed field): dispatch PER
+            # ROW on the variant's actual kind — Python dict equality
+            # never crosses the number/string boundary, so a row holding
+            # 7 searches the numeric keys and a row holding '7' the
+            # string keys
+            kind = F.schema_of_variant(kcol)
+            is_num = kind.isin("BIGINT", "INT", "SMALLINT", "TINYINT",
+                               "DOUBLE", "FLOAT", "BOOLEAN") | kind.startswith(
+                "DECIMAL"
+            )
+            probe = (
+                F.when(
+                    kind == F.lit("STRING"),
+                    probe_map(
+                        str_keys, F.try_variant_get(kcol, "$", "string")
+                    ),
+                )
+                .when(
+                    is_num,
+                    probe_map(
+                        num_keys, F.try_variant_get(kcol, "$", "double")
+                    ),
+                )
+                .otherwise(dflt)
+            )
+        elif numeric_probe:
+            probe = probe_map(num_keys, kcol.cast("double"))
         else:
-            probe = dflt
+            probe = probe_map(str_keys, kcol.cast("string"))
         if none_entry:
             none_val, _ = _values_array(list(none_entry), vtype)
             probe = F.when(kcol.isNull(), F.element_at(none_val, F.lit(1))).otherwise(

@@ -457,3 +457,94 @@ def test_path_through_variant_map_value(spark):
     rows = {r["id"]: r["x"] for r in res.rows("t")}
     assert rows[1] == 3
     assert rows[2] is None
+
+
+# --- round 3: string/number-mixed scalar fields (Python-equality keys) ---
+
+
+def test_mixed_key_merge_keeps_int_and_string_distinct(spark):
+    """A join_on field carrying 7 in one doc and '7' in another merges as
+    TWO rows (Python dict semantics), not one coerced row."""
+    from etielle_spark import Field, etl, get, literal
+
+    data = {"docs": [
+        {"k": 7, "v": "int-row"},
+        {"k": "7", "v": "str-row"},
+        {"k": 7, "v": "int-row-2"},
+    ]}
+    result = (
+        etl(data, spark=spark)
+        .goto("docs").each()
+        .map_to("t", fields=[Field("k", get("k")), Field("v", get("v"))],
+                join_on=["k"])
+        .run()
+    )
+    rows = result.rows("t")
+    assert len(rows) == 2  # 7 and '7' distinct; the two 7-docs merged
+    by_v = {r["v"] for r in rows}
+    assert by_v == {"int-row-2", "str-row"}  # LWW kept the later int doc
+
+
+def test_mixed_key_lookup_never_crosses_kinds(spark):
+    from etielle_spark import Field, etl, get, lookup
+
+    data = {"docs": [{"id": 0, "k": 7}, {"id": 1, "k": "7"}, {"id": 2, "k": 8}]}
+    idx = {7: "num", "7": "str"}
+    result = (
+        etl(data, spark=spark)
+        .build_index("m", from_dict=idx)
+        .goto("docs").each()
+        .map_to("t", fields=[
+            Field("id", get("id")),
+            Field("v", lookup("m", get("k"), default="D")),
+        ])
+        .run()
+    )
+    got = {r["id"]: r["v"] for r in result.rows("t")}
+    assert got == {0: "num", 1: "str", 2: "D"}
+
+
+def test_mixed_key_null_and_empty_still_filtered(spark):
+    from etielle_spark import Field, etl, get
+
+    data = {"docs": [
+        {"k": 7, "v": "a"}, {"k": "", "v": "b"}, {"k": None, "v": "c"},
+        {"k": "x", "v": "d"}, {"k": 0, "v": "e"},
+    ]}
+    result = (
+        etl(data, spark=spark)
+        .goto("docs").each()
+        .map_to("t", fields=[Field("k", get("k")), Field("v", get("v"))],
+                join_on=["k"])
+        .run()
+    )
+    vs = {r["v"] for r in result.rows("t")}
+    # '' and None keys dropped; 0 is a VALID numeric key
+    assert vs == {"a", "d", "e"}
+
+
+def test_mixed_key_link_to_python_equality(spark):
+    """link_to across a string/number-mixed key: child 7 links to parent
+    7 (and 7.0), never to parent '7'."""
+    from etielle_spark import Field, TempField, etl, get, get_from_parent
+
+    data = {
+        "parents": [{"pid": 7, "name": "P-int"}, {"pid": "7", "name": "P-str"}],
+        "children": [{"ck": 7, "t": "c-int"}, {"ck": "7", "t": "c-str"}],
+    }
+    result = (
+        etl(data, spark=spark)
+        .goto("parents").each()
+        .map_to("par", fields=[
+            Field("name", get("name")), TempField("pid", get("pid")),
+            Field("id", get("name")),
+        ], join_on=["name"])
+        .goto_root()
+        .goto("children").each()
+        .map_to("ch", fields=[Field("t", get("t")), TempField("ck", get("ck"))],
+                join_on=["t"])
+        .link_to("par", by={"ck": "pid"}, fk="parent_name")
+        .run()
+    )
+    got = {r["t"]: r["parent_name"] for r in result.rows("ch")}
+    assert got == {"c-int": "P-int", "c-str": "P-str"}

@@ -341,7 +341,55 @@ def main() -> None:
                 got8.add(tuple(canon(d.get(nm)) for nm, _ in fields8))
         check("variant-path-segments", seed, want8, got8)
 
-    print(f"\nfuzz done: {n} seeds x 8 shapes, {len(failures)} mismatches")
+        # shape 9 (round 3): build_index(from_dict) + lookup with messy
+        # keys (string/int mixes, empty strings, missing keys, defaults)
+        from etielle.transforms import lookup as rlookup
+
+        from etielle_spark import lookup as slookup
+
+        rng9 = random.Random(9000 + seed)
+        keypool = ["a", "b", "7", 7, "x y", "", "zz"]
+        idx = {
+            k: rng9.choice(["V1", 3, None, "V2"])
+            for k in rng9.sample(keypool, rng9.randint(1, len(keypool)))
+        }
+        docs9 = [
+            {"id": i, "k": rng9.choice(keypool + [None, "missing"])}
+            for i in range(rng9.randint(1, 8))
+        ]
+        data9 = {"docs": docs9}
+        r9 = (
+            retl(data9)
+            .build_index("m", from_dict=idx)
+            .goto("docs").each()
+            .map_to(table="t", fields=[
+                RF("id", rget("id")),
+                RF("v", rlookup("m", rget("k"), default="DFLT")),
+            ])
+            .run()
+        )
+        s9 = (
+            etl(data9, spark=spark)
+            .build_index("m", from_dict=idx)
+            .goto("docs").each()
+            .map_to("t", fields=[
+                Field("id", get("id")),
+                Field("v", slookup("m", get("k"), default="DFLT")),
+            ])
+            .run()
+        )
+        want9 = set()
+        if "t" in r9.tables:
+            for row in r9.tables["t"].values():
+                d = dict(row)
+                want9.add((canon(d.get("id")), canon(d.get("v"))))
+        got9 = set()
+        if "t" in s9.tables:
+            for d in s9.rows("t"):
+                got9.add((canon(d.get("id")), canon(d.get("v"))))
+        check("lookup-index", seed, want9, got9)
+
+    print(f"\nfuzz done: {n} seeds x 9 shapes, {len(failures)} mismatches")
     if failures:
         sys.exit(1)
 
