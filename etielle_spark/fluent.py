@@ -1615,13 +1615,33 @@ def _apply_backlinks(
                 )
             rid_cols = [_SEQ]
         child_struct = F.struct(*[F.col(i).alias(pub) for pub, i in cpairs])
+        # string/number-mixed (variant) ids on either side: match on the
+        # kind-preserving canonical form (Python equality — 7 pairs with
+        # 7.0, never '7')
+        cf_t = child_int.schema[cf].dataType
+        plf_t = parent_int.schema[plf].dataType
+        el_t = plf_t.elementType if isinstance(plf_t, T.ArrayType) else None
+        variant_ids = isinstance(cf_t, T.VariantType) or isinstance(
+            el_t, T.VariantType
+        )
+        child_key = (
+            _key_canon(F.col(cf), cf_t) if variant_ids else F.col(cf)
+        )
         child_side = child_int.select(
-            F.col(cf).alias("__bl_cid"), child_struct.alias("__bl_child")
+            child_key.alias("__bl_cid"), child_struct.alias("__bl_child")
         )
         exploded = parent_int.select(
             *[F.col(c).alias(f"__bl_k_{i}") for i, c in enumerate(rid_cols)],
             F.posexplode(F.col(plf)).alias("__bl_pos", "__bl_id"),
         )
+        if variant_ids:
+            exploded = exploded.withColumn(
+                "__bl_id",
+                _key_canon(
+                    F.col("__bl_id"),
+                    exploded.schema["__bl_id"].dataType,
+                ),
+            )
         if spec.fail_on_missing:
             orphan = (
                 exploded.filter(F.col("__bl_id").isNotNull())

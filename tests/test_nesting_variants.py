@@ -548,3 +548,30 @@ def test_mixed_key_link_to_python_equality(spark):
     )
     got = {r["t"]: r["parent_name"] for r in result.rows("ch")}
     assert got == {"c-int": "P-int", "c-str": "P-str"}
+
+
+def test_mixed_key_backlink_python_equality(spark):
+    """backlink over a string/number-mixed id list: 7 collects the
+    int-keyed child, '7' the string-keyed one, in id-list order."""
+    from etielle_spark import Field, TempField, etl, get
+
+    data = {
+        "qs": [{"qid": "q1", "cids": ["7", 7]}],
+        "cs": [{"cid": 7, "t": "c-int"}, {"cid": "7", "t": "c-str"}],
+    }
+    result = (
+        etl(data, spark=spark)
+        .goto("qs").each()
+        .map_to("q", fields=[Field("qid", get("qid")),
+                             TempField("cids", get("cids"))], join_on=["qid"])
+        .goto_root()
+        .goto("cs").each()
+        .map_to("c", fields=[Field("t", get("t")),
+                             TempField("cid", get("cid"))], join_on=["t"])
+        .backlink("q", "c", "children", by={"cids": "cid"})
+        .run()
+    )
+    rows = result.rows("q")
+    assert len(rows) == 1
+    kids = [c["t"] for c in rows[0]["children"]]
+    assert kids == ["c-str", "c-int"]  # id-list order, kinds never cross
