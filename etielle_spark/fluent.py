@@ -995,9 +995,26 @@ class PipelineBuilder:
             # arrival order includes the root-row order so last-write-wins
             # on duplicate keys is deterministic for DataFrame roots too
             ordc = _ord_struct([F.lit(0)], pos_cols, len(pos_cols), row_ord)
+            sel = df.select(kcol.alias("k"), vcol.alias("v"), ordc.alias(_ORD))
+            if isinstance(sel.schema["k"].dataType, T.VariantType):
+                # string/number-mixed key field: variant isn't groupable —
+                # group on its exact JSON form and decode the Python key
+                # from it (7 and '7' stay distinct index entries)
+                pairs = (
+                    sel.select(F.to_json("k").alias("kj"), "v", _ORD)
+                    .groupBy("kj")
+                    .agg(F.max_by("v", F.col(_ORD)).alias("v"))
+                    .collect()
+                )
+                indices[spec.name] = {
+                    (json.loads(r["kj"]) if r["kj"] is not None else None): _plain_py(
+                        r["v"]
+                    )
+                    for r in pairs
+                }
+                continue
             pairs = (
-                df.select(kcol.alias("k"), vcol.alias("v"), ordc.alias(_ORD))
-                .groupBy("k")
+                sel.groupBy("k")
                 .agg(F.max_by("v", F.col(_ORD)).alias("v"))
                 .collect()
             )

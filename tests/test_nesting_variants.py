@@ -575,3 +575,29 @@ def test_mixed_key_backlink_python_equality(spark):
     assert len(rows) == 1
     kids = [c["t"] for c in rows[0]["children"]]
     assert kids == ["c-str", "c-int"]  # id-list order, kinds never cross
+
+
+def test_mixed_key_traversal_index_lww(spark):
+    """build_index(key=..., value=...) over a string/number-mixed key
+    field: 7 and '7' are distinct index entries; duplicate 7s LWW."""
+    from etielle_spark import Field, etl, get, lookup
+
+    data = {
+        "pairs": [{"k": 7, "v": "num"}, {"k": "7", "v": "str"},
+                  {"k": 7, "v": "num2"}],
+        "probe": [{"id": 0, "k": 7}, {"id": 1, "k": "7"}, {"id": 2, "k": 9}],
+    }
+    result = (
+        etl(data, spark=spark)
+        .goto("pairs").each()
+        .build_index("m", key=get("k"), value=get("v"))
+        .goto_root()
+        .goto("probe").each()
+        .map_to("t", fields=[
+            Field("id", get("id")),
+            Field("v", lookup("m", get("k"), default="D")),
+        ])
+        .run()
+    )
+    got = {r["id"]: r["v"] for r in result.rows("t")}
+    assert got == {0: "num2", 1: "str", 2: "D"}
