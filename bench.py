@@ -42,6 +42,11 @@ HEADLINE = [
     # the end-to-end curation DAG (exact dedup -> token gate -> split ->
     # dataset card): the flagship composition, one digest-window shuffle
     "q126_curation_pipeline",
+    # round-3 ML layer: distributed covariance (D²-bounded shuffle) and
+    # the 2-step logistic-regression training loop (map-only margins +
+    # D-row gradient aggregations, driver-coordinated like MLlib)
+    "q211_covariance_matrix",
+    "q215_logreg_train_2step",
 ]
 
 

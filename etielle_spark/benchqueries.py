@@ -10074,3 +10074,84 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("keep", F.col("id") == F.col("component"))
     )
+
+
+@q(
+    "q227_curation_v2_mixture",
+    """
+    WITH all_docs AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, lang, upper(text) || ' !!!' AS text
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id, lang,
+             md5(trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(trim(text)), '[^a-z0-9\\s]', ' ', 'g'),
+                 '[0-9]+', '0', 'g'),
+               '\\s+', ' ', 'g'))) AS g
+      FROM all_docs
+    ),
+    keep AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY g ORDER BY doc_id) AS rk
+        FROM norm
+      ) WHERE rk = 1
+    ),
+    c AS (SELECT lang, count(*) AS cnt FROM keep GROUP BY lang),
+    t AS (SELECT sum(pow(cnt, 0.5)) AS z, sum(cnt) AS n FROM c),
+    w AS (
+      SELECT lang, round(pow(cnt, 0.5) / z * n / cnt, 9) AS weight
+      FROM c, t
+    ),
+    d AS (
+      SELECT k.doc_id, k.lang, w.weight,
+             CAST(floor(w.weight) AS INT)
+             + CASE WHEN ('0x' || substr(md5(k.doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE
+                         / 4294967296.0 < w.weight - floor(w.weight)
+                    THEN 1 ELSE 0 END AS nc
+      FROM keep k JOIN w USING (lang)
+    )
+    SELECT doc_id, lang, weight, unnest(range(nc)) AS copy_idx
+    FROM d WHERE nc > 0
+    """,
+)
+def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v2 flagship: normalization-robust exact dedup
+    (normalize_text aggressive -> digest groupBy, min-id survivor) feeds
+    temperature mixture re-sampling (tau=0.5 by lang) — the dedup ->
+    rebalance chain of a multilingual pretraining pipeline, composed
+    from the verified q221 + q214 operators.  One digest shuffle + one
+    per-lang count + a shuffle-free copy explode."""
+    from .operators.clusters import temperature_mixture
+    from .operators.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    clones = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "lang",
+        F.concat(F.upper("text"), F.lit(" !!!")).alias("text"),
+    )
+    norm = docs.unionAll(clones).select(
+        "doc_id",
+        "lang",
+        F.md5(normalize_text(F.col("text"), level="aggressive")).alias("g"),
+    )
+    from pyspark.sql import Window
+
+    keep = (
+        norm.withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("g").orderBy(F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .select("doc_id", "lang")
+    )
+    return temperature_mixture(keep, "doc_id", "lang", tau=0.5).select(
+        "doc_id", "lang", "weight", "copy_idx"
+    )

@@ -1012,11 +1012,16 @@ def logreg_train(
         )
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
         resid = src.select((p - F.col("__y")).alias("__r"), "__x")
+        # one job per step: a constant-1 virtual feature at dim D makes
+        # the bias gradient (sum of residuals) ride the same aggregation
         sums = resid.select(
-            F.col("__r"), F.posexplode("__x").alias("dim", "v")
+            F.col("__r"),
+            F.posexplode(
+                F.concat(F.col("__x"), F.array(F.lit(1.0)))
+            ).alias("dim", "v"),
         ).groupBy("dim").agg(F.sum(F.col("__r") * F.col("v")).alias("g"))
-        rsum = resid.agg(F.sum("__r").alias("rs")).collect()[0]["rs"]
         gmap = {int(r["dim"]): float(r["g"]) for r in sums.collect()}
+        rsum = gmap.pop(dim, 0.0)
 
         def rnd(x: float) -> float:
             # half-away-from-zero, matching SQL round() (Python's built-in
