@@ -10155,3 +10155,86 @@ def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture(keep, "doc_id", "lang", tau=0.5).select(
         "doc_id", "lang", "weight", "copy_idx"
     )
+
+
+@q(
+    "q228_quantization_recall",
+    """
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings
+    ),
+    st AS (SELECT i, min(v) AS mn, max(v) AS mx FROM e GROUP BY i),
+    r AS (
+      SELECT e.vec_id, e.i,
+             CASE WHEN st.mx > st.mn
+                  THEN round(
+                    CAST(floor((e.v - st.mn) / (st.mx - st.mn) * 255.0 + 0.5) AS INT)
+                      / 255.0 * (st.mx - st.mn) + st.mn, 6)
+                  ELSE round(st.mn, 6) END AS rv
+      FROM e JOIN st USING (i)
+    ),
+    nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM e GROUP BY vec_id),
+    nrmr AS (SELECT vec_id, sqrt(sum(rv * rv)) AS n FROM r GROUP BY vec_id),
+    exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(sum(eq.v * ec.v) / (nq.n * nc.n), 6) DESC,
+                        c.vec_id) AS rk
+      FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id < 5) q
+      JOIN (SELECT DISTINCT vec_id FROM e) c ON c.vec_id <> q.vec_id
+      JOIN e eq ON eq.vec_id = q.vec_id
+      JOIN e ec ON ec.vec_id = c.vec_id AND ec.i = eq.i
+      JOIN nrm nq ON nq.vec_id = q.vec_id
+      JOIN nrm nc ON nc.vec_id = c.vec_id
+      GROUP BY q.vec_id, c.vec_id, nq.n, nc.n
+    ),
+    quant AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(sum(rq.rv * rc.rv) / (nq.n * nc.n), 6) DESC,
+                        c.vec_id) AS rk
+      FROM (SELECT DISTINCT vec_id FROM r WHERE vec_id < 5) q
+      JOIN (SELECT DISTINCT vec_id FROM r) c ON c.vec_id <> q.vec_id
+      JOIN r rq ON rq.vec_id = q.vec_id
+      JOIN r rc ON rc.vec_id = c.vec_id AND rc.i = rq.i
+      JOIN nrmr nq ON nq.vec_id = q.vec_id
+      JOIN nrmr nc ON nc.vec_id = c.vec_id
+      GROUP BY q.vec_id, c.vec_id, nq.n, nc.n
+    )
+    SELECT ex.query_id,
+           round(count(qu.neighbor_id) / 10.0, 6) AS recall_at_10
+    FROM (SELECT * FROM exact WHERE rk <= 10) ex
+    LEFT JOIN (SELECT * FROM quant WHERE rk <= 10) qu
+      ON qu.query_id = ex.query_id AND qu.neighbor_id = ex.neighbor_id
+    GROUP BY ex.query_id
+    """,
+)
+def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization quality eval: recall@10 of int8-reconstructed
+    vectors (quantize_int8 reconstruct=True) against the exact top-10
+    (brute_force_topk on both sides, same rounded-cosine ranking) — the
+    accept/reject gauge before swapping an ANN index to int8 storage."""
+    from .operators.similarity import brute_force_topk, quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, qs, "vec_id", "embedding", k=10)
+    rec = quantize_int8(emb, "vec_id", "embedding", reconstruct=True).select(
+        "vec_id", F.col("recon").alias("embedding")
+    )
+    qrec = rec.filter(F.col("vec_id") < 5)
+    quant = brute_force_topk(rec, qrec, "vec_id", "embedding", k=10)
+    inter = exact.join(
+        quant.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return inter.groupBy("query_id").agg(
+        F.round(F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / 10.0, 6).alias(
+            "recall_at_10"
+        )
+    )

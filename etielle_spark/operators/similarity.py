@@ -858,6 +858,7 @@ def quantize_int8(
     vec_col: str,
     *,
     round_to: int = 6,
+    reconstruct: bool = False,
 ) -> DataFrame:
     """Per-dimension scalar int8 quantization of an embedding column —
     the 4x storage cut applied before shipping vectors to an ANN index.
@@ -930,7 +931,23 @@ def quantize_int8(
                 round_to,
             ),
         )
-        .select(id_col, "codes", "mse")
+        .withColumn(
+            "recon",
+            F.transform(
+                idx,
+                lambda i: F.round(
+                    recon(
+                        F.element_at("codes", i).cast("double"),
+                        F.element_at("mns", i),
+                        F.element_at("mxs", i),
+                    ),
+                    round_to,
+                ),
+            ),
+        )
+        .select(
+            id_col, "codes", "mse", *(["recon"] if reconstruct else [])
+        )
     )
 
 

@@ -477,3 +477,19 @@ def test_null_robustness_round3_ops(spark):
     )
     r = binary_metrics(m, "score", "y").collect()[0]
     assert r["n"] == 2 and r["auc"] == 1.0
+
+
+def test_quantize_int8_reconstruct_column(spark):
+    from etielle_spark.operators.similarity import quantize_int8
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 2.0]), (2, [1.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: r for r in quantize_int8(
+        emb, "vec_id", "embedding", reconstruct=True
+    ).collect()}
+    # endpoints reconstruct exactly
+    assert out[1]["recon"] == [0.0, 2.0]
+    assert out[2]["recon"] == [1.0, 4.0]
+    # default output has no recon column
+    assert "recon" not in quantize_int8(emb, "vec_id", "embedding").columns
