@@ -10238,3 +10238,67 @@ def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_10"
         )
     )
+
+
+@q(
+    "q229_langid_confusion",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    hits AS (
+      SELECT doc_id, lang,
+        len(list_filter(t, x -> x IN ('the','and','of','to','in','is','that','it','with','for'))) AS h_en,
+        len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','von'))) AS h_de,
+        len(list_filter(t, x -> x IN ('le','la','les','et','est','pas','pour','que','une','dans'))) AS h_fr,
+        len(list_filter(t, x -> x IN ('el','la','los','las','es','no','por','que','una','para'))) AS h_es
+      FROM toks
+    ),
+    pred AS (
+      SELECT doc_id, lang AS true_lang,
+             CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                  WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                  WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+                  WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                  ELSE 'de' END AS pred_lang
+      FROM hits
+    )
+    SELECT true_lang, pred_lang, count(*) AS n_docs,
+           round(CASE WHEN true_lang = pred_lang THEN 1.0 ELSE 0.0 END, 6)
+             AS cell_acc,
+           (SELECT round(sum(CASE WHEN p2.true_lang = p2.pred_lang
+                                  THEN 1.0 ELSE 0.0 END) / count(*), 6)
+            FROM pred p2) AS overall_acc
+    FROM pred
+    GROUP BY true_lang, pred_lang
+    """,
+)
+def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class evaluation of the n-gram lang-ID heuristic against
+    the corpus's true lang column: confusion-matrix cells plus overall
+    accuracy — the eval gate before trusting a classifier to route a
+    multilingual corpus.  One prediction scan + a |langs|²-bounded
+    aggregate."""
+    from .operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    pred = lang_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    joined = docs.select("doc_id", F.col("lang").alias("true_lang")).join(
+        pred, "doc_id"
+    )
+    total = joined.count()
+    correct = joined.filter(F.col("true_lang") == F.col("pred_lang")).count()
+    return (
+        joined.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "cell_acc",
+            F.round(
+                F.when(
+                    F.col("true_lang") == F.col("pred_lang"), F.lit(1.0)
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .withColumn(
+            "overall_acc", F.round(F.lit(float(correct) / float(total)), 6)
+        )
+    )
