@@ -10302,3 +10302,105 @@ def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overall_acc", F.round(F.lit(float(correct) / float(total)), 6)
         )
     )
+
+
+@q(
+    "q230_dedup_report",
+    f"""
+    WITH RECURSIVE all_docs AS (
+      SELECT doc_id, text FROM documents UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text || ' zzz' AS text
+      FROM documents WHERE doc_id < 20
+    ),
+    exact AS (
+      SELECT count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+      FROM all_docs
+    ),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM all_docs),
+    sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS shingle FROM toks),
+    mins AS (
+      SELECT doc_id,
+             {_MINHASH_MINS8}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS b, md5(h0::VARCHAR || '|' || h1::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 1 AS b, md5(h2::VARCHAR || '|' || h3::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 2 AS b, md5(h4::VARCHAR || '|' || h5::VARCHAR) AS d FROM mins UNION ALL
+      SELECT doc_id, 3 AS b, md5(h6::VARCHAR || '|' || h7::VARCHAR) AS d FROM mins
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r ON l.b = r.b AND l.d = r.d AND l.doc_id < r.doc_id
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS dd FROM cand
+      UNION
+      SELECT id_b AS s, id_a AS dd FROM cand
+    ),
+    verts AS (SELECT DISTINCT s AS id FROM sym),
+    reach(id, r) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT sym.dd, reach.r FROM reach JOIN sym ON sym.s = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    lab AS (
+      SELECT a.doc_id, coalesce(c.component, a.doc_id) AS component
+      FROM all_docs a LEFT JOIN comp c ON c.id = a.doc_id
+    )
+    SELECT (SELECT count(*) FROM all_docs)::BIGINT AS n_docs,
+           (SELECT n_exact_dups FROM exact)::BIGINT AS n_exact_dups,
+           (SELECT count(*) FROM cand)::BIGINT AS n_candidate_pairs,
+           (SELECT count(DISTINCT component) FROM lab)::BIGINT AS n_clusters,
+           (SELECT count(*) FROM lab WHERE doc_id = component)::BIGINT AS n_survivors,
+           round(1.0 - (SELECT count(*) FROM lab WHERE doc_id = component)
+                       / (SELECT count(*) FROM all_docs), 6) AS frac_removed
+    """,
+)
+def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dedup effectiveness report — the artifact a curation run
+    logs: corpus size, exact-dup count (content digests), LSH candidate
+    pairs, near-dup cluster count, survivors and removal fraction, all
+    composed from the verified exact-dedup + LSH + connected-components
+    chains on the clones corpus."""
+    from .operators.dedup import exact_dedup_by_content, lsh_candidate_pairs
+    from .operators.clusters import dedup_clusters
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = base.filter(F.col("doc_id") < 20)
+    docs = base.unionAll(
+        extra.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionAll(
+        extra.select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+        )
+    )
+    n_docs = docs.count()
+    n_unique = exact_dedup_by_content(docs, "doc_id", "text").count()
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=8, bands=4)
+    pairs = pairs.persist()
+    n_pairs = pairs.count()
+    comp = dedup_clusters(pairs, id_a="id_a", id_b="id_b")
+    lab = (
+        docs.select(F.col("doc_id").alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            "id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("component")
+        )
+    )
+    n_clusters = lab.select("component").distinct().count()
+    n_surv = lab.filter(F.col("id") == F.col("component")).count()
+    pairs.unpersist()
+    row = [(
+        int(n_docs), int(n_docs - n_unique), int(n_pairs), int(n_clusters),
+        int(n_surv), round(1.0 - n_surv / n_docs, 6),
+    )]
+    return spark.createDataFrame(
+        row,
+        "n_docs bigint, n_exact_dups bigint, n_candidate_pairs bigint, "
+        "n_clusters bigint, n_survivors bigint, frac_removed double",
+    )
