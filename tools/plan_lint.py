@@ -38,6 +38,7 @@ ALLOW = {
         "q124_hard_negatives": "broadcast of a 5-row query side against the corpus — the intended plan; scale path composes the label filter with lsh_bucket_topk/ivf_topk",
         "q169_psi_drift": "every nested-loop build side is a 1-row aggregate (quantile boundaries / histogram totals) broadcast onto a scan — the intended plan; both histograms reduce to 5 rows before the final join",
         "q178_mutual_nn": "brute-force mutual-NN correctness baseline (same contract as q32); the candidates= parameter takes LSH/IVF candidate pairs at scale and the plan becomes two windowed argmaxes over an equi-join",
+        "q228_quantization_recall": "two broadcasts of the 5-row query side (exact + int8-reconstructed brute_force_topk) — the q31 contract twice; the eval measures quantization recall, the production search path is IVF/LSH (q54/q61/q224)",
         "q195_vocab_growth": "both nested-loop build sides are the 6-row checkpoint-marks frame broadcast onto ALREADY-AGGREGATED inputs (per-word first-occurrence docs, per-doc token counts) — 6 range comparisons per aggregated row, the intended plan",
         "q198_stylometric_deviation": "both nested-loop build sides are the 1-row corpus mean/std aggregate broadcast onto the per-doc frequency scan (appears twice because the z frame feeds both the centroid aggregate and the final join) — the intended plan, same class as q169",
     },
