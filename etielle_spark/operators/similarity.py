@@ -685,7 +685,8 @@ def pca_fit(
     *,
     k: int = 2,
     engine: str = "sql",
-) -> list[tuple[int, list[float]]]:
+    return_means: bool = False,
+):
     """Top-``k`` principal components of the embedding column.
 
     The distributed part is ``gram_matrix`` (one corpus pass, ``D^2``
@@ -717,7 +718,23 @@ def pca_fit(
         if v[pivot] < 0:
             v = -v
         out.append((rank, [float(x) for x in v]))
-    return out
+    if not return_means:
+        return out
+    # per-dim means from one tiny aggregation (same pass shape as the
+    # covariance) — feed into pca_project(center_means=) for true
+    # principal scores without a caller-side recomputation
+    mrows = (
+        emb.select(
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "v")
+        )
+        .groupBy("dim")
+        .agg(F.avg("v").alias("m"))
+        .collect()
+    )
+    means = [0.0] * d
+    for r in mrows:
+        means[int(r["dim"])] = float(r["m"])
+    return out, means
 
 
 def pca_project(

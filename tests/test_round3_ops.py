@@ -493,3 +493,20 @@ def test_quantize_int8_reconstruct_column(spark):
     assert out[2]["recon"] == [1.0, 4.0]
     # default output has no recon column
     assert "recon" not in quantize_int8(emb, "vec_id", "embedding").columns
+
+
+def test_pca_fit_return_means(spark):
+    from etielle_spark.operators.similarity import pca_fit, pca_project
+
+    emb = _emb_df(spark, n=30, d=3, seed=9)
+    comps, means = pca_fit(emb, "vec_id", "embedding", k=1, return_means=True)
+    mat = np.array([r["embedding"] for r in emb.orderBy("vec_id").collect()])
+    assert np.allclose(means, mat.mean(axis=0), atol=1e-9)
+    # centered scores sum to ~0 across the corpus (true principal scores)
+    scores = [
+        r["score"]
+        for r in pca_project(
+            emb, "vec_id", "embedding", comps, center_means=means
+        ).collect()
+    ]
+    assert abs(sum(scores)) < 1e-3
