@@ -48,8 +48,17 @@ def _seed_vectors(
     ``orderBy().limit()`` compiles to a parallel partial top-k, not a
     global sort.
     """
+    vec = F.col(vec_col).cast("array<double>")
     rows = (
-        df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        df.select(F.col(id_col), vec.alias("__sv"))
+        # unscorable vectors (NULL / empty / NULL element) can never be
+        # centroids — skip them instead of crashing the driver-side
+        # list() below (clean corpora are unaffected: same sample)
+        .filter(
+            F.col("__sv").isNotNull()
+            & (F.size("__sv") > 0)
+            & ~F.exists("__sv", lambda x: x.isNull())
+        )
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n)
         .collect()
@@ -389,8 +398,10 @@ def kmeans_fit(
     only ``nlist * D`` partial sums).  Between rounds the centroid table
     — ``nlist`` rows of ``D`` doubles, a few KB — collects to the driver,
     the same driver-coordinated iteration MLlib's KMeans uses.  Cost is
-    therefore ``n_iter`` sequential corpus scans; persist the corpus
-    upstream when it is not a cheap parquet re-read.
+    therefore ``n_iter`` sequential scans of the PERSISTED two-column
+    projection (MEMORY_AND_DISK for the duration of the loop), so an
+    expensive upstream pipeline is computed once, not ``n_iter + 1``
+    times.
 
     Cells that go empty in a round simply drop out (their centroid is
     not carried forward), matching the per-round semantics of
@@ -400,23 +411,34 @@ def kmeans_fit(
     """
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
-    centroids = _seed_vectors(corpus, id_col, vec_col, nlist)
-    result = None
-    for _ in range(n_iter):
-        result = kmeans_iteration(
-            corpus,
-            id_col,
-            vec_col,
-            nlist=nlist,
-            centroids=centroids,
-            round_cosine=round_cosine,
-            round_to=round_to,
-        )
-        rows = result.collect()
-        centroids = sorted(
-            ((int(r["cell"]), [float(x) for x in r["centroid"]]) for r in rows),
-            key=lambda t: t[0],
-        )
+    from pyspark import StorageLevel
+
+    # Every Lloyd round re-reads the corpus (and so does the seed
+    # sample); persist the two needed columns once so an expensive
+    # upstream pipeline runs a single time instead of n_iter + 1 times.
+    cached = corpus.select(F.col(id_col), F.col(vec_col)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        centroids = _seed_vectors(cached, id_col, vec_col, nlist)
+        result = None
+        for _ in range(n_iter):
+            result = kmeans_iteration(
+                cached,
+                id_col,
+                vec_col,
+                nlist=nlist,
+                centroids=centroids,
+                round_cosine=round_cosine,
+                round_to=round_to,
+            )
+            rows = result.collect()
+            centroids = sorted(
+                ((int(r["cell"]), [float(x) for x in r["centroid"]]) for r in rows),
+                key=lambda t: t[0],
+            )
+    finally:
+        cached.unpersist()
     return result
 
 
@@ -519,9 +541,17 @@ def mmr_select(
         if bucket_col
         else F.lit("__all__")
     )
+    # Numeric ids normalize to long (stable output schema across int
+    # widths); any other id type — string doc ids included — passes
+    # through natively instead of silently casting to NULL and blowing
+    # up as NaN inside the pandas worker.
+    id_dtype = corpus.select(F.col(id_col)).schema[0].dataType
+    id_is_numeric = isinstance(id_dtype, T.NumericType)
+    id_expr = F.col(id_col).cast("long") if id_is_numeric else F.col(id_col)
+    out_id_type = T.LongType() if id_is_numeric else id_dtype
     src = corpus.select(
         bucket_expr.alias("__b"),
-        F.col(id_col).cast("long").alias("__id"),
+        id_expr.alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
         F.round(F.col(score_col).cast("double"), round_to).alias("__score"),
     ).filter(F.col("__v").isNotNull() & F.col("__score").isNotNull())
@@ -562,8 +592,14 @@ def mmr_select(
             cand[selected] = -np.inf
             # first max in id order == smallest-id tie-break (sorted above)
             j = int(np.argmax(cand))
+            picked = pdf["__id"].iloc[j]
             out_rows.append(
-                (pdf["__b"].iloc[0], int(pdf["__id"].iloc[j]), rank, float(cand[j]))
+                (
+                    pdf["__b"].iloc[0],
+                    int(picked) if id_is_numeric else picked,
+                    rank,
+                    float(cand[j]),
+                )
             )
             sims = rnd(unit @ unit[j])
             best_sim = np.maximum(best_sim, sims)
@@ -572,9 +608,15 @@ def mmr_select(
             out_rows, columns=["bucket", "id", "rank", "mmr_score"]
         )
 
-    out = src.groupBy("__b").applyInPandas(
-        pick, "bucket string, id long, rank int, mmr_score double"
-    ).select(
+    pick_schema = T.StructType(
+        [
+            T.StructField("bucket", T.StringType()),
+            T.StructField("id", out_id_type),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("mmr_score", T.DoubleType()),
+        ]
+    )
+    out = src.groupBy("__b").applyInPandas(pick, pick_schema).select(
         "bucket", "id", F.col("rank").cast("long").alias("rank"), "mmr_score"
     )
     if not bucket_col:
@@ -1089,6 +1131,19 @@ def semdedup(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("__raw"),
         )
+        # Unscorable vectors (NULL / empty / NULL element) would crash the
+        # numpy batch conversion; the sql engine keeps them (every cosine
+        # against a bad vector is NULL, so they land in the min-id cell via
+        # the struct-max tie-break and are never dropped).  Split them out
+        # here and re-attach with the identical (cell=min id, dropped=false)
+        # result so the two engines agree row-for-row.
+        bad_cond = (
+            F.col("__raw").isNull()
+            | (F.size("__raw") <= 0)
+            | F.exists("__raw", lambda x: x.isNull())
+        )
+        bad = src.filter(bad_cond)
+        src = src.filter(~bad_cond)
         id_field = src.schema["id"]
         mid_schema = T.StructType(
             [
@@ -1174,7 +1229,14 @@ def semdedup(
                 }
             )
 
-        return assigned.groupBy("cell").applyInPandas(per_cell, out_schema)
+        result = assigned.groupBy("cell").applyInPandas(per_cell, out_schema)
+        bad_rows = bad.select(
+            F.col("id"),
+            F.lit(int(cent_ids.min())).cast("long").alias("cell"),
+            F.lit(False).alias("dropped"),
+            F.lit(None).cast(id_field.dataType).alias("dup_of"),
+        )
+        return result.unionByName(bad_rows)
 
     # --- engine == "sql": pure column-expression path ---
     nrm = F.sqrt(_dot(F.col("__raw"), F.col("__raw")))

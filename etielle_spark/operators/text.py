@@ -988,10 +988,26 @@ def logreg_train(
     """
     if n_steps < 0:
         raise ValueError("n_steps must be >= 0")
+    from pyspark import StorageLevel
+
     src = df.select(
         F.col(feat_col).cast("array<double>").alias("__x"),
         F.col(label_col).cast("double").alias("__y"),
     ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    # The upstream feature pipeline (tokenize -> hash -> densify) feeds
+    # every GD step plus the dim probe and the count; persist so it runs
+    # ONCE, not n_steps + 2 times — the iterative-ML scale essential
+    # (recoverable storage, lineage survives executor loss).
+    src = src.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _logreg_train_loop(src, lr=lr, n_steps=n_steps, round_to=round_to)
+    finally:
+        src.unpersist()
+
+
+def _logreg_train_loop(
+    src: DataFrame, *, lr: float, n_steps: int, round_to: int
+) -> tuple[list[float], float]:
     first = src.select(F.size("__x").alias("d")).first()
     if first is None:
         raise ValueError("logreg_train: empty input")

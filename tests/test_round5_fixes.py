@@ -1,0 +1,128 @@
+"""Round-5 robustness fixes: semdedup NULL-vector handling on the arrow
+engine, mmr_select native (string) doc ids, and persisted iterative-ML
+loop inputs (logreg_train / kmeans_fit)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_semdedup_null_empty_vectors_both_engines(spark):
+    """NULL / empty / NULL-element vectors must not crash the arrow
+    engine (the default) and must match the sql engine row-for-row:
+    unscorable vectors land in the min-id cell and are never dropped."""
+    from etielle_spark.operators.similarity import semdedup
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.001, 0.0]),
+            (3, None),
+            (4, []),
+            (5, [1.0, None, 0.0]),
+            (6, [0.0, 0.0, 0.0]),
+            (7, [0.0, 1.0, 0.0]),
+        ],
+        "id long, v array<double>",
+    )
+    a = sorted(
+        (r.id, r.cell, r.dropped, r.dup_of)
+        for r in semdedup(
+            df, "id", "v", nlist=2, threshold=0.99, engine="arrow"
+        ).collect()
+    )
+    s = sorted(
+        (r.id, r.cell, r.dropped, r.dup_of)
+        for r in semdedup(
+            df, "id", "v", nlist=2, threshold=0.99, engine="sql"
+        ).collect()
+    )
+    assert a == s
+    by_id = {t[0]: t for t in a}
+    # all 7 input rows survive
+    assert set(by_id) == {1, 2, 3, 4, 5, 6, 7}
+    # unscorable rows are kept, never dropped, and never a dup source
+    for bad in (3, 4, 5):
+        assert by_id[bad][2] is False and by_id[bad][3] is None
+
+
+def test_semdedup_all_null_vectors_arrow(spark):
+    """Explicit centroids + an all-unscorable corpus: the arrow engine
+    passes every row through instead of crashing on an empty batch."""
+    from etielle_spark.operators.similarity import semdedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, [])], "id long, v array<double>"
+    )
+    out = sorted(
+        (r.id, r.dropped, r.dup_of)
+        for r in semdedup(
+            df,
+            "id",
+            "v",
+            nlist=2,
+            threshold=0.99,
+            engine="arrow",
+            centroids=[(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        ).collect()
+    )
+    assert out == [(1, False, None), (2, False, None)]
+
+
+def test_mmr_select_string_ids(spark):
+    """String doc ids (accepted by every sibling operator) flow through
+    natively — no cast-to-long NULL -> NaN worker crash."""
+    from etielle_spark.operators.similarity import mmr_select
+
+    df = spark.createDataFrame(
+        [
+            ("docA", [1.0, 0.0], 1.0),
+            ("docB", [0.999, 0.04], 0.9),
+            ("docC", [0.0, 1.0], 0.5),
+        ],
+        "doc string, embedding array<double>, rel double",
+    )
+    out = mmr_select(df, "doc", "embedding", "rel", k=2, lam=0.5)
+    assert dict(out.dtypes)["id"] == "string"
+    picks = {r["rank"]: r["id"] for r in out.collect()}
+    # docB is a near-duplicate of docA -> diversity picks docC second
+    assert picks == {0: "docA", 1: "docC"}
+
+
+def test_mmr_select_numeric_ids_still_long(spark):
+    """Integral ids keep the historical long output schema."""
+    from etielle_spark.operators.similarity import mmr_select
+
+    df = spark.createDataFrame(
+        [(10, [1.0, 0.0], 0.9), (11, [0.0, 1.0], 0.5)],
+        "doc int, embedding array<double>, rel double",
+    )
+    out = mmr_select(df, "doc", "embedding", "rel", k=2)
+    assert dict(out.dtypes)["id"] == "bigint"
+    assert {r["id"] for r in out.collect()} == {10, 11}
+
+
+def test_logreg_train_single_upstream_execution(spark):
+    """The training input pipeline must run ONCE (persisted), not once
+    per probe/count/GD-step — counted via a Python accumulator in a UDF
+    planted upstream of the training loop."""
+    from pyspark.sql import types as T
+
+    from etielle_spark.operators.text import logreg_train
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf(T.ArrayType(T.DoubleType()))
+    def expensive_features(x):
+        acc.add(1)
+        return [float(x), 1.0 - float(x)]
+
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(20)], "id long, y int"
+    ).withColumn("x", expensive_features(F.col("y")))
+    w, b = logreg_train(df, "id", "x", "y", n_steps=2)
+    assert len(w) == 2
+    # one persisted materialization = one UDF call per row (modulo
+    # speculative partition re-runs; assert well under the 4 full
+    # executions the unpersisted loop used to do)
+    assert acc.value <= 2 * 20, acc.value
