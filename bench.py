@@ -514,7 +514,15 @@ def main() -> None:
     }
     if curve is not None:
         out["scale_curve"] = curve
+    # Full detail first (spread + scale curve can exceed the driver's
+    # 2000-char tail window), then a compact summary as the guaranteed
+    # LAST line so the driver's tail-parse always recovers the numbers.
     print(json.dumps(out))
+    summary = {
+        k: out[k]
+        for k in ("metric", "value", "unit", "queries", "streaming", "sf")
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

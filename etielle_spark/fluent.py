@@ -1170,10 +1170,18 @@ class PipelineBuilder:
                     self._sink.write(t, df)
                 except Exception as e:
                     # reference fluent.py:1003-1019: emit FlushFailed,
-                    # record all attempted rows as failed, re-raise
-                    n_failed = public[t].count()
-                    result._flush_failed[t] = n_failed
+                    # record all attempted rows as failed, re-raise.
+                    # FlushFailed FIRST — the count() below re-executes
+                    # the plan, and if the plan itself is what failed it
+                    # would raise again and mask the original error
+                    # before any event fired.
                     emit(self._on_event, FlushFailed(t, error=str(e)))
+                    try:
+                        result._flush_failed[t] = public[t].count()
+                    except Exception:
+                        # plan error, not a sink error: attempted row
+                        # count is unknowable
+                        result._flush_failed[t] = 0
                     raise
                 inserted = obs.get["inserted"]
                 result._flushed[t] = inserted
@@ -1457,6 +1465,27 @@ def _select_public(internal_df: DataFrame, pairs: list[tuple[str, str]]) -> Data
 _NUM_KINDS = ("BIGINT", "INT", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT", "BOOLEAN")
 
 
+def _num_canon(d: Column) -> Column:
+    """Canonical string for a numeric key value with PYTHON equality
+    semantics: mathematically-integral values render as the exact
+    integer string (so long 2**53 and 2**53 + 1 stay DISTINCT — a
+    blanket cast-to-double collapsed them), genuine fractions render via
+    double.  ``d`` may be any numeric column; integral sources should
+    arrive un-widened so no precision is lost before the check."""
+    dd = d.cast("double")
+    return F.when(
+        d.isNotNull()
+        & (dd == F.floor(dd))
+        & (F.abs(dd) < F.lit(1e38)),
+        # exact integer form: decimal(38,0) preserves every long (and
+        # every integral double) digit-for-digit
+        d.cast("decimal(38,0)").cast("string"),
+    ).otherwise(dd.cast("string"))
+
+
+_INT_KINDS = ("BIGINT", "INT", "SMALLINT", "TINYINT")
+
+
 def _key_canon(col: Column, dtype) -> Column:
     """Kind-preserving canonical string for a join/lookup key: Python
     equality semantics — numbers match across representations (7 == 7.0
@@ -1472,16 +1501,27 @@ def _key_canon(col: Column, dtype) -> Column:
                 F.concat(F.lit("s:"), F.try_variant_get(col, "$", "string")),
             )
             .when(
+                # integral variants extract losslessly (a 2**53 + 1
+                # BIGINT survives; through double it would not)
+                kind.isin(*_INT_KINDS),
+                F.concat(
+                    F.lit("n:"),
+                    _num_canon(F.try_variant_get(col, "$", "decimal(38,0)")),
+                ),
+            )
+            .when(
                 is_num,
                 F.concat(
                     F.lit("n:"),
-                    F.try_variant_get(col, "$", "double").cast("string"),
+                    _num_canon(F.try_variant_get(col, "$", "double")),
                 ),
             )
             .otherwise(F.concat(F.lit("j:"), F.to_json(col)))
         )
-    if isinstance(dtype, (T.NumericType, T.BooleanType)):
-        return F.concat(F.lit("n:"), col.cast("double").cast("string"))
+    if isinstance(dtype, T.BooleanType):
+        return F.concat(F.lit("n:"), _num_canon(col.cast("long")))
+    if isinstance(dtype, T.NumericType):
+        return F.concat(F.lit("n:"), _num_canon(col))
     return F.concat(F.lit("s:"), col.cast("string"))
 
 

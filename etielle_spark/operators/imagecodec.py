@@ -95,25 +95,31 @@ def decode_png(data: bytes):
         line = np.frombuffer(
             raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
         ).copy()
+        # recurrent filters accumulate in int32 (uint8 scalar adds are
+        # correct mod 256 but emit RuntimeWarning on overflow, which
+        # breaks warnings-as-errors environments), then mask back down
         if ftype == 0:
             cur = line
         elif ftype == 1:  # Sub
-            cur = line
+            acc = line.astype(np.int32)
             for i in range(nch, stride):
-                cur[i] = (cur[i] + cur[i - nch]) & 0xFF
+                acc[i] = (acc[i] + acc[i - nch]) & 0xFF
+            cur = acc.astype(np.uint8)
         elif ftype == 2:  # Up
-            cur = (line.astype(np.int32) + prev).astype(np.uint8)
+            cur = ((line.astype(np.int32) + prev) & 0xFF).astype(np.uint8)
         elif ftype == 3:  # Average
-            cur = line
+            acc = line.astype(np.int32)
             for i in range(stride):
-                left = int(cur[i - nch]) if i >= nch else 0
-                cur[i] = (cur[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+                left = int(acc[i - nch]) if i >= nch else 0
+                acc[i] = (acc[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+            cur = acc.astype(np.uint8)
         elif ftype == 4:  # Paeth
-            cur = line
+            acc = line.astype(np.int32)
             for i in range(stride):
-                left = int(cur[i - nch]) if i >= nch else 0
+                left = int(acc[i - nch]) if i >= nch else 0
                 up_left = int(prev[i - nch]) if i >= nch else 0
-                cur[i] = (cur[i] + _paeth(left, int(prev[i]), up_left)) & 0xFF
+                acc[i] = (acc[i] + _paeth(left, int(prev[i]), up_left)) & 0xFF
+            cur = acc.astype(np.uint8)
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = cur
