@@ -37,14 +37,25 @@ def q(name: str, sql: Optional[str]):
     return deco
 
 
+_PREPPED: set[int] = set()
+
+
 def _prep(spark: SparkSession) -> None:
     """Pin semantics the queries rely on, independent of the caller's
-    session defaults (the driver owns the session)."""
+    session defaults (the driver owns the session).  Runs ONCE per
+    session — repeated global conf mutation is both overhead and a race
+    when queries run concurrently on a shared session (every query here
+    is also ANSI-robust, so the ANSI pin is belt-and-braces for
+    reference-permissive NULL semantics, not a correctness crutch)."""
+    key = id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark)
+    if key in _PREPPED:
+        return
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.ansi.enabled", "false")
     except Exception:
         pass
+    _PREPPED.add(key)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

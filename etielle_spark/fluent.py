@@ -658,8 +658,11 @@ class PipelineResult:
         write_order: list[str],
         public_map: Optional[dict[str, list[tuple[str, str]]]] = None,
         model_classes: Optional[dict[str, type]] = None,
+        key_cols: Optional[dict[str, list[str]]] = None,
     ):
-        self.tables = tables
+        self._tables_dict = tables
+        self._key_cols = key_cols or {}
+        self._keyed_cache: dict[str, dict] = {}
         self._internal = internal
         self.errors = errors
         self.write_order = write_order
@@ -676,11 +679,53 @@ class PipelineResult:
             from .models import table_name_of
 
             name = table_name_of(name)
-        if name not in self.tables:
+        if name not in self._tables_dict:
             raise KeyError(
-                f"no output table {name!r}; available: {sorted(self.tables)}"
+                f"no output table {name!r}; available: {sorted(self._tables_dict)}"
             )
-        return self.tables[name]
+        return self._tables_dict[name]
+
+    @property
+    def tables(self) -> "_TablesProxy":
+        """Reference-parity tables proxy (etielle/fluent.py:181-217):
+        ``result.tables[name]`` / ``result.tables[ModelCls]`` and
+        ``.items()/.values()`` return per-table views that behave BOTH
+        as the reference's keyed row mapping (``rows.values()`` ->
+        plain dicts, keys = join_on tuples) and as the underlying Spark
+        DataFrame (every DataFrame attribute forwards), so reference
+        snippets and Spark-native code run unchanged."""
+        return _TablesProxy(self)
+
+    def _keyed_rows(self, name: str) -> dict[tuple, dict]:
+        """Collect one table as the reference's dict[key_tuple, row_dict]
+        in traversal-arrival order.  Keyed tables key by their join_on
+        values (which may be temp fields, so this reads the internal
+        frame); auto-key tables enumerate in arrival order like the
+        reference's synthetic instance keys (executor.py:363-370)."""
+        if name in self._keyed_cache:
+            return self._keyed_cache[name]
+        keys = self._key_cols.get(name)
+        internal = self._internal.get(name)
+        if not keys or internal is None:
+            out = {(i,): r for i, r in enumerate(self.rows(name, ordered=True))}
+        else:
+            pairs = self._public_map.get(
+                name, [(c, c) for c in self._tables_dict[name].columns]
+            )
+            have = set(internal.columns)
+            use_keys = [k for k in keys if k in have]
+            sel = [
+                F.col(k).alias(f"__k_{i}") for i, k in enumerate(use_keys)
+            ] + [F.col(i).alias(pub) for pub, i in pairs if i in have]
+            out = {}
+            for r in internal.orderBy(_SEQ).select(*sel).collect():
+                d = r.asDict(recursive=True)
+                kt = tuple(
+                    _plain_py(d.pop(f"__k_{i}")) for i in range(len(use_keys))
+                )
+                out[kt] = {k: _plain_py(v) for k, v in d.items()}
+        self._keyed_cache[name] = out
+        return out
 
     def rows(self, name: str, ordered: bool = False) -> list[dict]:
         """Collect a table as a list of dicts; ``ordered=True`` restores the
@@ -688,7 +733,7 @@ class PipelineResult:
         if ordered:
             df = self._internal[name].orderBy(_SEQ)
             pairs = self._public_map.get(
-                name, [(c, c) for c in self.tables[name].columns]
+                name, [(c, c) for c in self._tables_dict[name].columns]
             )
             # relationship-added columns (fk/backlink attrs) are present in
             # the internal frame under their public names already
@@ -700,7 +745,7 @@ class PipelineResult:
             ]
         return [
             {k: _plain_py(v) for k, v in r.asDict(recursive=True).items()}
-            for r in self.tables[name].collect()
+            for r in self._tables_dict[name].collect()
         ]
 
     def instances(
@@ -729,7 +774,7 @@ class PipelineResult:
         """Per-table counts (the reference's TableStats,
         fluent.py:164-178) — computed on demand (Spark actions)."""
         out: dict[str, dict[str, int]] = {}
-        for name, df in self.tables.items():
+        for name, df in self._tables_dict.items():
             errs = self.errors.get(name)
             out[name] = {
                 "mapped": df.count(),
@@ -753,12 +798,115 @@ class PipelineResult:
         return out
 
     def row_set(self, name: str, *cols: str) -> set[tuple]:
-        df = self.tables[name]
+        df = self._tables_dict[name]
         use = list(cols) if cols else df.columns
         out = set()
         for r in df.select(*use).collect():
             out.add(tuple(_freeze(_plain_py(v)) for v in r))
         return out
+
+
+class _KeyedRows:
+    """One table, viewed both ways (reference _TablesProxy values are
+    dict[key_tuple, row]; ours are DataFrames): mapping methods collect
+    through ``PipelineResult._keyed_rows`` (cached), every other
+    attribute forwards to the underlying DataFrame."""
+
+    def __init__(self, result: "PipelineResult", name: str):
+        self._result = result
+        self._name = name
+
+    @property
+    def df(self) -> DataFrame:
+        return self._result._tables_dict[self._name]
+
+    def keys(self):
+        return self._result._keyed_rows(self._name).keys()
+
+    def values(self):
+        return self._result._keyed_rows(self._name).values()
+
+    def items(self):
+        return self._result._keyed_rows(self._name).items()
+
+    def get(self, key, default=None):
+        return self._result._keyed_rows(self._name).get(key, default)
+
+    def __len__(self):
+        return len(self._result._keyed_rows(self._name))
+
+    def __contains__(self, key):
+        return key in self._result._keyed_rows(self._name)
+
+    def __getitem__(self, key):
+        # reference semantics: index by row key tuple (a scalar key is
+        # accepted as shorthand for its 1-tuple)
+        m = self._result._keyed_rows(self._name)
+        if key in m:
+            return m[key]
+        if not isinstance(key, tuple) and (key,) in m:
+            return m[(key,)]
+        raise KeyError(key)
+
+    def __getattr__(self, attr):
+        return getattr(self.df, attr)
+
+    def __repr__(self):
+        return f"<_KeyedRows {self._name!r}>"
+
+
+class _TablesProxy:
+    """Reference tables proxy (etielle/fluent.py:181-217): index by name
+    or model class; iteration yields table names."""
+
+    def __init__(self, result: "PipelineResult"):
+        self._result = result
+
+    def _resolve(self, key) -> str:
+        if isinstance(key, type):
+            from .models import table_name_of
+
+            return table_name_of(key)
+        return key
+
+    def __getitem__(self, key) -> _KeyedRows:
+        name = self._resolve(key)
+        if name not in self._result._tables_dict:
+            raise KeyError(
+                f"no output table {name!r}; available: "
+                f"{sorted(self._result._tables_dict)}"
+            )
+        return _KeyedRows(self._result, name)
+
+    def __contains__(self, key) -> bool:
+        try:
+            return self._resolve(key) in self._result._tables_dict
+        except Exception:
+            return False
+
+    def __iter__(self):
+        return iter(self._result._tables_dict)
+
+    def __len__(self):
+        return len(self._result._tables_dict)
+
+    def keys(self):
+        return self._result._tables_dict.keys()
+
+    def items(self):
+        return [
+            (name, _KeyedRows(self._result, name))
+            for name in self._result._tables_dict
+        ]
+
+    def values(self):
+        return [
+            _KeyedRows(self._result, name)
+            for name in self._result._tables_dict
+        ]
+
+    def __repr__(self):
+        return f"<_TablesProxy {sorted(self._result._tables_dict)}>"
 
 
 # ---------------------------------------------------------------------------
@@ -774,6 +922,8 @@ class PipelineBuilder:
         errors: str = "collect",
         order_col: Optional[str] = None,
         on_event=None,
+        indices: Optional[dict[str, dict]] = None,
+        flush_strategy=None,
     ):
         if not roots:
             raise ValueError("etl() requires at least one root")
@@ -782,6 +932,11 @@ class PipelineBuilder:
         self._errors_mode = errors
         self._order_col = order_col
         self._on_event = on_event
+        # reference etl() parity (etielle/fluent.py:2125-2152): a batch
+        # run flushes each completed table exactly once, so every
+        # strategy degenerates to the default append; the value is kept
+        # for stream() composition and API compatibility
+        self._flush_strategy = flush_strategy
 
         self._root_index = 0
         self._iter_points: list[tuple[list, str]] = []
@@ -790,6 +945,13 @@ class PipelineBuilder:
         self._links: list[LinkSpec] = []
         self._backlinks: list[BacklinkSpec] = []
         self._index_specs: list[IndexSpec] = []
+        # pre-built lookup indices, reference etl(indices=) parity —
+        # identical to chaining build_index(name, from_dict=d)
+        if indices:
+            for iname, d in indices.items():
+                self._index_specs.append(
+                    IndexSpec(name=iname, from_dict=dict(d))
+                )
         self._last_table: Optional[str] = None
         self._sink = None
         self._eager_tables: set[str] = set()
@@ -1143,8 +1305,19 @@ class PipelineBuilder:
             t for t in order if t not in self._eager_tables
         ]
 
+        key_cols = {
+            em.table: list(em.join_on)
+            for em in self._emissions
+            if em.join_on
+        }
         result = PipelineResult(
-            public, internal, errors, order, public_map, self._model_classes
+            public,
+            internal,
+            errors,
+            order,
+            public_map,
+            self._model_classes,
+            key_cols=key_cols,
         )
         if self._sink is None:
             # lazy engine: without a sink nothing materializes, so counts
@@ -1270,7 +1443,51 @@ def _assemble_table(
                 )
 
     parts: list[DataFrame] = []
-    if keyed:
+    # FAST PATH — the dominant case: ONE keyed emission with statically
+    # single-typed (non-variant) keys.  Every row then supplies every
+    # declared field with the same arrival order (_ORD is non-null
+    # everywhere), so the per-field __o_ mirror columns and the marked
+    # union are pure overhead: policies aggregate over _ORD directly
+    # (halving the shuffle width) and all default-LWW fields collapse to
+    # ONE whole-row max_by instead of |fields| aggregate buffers.
+    fast_single = (
+        len(keyed) == 1
+        and not autos
+        and all(
+            not isinstance(keyed[0][1].schema[k].dataType, T.VariantType)
+            for k in join_on
+        )
+    )
+    if keyed and fast_single:
+        em, df = keyed[0]
+        df = _null_empty_key_filter(df, em.join_on)
+        val_fields = [n for n in field_order if n not in join_on]
+        lww_fields = [n for n in val_fields if n not in policies]
+        aggs = []
+        if lww_fields:
+            aggs.append(
+                F.max_by(
+                    F.struct(*[F.col(n).alias(n) for n in lww_fields]),
+                    F.col(_ORD),
+                ).alias("__row")
+            )
+        for name in val_fields:
+            if name in policies:
+                aggs.append(
+                    policies[name]
+                    .agg(F.col(name), F.col(_ORD), df.schema[name].dataType)
+                    .alias(name)
+                )
+        aggs.append(F.min(F.col(_ORD)).alias(_ORD))
+        grouped = df.groupBy(*[F.col(k) for k in join_on]).agg(*aggs)
+        sel = [
+            F.col("__row").getField(n).alias(n)
+            if n in lww_fields
+            else F.col(n)
+            for n in field_order
+        ]
+        parts.append(grouped.select(*sel, F.col(_ORD)))
+    elif keyed:
         marked = []
         for em, df in keyed:
             df = _null_empty_key_filter(df, em.join_on)
@@ -1830,6 +2047,8 @@ def etl(
     errors: str = "collect",
     order_col: Optional[str] = None,
     on_event=None,
+    indices: Optional[dict[str, dict]] = None,
+    flush_strategy=None,
 ) -> PipelineBuilder:
     """Entry point (etielle/fluent.py:2125-2152).
 
@@ -1838,7 +2057,18 @@ def etl(
     100 TB path: one plan compiled once, executed distributed.
     ``order_col`` names a column that defines cross-row arrival order for
     deterministic last-write-wins merges on DataFrame roots.
+    ``indices`` pre-seeds lookup indices (same as chaining
+    ``build_index(name, from_dict=...)``); ``flush_strategy`` is accepted
+    for reference parity (a batch run flushes each table once, so every
+    strategy reduces to the default — ``stream()`` is where strategies
+    differentiate).
     """
     return PipelineBuilder(
-        *roots, spark=spark, errors=errors, order_col=order_col, on_event=on_event
+        *roots,
+        spark=spark,
+        errors=errors,
+        order_col=order_col,
+        on_event=on_event,
+        indices=indices,
+        flush_strategy=flush_strategy,
     )

@@ -269,7 +269,7 @@ class StreamPipeline(PipelineBuilder):
         """Every child's parent must be in the chunk or eager
         (reference relationships.py:545-616)."""
         for spec in self._links:
-            if spec.child not in result.tables:
+            if spec.child not in result._tables_dict:
                 continue
             # internal frames: TempField by-fields are valid match keys
             child = result._internal[spec.child]
@@ -329,8 +329,8 @@ class StreamPipeline(PipelineBuilder):
             eager_b = self._clone_with_roots([eager_df], order_col="__roword")
             eager_res = eager_b.run(table_filter=set(self._eager_tables))
             for t in self._eager_tables:
-                if t in eager_res.tables:
-                    df = eager_res.tables[t].cache()
+                if t in eager_res._tables_dict:
+                    df = eager_res._tables_dict[t].cache()
                     df.count()  # materialize the dimension once
                     eager_store[t] = df
                     internal_df = eager_res._internal[t].cache()
@@ -344,7 +344,7 @@ class StreamPipeline(PipelineBuilder):
             n += 1
             result = self._run_chunk(spark, chunk)
             self._validate_completeness(result, eager_store)
-            for name, df in result.tables.items():
+            for name, df in result._tables_dict.items():
                 if name in self._eager_tables:
                     continue
                 self._strategy.flush(store, name, df, table_keys.get(name))

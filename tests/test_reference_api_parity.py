@@ -263,3 +263,97 @@ def test_transform_decorator_context_mode(spark):
         .run()
     )
     assert {r["v"] for r in res.rows("t")} == {"k:a:1", "k:b:2"}
+
+
+def test_readme_quickstart_verbatim(spark):
+    """The reference README's quickstart (/root/reference/README.md:91-141)
+    runs verbatim — same builder chain, same ``result.tables.items()`` /
+    ``rows.values()`` access shape, same output dicts."""
+    from etielle_spark import Field, etl, get, get_from_parent
+
+    data = {
+        "users": [
+            {
+                "id": "u1",
+                "name": "Alice",
+                "posts": [
+                    {"id": "p1", "title": "Hello"},
+                    {"id": "p2", "title": "World"},
+                ],
+            },
+            {"id": "u2", "name": "Bob", "posts": []},
+        ]
+    }
+    result = (
+        etl(data, spark=spark)
+        .goto("users").each()
+        .map_to(table="users", fields=[
+            Field("id", get("id")),
+            Field("name", get("name")),
+        ])
+        .goto("posts").each()
+        .map_to(table="posts", fields=[
+            Field("id", get("id")),
+            Field("user_id", get_from_parent("id")),
+            Field("title", get("title")),
+        ])
+        .run()
+    )
+    out = {t: list(rows.values()) for t, rows in result.tables.items()}
+    assert out["users"] == [
+        {"id": "u1", "name": "Alice"},
+        {"id": "u2", "name": "Bob"},
+    ]
+    assert out["posts"] == [
+        {"id": "p1", "user_id": "u1", "title": "Hello"},
+        {"id": "p2", "user_id": "u1", "title": "World"},
+    ]
+
+
+def test_etl_indices_and_flush_strategy_kwargs(spark):
+    """Reference etl() signature parity: ``indices=`` pre-seeds lookup
+    indices, ``flush_strategy=`` is accepted (batch flush is single-shot
+    so it reduces to the default)."""
+    from etielle_spark import Field, etl, get, lookup
+    from etielle_spark.streaming.pipeline import UpsertFlushStrategy
+
+    data = {"docs": [{"id": 1, "cat": "a"}, {"id": 2, "cat": "z"}]}
+    result = (
+        etl(
+            data,
+            spark=spark,
+            indices={"catmap": {"a": "Alpha", "z": "Zulu"}},
+            flush_strategy=UpsertFlushStrategy("update"),
+        )
+        .goto("docs").each()
+        .map_to("t", fields=[
+            Field("id", get("id")),
+            Field("cat_name", lookup("catmap", get("cat"), default="?")),
+        ], join_on=["id"])
+        .run()
+    )
+    got = {r["id"]: r["cat_name"] for r in result.rows("t")}
+    assert got == {1: "Alpha", 2: "Zulu"}
+
+
+def test_tables_proxy_keyed_rows_and_dataframe_duality(spark):
+    """tables[name] supports BOTH reference keyed-row access (key tuple
+    -> row dict) and Spark DataFrame methods on the same object."""
+    from etielle_spark import Field, etl, get
+
+    data = {"docs": [{"k": 1, "v": "x"}, {"k": 2, "v": "y"}]}
+    result = (
+        etl(data, spark=spark)
+        .goto("docs").each()
+        .map_to("t", fields=[Field("k", get("k")), Field("v", get("v"))],
+                join_on=["k"])
+        .run()
+    )
+    t = result.tables["t"]
+    # reference mapping surface
+    assert len(t) == 2
+    assert t[(1,)]["v"] == "x" and t[2]["v"] == "y"
+    assert sorted(r["v"] for r in t.values()) == ["x", "y"]
+    # Spark surface on the SAME object
+    assert t.count() == 2
+    assert set(t.df.columns) >= {"k", "v"}
