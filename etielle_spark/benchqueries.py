@@ -10415,3 +10415,33 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs bigint, n_exact_dups bigint, n_candidate_pairs bigint, "
         "n_clusters bigint, n_survivors bigint, frac_removed double",
     )
+
+
+@q(
+    "q231_video_frame_sample",
+    """
+    SELECT doc_id AS id, (j * 2)::BIGINT AS frame_idx,
+           round(('0x' || substr(md5(text), j * 4 + 1, 2))::BIGINT + 0.0, 6)
+               AS mean_luma
+    FROM documents, unnest([0, 1, 2, 3]) AS t(j)
+    """,
+)
+def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end (the AVI twin of q202/q208): render
+    one uncompressed AVI per document (operators/multimodal.py:
+    generate_videos — 8 constant-gray frames, level = md5 byte i), then
+    sample_frames with decode_stub=False (operators/avicodec.py: RIFF
+    parse → bottom-up BGR DIB decode → BT.601 luma mean).  Sampling 4 of
+    8 frames takes indices 0,2,4,6; the decoded mean luminance of frame
+    i is EXACTLY md5-byte i (constant frames, lossless container), which
+    the oracle computes from the hex digest without any codec."""
+    from .operators.multimodal import generate_videos, sample_frames
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vids = generate_videos(docs, "doc_id", "text", n_frames=8)
+    frames = sample_frames(vids, "id", n_frames=4, decode_stub=False)
+    return frames.select(
+        "id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )

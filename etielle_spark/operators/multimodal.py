@@ -159,6 +159,60 @@ def resize_images(
     )
 
 
+def generate_videos(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_frames: int = 8,
+    width: int = 16,
+    height: int = 12,
+    fps: int = 10,
+) -> DataFrame:
+    """Render one REAL uncompressed AVI per row, deterministically
+    derived from md5(text) — the video twin of ``generate_images``:
+    frame ``i`` is a constant-gray frame whose level is byte ``i`` of
+    the md5 digest, so the decoded mean luminance of frame ``i`` equals
+    ``('0x' || substr(md5(text), 2i+1, 2))::INT`` exactly (BT.601 integer
+    luma of R=G=B=v is v, and the container is lossless) — an
+    engine-independent value any SQL oracle can compute without a codec.
+
+    Output: ``(id, payload binary, media_meta struct)``.
+    """
+    if not 1 <= n_frames <= 16:
+        raise ValueError("n_frames must be in 1..16 (one md5 byte per frame)")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .avicodec import encode_avi
+
+        px = width * height * 3
+
+        def render(t: str) -> bytes:
+            dig = hashlib.md5(t.encode()).digest()
+            return encode_avi(
+                width,
+                height,
+                [bytes([dig[i]]) * px for i in range(n_frames)],
+                fps=fps,
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "payload": pdf[text_col].map(render)}
+            )
+
+    rendered = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        op, "id bigint, payload binary"
+    )
+    meta = F.struct(
+        F.lit("video/x-msvideo").alias("mime"),
+        F.lit(width).alias("width"),
+        F.lit(height).alias("height"),
+        F.lit(int(n_frames * 1000 / fps)).cast("bigint").alias("duration_ms"),
+    )
+    return rendered.withColumn("media_meta", meta)
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str,
@@ -170,21 +224,50 @@ def sample_frames(
     """Video frame sampling: one output row per sampled frame
     (mapInPandas fan-out — the batch-in, multi-row-out shape).
 
-    The stub derives per-frame digests deterministically; a real
-    implementation seeks n uniformly-spaced keyframes via pyav.
+    ``decode_stub=False`` is the REAL pipeline (``avicodec``, stdlib
+    only): parse the RIFF container, decode ``n_frames`` uniformly
+    spaced uncompressed DIB frames (stride ``total // n``, the whole
+    clip when it has <= n frames), and emit each frame's decoded mean
+    luminance — output ``(id, frame_idx, mean_luma)``.
+    ``decode_stub=True`` keeps the md5-derived fake for plumbing-only
+    tests — output ``(id, frame_idx, frame_digest)``.
     """
+
+    if not decode_stub:
+
+        def op_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            from . import imagecodec as ic
+            from .avicodec import decode_avi
+
+            for pdf in batches:
+                rows = {"id": [], "frame_idx": [], "mean_luma": []}
+                for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                    w, h, frames = decode_avi(bytes(payload))
+                    total = len(frames)
+                    step = max(total // n_frames, 1)
+                    for j in range(min(n_frames, total)):
+                        idx = j * step
+                        gray = ic.to_grayscale("RGB", w, h, frames[idx])
+                        rows["id"].append(rid)
+                        rows["frame_idx"].append(idx)
+                        rows["mean_luma"].append(
+                            float(np.mean(gray.astype(np.float64)))
+                        )
+                yield pd.DataFrame(rows)
+
+        return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+            op_real, "id bigint, frame_idx int, mean_luma double"
+        )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "video decode requires pyav; run with decode_stub=True"
-                )
             rows = {"id": [], "frame_idx": [], "frame_digest": []}
-            for _, r in pdf.iterrows():
-                base = hashlib.md5(bytes(r[payload_col])).hexdigest()
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                base = hashlib.md5(bytes(payload)).hexdigest()
                 for i in range(n_frames):
-                    rows["id"].append(r[id_col])
+                    rows["id"].append(rid)
                     rows["frame_idx"].append(i)
                     rows["frame_digest"].append(
                         hashlib.md5(f"{base}|{i}".encode()).hexdigest()

@@ -263,3 +263,64 @@ def test_audio_operators_on_session(spark):
         flips = bin((v ^ (v >> 1)) & ((1 << 59) - 1)).count("1")
         assert feats[i]["zero_crossings"] == flips
         assert feats[i]["rms"] == 16384.0 and feats[i]["duration_ms"] == 60.0
+
+
+def test_avi_roundtrip_exact():
+    """Uncompressed-AVI encode/decode is lossless, including non-4-byte
+    row strides (padding path)."""
+    import numpy as np
+
+    from etielle_spark.operators.avicodec import decode_avi, encode_avi
+
+    rng = np.random.RandomState(7)
+    for w, h in ((16, 12), (5, 3), (7, 2)):
+        frames = [
+            rng.randint(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+            for _ in range(3)
+        ]
+        avi = encode_avi(w, h, frames)
+        w2, h2, out = decode_avi(avi)
+        assert (w2, h2) == (w, h)
+        assert out == frames
+
+
+def test_avi_rejects_garbage():
+    import pytest as _pytest
+
+    from etielle_spark.operators.avicodec import decode_avi
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_avi(b"not an avi at all")
+
+
+def test_sample_frames_real_decode(spark):
+    """generate_videos -> sample_frames(decode_stub=False): the decoded
+    mean luma of sampled frame i is exactly md5-byte i of the text."""
+    import hashlib
+
+    from etielle_spark.operators.multimodal import (
+        generate_videos,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "quick brown fox")], "doc_id long, text string"
+    )
+    vids = generate_videos(docs, "doc_id", "text", n_frames=8)
+    out = sample_frames(vids, "id", n_frames=4, decode_stub=False)
+    rows = {(r["id"], r["frame_idx"]): r["mean_luma"] for r in out.collect()}
+    assert len(rows) == 8  # 2 docs x 4 sampled frames
+    for doc_id, text in ((1, "hello world"), (2, "quick brown fox")):
+        dig = hashlib.md5(text.encode()).digest()
+        for j in range(4):
+            idx = j * 2
+            assert rows[(doc_id, idx)] == float(dig[idx])
+
+
+def test_sample_frames_stub_schema_unchanged(spark):
+    from etielle_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame([(1, bytearray(b"xyz"))], "id long, payload binary")
+    out = sample_frames(df, "id", n_frames=2)
+    assert out.columns == ["id", "frame_idx", "frame_digest"]
+    assert out.count() == 2
