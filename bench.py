@@ -343,9 +343,20 @@ def ensure_scaled(spark) -> str:
     unique.  Idempotent — reuses the dataset when present."""
     from pyspark.sql import functions as F
 
+    # marker is KEYED by (source sf dir, factors): a factor change or a
+    # different base scale regenerates instead of silently reusing a
+    # stale corpus (round-3/4 noise in the 100x points traced partly to
+    # cold regeneration landing inside timed rounds)
+    key = json.dumps(
+        {"src": sf_dir, "scale": SCALE_FACTOR, "doc_scale": DOC_SCALE_FACTOR}
+    )
     marker = os.path.join(SCALE_DIR, "_DONE")
     if os.path.exists(marker):
-        return SCALE_DIR
+        try:
+            if open(marker).read() == key:
+                return SCALE_DIR
+        except OSError:
+            pass
     os.makedirs(SCALE_DIR, exist_ok=True)
     stride = 100_000_000
 
@@ -373,7 +384,7 @@ def ensure_scaled(spark) -> str:
     scaled("customer", ["c_custkey"])
     scaled("documents", ["doc_id"], text_col="text", factor=DOC_SCALE_FACTOR)
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(key)
     return SCALE_DIR
 
 
@@ -385,25 +396,38 @@ def scale_curve(spark, base_times: dict[str, float]) -> dict:
     term — both are what this section exists to expose."""
     from etielle_spark.benchqueries import QUERIES
 
+    import statistics
+
     big_dir = ensure_scaled(spark)
+    runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
     big_times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     factors: dict[str, float] = {}
     data_factors: dict[str, int] = {}
+    # median-of-N per query (round-3/4 verdicts flagged the 100x points
+    # as single-run-noise-dominated); interleave rounds so page-cache
+    # warmth is spread evenly rather than favoring later queries
+    samples: dict[str, list[float]] = {name: [] for name in SCALE_QUERIES}
+    for _ in range(runs):
+        for name in SCALE_QUERIES:
+            fn, _sql = QUERIES[name]
+            t0 = time.perf_counter()
+            fn(spark, big_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
     for name, dfac in SCALE_QUERIES.items():
-        fn, _sql = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, big_dir).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        big_times[name] = round(dt, 3)
+        med = statistics.median(samples[name])
+        big_times[name] = round(med, 3)
+        spread[name] = [round(min(samples[name]), 3), round(max(samples[name]), 3)]
         data_factors[name] = dfac
         base = base_times.get(name)
         if base:
-            factors[name] = round(dt / base, 2)
+            factors[name] = round(med / base, 2)
     return {
         "sf": 1.0,
         "synthesized_from": sf_dir,
         "data_factor": data_factors,
         "queries": big_times,
+        "spread": spread,
         "factors_vs_sf0.1": factors,
     }
 
@@ -484,15 +508,26 @@ def main() -> None:
 
     # streaming path, reported separately (not part of the batch headline
     # total): native watermarked windows + the reference's streaming-mode
-    # workload (13.1 s published baseline, BASELINE.md)
+    # workload (13.1 s published baseline, BASELINE.md).  Median-of-N like
+    # the batch queries — single-run streaming numbers drifted 10-17% on
+    # identical code across rounds (r3/r4 verdicts), which is trigger +
+    # state-store fixed-cost noise, not signal.
+    stream_runs = int(os.environ.get("SPARK_GRAFT_STREAM_RUNS", "3"))
+    stream_fns = {
+        "streaming_events_1m_windows": streaming_events_windows,
+        "streaming_ref_workload_users_posts_8k": streaming_reference_workload,
+        "streaming_incremental_dedup": streaming_incremental_dedup,
+    }
+    stream_samples: dict[str, list[float]] = {n: [] for n in stream_fns}
+    for _ in range(stream_runs):
+        for sname, sfn in stream_fns.items():
+            stream_samples[sname].append(sfn(spark))
     streaming = {
-        "streaming_events_1m_windows": round(streaming_events_windows(spark), 3),
-        "streaming_ref_workload_users_posts_8k": round(
-            streaming_reference_workload(spark), 3
-        ),
-        "streaming_incremental_dedup": round(
-            streaming_incremental_dedup(spark), 3
-        ),
+        n: round(statistics.median(v), 3) for n, v in stream_samples.items()
+    }
+    streaming_spread = {
+        n: [round(min(v), 3), round(max(v), 3)]
+        for n, v in stream_samples.items()
     }
 
     curve = None
@@ -510,6 +545,7 @@ def main() -> None:
         "queries": times,
         "spread": spread,
         "streaming": streaming,
+        "streaming_spread": streaming_spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if curve is not None:
