@@ -1008,11 +1008,15 @@ def logreg_train(
 def _logreg_train_loop(
     src: DataFrame, *, lr: float, n_steps: int, round_to: int
 ) -> tuple[list[float], float]:
-    first = src.select(F.size("__x").alias("d")).first()
-    if first is None:
+    # one probe job for (n, D) instead of first() + count() — each extra
+    # job is a full pass at 100 TB scale (here it also fills the persist)
+    probe = src.select(
+        F.count(F.lit(1)).alias("n"), F.first(F.size("__x")).alias("d")
+    ).first()
+    if probe is None or probe["n"] == 0:
         raise ValueError("logreg_train: empty input")
-    dim = int(first["d"])
-    n = src.count()
+    dim = int(probe["d"])
+    n = int(probe["n"])
     w = [0.0] * dim
     b = 0.0
     for _ in range(int(n_steps)):
