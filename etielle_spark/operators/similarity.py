@@ -649,11 +649,20 @@ def gram_matrix(
     hundreds this replaces ``N * D^2 / 2`` Catalyst row emissions with a
     BLAS call per batch; the final aggregation input is
     ``n_batches * D^2`` rows.  Identical results (same rounding).
+
+    Unscorable vectors (NULL / empty / NULL element) are EXCLUDED on
+    both engines — a second-moment over a partial vector has no
+    well-defined row weight, and the ragged batch would crash the numpy
+    conversion (same policy as ``semdedup``'s pass-through split).
     """
     src = emb.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    ).filter(F.col("__v").isNotNull())
+    ).filter(
+        F.col("__v").isNotNull()
+        & (F.size("__v") > 0)
+        & ~F.exists("__v", lambda x: x.isNull())
+    )
     if engine == "arrow":
         import pandas as pd  # noqa: F401
 

@@ -252,3 +252,23 @@ def test_flush_failed_fires_before_count_on_plan_error(spark):
     failed = [e for e in events if isinstance(e, FlushFailed)]
     assert failed and failed[0].table == "t"
     assert "plan exploded" in failed[0].error
+
+
+def test_gram_matrix_null_vectors_both_engines(spark):
+    """NULL / empty / NULL-element vectors are excluded (not crashes) on
+    BOTH gram_matrix engines, with identical results."""
+    from etielle_spark.operators.similarity import gram_matrix
+
+    clean = [(i, [float(i % 5), float((i * 7) % 3), 1.0]) for i in range(1, 30)]
+    dirty = clean + [(100, None), (101, []), (102, [1.0, None, 0.0])]
+    d_clean = spark.createDataFrame(clean, "vec_id long, embedding array<double>")
+    d_dirty = spark.createDataFrame(dirty, "vec_id long, embedding array<double>")
+
+    def rows(df, eng):
+        return sorted(
+            map(tuple, gram_matrix(df, "vec_id", "embedding", engine=eng).collect())
+        )
+
+    want = rows(d_clean, "sql")
+    assert rows(d_dirty, "sql") == want
+    assert rows(d_dirty, "arrow") == want
