@@ -9,10 +9,14 @@ touches each partition's rows exactly once, in batches.
 Image decode is REAL: ``decode_stub=False`` routes through the
 stdlib-only PNG/BMP codec in ``operators/imagecodec.py`` (zlib inflate,
 scanline unfilter, luma, box resize, DCT) — no PIL required.  Video
-decode still has no dependency-free path, so ``sample_frames`` keeps a
-deterministic stub (``decode_stub=True``) and raises otherwise.
-``decode_stub=True`` elsewhere keeps the round-2 digest-derived fakes
-for plumbing-only tests.
+decode is REAL too: ``sample_frames(decode_stub=False)`` parses
+uncompressed AVI through ``operators/avicodec.py`` (RIFF walk, DIB
+frame decode, per-frame luma).  ``decode_stub=True`` keeps the round-2
+digest-derived fakes for plumbing-only tests.
+
+NULL payloads are skipped (filtered before the Arrow batch) on every
+payload-consuming operator — one NULL blob must not kill a 100 TB job,
+and a codec has nothing defined to emit for it.
 """
 
 from __future__ import annotations
@@ -102,7 +106,7 @@ def extract_features(
                 }
             )
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(op, FEATURE_SCHEMA)
+    return df.select(F.col(id_col), F.col(payload_col)).filter(F.col(payload_col).isNotNull()).mapInPandas(op, FEATURE_SCHEMA)
 
 
 def resize_images(
@@ -154,7 +158,7 @@ def resize_images(
                 }
             )
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+    return df.select(F.col(id_col), F.col(payload_col)).filter(F.col(payload_col).isNotNull()).mapInPandas(
         op, f"id bigint, width int, height int, resized binary"
     )
 
@@ -257,7 +261,7 @@ def sample_frames(
                         )
                 yield pd.DataFrame(rows)
 
-        return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        return df.select(F.col(id_col), F.col(payload_col)).filter(F.col(payload_col).isNotNull()).mapInPandas(
             op_real, "id bigint, frame_idx int, mean_luma double"
         )
 
@@ -274,7 +278,7 @@ def sample_frames(
                     )
             yield pd.DataFrame(rows)
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+    return df.select(F.col(id_col), F.col(payload_col)).filter(F.col(payload_col).isNotNull()).mapInPandas(
         op, "id bigint, frame_idx int, frame_digest string"
     )
 
@@ -313,7 +317,7 @@ def perceptual_hash(
                 hashes = pdf[payload_col].map(lambda b: hash_fn(bytes(b)))
             yield pd.DataFrame({"id": pdf[id_col], "phash": hashes})
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+    return df.select(F.col(id_col), F.col(payload_col)).filter(F.col(payload_col).isNotNull()).mapInPandas(
         op, "id bigint, phash bigint"
     )
 
@@ -508,7 +512,7 @@ def extract_audio_features(
                 }
             )
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+    return df.select(F.col(id_col), F.col(payload_col)).filter(F.col(payload_col).isNotNull()).mapInPandas(
         op,
         "id bigint, sample_rate int, n_frames bigint, duration_ms double, "
         "rms double, peak int, zero_crossings int",

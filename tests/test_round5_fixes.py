@@ -272,3 +272,23 @@ def test_gram_matrix_null_vectors_both_engines(spark):
     want = rows(d_clean, "sql")
     assert rows(d_dirty, "sql") == want
     assert rows(d_dirty, "arrow") == want
+
+
+def test_multimodal_ops_skip_null_payloads(spark):
+    """A NULL binary payload is skipped, not a worker crash, on every
+    payload-consuming codec operator."""
+    from etielle_spark.operators.multimodal import (
+        extract_features,
+        perceptual_hash,
+        resize_images,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"payload-bytes")), (2, None)],
+        "id long, payload binary",
+    )
+    assert extract_features(df, "id").count() == 1
+    assert perceptual_hash(df, "id").count() == 1
+    assert resize_images(df, "id").count() == 1
+    assert sample_frames(df, "id", n_frames=2).count() == 2  # 1 doc x 2
