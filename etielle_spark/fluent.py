@@ -1399,6 +1399,11 @@ def _null_empty_key_filter(df: DataFrame, keys: list[str]) -> DataFrame:
     return df.filter(cond)
 
 
+# escape hatch for the single-emission merge fast path (tests flip it to
+# differentially check fast == general on the same pipelines)
+_FAST_SINGLE_EMISSION = True
+
+
 def _assemble_table(
     table: str, pairs: list[tuple[EmissionSpec, DataFrame]]
 ) -> tuple[DataFrame, list[str], Optional[DataFrame]]:
@@ -1451,7 +1456,8 @@ def _assemble_table(
     # (halving the shuffle width) and all default-LWW fields collapse to
     # ONE whole-row max_by instead of |fields| aggregate buffers.
     fast_single = (
-        len(keyed) == 1
+        _FAST_SINGLE_EMISSION
+        and len(keyed) == 1
         and not autos
         and all(
             not isinstance(keyed[0][1].schema[k].dataType, T.VariantType)

@@ -292,3 +292,55 @@ def test_multimodal_ops_skip_null_payloads(spark):
     assert perceptual_hash(df, "id").count() == 1
     assert resize_images(df, "id").count() == 1
     assert sample_frames(df, "id", n_frames=2).count() == 2  # 1 doc x 2
+
+
+def test_fast_path_matches_general_path(spark):
+    """Differential: the single-emission merge fast path must produce
+    exactly the general machinery's results — LWW including explicit-None
+    overwrite, every policy, id injection."""
+    from etielle_spark import Field, TempField, etl, get
+    from etielle_spark import fluent as fl
+    from etielle_spark.policies import (
+        AddPolicy,
+        AppendPolicy,
+        FirstNonNullPolicy,
+        MaxPolicy,
+        MinPolicy,
+    )
+
+    data = {"docs": [
+        {"k": 1, "a": 5, "b": "x", "c": 2, "d": None},
+        {"k": 1, "a": None, "b": "y", "c": 7, "d": 9},
+        {"k": 2, "a": 3, "b": None, "c": 1, "d": 4},
+        {"k": 1, "a": 8, "b": "z", "c": 0, "d": None},
+    ]}
+
+    def run():
+        return (
+            etl(data, spark=spark)
+            .goto("docs").each()
+            .map_to("t", fields=[
+                Field("k", get("k")),
+                Field("a", get("a"), merge=AddPolicy()),
+                Field("b", get("b")),                      # LWW w/ None overwrite
+                Field("cmin", get("c"), merge=MinPolicy()),
+                Field("cmax", get("c"), merge=MaxPolicy()),
+                Field("clist", get("c"), merge=AppendPolicy()),
+                Field("dfirst", get("d"), merge=FirstNonNullPolicy()),
+                TempField("tmp", get("a")),
+            ], join_on=["k"])
+            .run()
+        )
+
+    fast = sorted(
+        tuple(sorted(r.items(), key=lambda kv: kv[0])) for r in run().rows("t")
+    )
+    fl._FAST_SINGLE_EMISSION = False
+    try:
+        slow = sorted(
+            tuple(sorted(r.items(), key=lambda kv: kv[0])) for r in run().rows("t")
+        )
+    finally:
+        fl._FAST_SINGLE_EMISSION = True
+    assert fast == slow
+    assert len(fast) == 2
