@@ -10445,3 +10445,55 @@ def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("bigint").alias("frame_idx"),
         F.round("mean_luma", 6).alias("mean_luma"),
     )
+
+
+@q(
+    "q232_line_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             concat(text, chr(10), 'COMMON FOOTER', chr(10),
+                    'unique ', doc_id) AS t
+      FROM documents
+    ),
+    s AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
+    ln AS (
+      SELECT doc_id, i AS pos, ls[i] AS line
+      FROM s, (SELECT unnest(range(1, 17)) AS i) r
+      WHERE i <= len(ls)
+    ),
+    cnt AS (SELECT line, count(*) AS c FROM ln GROUP BY line),
+    keep AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM ln l JOIN cnt USING (line) WHERE c < 2
+    ),
+    agg AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM keep GROUP BY doc_id
+    )
+    SELECT s.doc_id AS id,
+           coalesce(a.clean_text, '') AS clean_text,
+           len(s.ls)::BIGINT AS n_lines,
+           coalesce(a.n_kept, 0)::BIGINT AS n_kept
+    FROM s LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style corpus-wide line dedup
+    (operators/dedup.py:line_dedup): a shared footer line is injected
+    into every document plus one per-doc unique line; the operator must
+    drop the footer everywhere (corpus count >= 2) and keep the unique
+    lines and unique document bodies, reassembled in original order."""
+    from .operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nCOMMON FOOTER\nunique "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return line_dedup(docs, "doc_id", "text", min_dup=2)

@@ -344,3 +344,36 @@ def test_fast_path_matches_general_path(spark):
         fl._FAST_SINGLE_EMISSION = True
     assert fast == slow
     assert len(fast) == 2
+
+
+def test_line_dedup_drops_boilerplate_keeps_order(spark):
+    from etielle_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nFOOTER\nbeta"),
+            (2, "gamma\nFOOTER\ndelta"),
+            (3, "FOOTER"),
+            (4, "solo line"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in line_dedup(docs, "doc_id", "text").collect()}
+    assert out[1]["clean_text"] == "alpha\nbeta"
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 2
+    assert out[2]["clean_text"] == "gamma\ndelta"
+    # all-boilerplate doc survives as an empty row, not a dropped row
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["clean_text"] == "solo line" and out[4]["n_kept"] == 1
+
+
+def test_line_dedup_exact_lines_only(spark):
+    """Near-identical lines (whitespace difference) are NOT merged —
+    the pass is exact by design."""
+    from etielle_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "x \ny"), (2, "x\nz")], "doc_id long, text string"
+    )
+    out = {r["id"]: r["clean_text"] for r in line_dedup(docs, "doc_id", "text").collect()}
+    assert out == {1: "x \ny", 2: "x\nz"}
