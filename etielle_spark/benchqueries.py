@@ -10497,3 +10497,50 @@ def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return line_dedup(docs, "doc_id", "text", min_dup=2)
+
+
+@q(
+    "q233_dsir_logratio",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 2 THEN
+          [array_to_string(t[i+1:i+2], ' ') for i in range(len(t)-1)]
+        WHEN len(t) > 0 THEN [array_to_string(t, ' ')] ELSE [] END)) AS gram
+      FROM toks
+    ),
+    b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(gram), 1, 8))::BIGINT % 1024 AS bucket
+      FROM g
+    ),
+    src AS (SELECT bucket, count(*) AS cs FROM b GROUP BY bucket),
+    tgt AS (
+      SELECT bucket, count(*) AS ct FROM b WHERE doc_id % 20 = 0
+      GROUP BY bucket
+    ),
+    tot AS (SELECT (SELECT sum(cs) FROM src) AS ts,
+                   (SELECT sum(ct) FROM tgt) AS tt),
+    ratio AS (
+      SELECT s.bucket,
+             round(ln((coalesce(t.ct, 0) + 1.0) / (tot.tt + 1024.0))
+                 - ln((s.cs + 1.0) / (tot.ts + 1024.0)), 6) AS lr
+      FROM src s LEFT JOIN tgt t USING (bucket), tot
+    )
+    SELECT b.doc_id AS id, count(*)::BIGINT AS n_grams,
+           round(avg(r.lr), 6) AS log_ratio
+    FROM b JOIN ratio r USING (bucket)
+    GROUP BY b.doc_id
+    """,
+)
+def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring (operators/text.py:dsir_logratio): rank
+    corpus documents by hashed-bigram log-likelihood ratio against a
+    deterministic target sample (doc_id % 20 == 0) — the data-selection
+    pass that picks pretraining documents resembling a target domain."""
+    from .operators.text import dsir_logratio
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 20 == 0)
+    return dsir_logratio(docs, "doc_id", "text", target, n=2, n_buckets=1024)

@@ -1687,3 +1687,102 @@ def stylometric_deviation(
         z.join(centroids, "group")
         .select("id", "group", F.round(delta, 6).alias("delta"))
     )
+
+
+def dsir_logratio(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: DataFrame,
+    *,
+    target_text_col: str | None = None,
+    n: int = 2,
+    n_buckets: int = 1024,
+    k: float = 1.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every corpus
+    document by the mean log-likelihood ratio of its hashed word
+    ``n``-grams under a bag-of-hashed-ngrams model of the TARGET sample
+    vs one of the raw corpus — the standard cheap way to select
+    pretraining data that "looks like" a high-quality target domain.
+    Rank/threshold on ``log_ratio`` (or exp() it for sampling weights).
+
+    Hashing uses the md5-prefix bucket (engine-independent, same trick
+    as ``feature_hash``); both models are add-``k``-smoothed bucket
+    multinomials over DISTINCT per-doc grams (``grams_of`` semantics).
+    Per-bucket log ratios are rounded to ``round_to`` before the per-doc
+    mean so any SQL engine reproduces the scores bit-stably.
+
+    Scale shape: two bucket-count aggregations whose outputs are
+    ``<= n_buckets`` rows (map-side partials; the target side is usually
+    dimension-sized anyway), a ``n_buckets``-row ratio table that
+    BROADCASTS by construction, and ONE corpus pass: explode grams →
+    broadcast-join the ratio → per-doc mean.  No driver collect, no
+    corpus-keyed shuffle beyond the per-doc groupBy.
+
+    Returns ``(id, n_grams, log_ratio)``; documents with zero grams are
+    dropped (no model support either way).
+    """
+    from .dedup import grams_of, tokens_col
+
+    tcol = target_text_col or text_col
+    B = int(n_buckets)
+
+    def bucket(gram: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long") % B
+        )
+
+    def bucket_counts(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.select(F.explode(grams_of(tokens_col(F.col(col)), n)).alias("__g"))
+            .select(bucket(F.col("__g")).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    import math
+
+    # both count tables are <= n_buckets rows BY CONSTRUCTION — collect
+    # them (KB-sized driver probe, the kmeans/logreg pattern) and build
+    # the smoothed ratio table driver-side; it re-enters the plan as a
+    # broadcast-joined local relation, so the scoring pass is ONE corpus
+    # scan with no extra shuffles
+    src = {int(r["bucket"]): int(r["cnt"]) for r in bucket_counts(corpus, text_col).collect()}
+    tgt = {int(r["bucket"]): int(r["cnt"]) for r in bucket_counts(target, tcol).collect()}
+    ts = float(sum(src.values()))
+    tt = float(sum(tgt.values()))
+
+    def rnd(x: float) -> float:
+        # half-away-from-zero, matching SQL round()
+        return math.copysign(
+            math.floor(abs(x) * 10**round_to + 0.5) / 10**round_to, x
+        )
+
+    rows = [
+        (
+            b,
+            rnd(
+                math.log((tgt.get(b, 0) + k) / (tt + k * B))
+                - math.log((cs + k) / (ts + k * B))
+            ),
+        )
+        for b, cs in src.items()
+    ]
+    ratio = corpus.sparkSession.createDataFrame(
+        rows, "bucket long, __lr double"
+    )
+    doc_buckets = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(grams_of(tokens_col(F.col(text_col)), n)).alias("__g"),
+    ).select("id", bucket(F.col("__g")).alias("bucket"))
+    return (
+        doc_buckets.join(F.broadcast(ratio), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.round(F.avg("__lr"), round_to).alias("log_ratio"),
+        )
+    )

@@ -377,3 +377,38 @@ def test_line_dedup_exact_lines_only(spark):
     )
     out = {r["id"]: r["clean_text"] for r in line_dedup(docs, "doc_id", "text").collect()}
     assert out == {1: "x \ny", 2: "x\nz"}
+
+
+def test_dsir_logratio_prefers_target_like_docs(spark):
+    """A document made of target-style grams must outscore one made of
+    source-only grams."""
+    from etielle_spark.operators.text import dsir_logratio
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "physics quantum theory"),
+            (2, "physics quantum theory"),
+            (3, "celebrity gossip news"),
+            (4, "celebrity gossip news"),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "physics quantum theory")], "doc_id long, text string"
+    )
+    out = {r["id"]: r["log_ratio"] for r in dsir_logratio(
+        corpus, "doc_id", "text", target, n=2, n_buckets=64
+    ).collect()}
+    assert out[1] > out[3]
+    assert out[1] == out[2] and out[3] == out[4]
+
+
+def test_dsir_logratio_zero_gram_docs_dropped(spark):
+    from etielle_spark.operators.text import dsir_logratio
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    target = spark.createDataFrame([(9, "alpha beta")], "doc_id long, text string")
+    out = dsir_logratio(corpus, "doc_id", "text", target)
+    assert [r["id"] for r in out.collect()] == [1]
