@@ -10524,12 +10524,13 @@ def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (SELECT sum(ct) FROM tgt) AS tt),
     ratio AS (
       SELECT s.bucket,
-             round(ln((coalesce(t.ct, 0) + 1.0) / (tot.tt + 1024.0))
-                 - ln((s.cs + 1.0) / (tot.ts + 1024.0)), 6) AS lr
+             CAST(round(round(ln((coalesce(t.ct, 0) + 1.0) / (tot.tt + 1024.0))
+                 - ln((s.cs + 1.0) / (tot.ts + 1024.0)), 6) * 1000000,
+                 0) AS BIGINT) AS lr_u
       FROM src s LEFT JOIN tgt t USING (bucket), tot
     )
     SELECT b.doc_id AS id, count(*)::BIGINT AS n_grams,
-           round(avg(r.lr), 6) AS log_ratio
+           round((sum(r.lr_u) / 1000000.0) / count(*), 6) AS log_ratio
     FROM b JOIN ratio r USING (bucket)
     GROUP BY b.doc_id
     """,

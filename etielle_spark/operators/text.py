@@ -1755,16 +1755,21 @@ def dsir_logratio(
     ts = float(sum(src.values()))
     tt = float(sum(tgt.values()))
 
-    def rnd(x: float) -> float:
-        # half-away-from-zero, matching SQL round()
-        return math.copysign(
-            math.floor(abs(x) * 10**round_to + 0.5) / 10**round_to, x
-        )
+    scale = 10**round_to
+
+    def to_units(x: float) -> int:
+        # half-away-from-zero to round_to digits, then EXACT integer
+        # units: per-doc means sum integers, so the aggregation is
+        # order-independent and bit-identical in any engine (a mean of
+        # rounded DOUBLES drifts by 1 ulp with summation order — caught
+        # by the cross-sf oracle sweep)
+        r = math.copysign(math.floor(abs(x) * scale + 0.5) / scale, x)
+        return int(math.floor(r * scale + 0.5))
 
     rows = [
         (
             b,
-            rnd(
+            to_units(
                 math.log((tgt.get(b, 0) + k) / (tt + k * B))
                 - math.log((cs + k) / (ts + k * B))
             ),
@@ -1772,7 +1777,7 @@ def dsir_logratio(
         for b, cs in src.items()
     ]
     ratio = corpus.sparkSession.createDataFrame(
-        rows, "bucket long, __lr double"
+        rows, "bucket long, __lr_u long"
     )
     doc_buckets = corpus.select(
         F.col(id_col).alias("id"),
@@ -1783,6 +1788,12 @@ def dsir_logratio(
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.round(F.avg("__lr"), round_to).alias("log_ratio"),
+            # exact-integer sum, THEN one double division sequence —
+            # identical in every engine, no summation-order drift
+            F.round(
+                (F.sum("__lr_u") / F.lit(float(scale)))
+                / F.count(F.lit(1)),
+                round_to,
+            ).alias("log_ratio"),
         )
     )
