@@ -10530,7 +10530,7 @@ def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM src s LEFT JOIN tgt t USING (bucket), tot
     )
     SELECT b.doc_id AS id, count(*)::BIGINT AS n_grams,
-           round((sum(r.lr_u) / 1000000.0) / count(*), 6) AS log_ratio
+           sum(r.lr_u) / 1000000.0 AS log_weight
     FROM b JOIN ratio r USING (bucket)
     GROUP BY b.doc_id
     """,

@@ -1703,17 +1703,20 @@ def dsir_logratio(
 ) -> DataFrame:
     """DSIR-style importance scoring (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): score every corpus
-    document by the mean log-likelihood ratio of its hashed word
+    document by the SUM of log-likelihood ratios of its hashed word
     ``n``-grams under a bag-of-hashed-ngrams model of the TARGET sample
-    vs one of the raw corpus — the standard cheap way to select
+    vs one of the raw corpus — i.e. the document's log importance
+    weight under the independent-gram model — the standard cheap way to select
     pretraining data that "looks like" a high-quality target domain.
     Rank/threshold on ``log_ratio`` (or exp() it for sampling weights).
 
     Hashing uses the md5-prefix bucket (engine-independent, same trick
     as ``feature_hash``); both models are add-``k``-smoothed bucket
     multinomials over DISTINCT per-doc grams (``grams_of`` semantics).
-    Per-bucket log ratios are rounded to ``round_to`` before the per-doc
-    mean so any SQL engine reproduces the scores bit-stably.
+    Per-bucket log ratios enter the plan as exact integers in
+    ``10^-round_to`` units, so the per-doc sum (and thus the score) is
+    bit-identical in any engine at any data order — no floating-point
+    summation drift, no final rounding boundary.
 
     Scale shape: two bucket-count aggregations whose outputs are
     ``<= n_buckets`` rows (map-side partials; the target side is usually
@@ -1722,8 +1725,9 @@ def dsir_logratio(
     broadcast-join the ratio → per-doc mean.  No driver collect, no
     corpus-keyed shuffle beyond the per-doc groupBy.
 
-    Returns ``(id, n_grams, log_ratio)``; documents with zero grams are
-    dropped (no model support either way).
+    Returns ``(id, n_grams, log_weight)``; divide by ``n_grams`` for a
+    length-normalized score.  Documents with zero grams are dropped (no
+    model support either way).
     """
     from .dedup import grams_of, tokens_col
 
@@ -1788,12 +1792,13 @@ def dsir_logratio(
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            # exact-integer sum, THEN one double division sequence —
-            # identical in every engine, no summation-order drift
-            F.round(
-                (F.sum("__lr_u") / F.lit(float(scale)))
-                / F.count(F.lit(1)),
-                round_to,
-            ).alias("log_ratio"),
+            # exact integer sum / 10^round_to: deterministic in every
+            # engine with NO final rounding step (a mean's division can
+            # land exactly on a decimal half, where engines' double
+            # rounding disagrees — caught by the sf0.1 oracle sweep).
+            # The SUM is also the faithful DSIR log importance weight
+            # (product of per-gram ratios); divide by n_grams downstream
+            # for a length-normalized score.
+            (F.sum("__lr_u") / F.lit(float(scale))).alias("log_weight"),
         )
     )

@@ -396,7 +396,7 @@ def test_dsir_logratio_prefers_target_like_docs(spark):
     target = spark.createDataFrame(
         [(100, "physics quantum theory")], "doc_id long, text string"
     )
-    out = {r["id"]: r["log_ratio"] for r in dsir_logratio(
+    out = {r["id"]: r["log_weight"] for r in dsir_logratio(
         corpus, "doc_id", "text", target, n=2, n_buckets=64
     ).collect()}
     assert out[1] > out[3]
