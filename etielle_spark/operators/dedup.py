@@ -1341,7 +1341,6 @@ def line_dedup(
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
     lines = src.select(
         "id",
-        F.size(F.split(F.col("__t"), _re.escape(sep), -1)).alias("__n"),
         F.posexplode(F.split(F.col("__t"), _re.escape(sep), -1)).alias(
             "__pos", "__line"
         ),
@@ -1368,9 +1367,10 @@ def line_dedup(
             ),
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
-        F.first("__n").alias("__n"),
     )
-    totals = lines.groupBy("id").agg(F.first("__n").alias("__n_all"))
+    # n_lines = total exploded lines per id (deterministic even when the
+    # caller's ids collide — first(size) would pick an arbitrary row)
+    totals = lines.groupBy("id").agg(F.count(F.lit(1)).alias("__n_all"))
     return (
         totals.join(agg, "id", "left")
         .select(

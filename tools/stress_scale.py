@@ -162,6 +162,35 @@ def main() -> None:
         lambda: hll_distinct(docs, [], "text").count(),
     )
 
+    # round-5 curation passes: corpus-wide line dedup (CCNet boilerplate
+    # shape — digest agg + anti-join + reassembly) and DSIR importance
+    # scoring (two bounded bucket counts + one broadcast-join scan)
+    from etielle_spark.operators.dedup import line_dedup
+    from etielle_spark.operators.text import dsir_logratio
+
+    n_linededup = step(
+        "line_dedup",
+        lambda: line_dedup(
+            docs.select(
+                "doc_id",
+                F.concat(
+                    F.col("text"), F.lit("\nCOMMON FOOTER\nuniq "),
+                    F.col("doc_id").cast("string"),
+                ).alias("text"),
+            ),
+            "doc_id",
+            "text",
+        ).filter(F.col("n_kept") < F.col("n_lines")).count(),
+    )
+    n_dsir = step(
+        "dsir_logratio",
+        lambda: dsir_logratio(
+            docs, "doc_id", "text",
+            docs.filter(F.col("doc_id") % 100 == 0),
+            n=2, n_buckets=4096,
+        ).count(),
+    )
+
     print(
         json.dumps(
             {
@@ -179,6 +208,8 @@ def main() -> None:
                 "c4_pages_kept": n_c4,
                 "shards": n_sharded,
                 "hll_groups": n_hll,
+                "line_dedup_docs_trimmed": n_linededup,
+                "dsir_scored": n_dsir,
                 "timings_sec": timings,
                 "total_sec": round(sum(timings.values()), 2),
             }
