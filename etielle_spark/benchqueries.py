@@ -10545,3 +10545,34 @@ def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     target = docs.filter(F.col("doc_id") % 20 == 0)
     return dsir_logratio(docs, "doc_id", "text", target, n=2, n_buckets=1024)
+
+
+@q(
+    "q234_bloom_anti_join",
+    """
+    WITH d AS (SELECT doc_id, substr(text, 1, 12) AS k, n_chars
+               FROM documents),
+    ref AS (SELECT DISTINCT k FROM d WHERE doc_id % 2 = 0)
+    SELECT d.doc_id AS id, d.k AS key, d.n_chars
+    FROM d
+    WHERE d.doc_id % 3 = 0
+      AND NOT EXISTS (SELECT 1 FROM ref r WHERE r.k = d.k)
+    """,
+)
+def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered EXACT anti join (operators/sketches.py:
+    bloom_anti_join): "is this crawl record already in the corpus?" at
+    100 TB — keys that miss the broadcast-sized bitmap-words table skip
+    the wide join entirely; only the filter-positive sliver pays the
+    exact left-anti shuffle.  Keys are 12-char text prefixes so the
+    probe side genuinely collides with the reference across doc ids."""
+    from .operators.sketches import bloom_anti_join
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.substring("text", 1, 12).alias("key"),
+        "n_chars",
+    )
+    new = docs.filter(F.col("id") % 3 == 0)
+    ref = docs.filter(F.col("id") % 2 == 0).select("key")
+    return bloom_anti_join(new, ref, "key", num_bits=1 << 16, num_hashes=5)

@@ -364,3 +364,154 @@ def kmv_overlap(
         F.round(x / kp, round_to).alias("jaccard"),
         F.round((x / kp) * union_est, round_to).alias("intersect_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Bloom filter as a plain DataFrame of bitmap words.
+#
+# Spark's own BloomFilterAggregate is JVM-internal (not in the SQL
+# function registry), and a driver-side sketch object can't be unioned,
+# inspected, or persisted as data.  Here the filter IS a DataFrame of
+# (word_idx, word) pairs — at most num_bits/64 rows — so it broadcasts
+# through a normal join, merges across corpus increments with
+# union + bit_or, and round-trips through parquet like any other table.
+#
+# Bit layout: position p_i(key) = pmod(xxhash64(key, i), num_bits) for
+# i in 0..num_hashes-1; word_idx = p / 64, mask = 1L << (p % 64).
+# Build is a map + one bit_or aggregation on word_idx (<= num_bits/64
+# groups).  Probe joins the (tiny) words table and AND-folds the k bit
+# tests per key.  A 2^30-bit filter (~1e8 keys at 1% FP) is 16M words
+# = 128 MB — broadcastable; beyond that the word_idx equi-join simply
+# shuffles, still never materializing pairs.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(key: "F.Column", num_bits: int, num_hashes: int):
+    """The k bit positions of a key: pmod(xxhash64(key, i), num_bits)."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits)) for i in range(num_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    *,
+    num_bits: int = 1 << 22,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Build a Bloom filter over ``df[key_col]`` as a DataFrame of
+    ``(word_idx: long, word: long)`` bitmap words (NULL keys are skipped
+    — NULL is never "in" the filter, matching SQL membership semantics).
+
+    One narrow map (k positions per key) + one aggregation keyed on
+    word_idx.  The output has at most ``num_bits / 64`` rows regardless
+    of corpus size, so a filter built over billions of keys stays a
+    broadcast-sized table; incremental corpora union their word tables
+    and re-``bit_or`` to merge.
+    """
+    if num_bits % 64 != 0 or num_bits <= 0:
+        raise ValueError("bloom_build: num_bits must be a positive multiple of 64")
+    if num_hashes < 1:
+        raise ValueError("bloom_build: num_hashes must be >= 1")
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col(key_col), num_bits, num_hashes))
+    ).alias("__pos")
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(pos)
+        .select(
+            (F.col("__pos") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(__pos % 64 as int))").alias("__mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__mask").alias("word"))
+    )
+
+
+def bloom_probe(
+    probe: DataFrame,
+    words: DataFrame,
+    key_col: str,
+    *,
+    num_bits: int = 1 << 22,
+    num_hashes: int = 5,
+    flag: str = "might_contain",
+) -> DataFrame:
+    """Append ``flag`` to ``probe``: True iff all ``num_hashes`` bits of
+    ``probe[key_col]`` are set in the ``words`` filter (so False is a
+    guarantee of absence; True may be a false positive at the filter's
+    designed rate).  NULL keys probe False.
+
+    The membership test is per distinct key — duplicates ride along via
+    a final equi-join — and the words join broadcasts when the filter
+    fits (it almost always does; see bloom_build).  num_bits/num_hashes
+    must match the build call.
+    """
+    keys = probe.select(F.col(key_col).alias("__k")).filter(
+        F.col("__k").isNotNull()
+    ).distinct()
+    tested = (
+        keys.select(
+            "__k",
+            F.posexplode(
+                F.array(*_bloom_positions(F.col("__k"), num_bits, num_hashes))
+            ).alias("__i", "__pos"),
+        )
+        .select(
+            "__k",
+            (F.col("__pos") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(__pos % 64 as int))").alias("__mask"),
+        )
+        .join(F.broadcast(words), "word_idx", "left")
+        .groupBy("__k")
+        .agg(
+            F.min(
+                F.coalesce(
+                    F.col("word").bitwiseAND(F.col("__mask")) == F.col("__mask"),
+                    F.lit(False),
+                )
+            ).alias("__might")
+        )
+    )
+    return (
+        probe.join(tested, probe[key_col] == tested["__k"], "left")
+        .drop("__k")
+        .withColumn(flag, F.coalesce("__might", F.lit(False)))
+        .drop("__might")
+    )
+
+
+def bloom_anti_join(
+    new: DataFrame,
+    reference: DataFrame,
+    key_col: str,
+    *,
+    num_bits: int = 1 << 22,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """EXACT anti join (rows of ``new`` whose key is absent from
+    ``reference``) with a Bloom prefilter: the "is this crawl record
+    already in the 100 TB corpus?" fast path.
+
+    Rows whose key misses the filter are *definitely* new and skip the
+    wide join entirely; only the filter-positive sliver (true matches +
+    the designed false-positive fraction) pays the exact left-anti
+    shuffle against the reference keys.  Output is exact — the filter
+    only prunes, never decides — so the oracle is a plain ANTI JOIN.
+    NULL-keyed rows are kept, matching left_anti's NULL semantics
+    (NULL = no match).
+    """
+    words = bloom_build(
+        reference, key_col, num_bits=num_bits, num_hashes=num_hashes
+    )
+    flagged = bloom_probe(
+        new, words, key_col, num_bits=num_bits, num_hashes=num_hashes, flag="__bf"
+    )
+    definite_new = flagged.filter(~F.col("__bf")).drop("__bf")
+    candidates = flagged.filter(F.col("__bf")).drop("__bf")
+    ref_keys = reference.select(F.col(key_col)).filter(
+        F.col(key_col).isNotNull()
+    ).distinct()
+    confirmed_new = candidates.join(ref_keys, [key_col], "left_anti")
+    return definite_new.unionByName(confirmed_new)

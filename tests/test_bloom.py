@@ -1,0 +1,108 @@
+"""Distributed Bloom filter (sketches.bloom_*): the filter is a plain
+DataFrame of bitmap words, so it must (a) never produce a false
+negative, (b) merge across corpus increments via union + bit_or, and
+(c) leave bloom_anti_join EXACTLY equal to a plain left-anti join —
+the filter prunes, it never decides."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etielle_spark.operators.sketches import (
+    bloom_anti_join,
+    bloom_build,
+    bloom_probe,
+)
+
+
+def _docs(spark):
+    rows = [(i, f"doc-{i % 40}") for i in range(120)]  # dup keys on purpose
+    rows += [(900, None), (901, None)]  # NULL keys
+    return spark.createDataFrame(rows, "id long, key string")
+
+
+def test_bloom_no_false_negatives(spark):
+    df = _docs(spark)
+    words = bloom_build(df, "key", num_bits=1 << 12, num_hashes=5)
+    probed = bloom_probe(df, words, "key", num_bits=1 << 12, num_hashes=5)
+    misses = probed.filter(
+        F.col("key").isNotNull() & ~F.col("might_contain")
+    ).count()
+    assert misses == 0  # every inserted key must probe True
+
+
+def test_bloom_null_keys_probe_false(spark):
+    df = _docs(spark)
+    words = bloom_build(df, "key", num_bits=1 << 12, num_hashes=5)
+    probed = bloom_probe(df, words, "key", num_bits=1 << 12, num_hashes=5)
+    assert probed.filter(F.col("key").isNull()).count() == 2
+    assert (
+        probed.filter(F.col("key").isNull() & F.col("might_contain")).count() == 0
+    )
+
+
+def test_bloom_fp_rate_is_sane(spark):
+    ref = spark.createDataFrame([(f"in-{i}",) for i in range(200)], "key string")
+    out = spark.createDataFrame([(f"out-{i}",) for i in range(400)], "key string")
+    # ~16 bits/key, k=5 => designed FP well under 1%; allow generous slack.
+    words = bloom_build(ref, "key", num_bits=1 << 12, num_hashes=5)
+    fp = (
+        bloom_probe(out, words, "key", num_bits=1 << 12, num_hashes=5)
+        .filter(F.col("might_contain"))
+        .count()
+    )
+    assert fp <= 20
+
+
+def test_bloom_merge_union_bit_or(spark):
+    a = spark.createDataFrame([(f"a-{i}",) for i in range(50)], "key string")
+    b = spark.createDataFrame([(f"b-{i}",) for i in range(50)], "key string")
+    merged = (
+        bloom_build(a, "key", num_bits=1 << 10, num_hashes=4)
+        .unionByName(bloom_build(b, "key", num_bits=1 << 10, num_hashes=4))
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    direct = bloom_build(a.unionByName(b), "key", num_bits=1 << 10, num_hashes=4)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def _anti_join_case(spark, num_bits):
+    new = spark.createDataFrame(
+        [(i, f"k-{i % 30}") for i in range(60)] + [(800, None)],
+        "id long, key string",
+    )
+    ref = spark.createDataFrame(
+        [(f"k-{i}",) for i in range(0, 30, 2)] + [(None,)], "key string"
+    )
+    got = bloom_anti_join(
+        new, ref, "key", num_bits=num_bits, num_hashes=5
+    )
+    want = new.join(
+        ref.filter(F.col("key").isNotNull()).distinct(), ["key"], "left_anti"
+    )
+    assert sorted((r.id, r.key) for r in got.collect()) == sorted(
+        (r.id, r.key) for r in want.collect()
+    )
+
+
+def test_bloom_anti_join_exact(spark):
+    _anti_join_case(spark, 1 << 12)
+
+
+def test_bloom_anti_join_exact_even_with_tiny_saturated_filter(spark):
+    # 64-bit filter saturates => everything is a candidate; the exact
+    # confirm join must still produce the correct result.
+    _anti_join_case(spark, 64)
+
+
+def test_bloom_build_validates(spark):
+    df = spark.createDataFrame([("x",)], "key string")
+    import pytest
+
+    with pytest.raises(ValueError):
+        bloom_build(df, "key", num_bits=100)  # not a multiple of 64
+    with pytest.raises(ValueError):
+        bloom_build(df, "key", num_hashes=0)
