@@ -156,6 +156,16 @@ class IncrementalExactDedup:
     one 32-byte digest per unique document ever seen.  Within a batch the
     keeper is the smallest id (deterministic); against history any match
     drops.
+
+    ``bloom_bits`` (optional) maintains a Bloom filter over the digest
+    history as append-only bitmap-word parquet beside the index (see
+    operators/sketches.py:bloom_build).  With it, each batch probes the
+    broadcast-sized word table first: bloom-negative rows are
+    *definitely* new and skip the history anti-join entirely, and a
+    batch with zero bloom-positives never scans the digest index at all
+    — at 100 TB the index is billions of digest rows, so mostly-novel
+    ingest stops paying a full index scan per micro-batch.  Results are
+    exact either way (positives are still confirmed by the anti-join).
     """
 
     def __init__(
@@ -165,11 +175,16 @@ class IncrementalExactDedup:
         *,
         id_col: str = "doc_id",
         text_col: str = "text",
+        bloom_bits: int | None = None,
+        bloom_hashes: int = 5,
     ) -> None:
         self.spark = spark
         self.index_dir = index_dir
         self.id_col = id_col
         self.text_col = text_col
+        self.bloom_bits = bloom_bits
+        self.bloom_hashes = bloom_hashes
+        self.bloom_dir = index_dir.rstrip("/") + "_bloom"
 
     def _index(self) -> DataFrame | None:
         try:
@@ -179,6 +194,20 @@ class IncrementalExactDedup:
         if not files:
             return None
         return self.spark.read.parquet(*files)
+
+    def _bloom_words(self) -> DataFrame | None:
+        try:
+            files = self.spark.read.parquet(self.bloom_dir).inputFiles()
+        except Exception:
+            return None
+        if not files:
+            return None
+        # Per-batch word tables append; OR them back into one filter.
+        return (
+            self.spark.read.parquet(*files)
+            .groupBy("word_idx")
+            .agg(F.bit_or("word").alias("word"))
+        )
 
     def process_batch(self, docs: DataFrame) -> DataFrame:
         """Returns the batch's surviving rows (first occurrence of each
@@ -197,17 +226,48 @@ class IncrementalExactDedup:
             .drop("__rk")
         )
         hist = self._index()
-        if hist is not None:
+        words = self._bloom_words() if self.bloom_bits else None
+        if hist is not None and words is not None:
+            from ..operators.sketches import bloom_probe
+
+            flagged = bloom_probe(
+                first_in_batch,
+                words,
+                "__digest",
+                num_bits=self.bloom_bits,
+                num_hashes=self.bloom_hashes,
+                flag="__bf",
+            ).persist()
+            definite_new = flagged.filter(~F.col("__bf")).drop("__bf")
+            candidates = flagged.filter(F.col("__bf")).drop("__bf")
+            confirmed = candidates.join(
+                hist, candidates["__digest"] == hist["digest"], "left_anti"
+            )
+            survivors = definite_new.unionByName(confirmed)
+        elif hist is not None:
+            flagged = None
             survivors = first_in_batch.join(
                 hist, first_in_batch["__digest"] == hist["digest"], "left_anti"
             )
         else:
+            flagged = None
             survivors = first_in_batch
         survivors = survivors.persist()
         survivors.count()
         survivors.select(F.col("__digest").alias("digest")).write.mode(
             "append"
         ).parquet(self.index_dir)
+        if self.bloom_bits:
+            from ..operators.sketches import bloom_build
+
+            bloom_build(
+                survivors.select(F.col("__digest").alias("digest")),
+                "digest",
+                num_bits=self.bloom_bits,
+                num_hashes=self.bloom_hashes,
+            ).write.mode("append").parquet(self.bloom_dir)
+        if flagged is not None:
+            flagged.unpersist()
         return survivors.drop("__digest")
 
     def attach(self, sink) -> "callable":

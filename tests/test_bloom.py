@@ -106,3 +106,51 @@ def test_bloom_build_validates(spark):
         bloom_build(df, "key", num_bits=100)  # not a multiple of 64
     with pytest.raises(ValueError):
         bloom_build(df, "key", num_hashes=0)
+
+
+def test_incremental_exact_dedup_bloom_differential(spark, tmp_path):
+    """Bloom-prefiltered incremental exact dedup must produce the same
+    survivors as the plain version batch-for-batch, including replay."""
+    from etielle_spark.streaming.incremental_dedup import IncrementalExactDedup
+
+    plain = IncrementalExactDedup(spark, str(tmp_path / "idx_plain"))
+    bloom = IncrementalExactDedup(
+        spark, str(tmp_path / "idx_bloom"), bloom_bits=1 << 12, bloom_hashes=5
+    )
+    batches = [
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],
+        [(4, "beta"), (5, "gamma"), (6, "delta")],
+        [(7, "gamma"), (8, "epsilon"), (9, "epsilon"), (10, "alpha")],
+    ]
+    for rows in batches:
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got_p = {r["doc_id"] for r in plain.process_batch(df).collect()}
+        got_b = {r["doc_id"] for r in bloom.process_batch(df).collect()}
+        assert got_p == got_b
+    # replaying the last batch drops everything on both
+    df = spark.createDataFrame(batches[-1], "doc_id int, text string")
+    assert plain.process_batch(df).count() == 0
+    assert bloom.process_batch(df).count() == 0
+
+
+def test_incremental_bloom_dedup_survivor_sets(spark, tmp_path):
+    from etielle_spark.streaming.incremental_dedup import IncrementalExactDedup
+
+    inc = IncrementalExactDedup(
+        spark, str(tmp_path / "idx"), bloom_bits=1 << 12
+    )
+    s1 = inc.process_batch(
+        spark.createDataFrame(
+            [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id int, text string"
+        )
+    )
+    assert {r["doc_id"] for r in s1.collect()} == {1, 2}
+    s2 = inc.process_batch(
+        spark.createDataFrame(
+            [(4, "beta"), (5, "gamma")], "doc_id int, text string"
+        )
+    )
+    assert {r["doc_id"] for r in s2.collect()} == {5}
+    # bloom word parquet exists and ORs into a usable filter
+    words = spark.read.parquet(str(tmp_path / "idx_bloom"))
+    assert words.count() > 0
