@@ -21,7 +21,7 @@ unit, same as any per-group rollup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 # 13 hex chars = 52 bits — exact in a double for both Spark and DuckDB.
 _HEX_CHARS = 13
@@ -437,22 +437,113 @@ def bloom_probe(
     num_bits: int = 1 << 22,
     num_hashes: int = 5,
     flag: str = "might_contain",
+    engine: str = "auto",
 ) -> DataFrame:
     """Append ``flag`` to ``probe``: True iff all ``num_hashes`` bits of
     ``probe[key_col]`` are set in the ``words`` filter (so False is a
     guarantee of absence; True may be a false positive at the filter's
-    designed rate).  NULL keys probe False.
+    designed rate).  NULL keys probe False.  num_bits/num_hashes must
+    match the build call.
 
-    The membership test is per distinct key — duplicates ride along via
-    a final equi-join — and the words join broadcasts when the filter
-    fits (it almost always does; see bloom_build).  num_bits/num_hashes
-    must match the build call.
+    Three engines, all exact on the same layout:
+
+    - ``"broadcast"`` (the ``auto`` pick up to 2^30 bits / 128 MB):
+      num_hashes chained BroadcastHashJoins on word_idx — whole-stage
+      codegen end to end, zero Python, zero shuffle on the probe side,
+      which is the entire point of a Bloom prefilter on a wide 100 TB
+      scan.
+    - ``"bitmap"``: map-only pandas path — the word table collapses
+      into a numpy bitmap closed over by a mapInPandas op (positions
+      stay JVM-computed, the k bit tests are one vectorized gather per
+      batch).  Same shuffle-free shape, pays one Arrow roundtrip; kept
+      as the differential twin and for pandas-resident pipelines.
+    - ``"join"``: distinct keys -> posexplode -> words equi-join ->
+      AND-fold.  The only engine that never materializes the filter on
+      one machine — use it when num_bits is too big to broadcast.
     """
-    keys = probe.select(F.col(key_col).alias("__k")).filter(
-        F.col("__k").isNotNull()
-    ).distinct()
+    if engine not in ("auto", "broadcast", "bitmap", "join"):
+        raise ValueError(f"bloom_probe: unknown engine {engine!r}")
+    if engine == "auto":
+        engine = "broadcast" if num_bits <= (1 << 30) else "join"
+
+    if engine == "broadcast":
+        out = probe
+        hit = F.lit(True)
+        for i, p in enumerate(
+            _bloom_positions(F.col(key_col), num_bits, num_hashes)
+        ):
+            w = words.select(
+                F.col("word_idx").alias(f"__wi{i}"),
+                F.col("word").alias(f"__w{i}"),
+            )
+            pos = F.when(F.col(key_col).isNotNull(), p)
+            out = out.withColumn(f"__pos{i}", pos).join(
+                F.broadcast(w),
+                (F.col(f"__pos{i}") / 64).cast("long") == F.col(f"__wi{i}"),
+                "left",
+            )
+            mask = F.expr(f"shiftleft(1L, cast(__pos{i} % 64 as int))")
+            hit = hit & (F.col(f"__w{i}").bitwiseAND(mask) == mask)
+        return out.withColumn(flag, F.coalesce(hit, F.lit(False))).drop(
+            *[c for i in range(num_hashes) for c in (f"__pos{i}", f"__wi{i}", f"__w{i}")]
+        )
+
+    if engine == "bitmap":
+        import numpy as np
+        import pandas as pd
+        from typing import Iterator
+
+        wp = words.toPandas()
+        bitmap = np.zeros(num_bits // 64, dtype=np.uint64)
+        bitmap[wp["word_idx"].to_numpy(dtype=np.int64)] = (
+            wp["word"].to_numpy(dtype=np.int64).view(np.uint64)
+        )
+
+        # k separate long columns (NOT one array column): the pandas
+        # batch then holds plain int64 columns and the whole bit test is
+        # numpy column ops — zero per-row Python.  xxhash64 skips NULL
+        # inputs (it would hash as seed-only), so NULL keys null their
+        # position columns and probe False.
+        pos_cols = [
+            F.when(F.col(key_col).isNotNull(), p).alias(f"__pos{i}")
+            for i, p in enumerate(
+                _bloom_positions(F.col(key_col), num_bits, num_hashes)
+            )
+        ]
+        with_pos = probe.select("*", *pos_cols)
+        out_schema = T.StructType(
+            list(probe.schema.fields) + [T.StructField(flag, T.BooleanType())]
+        )
+        pos_names = [f"__pos{i}" for i in range(num_hashes)]
+
+        def op(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+            for pdf in batches:
+                valid = pdf[pos_names[0]].notna().to_numpy()
+                ok = np.zeros(len(pdf), dtype=bool)
+                if valid.any():
+                    mat = np.column_stack(
+                        [
+                            pdf[c].to_numpy(dtype="float64")[valid].astype(
+                                np.int64
+                            )
+                            for c in pos_names
+                        ]
+                    )
+                    idx = mat >> 6
+                    msk = np.uint64(1) << (mat & 63).astype(np.uint64)
+                    hit = (bitmap[idx] & msk) != 0
+                    ok[valid] = hit.all(axis=1)
+                res = pdf.drop(columns=pos_names)
+                res[flag] = ok
+                yield res
+
+        return with_pos.mapInPandas(op, out_schema)
+
     tested = (
-        keys.select(
+        probe.select(F.col(key_col).alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .distinct()
+        .select(
             "__k",
             F.posexplode(
                 F.array(*_bloom_positions(F.col("__k"), num_bits, num_hashes))
@@ -489,24 +580,43 @@ def bloom_anti_join(
     *,
     num_bits: int = 1 << 22,
     num_hashes: int = 5,
+    words: DataFrame | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """EXACT anti join (rows of ``new`` whose key is absent from
     ``reference``) with a Bloom prefilter: the "is this crawl record
     already in the 100 TB corpus?" fast path.
 
     Rows whose key misses the filter are *definitely* new and skip the
-    wide join entirely; only the filter-positive sliver (true matches +
-    the designed false-positive fraction) pays the exact left-anti
+    wide join entirely (the map-only bitmap probe — see bloom_probe —
+    never shuffles them); only the filter-positive sliver (true matches
+    + the designed false-positive fraction) pays the exact left-anti
     shuffle against the reference keys.  Output is exact — the filter
     only prunes, never decides — so the oracle is a plain ANTI JOIN.
     NULL-keyed rows are kept, matching left_anti's NULL semantics
     (NULL = no match).
+
+    The win over a plain anti join is proportional to the novel
+    fraction: novel rows skip the key shuffle entirely.  When the
+    reference is small enough to broadcast outright a plain anti join
+    is already shuffle-free — use that; this operator targets the
+    regime where neither side broadcasts.  Pass a prebuilt ``words``
+    table (from :func:`bloom_build`, e.g. maintained across ingest
+    batches) to skip rebuilding the filter per call — the amortized
+    shape IncrementalExactDedup uses.
     """
-    words = bloom_build(
-        reference, key_col, num_bits=num_bits, num_hashes=num_hashes
-    )
+    if words is None:
+        words = bloom_build(
+            reference, key_col, num_bits=num_bits, num_hashes=num_hashes
+        )
     flagged = bloom_probe(
-        new, words, key_col, num_bits=num_bits, num_hashes=num_hashes, flag="__bf"
+        new,
+        words,
+        key_col,
+        num_bits=num_bits,
+        num_hashes=num_hashes,
+        flag="__bf",
+        engine=engine,
     )
     definite_new = flagged.filter(~F.col("__bf")).drop("__bf")
     candidates = flagged.filter(F.col("__bf")).drop("__bf")

@@ -154,3 +154,75 @@ def test_incremental_bloom_dedup_survivor_sets(spark, tmp_path):
     # bloom word parquet exists and ORs into a usable filter
     words = spark.read.parquet(str(tmp_path / "idx_bloom"))
     assert words.count() > 0
+
+
+def test_bloom_probe_engines_agree(spark):
+    """bitmap (map-only) and join engines must flag identically,
+    including NULL keys and duplicates."""
+    from etielle_spark.operators.sketches import bloom_build, bloom_probe
+
+    ref = spark.createDataFrame([(f"in-{i}",) for i in range(100)], "key string")
+    probe = spark.createDataFrame(
+        [(i, f"in-{i % 150}") for i in range(300)] + [(900, None), (901, None)],
+        "id long, key string",
+    )
+    words = bloom_build(ref, "key", num_bits=1 << 12, num_hashes=5)
+    a = {
+        (r.id, r.might_contain)
+        for r in bloom_probe(
+            probe, words, "key", num_bits=1 << 12, num_hashes=5, engine="bitmap"
+        ).collect()
+    }
+    b = {
+        (r.id, r.might_contain)
+        for r in bloom_probe(
+            probe, words, "key", num_bits=1 << 12, num_hashes=5, engine="join"
+        ).collect()
+    }
+    assert a == b
+    # NULL keys flag False on both
+    assert (900, False) in a and (901, False) in a
+
+
+def test_bloom_anti_join_prebuilt_words_and_engines(spark):
+    from etielle_spark.operators.sketches import bloom_anti_join, bloom_build
+
+    new = spark.createDataFrame(
+        [(i, f"k-{i % 30}") for i in range(60)], "id long, key string"
+    )
+    ref = spark.createDataFrame([(f"k-{i}",) for i in range(0, 30, 2)], "key string")
+    want = sorted(
+        (r.id, r.key)
+        for r in new.join(ref.distinct(), ["key"], "left_anti").collect()
+    )
+    words = bloom_build(ref, "key", num_bits=1 << 12, num_hashes=5)
+    for eng in ("bitmap", "join"):
+        got = sorted(
+            (r.id, r.key)
+            for r in bloom_anti_join(
+                new, ref, "key", num_bits=1 << 12, num_hashes=5,
+                words=words, engine=eng,
+            ).collect()
+        )
+        assert got == want
+
+
+def test_bloom_probe_broadcast_engine_agrees(spark):
+    from etielle_spark.operators.sketches import bloom_build, bloom_probe
+
+    ref = spark.createDataFrame([(f"in-{i}",) for i in range(100)], "key string")
+    probe = spark.createDataFrame(
+        [(i, f"in-{i % 150}") for i in range(300)] + [(900, None)],
+        "id long, key string",
+    )
+    words = bloom_build(ref, "key", num_bits=1 << 12, num_hashes=5)
+    outs = {}
+    for eng in ("broadcast", "bitmap", "join"):
+        outs[eng] = {
+            (r.id, r.might_contain)
+            for r in bloom_probe(
+                probe, words, "key", num_bits=1 << 12, num_hashes=5, engine=eng
+            ).collect()
+        }
+    assert outs["broadcast"] == outs["bitmap"] == outs["join"]
+    assert (900, False) in outs["broadcast"]

@@ -412,3 +412,41 @@ def test_dsir_logratio_zero_gram_docs_dropped(spark):
     target = spark.createDataFrame([(9, "alpha beta")], "doc_id long, text string")
     out = dsir_logratio(corpus, "doc_id", "text", target)
     assert [r["id"] for r in out.collect()] == [1]
+
+
+def test_compression_ratio_signal(spark):
+    """Repetitive text compresses much harder than varied text; empty ->
+    1.0, NULL -> NULL, ratio reproducible (zlib is deterministic)."""
+    from etielle_spark.operators.text import compression_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam " * 50),
+            (2, "The quick brown fox jumps over the lazy dog near the bank " * 3
+                + "of the river while seventeen astronomers catalogue nebulae."),
+            (3, ""),
+            (4, None),
+        ],
+        "id long, text string",
+    )
+    rows = {r.id: r for r in compression_ratio(df, "id", "text").collect()}
+    assert rows[1].ratio < 0.1  # pure repetition collapses
+    assert 0.2 < rows[2].ratio < 0.9  # prose stays mid-range
+    assert rows[1].ratio < rows[2].ratio
+    assert rows[3].ratio == 1.0 and rows[3].n_bytes == 0
+    assert rows[4].ratio is None
+    # deterministic across runs
+    again = {r.id: r.ratio for r in compression_ratio(df, "id", "text").collect()}
+    assert again == {i: r.ratio for i, r in rows.items()}
+
+
+def test_compression_ratio_binary_column(spark):
+    from etielle_spark.operators.text import compression_ratio
+
+    df = spark.createDataFrame(
+        [(1, b"\x00" * 400), (2, bytes(range(256)))], "id long, payload binary"
+    )
+    rows = {r.id: r for r in compression_ratio(df, "id", "payload").collect()}
+    assert rows[1].ratio < 0.1  # constant bytes collapse
+    assert rows[2].ratio > 0.5  # high-entropy bytes do not
+    assert rows[1].n_bytes == 400 and rows[2].n_bytes == 256

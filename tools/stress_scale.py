@@ -191,6 +191,48 @@ def main() -> None:
         ).count(),
     )
 
+    # round-5 additions: bloom-prefiltered exact anti join in its design
+    # shape (filter built ONCE, amortized over ingest batches — the
+    # IncrementalExactDedup pattern; one-shot build+probe is also timed
+    # for honesty: at broadcastable reference size the plain anti join
+    # wins, the bloom's regime is neither-side-broadcastable) and the
+    # WebDataset tar shard writer
+    from etielle_spark.operators.sketches import bloom_anti_join, bloom_build
+    from etielle_spark.operators.webdataset import wds_write
+
+    probe = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("k")
+    )
+    ref_keys = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5(F.col("doc_id").cast("string")).alias("k"))
+    )
+    words = bloom_build(ref_keys, "k", num_bits=1 << 23, num_hashes=5).cache()
+    step("bloom_build", lambda: words.count())
+    n_bloom_new = step(
+        "bloom_anti_join_prebuilt",
+        lambda: bloom_anti_join(
+            probe, ref_keys, "k", num_bits=1 << 23, num_hashes=5, words=words
+        ).count(),
+    )
+    n_plain_new = step(
+        "plain_anti_join",
+        lambda: probe.join(ref_keys.distinct(), ["k"], "left_anti").count(),
+    )
+    words.unpersist()
+
+    import tempfile
+
+    wds_dir = tempfile.mkdtemp(prefix="stress_wds_") + "/shards"
+    n_wds = step(
+        "wds_write_64_shards",
+        lambda: int(
+            wds_write(docs, wds_dir, "doc_id", {"txt": "text"}, num_shards=64)
+            .agg(F.sum("n_samples"))
+            .first()[0]
+        ),
+    )
+
     print(
         json.dumps(
             {
@@ -210,6 +252,9 @@ def main() -> None:
                 "hll_groups": n_hll,
                 "line_dedup_docs_trimmed": n_linededup,
                 "dsir_scored": n_dsir,
+                "bloom_anti_join_new": n_bloom_new,
+                "plain_anti_join_new": n_plain_new,
+                "wds_samples_written": n_wds,
                 "timings_sec": timings,
                 "total_sec": round(sum(timings.values()), 2),
             }
