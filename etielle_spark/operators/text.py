@@ -1754,7 +1754,7 @@ def dsir_logratio(
     # (recoverable storage, the semdedup/ivf pattern) instead of
     # re-shingling the corpus for each — the tokenize+md5 explode is the
     # dominant cost at scale and this halves it (600k-doc stress:
-    # 10.2 s -> ~6 s).
+    # 10.2 s -> 7.0 s).
     from pyspark import StorageLevel
 
     doc_buckets = (
