@@ -383,6 +383,12 @@ def kmv_overlap(
 # tests per key.  A 2^30-bit filter (~1e8 keys at 1% FP) is 16M words
 # = 128 MB — broadcastable; beyond that the word_idx equi-join simply
 # shuffles, still never materializing pairs.
+#
+# Sibling: plans/bloom.py embeds a SMALL (<= 2^24 bits) bitmap as a plan
+# LITERAL to prune a fact scan before a dimension join — ephemeral,
+# per-query.  This one is the corpus-lifetime variant: bigger, stored
+# and merged as data, reused across ingest batches
+# (streaming/incremental_dedup.py).
 # ---------------------------------------------------------------------------
 
 
