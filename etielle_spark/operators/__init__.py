@@ -51,9 +51,18 @@ from .similarity import (
     silhouette_centroid,
 )
 from .clusters import temperature_mixture
-from .sketches import hll_distinct, kmv_distinct
+from .sketches import (
+    bloom_anti_join,
+    bloom_build,
+    bloom_probe,
+    hll_distinct,
+    kmv_distinct,
+)
+from .webdataset import wds_read, wds_samples, wds_write
 from .text import (
     bpe_encode,
+    compression_ratio,
+    dsir_logratio,
     densify_counts,
     interpolated_nll,
     logreg_score,
@@ -125,4 +134,12 @@ __all__ = [
     "pmi_collocations",
     "rake_keyphrases",
     "stylometric_deviation",
+    "bloom_build",
+    "bloom_probe",
+    "bloom_anti_join",
+    "wds_write",
+    "wds_read",
+    "wds_samples",
+    "compression_ratio",
+    "dsir_logratio",
 ]
