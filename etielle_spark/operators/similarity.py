@@ -549,12 +549,20 @@ def mmr_select(
     id_is_numeric = isinstance(id_dtype, T.NumericType)
     id_expr = F.col(id_col).cast("long") if id_is_numeric else F.col(id_col)
     out_id_type = T.LongType() if id_is_numeric else id_dtype
+    # Unscorable vectors (NULL / empty / NULL element — the semdedup
+    # arrow-engine rule) have no similarity to anything and can never be
+    # picked; drop them here rather than crash the numpy batch.
     src = corpus.select(
         bucket_expr.alias("__b"),
         id_expr.alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
         F.round(F.col(score_col).cast("double"), round_to).alias("__score"),
-    ).filter(F.col("__v").isNotNull() & F.col("__score").isNotNull())
+    ).filter(
+        F.col("__v").isNotNull()
+        & (F.size("__v") > 0)
+        & ~F.exists("__v", lambda x: x.isNull())
+        & F.col("__score").isNotNull()
+    )
     kk, ll, cap, rt = int(k), float(lam), int(max_bucket), int(round_to)
 
     def pick(pdf):

@@ -450,3 +450,27 @@ def test_compression_ratio_binary_column(spark):
     assert rows[1].ratio < 0.1  # constant bytes collapse
     assert rows[2].ratio > 0.5  # high-entropy bytes do not
     assert rows[1].n_bytes == 400 and rows[2].n_bytes == 256
+
+
+def test_mmr_select_unscorable_vectors(spark):
+    """NULL / empty / NULL-element vectors must not crash the pandas
+    batch (same rule as semdedup's arrow engine): they are unscorable,
+    so they are never picked and everything else selects normally."""
+    from etielle_spark.operators.similarity import mmr_select
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], 0.9),
+            (2, [0.9, 0.1, 0.0], 0.8),
+            (3, None, 0.7),
+            (4, [], 0.6),
+            (5, [1.0, None, 0.0], 0.5),
+            (6, [0.0, 1.0, 0.0], 0.4),
+        ],
+        "id long, vec array<double>, score double",
+    )
+    rows = mmr_select(emb, "id", "vec", "score", k=3).collect()
+    picked = {r.id for r in rows}
+    assert len(rows) == 3
+    assert picked <= {1, 2, 6}  # unscorable 3/4/5 never selected
+    assert 1 in picked  # highest relevance picked first
