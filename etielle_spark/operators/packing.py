@@ -54,10 +54,18 @@ def pack_counts(
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
 
-    sized = df.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
-        F.col(count_col).cast("bigint").alias("n"),
-        F.pmod(F.col(id_col).cast("bigint"), F.lit(num_buckets)).alias("bucket"),
+    # NULL counts pack as 0 (the doc still occupies a slot, like the
+    # zero-token case in pack_sequences); NULL ids are unaddressable and
+    # are dropped rather than crashing the pandas worker on NaN.
+    sized = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col).cast("bigint").alias("doc_id"),
+            F.coalesce(F.col(count_col).cast("bigint"), F.lit(0)).alias("n"),
+            F.pmod(F.col(id_col).cast("bigint"), F.lit(num_buckets)).alias(
+                "bucket"
+            ),
+        )
     )
 
     def pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -474,3 +474,19 @@ def test_mmr_select_unscorable_vectors(spark):
     assert len(rows) == 3
     assert picked <= {1, 2, 6}  # unscorable 3/4/5 never selected
     assert 1 in picked  # highest relevance picked first
+
+
+def test_pack_counts_null_counts_and_ids(spark):
+    """NULL counts pack as 0 (doc keeps its slot); NULL ids are dropped
+    instead of crashing the pandas worker on NaN."""
+    from etielle_spark.operators.packing import pack_counts
+
+    toks = spark.createDataFrame(
+        [(1, 100), (2, None), (3, 50), (4, 0), (None, 10)],
+        "id long, n_tokens int",
+    )
+    packs = pack_counts(toks, "id", "n_tokens", capacity=120).collect()
+    packed_ids = sorted(i for r in packs for i in r.doc_ids)
+    assert packed_ids == [1, 2, 3, 4]
+    assert sum(r.n_tokens for r in packs) == 150
+    assert all(r.n_tokens <= 120 for r in packs)
