@@ -109,16 +109,23 @@ def mad_outliers(
     Returns the input rows plus ``med``, ``mad``, ``is_outlier``.
     Groups where MAD = 0 (constant values) flag nothing.
     """
+    def join_stats(left: DataFrame, stats: DataFrame) -> DataFrame:
+        # empty group_cols = one global group (winsorize convention):
+        # a key-less join is a single-row broadcast cross join
+        if group_cols:
+            return left.join(F.broadcast(stats), group_cols)
+        return left.crossJoin(F.broadcast(stats))
+
     med = df.groupBy(*group_cols).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("med")
     )
-    with_med = df.join(F.broadcast(med), group_cols)
+    with_med = join_stats(df, med)
     mad = (
         with_med.groupBy(*group_cols)
         .agg(F.expr(f"percentile(abs({value_col} - med), 0.5)").alias("mad"))
     )
     return (
-        with_med.join(F.broadcast(mad), group_cols)
+        join_stats(with_med, mad)
         .withColumn("med", F.round(F.col("med"), 6))
         .withColumn("mad", F.round(F.col("mad"), 6))
         .withColumn(

@@ -490,3 +490,17 @@ def test_pack_counts_null_counts_and_ids(spark):
     assert packed_ids == [1, 2, 3, 4]
     assert sum(r.n_tokens for r in packs) == 150
     assert all(r.n_tokens <= 120 for r in packs)
+
+
+def test_mad_outliers_global_group(spark):
+    """Empty group_cols = one global group (winsorize convention) —
+    previously crashed on the key-less join."""
+    from etielle_spark.operators.profile import mad_outliers
+
+    nums = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 100.0), (4, 2.0), (5, 1.5)],
+        "id long, x double",
+    )
+    rows = {r.id: r for r in mad_outliers(nums, [], "x").collect()}
+    assert rows[3].is_outlier  # 100 vs median ~1.5
+    assert not rows[1].is_outlier and not rows[4].is_outlier
