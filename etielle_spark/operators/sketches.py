@@ -470,7 +470,17 @@ def bloom_probe(
     if engine not in ("auto", "broadcast", "bitmap", "join"):
         raise ValueError(f"bloom_probe: unknown engine {engine!r}")
     if engine == "auto":
-        engine = "broadcast" if num_bits <= (1 << 30) else "join"
+        # broadcast ships the words table once PER JOIN (the k aliased
+        # build sides don't canonicalize equal, so no exchange reuse) —
+        # keep it for filters where k copies are still cheap; bitmap
+        # ships one numpy array per worker, so it carries the mid range;
+        # beyond driver-collectable, stay fully distributed.
+        if num_bits <= (1 << 26):  # <= 8 MB words, k copies ~tens of MB
+            engine = "broadcast"
+        elif num_bits <= (1 << 30):  # <= 128 MB bitmap, shipped once
+            engine = "bitmap"
+        else:
+            engine = "join"
 
     if engine == "broadcast":
         out = probe
