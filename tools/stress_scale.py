@@ -63,9 +63,20 @@ def main() -> None:
         return out
 
     n_unique = step("exact_dedup", lambda: exact_dedup_by_content(docs, "doc_id", "text").count())
-    n_sigs = step(
-        "minhash_16", lambda: minhash_signatures(docs, "doc_id", "text", num_hashes=16).count()
+    def force(df):
+        # noop sink materializes EVERY column — a bare count() lets
+        # Catalyst prune map-only computations to a scan (the round-3
+        # bench fix, now applied to the stress receipts too)
+        df.write.format("noop").mode("overwrite").save()
+        return df
+
+    sigs = step(
+        "minhash_16",
+        lambda: force(
+            minhash_signatures(docs, "doc_id", "text", num_hashes=16)
+        ),
     )
+    n_sigs = sigs.count()
     n_pairs = step(
         "lsh_pairs",
         lambda: lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=16, bands=4).count(),
@@ -76,9 +87,9 @@ def main() -> None:
             docs, "doc_id", "text", num_hashes=16, bands=4, max_bucket_size=64
         ).count(),
     )
-    step("token_stats", lambda: token_stats(docs, "doc_id", "text").count())
-    step("quality", lambda: quality_score(docs, "doc_id", "text").count())
-    step("lang_id", lambda: lang_id(docs, "doc_id", "text").count())
+    step("token_stats", lambda: force(token_stats(docs, "doc_id", "text")))
+    step("quality", lambda: force(quality_score(docs, "doc_id", "text")))
+    step("lang_id", lambda: force(lang_id(docs, "doc_id", "text")))
 
     # round-2 operators at the same corpus scale
     from etielle_spark.operators.clusters import mixture_resample
@@ -86,7 +97,7 @@ def main() -> None:
     from etielle_spark.operators.similarity import semdedup
     from etielle_spark.operators.web import cap_per_domain, charset_profile
 
-    step("charset_profile", lambda: charset_profile(docs, "doc_id", "text").count())
+    step("charset_profile", lambda: force(charset_profile(docs, "doc_id", "text")))
     urls = docs.select(
         "doc_id",
         F.concat(
@@ -139,13 +150,16 @@ def main() -> None:
     from etielle_spark.operators.text import classifier_score
     from etielle_spark.operators.web import c4_page_filter
 
-    n_scored = step(
+    step(
         "classifier_score",
-        lambda: classifier_score(
-            docs, "doc_id", "text",
-            {"item": 0.3, "n": -0.1, "r": 0.2, "a": -0.2},
-        ).count(),
+        lambda: force(
+            classifier_score(
+                docs, "doc_id", "text",
+                {"item": 0.3, "n": -0.1, "r": 0.2, "a": -0.2},
+            )
+        ),
     )
+    n_scored = n  # map-only: one score row per document
     n_c4 = step(
         "c4_page_filter",
         lambda: c4_page_filter(
