@@ -226,3 +226,45 @@ def test_bloom_probe_broadcast_engine_agrees(spark):
         }
     assert outs["broadcast"] == outs["bitmap"] == outs["join"]
     assert (900, False) in outs["broadcast"]
+
+
+def test_minhash_base_hash_engines(spark):
+    """xxhash64 base: same shape/type, engine-different signatures,
+    equivalent estimator quality (near-dup pair shares most slots,
+    disjoint pair shares few) — and LSH composes via signatures=."""
+    from etielle_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely different text with no shared shingles at all"),
+        ],
+        "doc_id long, text string",
+    )
+    md5 = {r.doc_id: r.signature for r in
+           minhash_signatures(docs, "doc_id", "text").collect()}
+    xx = {r.doc_id: r.signature for r in
+          minhash_signatures(docs, "doc_id", "text", base_hash="xxhash64").collect()}
+    assert set(md5) == set(xx) == {1, 2, 3}
+    assert all(len(s) == 16 for s in xx.values())
+    assert md5[1] != xx[1]  # engine-specific values
+    for sigs in (md5, xx):
+        shared_near = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+        shared_far = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+        assert shared_near > shared_far  # estimator quality holds
+    fast_sigs = minhash_signatures(docs, "doc_id", "text", base_hash="xxhash64")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(
+            docs, "doc_id", "text", num_hashes=16, bands=8, signatures=fast_sigs
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs
+    import pytest
+
+    with pytest.raises(ValueError):
+        minhash_signatures(docs, "doc_id", "text", base_hash="sha9000")
