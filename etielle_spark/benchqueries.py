@@ -10576,3 +10576,60 @@ def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("id") % 3 == 0)
     ref = docs.filter(F.col("id") % 2 == 0).select("key")
     return bloom_anti_join(new, ref, "key", num_bits=1 << 16, num_hashes=5)
+
+
+@q(
+    "q235_vocab_drift",
+    f"""
+    WITH toks AS (SELECT lang, {_TOKS} AS t FROM documents
+                  WHERE lang IS NOT NULL),
+    tok AS (SELECT lang, unnest(t) AS tk FROM toks),
+    b AS (SELECT lang,
+                 ('0x' || substr(md5(tk), 1, 8))::BIGINT % 1024 AS bucket
+          FROM tok),
+    cnt AS (SELECT lang, bucket, count(*) AS c FROM b GROUP BY lang, bucket),
+    tot AS (SELECT lang, sum(c) AS t FROM cnt GROUP BY lang),
+    grid AS (SELECT g.lang, r.i AS bucket
+             FROM (SELECT DISTINCT lang FROM cnt) g,
+                  (SELECT unnest(range(1024)) AS i) r),
+    filled AS (SELECT gr.lang, gr.bucket, coalesce(cnt.c, 0) AS c
+               FROM grid gr LEFT JOIN cnt
+                 ON cnt.lang = gr.lang AND cnt.bucket = gr.bucket),
+    pairs AS (SELECT a.lang AS ga, bb.lang AS gb, a.bucket,
+                     a.c AS ca, bb.c AS cb
+              FROM filled a JOIN filled bb
+                ON a.bucket = bb.bucket AND a.lang < bb.lang),
+    terms AS (
+      SELECT ga, gb,
+        CAST(round(round(
+            0.5 * ((ca + 1.0) / (ta.t + 1024.0))
+              * ln(((ca + 1.0) / (ta.t + 1024.0))
+                   / ((((ca + 1.0) / (ta.t + 1024.0))
+                       + ((cb + 1.0) / (tb.t + 1024.0))) / 2))
+          + 0.5 * ((cb + 1.0) / (tb.t + 1024.0))
+              * ln(((cb + 1.0) / (tb.t + 1024.0))
+                   / ((((ca + 1.0) / (ta.t + 1024.0))
+                       + ((cb + 1.0) / (tb.t + 1024.0))) / 2)),
+          6) * 1000000, 0) AS BIGINT) AS u
+      FROM pairs
+      JOIN tot ta ON ta.lang = pairs.ga
+      JOIN tot tb ON tb.lang = pairs.gb
+    )
+    SELECT t.ga AS group_a, t.gb AS group_b,
+           ta2.t::BIGINT AS n_tokens_a, tb2.t::BIGINT AS n_tokens_b,
+           sum(t.u) / 1000000.0 AS js_divergence
+    FROM terms t
+    JOIN tot ta2 ON ta2.lang = t.ga
+    JOIN tot tb2 ON tb2.lang = t.gb
+    GROUP BY t.ga, t.gb, ta2.t, tb2.t
+    """,
+)
+def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary drift (operators/text.py:vocab_drift): pairwise
+    Jensen-Shannon divergence between per-language hashed unigram
+    distributions — the "did this slice of the corpus shift?" monitor,
+    with the same integer-micro-unit exactness trick as DSIR."""
+    from .operators.text import vocab_drift
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return vocab_drift(docs, "doc_id", "text", "lang", n_buckets=1024)

@@ -63,6 +63,7 @@ from .text import (
     bpe_encode,
     compression_ratio,
     dsir_logratio,
+    vocab_drift,
     densify_counts,
     interpolated_nll,
     logreg_score,
@@ -142,4 +143,5 @@ __all__ = [
     "wds_samples",
     "compression_ratio",
     "dsir_logratio",
+    "vocab_drift",
 ]

@@ -1877,3 +1877,84 @@ def compression_ratio(
             )
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(op, out_schema)
+
+
+def vocab_drift(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    *,
+    n_buckets: int = 1024,
+    k: float = 1.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-group hashed
+    unigram distributions — the corpus drift monitor: did this week's
+    crawl, this source, or this pipeline revision shift the vocabulary?
+    JS is symmetric and bounded by ln 2, so thresholds transfer across
+    corpora (0 = identical distributions, ~0.69 = disjoint).
+
+    Scale shape follows DSIR (``dsir_logratio``): ONE distributed
+    tokenize+hash pass and a count keyed on (group, bucket) whose
+    output is at most ``groups x n_buckets`` rows — a dimension-sized
+    table collected to the driver (the kmeans/logreg KB-probe pattern),
+    where the add-``k``-smoothed pairwise JS is computed in exact
+    ``10^-round_to`` integer units per bucket term (engine- and
+    order-independent sums, same trick as DSIR's ratio table).
+
+    Returns one row per unordered group pair, lexically ordered:
+    ``(group_a, group_b, n_tokens_a, n_tokens_b, js_divergence)``
+    (nats).  NULL groups are dropped; groups with zero tokens don't
+    appear.
+    """
+    import math
+
+    from .dedup import tokens_col
+
+    B = int(n_buckets)
+    counts = (
+        df.filter(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias("__g"),
+            F.explode(tokens_col(F.col(text_col))).alias("__t"),
+        )
+        .select(
+            "__g",
+            (
+                F.conv(F.substring(F.md5("__t"), 1, 8), 16, 10).cast("long")
+                % B
+            ).alias("__b"),
+        )
+        .groupBy("__g", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    by_group: dict[str, dict[int, int]] = {}
+    for r in counts.collect():
+        by_group.setdefault(r["__g"], {})[int(r["__b"])] = int(r["__c"])
+    totals = {g: sum(c.values()) for g, c in by_group.items()}
+
+    scale = 10**round_to
+
+    def to_units(x: float) -> int:
+        r = math.copysign(math.floor(abs(x) * scale + 0.5) / scale, x)
+        return int(math.floor(r * scale + 0.5))
+
+    groups = sorted(by_group)
+    out = []
+    for i, ga in enumerate(groups):
+        for gb in groups[i + 1 :]:
+            ca, cb = by_group[ga], by_group[gb]
+            ta, tb = totals[ga], totals[gb]
+            u = 0
+            for b in range(B):
+                p = (ca.get(b, 0) + k) / (ta + k * B)
+                q = (cb.get(b, 0) + k) / (tb + k * B)
+                m = (p + q) / 2
+                u += to_units(0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m))
+            out.append((ga, gb, ta, tb, u / float(scale)))
+    return df.sparkSession.createDataFrame(
+        out,
+        "group_a string, group_b string, n_tokens_a bigint, "
+        "n_tokens_b bigint, js_divergence double",
+    )

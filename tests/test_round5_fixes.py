@@ -504,3 +504,26 @@ def test_mad_outliers_global_group(spark):
     rows = {r.id: r for r in mad_outliers(nums, [], "x").collect()}
     assert rows[3].is_outlier  # 100 vs median ~1.5
     assert not rows[1].is_outlier and not rows[4].is_outlier
+
+
+def test_vocab_drift_properties(spark):
+    """JS divergence: ~0 for identical vocab, larger for disjoint vocab,
+    symmetric pairs ordered lexically, NULL groups dropped."""
+    from etielle_spark.operators.text import vocab_drift
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha", "a"),
+            (2, "alpha beta gamma beta", "b"),
+            (3, "zeta eta theta iota kappa", "c"),
+            (4, "ignored words", None),
+        ],
+        "doc_id long, text string, grp string",
+    )
+    rows = {(r.group_a, r.group_b): r for r in
+            vocab_drift(docs, "doc_id", "text", "grp", n_buckets=64).collect()}
+    assert set(rows) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab, ac = rows[("a", "b")], rows[("a", "c")]
+    assert ab.js_divergence < ac.js_divergence  # shared vocab < disjoint
+    assert 0.0 <= ab.js_divergence <= 0.6932
+    assert ab.n_tokens_a == 4 and ab.n_tokens_b == 4
