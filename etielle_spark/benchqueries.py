@@ -10633,3 +10633,32 @@ def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     return vocab_drift(docs, "doc_id", "text", "lang", n_buckets=1024)
+
+
+@q(
+    "q236_cross_group_overlap",
+    """
+    WITH d AS (SELECT DISTINCT lang AS g, md5(text) AS dg
+               FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+    sz AS (SELECT g, count(*) AS n FROM d GROUP BY g),
+    sh AS (SELECT a.g AS group_a, b.g AS group_b, count(*) AS n_shared
+           FROM d a JOIN d b ON a.dg = b.dg AND a.g < b.g
+           GROUP BY a.g, b.g)
+    SELECT pa.g AS group_a, pb.g AS group_b,
+           coalesce(sh.n_shared, 0)::BIGINT AS n_shared,
+           pa.n::BIGINT AS n_a, pb.n::BIGINT AS n_b,
+           round(coalesce(sh.n_shared, 0)
+                 / (pa.n + pb.n - coalesce(sh.n_shared, 0)), 6) AS jaccard
+    FROM sz pa JOIN sz pb ON pa.g < pb.g
+    LEFT JOIN sh ON sh.group_a = pa.g AND sh.group_b = pb.g
+    """,
+)
+def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-content overlap matrix
+    (operators/dedup.py:cross_group_overlap): distinct-digest Jaccard
+    between every pair of languages — the "source B is a re-crawl of
+    source A" provenance diagnostic run before mixture weighting."""
+    from .operators.dedup import cross_group_overlap
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return cross_group_overlap(docs, "doc_id", "text", "lang")

@@ -34,7 +34,7 @@ from .clusters import (
     shard_assign,
     write_shards,
 )
-from .dedup import prefix_filter_pairs
+from .dedup import cross_group_overlap, prefix_filter_pairs
 from .search import bm25_topk, inverted_index
 from .similarity import (
     brute_force_topk,
@@ -144,4 +144,5 @@ __all__ = [
     "compression_ratio",
     "dsir_logratio",
     "vocab_drift",
+    "cross_group_overlap",
 ]

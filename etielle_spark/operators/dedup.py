@@ -1389,3 +1389,67 @@ def line_dedup(
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
         )
     )
+
+
+def cross_group_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise exact-content overlap between groups (sources, crawls,
+    snapshots): for every unordered group pair, how many distinct
+    content digests they share and the Jaccard of their digest sets —
+    the provenance diagnostic behind "source B is 40% a re-crawl of
+    source A", run before mixture weighting double-counts it.
+
+    One corpus pass to (group, md5 digest) distinct rows, a self-join
+    on digest (32-byte keys, never bodies), and a count per group pair
+    — the pair table is ``groups^2``-bounded, the join is digest-keyed
+    and linear in shared content.  NULL groups/texts are dropped.
+
+    Returns ``(group_a, group_b, n_shared, n_a, n_b, jaccard)``,
+    lexically ordered pairs.
+    """
+    digests = (
+        df.filter(F.col(group_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias("__g"),
+            F.md5(F.col(text_col)).alias("__d"),
+        )
+        .distinct()
+    )
+    sizes = digests.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    a = digests.select(F.col("__g").alias("group_a"), "__d")
+    b = digests.select(F.col("__g").alias("group_b"), "__d")
+    shared = (
+        a.join(b, "__d")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    # every group pair appears, including zero-overlap ones
+    pairs = (
+        sizes.select(F.col("__g").alias("group_a"), F.col("__n").alias("n_a"))
+        .crossJoin(
+            sizes.select(F.col("__g").alias("group_b"), F.col("__n").alias("n_b"))
+        )
+        .filter(F.col("group_a") < F.col("group_b"))
+    )
+    return (
+        pairs.join(shared, ["group_a", "group_b"], "left")
+        .select(
+            "group_a",
+            "group_b",
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("n_shared", F.lit(0))),
+                round_to,
+            ).alias("jaccard"),
+        )
+    )

@@ -527,3 +527,27 @@ def test_vocab_drift_properties(spark):
     assert ab.js_divergence < ac.js_divergence  # shared vocab < disjoint
     assert 0.0 <= ab.js_divergence <= 0.6932
     assert ab.n_tokens_a == 4 and ab.n_tokens_b == 4
+
+
+def test_cross_group_overlap(spark):
+    """Shared digests counted once (distinct), zero-overlap pairs kept,
+    NULL group/text dropped, Jaccard exact."""
+    from etielle_spark.operators.dedup import cross_group_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same doc", "a"), (2, "same doc", "a"),  # intra-dup: 1 digest
+            (3, "only in a", "a"),
+            (4, "same doc", "b"), (5, "only in b", "b"),
+            (6, "island", "c"),
+            (7, None, "a"), (8, "dropped", None),
+        ],
+        "doc_id long, text string, grp string",
+    )
+    rows = {(r.group_a, r.group_b): r for r in
+            cross_group_overlap(docs, "doc_id", "text", "grp").collect()}
+    assert set(rows) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = rows[("a", "b")]
+    assert (ab.n_shared, ab.n_a, ab.n_b) == (1, 2, 2)
+    assert abs(ab.jaccard - 1 / 3) < 1e-6
+    assert rows[("a", "c")].n_shared == 0 and rows[("a", "c")].jaccard == 0.0
