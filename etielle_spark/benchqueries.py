@@ -10662,3 +10662,47 @@ def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     return cross_group_overlap(docs, "doc_id", "text", "lang")
+
+
+@q(
+    "q237_ks_drift",
+    """
+    WITH v AS (SELECT lang AS g, n_chars::DOUBLE AS v FROM documents
+               WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+    cnt AS (SELECT g, v, count(*) AS c FROM v GROUP BY g, v),
+    sz AS (SELECT g, sum(c) AS n FROM cnt GROUP BY g),
+    pairs AS (SELECT a.g AS ga, b.g AS gb, a.n AS na, b.n AS nb
+              FROM sz a JOIN sz b ON a.g < b.g),
+    vals AS (
+      SELECT DISTINCT p.ga, p.gb, c.v
+      FROM pairs p JOIN cnt c ON c.g = p.ga OR c.g = p.gb
+    ),
+    grid AS (
+      SELECT vl.ga, vl.gb, vl.v,
+             coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+      FROM vals vl
+      LEFT JOIN cnt a ON a.g = vl.ga AND a.v = vl.v
+      LEFT JOIN cnt b ON b.g = vl.gb AND b.v = vl.v
+    ),
+    cdf AS (
+      SELECT ga, gb,
+             sum(ca) OVER (PARTITION BY ga, gb ORDER BY v) AS cum_a,
+             sum(cb) OVER (PARTITION BY ga, gb ORDER BY v) AS cum_b
+      FROM grid
+    )
+    SELECT c.ga AS group_a, c.gb AS group_b,
+           p.na::BIGINT AS n_a, p.nb::BIGINT AS n_b,
+           round(max(abs(c.cum_a / p.na - c.cum_b / p.nb)), 6) AS ks_stat
+    FROM cdf c JOIN pairs p ON p.ga = c.ga AND p.gb = c.gb
+    GROUP BY c.ga, c.gb, p.na, p.nb
+    """,
+)
+def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-feature drift (operators/profile.py:ks_drift): exact
+    two-sample Kolmogorov-Smirnov statistic of the document-length
+    distribution between every language pair — vocab_drift's numeric
+    twin for corpus monitoring."""
+    from .operators.profile import ks_drift
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    return ks_drift(docs, "n_chars", "lang")

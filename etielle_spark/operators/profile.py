@@ -619,3 +619,89 @@ def skew_report(
             "n_keys",
         )
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic for every unordered
+    group pair — the numeric-feature drift monitor (document lengths,
+    quality scores, timestamps) beside ``text.vocab_drift``'s vocabulary
+    one: D = max over values of |F_a(v) - F_b(v)| with the empirical
+    CDFs evaluated after ties (the standard two-sample convention).
+
+    Fully relational: per-(group, value) counts (ONE aggregation), a
+    groups^2-bounded pair table (the group list is dimension-sized by
+    definition — these are sources/languages/snapshots), counts joined
+    to each pair's sides, and a cumulative-sum window keyed on the pair
+    — so the widest shuffle carries (pairs x distinct values) count
+    rows, never raw rows.  Exact integer arithmetic until the final
+    division, so the statistic is engine- and order-independent.
+
+    Returns ``(group_a, group_b, n_a, n_b, ks_stat)``, lexically
+    ordered pairs; NULL groups/values are dropped.
+    """
+    counts = (
+        df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias("__g"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .groupBy("__g", "__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    sizes = counts.groupBy("__g").agg(F.sum("__c").alias("__n"))
+    pairs = (
+        sizes.select(F.col("__g").alias("group_a"), F.col("__n").alias("n_a"))
+        .crossJoin(
+            sizes.select(F.col("__g").alias("group_b"), F.col("__n").alias("n_b"))
+        )
+        .filter(F.col("group_a") < F.col("group_b"))
+    )
+    ca = counts.select(
+        F.col("__g").alias("group_a"), F.col("__v").alias("__va"), F.col("__c").alias("__ca")
+    )
+    cb = counts.select(
+        F.col("__g").alias("group_b"), F.col("__v").alias("__vb"), F.col("__c").alias("__cb")
+    )
+    # distinct values per pair from the union of both sides, then
+    # left-join each side's count back (a full outer can't rebuild pair
+    # identity for one-side-only values)
+    vals_a = pairs.join(ca, "group_a").select("group_a", "group_b", F.col("__va").alias("__v"))
+    vals_b = pairs.join(cb, "group_b").select("group_a", "group_b", F.col("__vb").alias("__v"))
+    vals = vals_a.unionByName(vals_b).distinct()
+    grid = (
+        vals.join(ca, (vals["group_a"] == ca["group_a"]) & (vals["__v"] == ca["__va"]), "left")
+        .select(vals["group_a"], vals["group_b"], vals["__v"], F.coalesce("__ca", F.lit(0)).alias("ca"))
+        .join(cb, (vals["group_b"] == cb["group_b"]) & (F.col("__v") == cb["__vb"]), "left")
+        .select(vals["group_a"], vals["group_b"], "__v", "ca", F.coalesce("__cb", F.lit(0)).alias("cb"))
+    )
+    w = Window.partitionBy("group_a", "group_b").orderBy("__v")
+    cdf = grid.select(
+        "group_a",
+        "group_b",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    stats = (
+        cdf.join(pairs, ["group_a", "group_b"])
+        .groupBy("group_a", "group_b", "n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_a") / F.col("n_a") - F.col("cum_b") / F.col("n_b")
+                )
+            ).alias("__d")
+        )
+    )
+    return stats.select(
+        "group_a",
+        "group_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round("__d", round_to).alias("ks_stat"),
+    )

@@ -551,3 +551,22 @@ def test_cross_group_overlap(spark):
     assert (ab.n_shared, ab.n_a, ab.n_b) == (1, 2, 2)
     assert abs(ab.jaccard - 1 / 3) < 1e-6
     assert rows[("a", "c")].n_shared == 0 and rows[("a", "c")].jaccard == 0.0
+
+
+def test_ks_drift_known_answer(spark):
+    """Exact two-sample KS: shifted sample D=0.4, identical sample D=0,
+    NULL group/value dropped."""
+    from etielle_spark.operators.profile import ks_drift
+
+    rows_in = (
+        [("a", float(v)) for v in [1, 2, 3, 4, 5]]
+        + [("b", float(v)) for v in [3, 4, 5, 6, 7]]
+        + [("c", float(v)) for v in [1, 2, 3, 4, 5]]
+        + [("a", None), (None, 9.0)]
+    )
+    df = spark.createDataFrame(rows_in, "g string, v double")
+    rows = {(r.group_a, r.group_b): r for r in ks_drift(df, "v", "g").collect()}
+    assert set(rows) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert abs(rows[("a", "b")].ks_stat - 0.4) < 1e-9
+    assert rows[("a", "c")].ks_stat == 0.0
+    assert rows[("a", "b")].n_a == 5 and rows[("a", "b")].n_b == 5
