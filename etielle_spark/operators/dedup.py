@@ -1421,7 +1421,6 @@ def cross_group_overlap(
         )
         .distinct()
     )
-    sizes = digests.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
     a = digests.select(F.col("__g").alias("group_a"), "__d")
     b = digests.select(F.col("__g").alias("group_b"), "__d")
     shared = (
@@ -1430,13 +1429,24 @@ def cross_group_overlap(
         .groupBy("group_a", "group_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    # every group pair appears, including zero-overlap ones
-    pairs = (
-        sizes.select(F.col("__g").alias("group_a"), F.col("__n").alias("n_a"))
-        .crossJoin(
-            sizes.select(F.col("__g").alias("group_b"), F.col("__n").alias("n_b"))
-        )
-        .filter(F.col("group_a") < F.col("group_b"))
+    # every group pair appears, including zero-overlap ones: the group
+    # list is dimension-sized by definition (sources/snapshots), so the
+    # pair table is a driver-built local relation (the KB-probe pattern)
+    # — equi-joins only, no nested-loop cross join in the plan
+    sizes = {
+        r["__g"]: int(r["__n"])
+        for r in digests.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
+    gs = sorted(sizes)
+    pairs = df.sparkSession.createDataFrame(
+        [
+            (ga, gb, sizes[ga], sizes[gb])
+            for i, ga in enumerate(gs)
+            for gb in gs[i + 1 :]
+        ],
+        "group_a string, group_b string, n_a bigint, n_b bigint",
     )
     return (
         pairs.join(shared, ["group_a", "group_b"], "left")

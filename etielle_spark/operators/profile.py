@@ -654,13 +654,21 @@ def ks_drift(
         .groupBy("__g", "__v")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    sizes = counts.groupBy("__g").agg(F.sum("__c").alias("__n"))
-    pairs = (
-        sizes.select(F.col("__g").alias("group_a"), F.col("__n").alias("n_a"))
-        .crossJoin(
-            sizes.select(F.col("__g").alias("group_b"), F.col("__n").alias("n_b"))
-        )
-        .filter(F.col("group_a") < F.col("group_b"))
+    # group list is dimension-sized by definition: build the pair table
+    # driver-side (KB probe) so the plan is equi-joins only — no
+    # nested-loop cross join for pair enumeration
+    sizes = {
+        r["__g"]: int(r["__n"])
+        for r in counts.groupBy("__g").agg(F.sum("__c").alias("__n")).collect()
+    }
+    gs = sorted(sizes)
+    pairs = df.sparkSession.createDataFrame(
+        [
+            (ga, gb, sizes[ga], sizes[gb])
+            for i, ga in enumerate(gs)
+            for gb in gs[i + 1 :]
+        ],
+        "group_a string, group_b string, n_a bigint, n_b bigint",
     )
     ca = counts.select(
         F.col("__g").alias("group_a"), F.col("__v").alias("__va"), F.col("__c").alias("__ca")
