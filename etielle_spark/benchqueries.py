@@ -10706,3 +10706,61 @@ def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
     return ks_drift(docs, "n_chars", "lang")
+
+
+@q(
+    "q238_psi_drift",
+    """
+    WITH v AS (SELECT lang AS g, n_chars::DOUBLE AS v FROM documents
+               WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+    edges AS (
+      SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS e
+      FROM v WHERE g = (SELECT min(g) FROM v)
+    ),
+    binned AS (
+      SELECT g,
+             CASE WHEN v <= e[1] THEN 0 WHEN v <= e[2] THEN 1
+                  WHEN v <= e[3] THEN 2 WHEN v <= e[4] THEN 3
+                  WHEN v <= e[5] THEN 4 WHEN v <= e[6] THEN 5
+                  WHEN v <= e[7] THEN 6 WHEN v <= e[8] THEN 7
+                  WHEN v <= e[9] THEN 8 ELSE 9 END AS b
+      FROM v, edges
+    ),
+    cnt AS (SELECT g, b, count(*) AS c FROM binned GROUP BY g, b),
+    grid AS (SELECT gg.g, r.i AS b
+             FROM (SELECT DISTINCT g FROM cnt) gg,
+                  (SELECT unnest(range(10)) AS i) r),
+    filled AS (SELECT grid.g, grid.b, coalesce(cnt.c, 0) AS c
+               FROM grid LEFT JOIN cnt
+                 ON cnt.g = grid.g AND cnt.b = grid.b),
+    tot AS (SELECT g, sum(c) AS n FROM filled GROUP BY g),
+    ref AS (SELECT f.b, f.c AS c_ref, t.n AS n_ref
+            FROM filled f JOIN tot t ON t.g = f.g
+            WHERE f.g = (SELECT min(g) FROM v)),
+    terms AS (
+      SELECT f.g,
+        CAST(round(round(
+            (((f.c + 0.5) / (t.n + 5.0)) - ((r.c_ref + 0.5) / (r.n_ref + 5.0)))
+            * ln(((f.c + 0.5) / (t.n + 5.0)) / ((r.c_ref + 0.5) / (r.n_ref + 5.0))),
+          6) * 1000000, 0) AS BIGINT) AS u,
+        r.n_ref, t.n
+      FROM filled f
+      JOIN tot t ON t.g = f.g
+      JOIN ref r ON r.b = f.b
+      WHERE f.g <> (SELECT min(g) FROM v)
+    )
+    SELECT g AS "group", n_ref::BIGINT AS n_ref, n::BIGINT AS n,
+           sum(u) / 1000000.0 AS psi
+    FROM terms GROUP BY g, n_ref, n
+    """,
+)
+def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (operators/profile.py:psi_drift):
+    binned drift of every language's document-length distribution
+    against the lexically-first language as reference — the standard
+    model-monitoring drift score beside KS (q237) and JS (q235)."""
+    from .operators.profile import psi_drift
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    ref = docs.filter(F.col("lang").isNotNull()).agg(F.min("lang")).first()[0]
+    return psi_drift(docs, "n_chars", "lang", ref, bins=10)

@@ -25,7 +25,7 @@ from .dedup import (
 from .clusters import distribution_match_resample
 from .multimodal import generate_images, hamming_near_dup, perceptual_hash
 from .packing import pack_counts, pack_sequences
-from .profile import agreement_kappa, ks_drift, binary_metrics, bootstrap_mean_ci, skew_report
+from .profile import agreement_kappa, ks_drift, psi_drift, binary_metrics, bootstrap_mean_ci, skew_report
 from .rules import k_anonymity_audit
 from .similarity import mutual_nn
 from .clusters import (
@@ -146,4 +146,5 @@ __all__ = [
     "vocab_drift",
     "cross_group_overlap",
     "ks_drift",
+    "psi_drift",
 ]

@@ -713,3 +713,94 @@ def ks_drift(
         F.col("n_b").cast("bigint").alias("n_b"),
         F.round("__d", round_to).alias("ks_stat"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ref_group: str,
+    *,
+    bins: int = 10,
+    k: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index of every group against ``ref_group``
+    — the binned drift score model-monitoring runs on features and
+    model outputs (rule of thumb: < 0.1 stable, 0.1-0.25 drifting,
+    > 0.25 shifted).  Complements ``ks_drift`` (max CDF gap, tail-
+    blind) with a mass-weighted, binned view.
+
+    Bin edges are the reference group's ``bins``-quantiles (exact ANSI
+    ``percentile_cont``, so any engine re-derives them); they collect to
+    the driver (``bins - 1`` doubles, a KB probe) and re-enter the plan
+    as a literal CASE ladder, so the scoring pass is ONE scan + one
+    (group, bin)-keyed count whose output is ``groups x bins`` rows.
+    The add-``k``-smoothed PSI terms use the same exact integer
+    micro-unit trick as DSIR — engine- and order-independent scores.
+
+    Returns ``(group, n_ref, n, psi)`` for every non-reference group,
+    lexically ordered.  NULL groups/values are dropped.
+    """
+    import math
+
+    if bins < 2:
+        raise ValueError(f"psi_drift: bins must be >= 2, got {bins}")
+    src = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    qs = [i / bins for i in range(1, bins)]
+    arr = ", ".join(f"{q!r}D" for q in qs)
+    edges_row = (
+        src.filter(F.col("__g") == ref_group)
+        .agg(F.expr(f"percentile(__v, array({arr}))").alias("__e"))
+        .first()
+    )
+    if edges_row is None or edges_row["__e"] is None:
+        raise ValueError(f"psi_drift: reference group {ref_group!r} has no rows")
+    edges = [float(e) for e in edges_row["__e"]]
+
+    # literal CASE ladder: bin b = first edge the value is <= (ties go
+    # LEFT, matching the SQL twin's `v <= edge` ladder)
+    bin_col = F.lit(bins - 1)
+    for i in reversed(range(len(edges))):
+        bin_col = F.when(F.col("__v") <= F.lit(edges[i]), F.lit(i)).otherwise(
+            bin_col
+        )
+    counts = (
+        src.select("__g", bin_col.alias("__b"))
+        .groupBy("__g", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    by_group: dict[str, dict[int, int]] = {}
+    for r in counts.collect():  # groups x bins rows — KB probe
+        by_group.setdefault(r["__g"], {})[int(r["__b"])] = int(r["__c"])
+    if ref_group not in by_group:
+        raise ValueError(f"psi_drift: reference group {ref_group!r} has no rows")
+    ref = by_group[ref_group]
+    n_ref = sum(ref.values())
+
+    scale = 10**round_to
+
+    def to_units(x: float) -> int:
+        r = math.copysign(math.floor(abs(x) * scale + 0.5) / scale, x)
+        return int(math.floor(r * scale + 0.5))
+
+    out = []
+    for g in sorted(by_group):
+        if g == ref_group:
+            continue
+        cg = by_group[g]
+        n = sum(cg.values())
+        u = 0
+        for b in range(bins):
+            pa = (ref.get(b, 0) + k) / (n_ref + k * bins)
+            pb = (cg.get(b, 0) + k) / (n + k * bins)
+            u += to_units((pb - pa) * math.log(pb / pa))
+        out.append((g, n_ref, n, u / float(scale)))
+    return df.sparkSession.createDataFrame(
+        out, "group string, n_ref bigint, n bigint, psi double"
+    )

@@ -570,3 +570,27 @@ def test_ks_drift_known_answer(spark):
     assert abs(rows[("a", "b")].ks_stat - 0.4) < 1e-9
     assert rows[("a", "c")].ks_stat == 0.0
     assert rows[("a", "b")].n_a == 5 and rows[("a", "b")].n_b == 5
+
+
+def test_psi_drift_properties(spark):
+    """PSI ~0 for same distribution, large for shifted; reference group
+    excluded from output; bad reference raises."""
+    import pytest
+
+    from etielle_spark.operators.profile import psi_drift
+
+    rows = (
+        [("ref", float(v % 100)) for v in range(500)]
+        + [("same", float((v * 7) % 100)) for v in range(500)]
+        + [("shift", float(v % 100 + 200)) for v in range(500)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.group: r for r in psi_drift(df, "v", "g", "ref").collect()}
+    assert set(out) == {"same", "shift"}
+    assert out["same"].psi < 0.05
+    assert out["shift"].psi > 1.0  # everything lands in the top bin
+    assert out["same"].n_ref == 500 and out["same"].n == 500
+    with pytest.raises(ValueError):
+        psi_drift(df, "v", "g", "nope")
+    with pytest.raises(ValueError):
+        psi_drift(df, "v", "g", "ref", bins=1)
