@@ -627,6 +627,7 @@ def ks_drift(
     group_col: str,
     *,
     round_to: int = 6,
+    cdf_buckets: int = 64,
 ) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic for every unordered
     group pair — the numeric-feature drift monitor (document lengths,
@@ -637,10 +638,19 @@ def ks_drift(
     Fully relational: per-(group, value) counts (ONE aggregation), a
     groups^2-bounded pair table (the group list is dimension-sized by
     definition — these are sources/languages/snapshots), counts joined
-    to each pair's sides, and a cumulative-sum window keyed on the pair
-    — so the widest shuffle carries (pairs x distinct values) count
-    rows, never raw rows.  Exact integer arithmetic until the final
-    division, so the statistic is engine- and order-independent.
+    to each pair's sides — so the widest shuffle carries
+    (pairs x distinct values) count rows, never raw rows.
+
+    The cumulative sums use a TWO-LEVEL distributed CDF so continuous
+    features (distinct values ~ row count) never serialize a pair into
+    one task: the value domain is split on ``cdf_buckets`` approximate
+    quantile boundaries (a KB driver probe, re-entered as literals),
+    each (pair, bucket) slice cumsums independently, and the per-bucket
+    totals — a pairs x buckets table — prefix-sum in a second tiny
+    window.  The result is exact for ANY boundary choice (bucket
+    assignment is monotone in the value), so the statistic is engine-
+    and order-independent; ``cdf_buckets=1`` degenerates to the single
+    window.  Exact integer arithmetic until the final division.
 
     Returns ``(group_a, group_b, n_a, n_b, ks_stat)``, lexically
     ordered pairs; NULL groups/values are dropped.
@@ -688,12 +698,63 @@ def ks_drift(
         .join(cb, (vals["group_b"] == cb["group_b"]) & (F.col("__v") == cb["__vb"]), "left")
         .select(vals["group_a"], vals["group_b"], "__v", "ca", F.coalesce("__cb", F.lit(0)).alias("cb"))
     )
-    w = Window.partitionBy("group_a", "group_b").orderBy("__v")
-    cdf = grid.select(
+    # two-level distributed CDF: bucket the value domain on approximate
+    # quantile boundaries of the DISTINCT values (balance only affects
+    # parallelism, never the result — assignment is monotone in __v),
+    # cumsum within each (pair, bucket) slice, then add the exclusive
+    # prefix sum of bucket totals (a pairs x buckets table) per pair.
+    edges: list[float] = []
+    if cdf_buckets > 1:
+        qs_b = ", ".join(f"{i / cdf_buckets!r}D" for i in range(1, cdf_buckets))
+        edge_row = (
+            counts.select("__v")
+            .distinct()
+            .agg(F.expr(f"approx_percentile(__v, array({qs_b}), 1000)").alias("__e"))
+            .first()
+        )
+        if edge_row is not None and edge_row["__e"] is not None:
+            edges = sorted({float(e) for e in edge_row["__e"]})
+    if edges:
+        edge_arr = F.array(*[F.lit(e) for e in edges])
+        bk = F.aggregate(
+            edge_arr,
+            F.lit(0),
+            lambda acc, e: acc
+            + F.when(F.col("__v") > e, F.lit(1)).otherwise(F.lit(0)),
+        )
+    else:
+        bk = F.lit(0)
+    bucketed = grid.withColumn("__bk", bk)
+    w_in = Window.partitionBy("group_a", "group_b", "__bk").orderBy("__v")
+    within = bucketed.select(
         "group_a",
         "group_b",
-        F.sum("ca").over(w).alias("cum_a"),
-        F.sum("cb").over(w).alias("cum_b"),
+        "__bk",
+        F.sum("ca").over(w_in).alias("__cia"),
+        F.sum("cb").over(w_in).alias("__cib"),
+    )
+    totals = bucketed.groupBy("group_a", "group_b", "__bk").agg(
+        F.sum("ca").alias("__ta"), F.sum("cb").alias("__tb")
+    )
+    w_off = (
+        Window.partitionBy("group_a", "group_b")
+        .orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "group_a",
+        "group_b",
+        "__bk",
+        F.coalesce(F.sum("__ta").over(w_off), F.lit(0)).alias("__oa"),
+        F.coalesce(F.sum("__tb").over(w_off), F.lit(0)).alias("__ob"),
+    )
+    cdf = within.join(
+        F.broadcast(offsets), ["group_a", "group_b", "__bk"]
+    ).select(
+        "group_a",
+        "group_b",
+        (F.col("__cia") + F.col("__oa")).alias("cum_a"),
+        (F.col("__cib") + F.col("__ob")).alias("cum_b"),
     )
     stats = (
         cdf.join(pairs, ["group_a", "group_b"])

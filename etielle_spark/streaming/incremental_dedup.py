@@ -166,6 +166,20 @@ class IncrementalExactDedup:
     — at 100 TB the index is billions of digest rows, so mostly-novel
     ingest stops paying a full index scan per micro-batch.  Results are
     exact either way (positives are still confirmed by the anti-join).
+
+    Exactness of the bloom path requires the filter to cover EVERY
+    history digest — a lagging filter would wave real duplicates
+    through as "definitely new".  The filter is therefore synced by
+    INDEX FILE LIST before every probe: a ``_covered`` manifest beside
+    the word parquet records which index files have been folded in, and
+    any uncovered files (bloom enabled on a pre-existing index, a crash
+    between the index append and the bloom append, batches run with
+    bloom disabled) are backfilled from the index itself before the
+    probe.  ``num_bits``/``num_hashes`` are persisted in a ``_meta``
+    manifest and validated on load — a parameter change triggers a full
+    deterministic rebuild instead of probing misaligned bit positions.
+    Every sync step is idempotent (bloom appends are bitmap ORs), so a
+    crash anywhere errs toward false positives, never false negatives.
     """
 
     def __init__(
@@ -186,16 +200,80 @@ class IncrementalExactDedup:
         self.bloom_hashes = bloom_hashes
         self.bloom_dir = index_dir.rstrip("/") + "_bloom"
 
-    def _index(self) -> DataFrame | None:
+    def _index_files(self) -> list[str]:
         try:
-            files = self.spark.read.parquet(self.index_dir).inputFiles()
+            return sorted(self.spark.read.parquet(self.index_dir).inputFiles())
+        except Exception:
+            return []
+
+    def _read_meta(self) -> tuple[int, int] | None:
+        """Persisted (num_bits, num_hashes) of the on-disk filter."""
+        try:
+            rows = self.spark.read.json(self.bloom_dir + "/_meta").collect()
         except Exception:
             return None
-        if not files:
+        if not rows:
             return None
-        return self.spark.read.parquet(*files)
+        return int(rows[0]["num_bits"]), int(rows[0]["num_hashes"])
 
-    def _bloom_words(self) -> DataFrame | None:
+    def _read_covered(self) -> set[str]:
+        """Index files already folded into the on-disk filter."""
+        try:
+            return {
+                r["file"]
+                for r in self.spark.read.json(self.bloom_dir + "/_covered").collect()
+            }
+        except Exception:
+            return set()
+
+    def _sync_bloom(self, idx_files: list[str]) -> None:
+        """Bring the word table up to cover every file in ``idx_files``.
+
+        Parameter mismatch with the persisted ``_meta`` rebuilds the
+        whole filter from the index (misaligned bit positions are never
+        probed); otherwise only uncovered files are backfilled.  Word
+        appends are bitmap ORs, so replaying a step after a crash is
+        harmless (duplicate fold-ins set the same bits)."""
+        from ..operators.sketches import bloom_build
+
+        meta = self._read_meta()
+        params = (int(self.bloom_bits), int(self.bloom_hashes))
+        rebuild = meta is not None and meta != params
+        covered = set() if rebuild else self._read_covered()
+        uncovered = sorted(set(idx_files) - covered)
+        if not uncovered and not rebuild and meta is not None:
+            return
+        if uncovered:
+            digests = self.spark.read.parquet(*uncovered).select("digest")
+            bloom_build(
+                digests,
+                "digest",
+                num_bits=self.bloom_bits,
+                num_hashes=self.bloom_hashes,
+            ).write.mode("overwrite" if rebuild else "append").parquet(
+                self.bloom_dir
+            )
+        elif rebuild:
+            # params changed before any index exists: drop the old words
+            empty = self.spark.createDataFrame([], "digest string")
+            bloom_build(
+                empty,
+                "digest",
+                num_bits=self.bloom_bits,
+                num_hashes=self.bloom_hashes,
+            ).write.mode("overwrite").parquet(self.bloom_dir)
+        self.spark.createDataFrame(
+            [params], "num_bits long, num_hashes long"
+        ).coalesce(1).write.mode("overwrite").json(self.bloom_dir + "/_meta")
+        all_covered = sorted(covered | set(uncovered))
+        self.spark.createDataFrame(
+            [(f,) for f in all_covered], "file string"
+        ).coalesce(1).write.mode("overwrite").json(self.bloom_dir + "/_covered")
+
+    def _bloom_words(self, idx_files: list[str]) -> DataFrame | None:
+        """The filter as one OR-merged word table, synced to cover
+        exactly the given index snapshot (or a superset of it)."""
+        self._sync_bloom(idx_files)
         try:
             files = self.spark.read.parquet(self.bloom_dir).inputFiles()
         except Exception:
@@ -225,8 +303,13 @@ class IncrementalExactDedup:
             .filter(F.col("__rk") == 1)
             .drop("__rk")
         )
-        hist = self._index()
-        words = self._bloom_words() if self.bloom_bits else None
+        idx_files = self._index_files()
+        hist = self.spark.read.parquet(*idx_files) if idx_files else None
+        words = (
+            self._bloom_words(idx_files)
+            if self.bloom_bits and hist is not None
+            else None
+        )
         if hist is not None and words is not None:
             from ..operators.sketches import bloom_probe
 
@@ -257,15 +340,10 @@ class IncrementalExactDedup:
         survivors.select(F.col("__digest").alias("digest")).write.mode(
             "append"
         ).parquet(self.index_dir)
-        if self.bloom_bits:
-            from ..operators.sketches import bloom_build
-
-            bloom_build(
-                survivors.select(F.col("__digest").alias("digest")),
-                "digest",
-                num_bits=self.bloom_bits,
-                num_hashes=self.bloom_hashes,
-            ).write.mode("append").parquet(self.bloom_dir)
+        # No bloom append here: the next batch's _sync_bloom folds the new
+        # index file in by file list, so a crash at ANY point leaves the
+        # filter either current or strictly behind-and-detectable — never
+        # silently missing digests.
         if flagged is not None:
             flagged.unpersist()
         return survivors.drop("__digest")

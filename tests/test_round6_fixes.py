@@ -1,0 +1,141 @@
+"""Round-6 fixes: ks_drift two-level distributed CDF, bloom prefilter
+durability, drift-family group caps, Supabase-shape adapter parity."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _exact_ks(a: list[float], b: list[float]) -> float:
+    """Reference two-sample KS via sorted merge (standard after-ties CDF)."""
+    vals = sorted(set(a) | set(b))
+    na, nb = len(a), len(b)
+    sa, sb = sorted(a), sorted(b)
+    d = 0.0
+    ia = ib = 0
+    for v in vals:
+        while ia < na and sa[ia] <= v:
+            ia += 1
+        while ib < nb and sb[ib] <= v:
+            ib += 1
+        d = max(d, abs(ia / na - ib / nb))
+    return d
+
+
+def test_ks_drift_high_cardinality_continuous(spark):
+    """Continuous feature: every value distinct (distinct values == row
+    count — the regime that used to serialize a pair into one task).
+    The two-level CDF must agree with a Python reference KS and with
+    the cdf_buckets=1 degenerate single-window path."""
+    from etielle_spark.operators.profile import ks_drift
+
+    # deterministic pseudo-continuous values: 3 groups x 1500 rows,
+    # all 4500 values distinct
+    def v(g: int, i: int) -> float:
+        return ((i * 2654435761 + g * 40503) % 999983) + g * 0.25 + i * 1e-7
+
+    data = [(f"g{g}", v(g, i)) for g in range(3) for i in range(1500)]
+    df = spark.createDataFrame(data, "g string, val double")
+    out = {
+        (r.group_a, r.group_b): r.ks_stat
+        for r in ks_drift(df, "val", "g", cdf_buckets=64).collect()
+    }
+    assert set(out) == {("g0", "g1"), ("g0", "g2"), ("g1", "g2")}
+    by_g = {f"g{g}": [v(g, i) for i in range(1500)] for g in range(3)}
+    for (ga, gb), stat in out.items():
+        expect = round(_exact_ks(by_g[ga], by_g[gb]), 6)
+        assert abs(stat - expect) < 1e-9, (ga, gb, stat, expect)
+    # degenerate single-bucket path gives the identical statistic
+    single = {
+        (r.group_a, r.group_b): r.ks_stat
+        for r in ks_drift(df, "val", "g", cdf_buckets=1).collect()
+    }
+    assert single == out
+
+
+def test_ks_drift_bucketed_plan_is_distributed(spark):
+    """The cumsum window must be keyed on (pair, bucket), not just the
+    pair — assert the bucket column appears in the window partition
+    spec of the physical plan."""
+    from etielle_spark.operators.profile import ks_drift
+
+    data = [(f"g{g}", float(i) + g * 0.5) for g in range(2) for i in range(300)]
+    df = spark.createDataFrame(data, "g string, val double")
+    plan = ks_drift(df, "val", "g", cdf_buckets=16)._jdf.queryExecution().executedPlan().toString()
+    assert "__bk" in plan
+
+
+def test_incremental_bloom_enabled_on_existing_index(spark, tmp_path):
+    """Enabling bloom_bits on a PRE-EXISTING index must backfill the
+    filter from history — previously the history digests were absent
+    and bloom-negative duplicates were waved through as new."""
+    from etielle_spark.streaming.incremental_dedup import IncrementalExactDedup
+
+    idx = str(tmp_path / "idx")
+    plain = IncrementalExactDedup(spark, idx)
+    plain.process_batch(
+        spark.createDataFrame(
+            [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id int, text string"
+        )
+    )
+    # same index dir, bloom now enabled — history must still dedup
+    bloom = IncrementalExactDedup(spark, idx, bloom_bits=1 << 12)
+    out = bloom.process_batch(
+        spark.createDataFrame(
+            [(4, "alpha"), (5, "beta"), (6, "new-doc")], "doc_id int, text string"
+        )
+    )
+    assert {r["doc_id"] for r in out.collect()} == {6}
+
+
+def test_incremental_bloom_param_change_rebuilds(spark, tmp_path):
+    """Changing num_bits/num_hashes between runs must rebuild the filter
+    (persisted _meta validated on load), not probe misaligned bits."""
+    from etielle_spark.streaming.incremental_dedup import IncrementalExactDedup
+
+    idx = str(tmp_path / "idx")
+    a = IncrementalExactDedup(spark, idx, bloom_bits=1 << 12, bloom_hashes=5)
+    a.process_batch(
+        spark.createDataFrame([(1, "alpha"), (2, "beta")], "doc_id int, text string")
+    )
+    a.process_batch(
+        spark.createDataFrame([(3, "gamma")], "doc_id int, text string")
+    )
+    b = IncrementalExactDedup(spark, idx, bloom_bits=1 << 13, bloom_hashes=3)
+    out = b.process_batch(
+        spark.createDataFrame(
+            [(4, "alpha"), (5, "gamma"), (6, "fresh")], "doc_id int, text string"
+        )
+    )
+    assert {r["doc_id"] for r in out.collect()} == {6}
+    # persisted meta now records the new params
+    meta = spark.read.json(idx + "_bloom/_meta").collect()[0]
+    assert (int(meta["num_bits"]), int(meta["num_hashes"])) == (1 << 13, 3)
+
+
+def test_incremental_bloom_lagging_filter_backfilled(spark, tmp_path):
+    """A filter that is BEHIND the index (crash between appends, or
+    batches run with bloom disabled in between) must be re-synced by
+    index file list before the next probe."""
+    from etielle_spark.streaming.incremental_dedup import IncrementalExactDedup
+
+    idx = str(tmp_path / "idx")
+    bloom = IncrementalExactDedup(spark, idx, bloom_bits=1 << 12)
+    bloom.process_batch(
+        spark.createDataFrame([(1, "alpha")], "doc_id int, text string")
+    )
+    # interleave a bloom-disabled run: its index append never touches
+    # the filter — the lag the sync must close
+    plain = IncrementalExactDedup(spark, idx)
+    plain.process_batch(
+        spark.createDataFrame([(2, "beta")], "doc_id int, text string")
+    )
+    out = bloom.process_batch(
+        spark.createDataFrame(
+            [(3, "alpha"), (4, "beta"), (5, "fresh")], "doc_id int, text string"
+        )
+    )
+    assert {r["doc_id"] for r in out.collect()} == {5}
