@@ -10632,7 +10632,7 @@ def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import vocab_drift
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    return vocab_drift(docs, "doc_id", "text", "lang", n_buckets=1024)
+    return vocab_drift(docs, "text", "lang", n_buckets=1024)
 
 
 @q(
@@ -10660,8 +10660,8 @@ def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
     source A" provenance diagnostic run before mixture weighting."""
     from .operators.dedup import cross_group_overlap
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    return cross_group_overlap(docs, "doc_id", "text", "lang")
+    docs = _t(spark, sf_dir, "documents").select("text", "lang")
+    return cross_group_overlap(docs, "text", "lang")
 
 
 @q(

@@ -1348,21 +1348,24 @@ def line_dedup(
     import re as _re
 
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    # digest once at the explode: the same __dgst column feeds BOTH the
+    # duplicated-digest aggregation and the anti-join probe side, so the
+    # plan hashes each line exactly once
     lines = src.select(
         "id",
         F.posexplode(F.split(F.col("__t"), _re.escape(sep), -1)).alias(
             "__pos", "__line"
         ),
-    )
+    ).withColumn("__dgst", F.md5(F.col("__line")))
     dup_digests = (
-        lines.groupBy(F.md5(F.col("__line")).alias("__d"))
+        lines.groupBy(F.col("__dgst").alias("__d"))
         .count()
         .filter(F.col("count") >= min_dup)
         .select("__d")
     )
     kept = lines.join(
         dup_digests,
-        F.md5(F.col("__line")) == F.col("__d"),
+        F.col("__dgst") == F.col("__d"),
         "left_anti",
     )
     agg = kept.groupBy("id").agg(
@@ -1393,11 +1396,11 @@ def line_dedup(
 
 def cross_group_overlap(
     df: DataFrame,
-    id_col: str,
     text_col: str,
     group_col: str,
     *,
     round_to: int = 6,
+    max_groups: int = 1000,
 ) -> DataFrame:
     """Pairwise exact-content overlap between groups (sources, crawls,
     snapshots): for every unordered group pair, how many distinct
@@ -1409,6 +1412,12 @@ def cross_group_overlap(
     on digest (32-byte keys, never bodies), and a count per group pair
     — the pair table is ``groups^2``-bounded, the join is digest-keyed
     and linear in shared content.  NULL groups/texts are dropped.
+
+    Groups are sources/crawls/snapshots — DIMENSION-sized by contract,
+    never entities: the pair table is built driver-side and is
+    quadratic in the group count, so more than ``max_groups`` distinct
+    groups raises instead of silently building a huge local relation
+    (the same bounded-driver-probe discipline as ``lookup``'s 10k cap).
 
     Returns ``(group_a, group_b, n_shared, n_a, n_b, jaccard)``,
     lexically ordered pairs.
@@ -1439,6 +1448,14 @@ def cross_group_overlap(
         .agg(F.count(F.lit(1)).alias("__n"))
         .collect()
     }
+    if len(sizes) > max_groups:
+        raise ValueError(
+            f"cross_group_overlap: {len(sizes)} distinct groups exceeds "
+            f"max_groups={max_groups} — the pairwise matrix is quadratic "
+            "in the group count; groups are sources/snapshots, not "
+            "entities. Pre-bucket the group column or raise max_groups "
+            "deliberately."
+        )
     gs = sorted(sizes)
     pairs = df.sparkSession.createDataFrame(
         [

@@ -628,6 +628,7 @@ def ks_drift(
     *,
     round_to: int = 6,
     cdf_buckets: int = 64,
+    max_groups: int = 1000,
 ) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic for every unordered
     group pair — the numeric-feature drift monitor (document lengths,
@@ -671,6 +672,14 @@ def ks_drift(
         r["__g"]: int(r["__n"])
         for r in counts.groupBy("__g").agg(F.sum("__c").alias("__n")).collect()
     }
+    if len(sizes) > max_groups:
+        raise ValueError(
+            f"ks_drift: {len(sizes)} distinct groups exceeds "
+            f"max_groups={max_groups} — the pairwise matrix is quadratic "
+            "in the group count; groups are sources/snapshots, not "
+            "entities. Pre-bucket the group column or raise max_groups "
+            "deliberately."
+        )
     gs = sorted(sizes)
     pairs = df.sparkSession.createDataFrame(
         [
@@ -785,6 +794,7 @@ def psi_drift(
     bins: int = 10,
     k: float = 0.5,
     round_to: int = 6,
+    max_groups: int = 10_000,
 ) -> DataFrame:
     """Population Stability Index of every group against ``ref_group``
     — the binned drift score model-monitoring runs on features and
@@ -803,8 +813,6 @@ def psi_drift(
     Returns ``(group, n_ref, n, psi)`` for every non-reference group,
     lexically ordered.  NULL groups/values are dropped.
     """
-    import math
-
     if bins < 2:
         raise ValueError(f"psi_drift: bins must be >= 2, got {bins}")
     src = df.filter(
@@ -813,32 +821,78 @@ def psi_drift(
         F.col(group_col).cast("string").alias("__g"),
         F.col(value_col).cast("double").alias("__v"),
     )
-    qs = [i / bins for i in range(1, bins)]
-    arr = ", ".join(f"{q!r}D" for q in qs)
-    edges_row = (
-        src.filter(F.col("__g") == ref_group)
-        .agg(F.expr(f"percentile(__v, array({arr}))").alias("__e"))
-        .first()
-    )
-    if edges_row is None or edges_row["__e"] is None:
+    edges = psi_edges(src.filter(F.col("__g") == ref_group), "__v", bins=bins)
+    if edges is None:
         raise ValueError(f"psi_drift: reference group {ref_group!r} has no rows")
-    edges = [float(e) for e in edges_row["__e"]]
-
-    # literal CASE ladder: bin b = first edge the value is <= (ties go
-    # LEFT, matching the SQL twin's `v <= edge` ladder)
-    bin_col = F.lit(bins - 1)
-    for i in reversed(range(len(edges))):
-        bin_col = F.when(F.col("__v") <= F.lit(edges[i]), F.lit(i)).otherwise(
-            bin_col
-        )
-    counts = (
-        src.select("__g", bin_col.alias("__b"))
-        .groupBy("__g", "__b")
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
+    counts = psi_bin_counts(src, "__v", "__g", edges, bins=bins)
     by_group: dict[str, dict[int, int]] = {}
     for r in counts.collect():  # groups x bins rows — KB probe
-        by_group.setdefault(r["__g"], {})[int(r["__b"])] = int(r["__c"])
+        by_group.setdefault(r["group"], {})[int(r["bin"])] = int(r["cnt"])
+    if len(by_group) > max_groups:
+        raise ValueError(
+            f"psi_drift: {len(by_group)} distinct groups exceeds "
+            f"max_groups={max_groups} — the groups x bins table collects "
+            "to the driver; groups are sources/snapshots, not entities. "
+            "Pre-bucket the group column or raise max_groups deliberately."
+        )
+    return psi_from_counts(
+        df.sparkSession, by_group, ref_group, bins=bins, k=k, round_to=round_to
+    )
+
+
+def psi_edges(ref_df: DataFrame, value_col: str, *, bins: int) -> list[float] | None:
+    """The reference group's ``bins``-quantile edges (exact ANSI
+    ``percentile_cont``); None when the reference frame is empty.
+    Split out of :func:`psi_drift` so the streaming twin can pin edges
+    once and reuse them across micro-batches."""
+    qs = [i / bins for i in range(1, bins)]
+    arr = ", ".join(f"{q!r}D" for q in qs)
+    edges_row = ref_df.agg(
+        F.expr(f"percentile({value_col}, array({arr}))").alias("__e")
+    ).first()
+    if edges_row is None or edges_row["__e"] is None:
+        return None
+    return [float(e) for e in edges_row["__e"]]
+
+
+def psi_bin_counts(
+    src: DataFrame,
+    value_col: str,
+    group_col: str,
+    edges: list[float],
+    *,
+    bins: int,
+) -> DataFrame:
+    """(group, bin, cnt) over the literal-edge CASE ladder: bin b = first
+    edge the value is <= (ties go LEFT, matching the SQL twin's
+    ``v <= edge`` ladder).  Counts are ADDITIVE across row slices, which
+    is what makes the streaming twin's append-and-sum state exact."""
+    bin_col = F.lit(bins - 1)
+    for i in reversed(range(len(edges))):
+        bin_col = F.when(F.col(value_col) <= F.lit(edges[i]), F.lit(i)).otherwise(
+            bin_col
+        )
+    return (
+        src.select(F.col(group_col).alias("group"), bin_col.alias("bin"))
+        .groupBy("group", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def psi_from_counts(
+    spark,
+    by_group: dict[str, dict[int, int]],
+    ref_group: str,
+    *,
+    bins: int,
+    k: float,
+    round_to: int,
+) -> DataFrame:
+    """The exact-integer-micro-unit PSI over collected (group, bin)
+    counts — shared verbatim by the batch and streaming paths so the
+    differential contract is equality, not closeness."""
+    import math
+
     if ref_group not in by_group:
         raise ValueError(f"psi_drift: reference group {ref_group!r} has no rows")
     ref = by_group[ref_group]
@@ -862,6 +916,6 @@ def psi_drift(
             pb = (cg.get(b, 0) + k) / (n + k * bins)
             u += to_units((pb - pa) * math.log(pb / pa))
         out.append((g, n_ref, n, u / float(scale)))
-    return df.sparkSession.createDataFrame(
+    return spark.createDataFrame(
         out, "group string, n_ref bigint, n bigint, psi double"
     )

@@ -570,7 +570,12 @@ def bloom_probe(
             (F.col("__pos") / 64).cast("long").alias("word_idx"),
             F.expr("shiftleft(1L, cast(__pos % 64 as int))").alias("__mask"),
         )
-        .join(F.broadcast(words), "word_idx", "left")
+        # NO broadcast hint: this engine exists for filters too big to
+        # materialize on one machine (auto picks it past 2^30 bits =
+        # 128 MB of words), so let the optimizer choose — AQE will
+        # downgrade the word_idx shuffle join to a broadcast when the
+        # filter measures small, and only then.
+        .join(words, "word_idx", "left")
         .groupBy("__k")
         .agg(
             F.min(

@@ -1805,7 +1805,7 @@ def dsir_logratio(
     ratio = corpus.sparkSession.createDataFrame(
         rows, "bucket long, __lr_u long"
     )
-    return (
+    scored = (
         doc_buckets.join(F.broadcast(ratio), "bucket")
         .groupBy("id")
         .agg(
@@ -1820,6 +1820,15 @@ def dsir_logratio(
             (F.sum("__lr_u") / F.lit(float(scale))).alias("log_weight"),
         )
     )
+    # Materialize the (one-row-per-doc) scores so the gram-level cache
+    # can be released NOW instead of lingering until LRU eviction —
+    # repeated calls in a long-lived session would otherwise accumulate
+    # corpus-sized gram caches.  The returned frame stays persisted
+    # (doc-count rows; lineage can rebuild it if evicted).
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+    scored.count()
+    doc_buckets.unpersist()
+    return scored
 
 
 def compression_ratio(
@@ -1881,13 +1890,13 @@ def compression_ratio(
 
 def vocab_drift(
     df: DataFrame,
-    id_col: str,
     text_col: str,
     group_col: str,
     *,
     n_buckets: int = 1024,
     k: float = 1.0,
     round_to: int = 6,
+    max_groups: int = 1000,
 ) -> DataFrame:
     """Pairwise Jensen-Shannon divergence between per-group hashed
     unigram distributions — the corpus drift monitor: did this week's
@@ -1908,30 +1917,70 @@ def vocab_drift(
     (nats).  NULL groups are dropped; groups with zero tokens don't
     appear.
     """
-    import math
+    counts = vocab_bucket_counts(df, text_col, group_col, n_buckets=n_buckets)
+    by_group: dict[str, dict[int, int]] = {}
+    for r in counts.collect():
+        by_group.setdefault(r["group"], {})[int(r["bucket"])] = int(r["cnt"])
+    if len(by_group) > max_groups:
+        raise ValueError(
+            f"vocab_drift: {len(by_group)} distinct groups exceeds "
+            f"max_groups={max_groups} — the driver-side pairwise JS loop "
+            "is O(groups^2 x n_buckets); groups are sources/snapshots, "
+            "not entities. Pre-bucket the group column or raise "
+            "max_groups deliberately."
+        )
+    return js_from_counts(
+        df.sparkSession, by_group, n_buckets=n_buckets, k=k, round_to=round_to
+    )
 
+
+def vocab_bucket_counts(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    *,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """One tokenize+hash pass to (group, bucket, cnt) — the unigram
+    distribution summary :func:`vocab_drift` scores.  Counts are
+    ADDITIVE across row slices, so the streaming twin appends these per
+    micro-batch and sum-merges at read for an EXACTLY batch-equal
+    distribution (split out for streaming/incremental_drift.py)."""
     from .dedup import tokens_col
 
     B = int(n_buckets)
-    counts = (
+    return (
         df.filter(F.col(group_col).isNotNull())
         .select(
-            F.col(group_col).cast("string").alias("__g"),
+            F.col(group_col).cast("string").alias("group"),
             F.explode(tokens_col(F.col(text_col))).alias("__t"),
         )
         .select(
-            "__g",
+            "group",
             (
                 F.conv(F.substring(F.md5("__t"), 1, 8), 16, 10).cast("long")
                 % B
-            ).alias("__b"),
+            ).alias("bucket"),
         )
-        .groupBy("__g", "__b")
-        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("group", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    by_group: dict[str, dict[int, int]] = {}
-    for r in counts.collect():
-        by_group.setdefault(r["__g"], {})[int(r["__b"])] = int(r["__c"])
+
+
+def js_from_counts(
+    spark,
+    by_group: dict[str, dict[int, int]],
+    *,
+    n_buckets: int,
+    k: float,
+    round_to: int,
+) -> DataFrame:
+    """Exact-integer-micro-unit pairwise JS over collected (group,
+    bucket) counts — shared verbatim by the batch and streaming paths so
+    the differential contract is equality, not closeness."""
+    import math
+
+    B = int(n_buckets)
     totals = {g: sum(c.values()) for g, c in by_group.items()}
 
     scale = 10**round_to
@@ -1953,7 +2002,7 @@ def vocab_drift(
                 m = (p + q) / 2
                 u += to_units(0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m))
             out.append((ga, gb, ta, tb, u / float(scale)))
-    return df.sparkSession.createDataFrame(
+    return spark.createDataFrame(
         out,
         "group_a string, group_b string, n_tokens_a bigint, "
         "n_tokens_b bigint, js_divergence double",

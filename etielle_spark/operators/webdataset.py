@@ -115,7 +115,13 @@ def wds_write(
                     path = os.path.join(out_dir, f"{prefix}-{shard:05d}.tar")
                     state.update(
                         shard=shard,
-                        tar=tarfile.open(path, "w", format=tarfile.USTAR_FORMAT),
+                        # PAX (not USTAR): USTAR caps member names at
+                        # 100 chars and raises mid-write on the long
+                        # URL/digest-derived keys WebDataset corpora use,
+                        # leaving a truncated shard. WebDataset readers
+                        # handle PAX; with fixed mtime/uid the bytes stay
+                        # deterministic.
+                        tar=tarfile.open(path, "w", format=tarfile.PAX_FORMAT),
                         n=0,
                         path=path,
                     )

@@ -55,4 +55,7 @@ __all__ = [
     "session_agg",
 ]
 
+from .incremental_drift import IncrementalPSI, IncrementalVocabDrift
 from .incremental_sketch import IncrementalHLL
+
+__all__ += ["IncrementalHLL", "IncrementalVocabDrift", "IncrementalPSI"]

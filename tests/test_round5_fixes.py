@@ -521,7 +521,7 @@ def test_vocab_drift_properties(spark):
         "doc_id long, text string, grp string",
     )
     rows = {(r.group_a, r.group_b): r for r in
-            vocab_drift(docs, "doc_id", "text", "grp", n_buckets=64).collect()}
+            vocab_drift(docs, "text", "grp", n_buckets=64).collect()}
     assert set(rows) == {("a", "b"), ("a", "c"), ("b", "c")}
     ab, ac = rows[("a", "b")], rows[("a", "c")]
     assert ab.js_divergence < ac.js_divergence  # shared vocab < disjoint
@@ -545,7 +545,7 @@ def test_cross_group_overlap(spark):
         "doc_id long, text string, grp string",
     )
     rows = {(r.group_a, r.group_b): r for r in
-            cross_group_overlap(docs, "doc_id", "text", "grp").collect()}
+            cross_group_overlap(docs, "text", "grp").collect()}
     assert set(rows) == {("a", "b"), ("a", "c"), ("b", "c")}
     ab = rows[("a", "b")]
     assert (ab.n_shared, ab.n_a, ab.n_b) == (1, 2, 2)

@@ -139,3 +139,118 @@ def test_incremental_bloom_lagging_filter_backfilled(spark, tmp_path):
         )
     )
     assert {r["doc_id"] for r in out.collect()} == {5}
+
+
+def test_drift_family_group_caps(spark):
+    """The pairwise drift/overlap operators build driver-side pair
+    tables — past max_groups they must raise with the dimension-contract
+    hint, not silently build a quadratic local relation."""
+    from etielle_spark.operators.dedup import cross_group_overlap
+    from etielle_spark.operators.profile import ks_drift, psi_drift
+    from etielle_spark.operators.text import vocab_drift
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", f"g{i}", float(i)) for i in range(6)],
+        "doc_id long, text string, grp string, v double",
+    )
+    with pytest.raises(ValueError, match="max_groups"):
+        cross_group_overlap(docs, "text", "grp", max_groups=3)
+    with pytest.raises(ValueError, match="max_groups"):
+        ks_drift(docs, "v", "grp", max_groups=3)
+    with pytest.raises(ValueError, match="max_groups"):
+        vocab_drift(docs, "text", "grp", max_groups=3)
+    with pytest.raises(ValueError, match="max_groups"):
+        psi_drift(docs, "v", "grp", "g0", max_groups=3)
+    # under the cap everything still works
+    assert cross_group_overlap(docs, "text", "grp", max_groups=6).count() == 15
+
+
+def test_wds_write_long_keys(spark, tmp_path):
+    """Keys past USTAR's 100-char member-name cap must round-trip (PAX
+    format), not raise mid-write leaving a truncated shard."""
+    from etielle_spark.operators.webdataset import wds_read, wds_write
+
+    long_key = "k" + "x" * 150
+    df = spark.createDataFrame(
+        [(long_key, b"payload-bytes"), ("short", b"other")],
+        "key string, bin binary",
+    )
+    out = str(tmp_path / "wds")
+    manifest = wds_write(df, out, "key", {"bin": "bin"}, num_shards=1)
+    assert manifest.count() >= 1
+    back = {r["key"]: bytes(r["data"]) for r in wds_read(spark, out).collect()}
+    assert back[long_key] == b"payload-bytes"
+    assert back["short"] == b"other"
+
+
+def test_incremental_vocab_drift_equals_batch(spark, tmp_path):
+    """Streamed vocabulary-drift registers, sum-merged at read, must
+    score EXACTLY like the batch operator over the concatenated input
+    (same contract as test_chunked_equals_resident)."""
+    from etielle_spark.operators.text import vocab_drift
+    from etielle_spark.streaming.incremental_drift import IncrementalVocabDrift
+
+    rows = [
+        (f"doc {i} common words alpha beta {'gamma' if i % 3 else 'delta'} x{i}",
+         f"g{i % 3}")
+        for i in range(60)
+    ]
+    batches = [rows[:20], rows[20:45], rows[45:]]
+    mon = IncrementalVocabDrift(
+        spark, str(tmp_path / "vd"), text_col="text", group_col="g",
+        n_buckets=64,
+    )
+    for b in batches:
+        mon.process_batch(spark.createDataFrame(b, "text string, g string"))
+    streamed = sorted(map(tuple, mon.drift().collect()))
+    full = spark.createDataFrame(rows, "text string, g string")
+    batch = sorted(map(tuple, vocab_drift(full, "text", "g", n_buckets=64).collect()))
+    assert streamed == batch
+
+
+def test_incremental_psi_equals_batch(spark, tmp_path):
+    """Streamed PSI with edges frozen from the first batch's reference
+    group must equal batch psi_drift over the concatenated input (the
+    full reference arrives in batch one, so the edges coincide)."""
+    from etielle_spark.operators.profile import psi_drift
+    from etielle_spark.streaming.incremental_drift import IncrementalPSI
+
+    ref_rows = [("ref", float(v % 50)) for v in range(300)]
+    b2 = [("cur", float(v % 50 + 10)) for v in range(200)]
+    b3 = [("cur", float(v % 50 + 10)) for v in range(200, 350)] + [
+        ("other", float(v)) for v in range(40)
+    ]
+    mon = IncrementalPSI(
+        spark, str(tmp_path / "psi"), value_col="v", group_col="g",
+        ref_group="ref", bins=8,
+    )
+    for b in (ref_rows, b2, b3):
+        mon.process_batch(spark.createDataFrame(b, "g string, v double"))
+    streamed = sorted(map(tuple, mon.psi().collect()))
+    full = spark.createDataFrame(ref_rows + b2 + b3, "g string, v double")
+    batch = sorted(map(tuple, psi_drift(full, "v", "g", "ref", bins=8).collect()))
+    assert streamed == batch
+
+
+def test_incremental_psi_guards(spark, tmp_path):
+    """First batch without the reference group raises; re-opening state
+    with a different binning raises (frozen-baseline contract)."""
+    from etielle_spark.streaming.incremental_drift import IncrementalPSI
+
+    state = str(tmp_path / "psi")
+    mon = IncrementalPSI(
+        spark, state, value_col="v", group_col="g", ref_group="ref", bins=4
+    )
+    no_ref = spark.createDataFrame([("cur", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="baseline"):
+        mon.process_batch(no_ref)
+    mon.process_batch(
+        spark.createDataFrame(
+            [("ref", float(i)) for i in range(20)], "g string, v double"
+        )
+    )
+    rebinned = IncrementalPSI(
+        spark, state, value_col="v", group_col="g", ref_group="ref", bins=6
+    )
+    with pytest.raises(ValueError, match="bins"):
+        rebinned.process_batch(no_ref)
