@@ -1109,9 +1109,33 @@ class PipelineBuilder:
             )
         return self
 
-    def load(self, sink) -> "PipelineBuilder":
+    def load(
+        self,
+        sink,
+        *,
+        upsert: bool = False,
+        upsert_on: Optional[dict] = None,
+        batch_size: int = 1000,
+    ) -> "PipelineBuilder":
         """Attach a sink; run() writes tables parents-first
-        (etielle/fluent.py:716-782 + topological flush 1596-1626)."""
+        (etielle/fluent.py:716-782 + topological flush 1596-1626).
+
+        A Supabase-shaped client (detected by module, exactly like the
+        reference's ``load()``) is wrapped in ``SupabaseSink`` with the
+        reference's options: ``upsert`` switches inserts to upserts,
+        ``upsert_on`` maps table -> conflict column(s) (lists join to
+        the comma form), ``batch_size`` pages the HTTP round trips.
+        The raw client stays on ``self._session`` (reference attr)."""
+        from .sources.supabase import SupabaseSink, is_supabase_client
+
+        self._session = sink
+        self._upsert = upsert
+        self._upsert_on = upsert_on
+        self._batch_size = batch_size
+        if is_supabase_client(sink):
+            sink = SupabaseSink(
+                sink, upsert=upsert, upsert_on=upsert_on, batch_size=batch_size
+            )
         self._sink = sink
         return self
 
@@ -1884,8 +1908,20 @@ def _apply_backlinks(
     traversal-order column is only a fallback for single-doc roots, where
     it is unique per row.
     """
+    from pyspark import StorageLevel
+
     for spec in backlinks:
         parent_int = internal[spec.parent]
+        # the parent emission feeds TWO subtrees (the id-list explode and
+        # the final rejoin), and parent assembly is a keyed-merge
+        # aggregation — persist it so the merge shuffle runs once, not
+        # twice (Catalyst does not reuse the exchange here because the
+        # two subtrees prune different columns).  Spilled-recoverable;
+        # stays cached for the caller's table materialization, LRU-evicted
+        # after (the semdedup/ivf precedent).
+        if parent_int.storageLevel == StorageLevel.NONE:
+            parent_int = parent_int.persist(StorageLevel.MEMORY_AND_DISK)
+            internal[spec.parent] = parent_int
         # child by-field resolves against the INTERNAL child (temp fields
         # usable as match keys); the collected structs carry the PUBLIC row
         child_int = internal[spec.child]

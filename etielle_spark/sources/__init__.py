@@ -8,5 +8,22 @@ environment; they are parameterized but untested here.
 """
 
 from .sinks import CollectSink, JdbcSink, ParquetSink, Sink
+from .supabase import (
+    SupabaseSink,
+    fake_client,
+    insert_batches,
+    insert_returning,
+    is_supabase_client,
+)
 
-__all__ = ["Sink", "ParquetSink", "CollectSink", "JdbcSink"]
+__all__ = [
+    "Sink",
+    "ParquetSink",
+    "CollectSink",
+    "JdbcSink",
+    "SupabaseSink",
+    "insert_batches",
+    "insert_returning",
+    "is_supabase_client",
+    "fake_client",
+]
