@@ -404,10 +404,14 @@ def scale_curve(spark, base_times: dict[str, float]) -> dict:
     spread: dict[str, list[float]] = {}
     factors: dict[str, float] = {}
     data_factors: dict[str, int] = {}
-    # median-of-N per query (round-3/4 verdicts flagged the 100x points
-    # as single-run-noise-dominated); interleave rounds so page-cache
-    # warmth is spread evenly rather than favoring later queries
+    # one UNTIMED warm pass per query first (plan compile + page cache +
+    # codegen), then median-of-N timed rounds, interleaved so residual
+    # cache warmth spreads evenly — the r5 curve's 14x spreads traced to
+    # the first timed round doubling as the warm-up
     samples: dict[str, list[float]] = {name: [] for name in SCALE_QUERIES}
+    for name in SCALE_QUERIES:
+        fn, _sql = QUERIES[name]
+        fn(spark, big_dir).write.format("noop").mode("overwrite").save()
     for _ in range(runs):
         for name in SCALE_QUERIES:
             fn, _sql = QUERIES[name]
@@ -430,6 +434,21 @@ def scale_curve(spark, base_times: dict[str, float]) -> dict:
         "spread": spread,
         "factors_vs_sf0.1": factors,
     }
+
+
+def scale_curve_main(base_times_path: str) -> None:
+    """Subprocess entry: run ONLY the scale curve in a fresh JVM (the
+    parent stops its session first, so nothing contends) and print the
+    curve JSON as the last line."""
+    from etielle_spark.session import get_spark
+
+    with open(base_times_path) as f:
+        base_times = json.load(f)
+    spark = get_spark("etielle-spark-bench-curve", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    curve = scale_curve(spark, base_times)
+    spark.stop()
+    print(json.dumps(curve))
 
 
 def main() -> None:
@@ -482,6 +501,14 @@ def main() -> None:
     fused_names = ["q27_minhash_signatures", "q28_lsh_candidate_pairs"]
     for fn_name in fused_names:
         samples[fn_name] = []
+    # one UNTIMED warm pass per headline query (same treatment the scale
+    # curve gets): each query's own plan compile / analyzer / codegen
+    # first-use cost lands here, so the medians below measure warm
+    # steady state — the honest per-query number (complex fluent
+    # pipelines like q11 read ~2x worse when run 1 doubles as warm-up)
+    for name in HEADLINE:
+        fn, _sql = QUERIES[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     for _ in range(runs):
         for name in HEADLINE:
             fn, _sql = QUERIES[name]
@@ -532,8 +559,30 @@ def main() -> None:
 
     curve = None
     if os.environ.get("SPARK_GRAFT_SCALE_CURVE", "1") != "0":
+        # the curve runs in its OWN process with a fresh JVM, after this
+        # session is fully stopped: r5's curve medians swung 3-14x on
+        # identical code because the curve phase contended with the
+        # headline/streaming JVM's cached blocks, shuffle dirs, and GC.
+        import subprocess
+        import sys
+        import tempfile
+
         try:
-            curve = scale_curve(spark, times)
+            spark.stop()
+            with tempfile.NamedTemporaryFile(
+                "w", suffix=".json", delete=False
+            ) as f:
+                json.dump(times, f)
+                base_path = f.name
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scale-curve", base_path],
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+            os.unlink(base_path)
+            last = proc.stdout.strip().rsplit("\n", 1)[-1]
+            curve = json.loads(last)
         except Exception as e:  # keep the bench line robust
             curve = {"error": str(e)[:200]}
 
@@ -562,4 +611,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if len(_sys.argv) > 2 and _sys.argv[1] == "--scale-curve":
+        scale_curve_main(_sys.argv[2])
+    else:
+        main()
