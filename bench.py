@@ -404,17 +404,18 @@ def scale_curve(spark, base_times: dict[str, float]) -> dict:
     spread: dict[str, list[float]] = {}
     factors: dict[str, float] = {}
     data_factors: dict[str, int] = {}
-    # one UNTIMED warm pass per query first (plan compile + page cache +
-    # codegen), then median-of-N timed rounds, interleaved so residual
-    # cache warmth spreads evenly — the r5 curve's 14x spreads traced to
-    # the first timed round doubling as the warm-up
+    # per-query blocks: one UNTIMED warm run (plan compile + page cache +
+    # codegen), then the N timed runs back-to-back.  NOT interleaved —
+    # the text queries' 500k-doc working set evicts the small queries'
+    # page cache between rounds (measured: q01 swung 0.4-2.4 s at sf1.0
+    # under interleaving, ≤1.3x in blocks), and a warm-cache number is
+    # what the sf0.1 headline medians are too, so factors stay
+    # like-for-like
     samples: dict[str, list[float]] = {name: [] for name in SCALE_QUERIES}
     for name in SCALE_QUERIES:
         fn, _sql = QUERIES[name]
         fn(spark, big_dir).write.format("noop").mode("overwrite").save()
-    for _ in range(runs):
-        for name in SCALE_QUERIES:
-            fn, _sql = QUERIES[name]
+        for _ in range(runs):
             t0 = time.perf_counter()
             fn(spark, big_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
@@ -545,6 +546,14 @@ def main() -> None:
         "streaming_ref_workload_users_posts_8k": streaming_reference_workload,
         "streaming_incremental_dedup": streaming_incremental_dedup,
     }
+    # phase isolation: drop every cached relation the headline phase left
+    # behind (Spark's cache manager never releases them on its own —
+    # measured: streaming runs degraded 2.5x when the headline caches
+    # stayed resident), then one untimed warm round so the medians
+    # measure warm steady state like the other phases
+    spark.catalog.clearCache()
+    for sfn in stream_fns.values():
+        sfn(spark)
     stream_samples: dict[str, list[float]] = {n: [] for n in stream_fns}
     for _ in range(stream_runs):
         for sname, sfn in stream_fns.items():

@@ -1314,7 +1314,7 @@ class PipelineBuilder:
         seq_unique = not any(
             isinstance(r, DataFrame) for r in self._roots
         ) or self._order_col is not None
-        internal, public = _apply_backlinks(
+        internal, public, bl_persisted = _apply_backlinks(
             backlinks, internal, public, public_map, table_keys, seq_unique
         )
 
@@ -1387,6 +1387,12 @@ class PipelineBuilder:
                 # after FlushStarted by necessity in a lazy engine)
                 emit(self._on_event, MapCompleted(t, count=inserted))
                 emit(self._on_event, FlushCompleted(t, inserted=inserted))
+            # every table is written: release the backlink-parent caches
+            # now (repeated sink pipelines in one session must not
+            # accumulate them); sink-less results keep theirs — the
+            # caller is about to materialize the tables, LRU evicts after
+            for f in bl_persisted:
+                f.unpersist()
         return result
 
 
@@ -1910,6 +1916,7 @@ def _apply_backlinks(
     """
     from pyspark import StorageLevel
 
+    persisted: list[DataFrame] = []
     for spec in backlinks:
         parent_int = internal[spec.parent]
         # the parent emission feeds TWO subtrees (the id-list explode and
@@ -1922,6 +1929,7 @@ def _apply_backlinks(
         if parent_int.storageLevel == StorageLevel.NONE:
             parent_int = parent_int.persist(StorageLevel.MEMORY_AND_DISK)
             internal[spec.parent] = parent_int
+            persisted.append(parent_int)
         # child by-field resolves against the INTERNAL child (temp fields
         # usable as match keys); the collected structs carry the PUBLIC row
         child_int = internal[spec.child]
@@ -2021,7 +2029,7 @@ def _apply_backlinks(
         if spec.attr not in [p for p, _ in pairs]:
             pairs.append((spec.attr, spec.attr))
         public[spec.parent] = _select_public(joined, pairs)
-    return internal, public
+    return internal, public, persisted
 
 
 def compile_emission(

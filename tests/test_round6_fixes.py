@@ -254,3 +254,68 @@ def test_incremental_psi_guards(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="bins"):
         rebinned.process_batch(no_ref)
+
+
+def test_round6_null_and_edge_input_audit(spark, tmp_path):
+    """NULL/degenerate-input audit for the round-6 surfaces (the r5
+    audit pattern): no worker crashes, sane results."""
+    from etielle_spark.operators.profile import ks_drift
+    from etielle_spark.streaming.incremental_drift import (
+        IncrementalPSI,
+        IncrementalVocabDrift,
+    )
+
+    # ks_drift: single distinct value everywhere -> no quantile edges ->
+    # degenerate single-bucket path; identical distributions -> D = 0
+    one = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", None), (None, 1.0)],
+        "g string, v double",
+    )
+    rows = ks_drift(one, "v", "g").collect()
+    assert len(rows) == 1 and rows[0].ks_stat == 0.0
+
+    # incremental vocab drift: NULL text and NULL group rows fold in
+    # without crashing, empty batches are no-ops
+    mon = IncrementalVocabDrift(
+        spark, str(tmp_path / "vd"), text_col="t", group_col="g", n_buckets=16
+    )
+    mon.process_batch(
+        spark.createDataFrame(
+            [("hello world", "a"), (None, "a"), ("hello there", "b"), ("x", None)],
+            "t string, g string",
+        )
+    )
+    mon.process_batch(
+        spark.createDataFrame([], "t string, g string")
+    )
+    out = mon.drift().collect()
+    assert len(out) == 1  # (a, b) only; NULL group dropped
+
+    # incremental PSI: NULL values/groups dropped at the source filter
+    psi = IncrementalPSI(
+        spark, str(tmp_path / "psi"), value_col="v", group_col="g",
+        ref_group="r", bins=4,
+    )
+    psi.process_batch(
+        spark.createDataFrame(
+            [("r", float(i)) for i in range(12)]
+            + [("c", 5.0), ("c", None), (None, 3.0)],
+            "g string, v double",
+        )
+    )
+    got = {r.group: r.n for r in psi.psi().collect()}
+    assert got == {"c": 1}
+
+
+def test_supabase_sink_null_values_roundtrip(spark):
+    """NULL field values survive the row->dict->client path."""
+    from etielle_spark.sources.supabase import SupabaseSink, fake_client
+
+    client = fake_client()
+    sink = SupabaseSink(client, batch_size=10)
+    df = spark.createDataFrame(
+        [(1, None), (2, "x")], "id long, name string"
+    )
+    sink.write("t", df)
+    by_id = {r["id"]: r["name"] for r in client.rows["t"]}
+    assert by_id == {1: None, 2: "x"}
