@@ -127,3 +127,61 @@ def populate_child_fk(
                 f"{[r[cf] for r in rows]}"
             )
     return out
+
+
+def supabase_two_phase_insert(
+    client,
+    parent_table: str,
+    parent_df: DataFrame,
+    child_table: str,
+    child_df: DataFrame,
+    *,
+    by: dict[str, str],
+    fk_col: str,
+    gen_col: str = "id",
+    batch_size: int = 1000,
+    required: bool = False,
+) -> tuple[DataFrame, int, int]:
+    """The reference's Supabase two-phase FK flow
+    (etielle/fluent.py:902-1059) composed over this repo's verified
+    pieces: insert parents through :func:`..supabase.insert_returning`
+    (which enforces the returned-row-count check), lift the server-echoed
+    rows — carrying the DB-generated ``gen_col`` — back into a DataFrame,
+    populate the children's ``fk_col`` with a natural-key broadcast join
+    (:func:`populate_child_fk`), then insert the children.
+
+    ``by`` maps child natural-key column -> parent natural-key column,
+    exactly like the fluent ``link_to(by=...)`` spec.  Returns
+    ``(children_with_fk, n_parents, n_children)``.
+
+    Scale note: like the reference, phase 1 pages the PARENT rows through
+    the driver (an HTTP row API has no other shape) — parents are the
+    dimension side by construction; the child join stays a distributed
+    broadcast join, and the child insert streams one partition at a time.
+    """
+    from .supabase import SupabaseSink, insert_returning
+
+    spark = parent_df.sparkSession
+    parent_rows = [r.asDict(recursive=True) for r in parent_df.toLocalIterator()]
+    returned = insert_returning(
+        client, parent_table, parent_rows, batch_size=batch_size
+    )
+    if not returned:
+        raise ValueError(
+            f"supabase_two_phase_insert: parent table '{parent_table}' "
+            "returned no rows — nothing to wire child FKs against"
+        )
+    written = spark.createDataFrame(returned)
+    if gen_col not in written.columns:
+        raise ValueError(
+            f"supabase_two_phase_insert: returned rows have no "
+            f"'{gen_col}' column — the server did not echo the generated id "
+            f"(returned columns: {written.columns})"
+        )
+    children = populate_child_fk(
+        child_df, written, by=by, fk_col=fk_col, gen_col=gen_col,
+        required=required,
+    )
+    sink = SupabaseSink(client, batch_size=batch_size)
+    sink.write(child_table, children)
+    return children, len(returned), len(sink.returned.get(child_table, []))

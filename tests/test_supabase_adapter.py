@@ -179,3 +179,46 @@ def test_sink_on_batch_progress(spark):
     sink.write("users", df)
     assert seen == [("users", 1, 3, 2), ("users", 2, 3, 2), ("users", 3, 3, 1)]
     assert len(sink.returned["users"]) == 5
+
+
+def test_supabase_two_phase_fk(spark):
+    """Reference two-phase flow (test_two_phase_insert_populates_child_fk):
+    parents inserted, DB-generated ids captured from the echoed rows,
+    child FK columns populated before the child insert."""
+    from etielle_spark.sources.twophase import supabase_two_phase_insert
+
+    client = fake_client(generate_id="id")
+    users = spark.createDataFrame(
+        [("alice@x", "Alice"), ("bob@x", "Bob")], "email string, name string"
+    )
+    posts = spark.createDataFrame(
+        [("alice@x", "Hello"), ("alice@x", "World"), ("bob@x", "Goodbye")],
+        "user_email string, title string",
+    )
+    children, n_parents, n_children = supabase_two_phase_insert(
+        client, "users", users, "posts", posts,
+        by={"user_email": "email"}, fk_col="user_id",
+    )
+    assert (n_parents, n_children) == (2, 3)
+    uid = {r["email"]: r["id"] for r in client.rows["users"]}
+    assert set(uid.values()) == {1, 2}
+    got = {(r["title"], r["user_id"]) for r in client.rows["posts"]}
+    assert got == {
+        ("Hello", uid["alice@x"]), ("World", uid["alice@x"]),
+        ("Goodbye", uid["bob@x"]),
+    }
+
+
+def test_supabase_two_phase_count_mismatch_raises(spark):
+    """A silent server (no echoed rows) must abort phase 1 before any
+    child FK wiring happens."""
+    from etielle_spark.sources.twophase import supabase_two_phase_insert
+
+    silent = fake_client(echo=False)
+    users = spark.createDataFrame([("a@x", "A")], "email string, name string")
+    posts = spark.createDataFrame([("a@x", "t")], "user_email string, title string")
+    with pytest.raises(ValueError, match="Row count mismatch"):
+        supabase_two_phase_insert(
+            silent, "users", users, "posts", posts,
+            by={"user_email": "email"}, fk_col="user_id",
+        )
