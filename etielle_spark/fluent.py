@@ -2014,15 +2014,15 @@ def _apply_backlinks(
         for i, c in enumerate(rid_cols):
             piece = parent_int[c] == collected[f"__bl_k_{i}"]
             cond = piece if cond is None else (cond & piece)
-        joined = parent_int.join(collected, cond, "left").drop(*grp)
-        joined = joined.withColumn(
-            spec.attr, F.coalesce(F.col(spec.attr), F.lit(None).cast(elem_type))
-        )
-        joined = joined.withColumn(
-            spec.attr,
-            F.when(F.col(spec.attr).isNull(), F.array().cast(elem_type)).otherwise(
-                F.col(spec.attr)
-            ),
+        # ONE select instead of drop + two withColumns: every DataFrame
+        # op is a py4j round trip + a JVM re-analysis of the whole plan,
+        # and the fluent compile is driver-latency-bound (profiled:
+        # ~0.9 s of socket waits per q11 build)
+        joined = parent_int.join(collected, cond, "left").select(
+            *[parent_int[c] for c in parent_int.columns if c != spec.attr],
+            F.coalesce(
+                collected[spec.attr], F.array().cast(elem_type)
+            ).alias(spec.attr),
         )
         internal[spec.parent] = joined
         pairs = public_map[spec.parent]

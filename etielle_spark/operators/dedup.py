@@ -1380,9 +1380,20 @@ def line_dedup(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    # n_lines = total exploded lines per id (deterministic even when the
-    # caller's ids collide — first(size) would pick an arbitrary row)
-    totals = lines.groupBy("id").agg(F.count(F.lit(1)).alias("__n_all"))
+    # n_lines = total lines per id, summed across rows when the caller's
+    # ids collide.  Map-only size(split(...)) on the DOC table — this
+    # used to be a third posexplode over the whole corpus just to count
+    # what a per-row array length already knows.  NULL text rows explode
+    # to zero rows, so they are filtered here to match.
+    totals = (
+        src.filter(F.col("__t").isNotNull())
+        .groupBy("id")
+        .agg(
+            F.sum(F.size(F.split(F.col("__t"), _re.escape(sep), -1))).alias(
+                "__n_all"
+            )
+        )
+    )
     return (
         totals.join(agg, "id", "left")
         .select(
