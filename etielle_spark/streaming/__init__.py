@@ -55,7 +55,16 @@ __all__ = [
     "session_agg",
 ]
 
-from .incremental_drift import IncrementalPSI, IncrementalVocabDrift
+from .incremental_drift import (
+    IncrementalBinnedKS,
+    IncrementalPSI,
+    IncrementalVocabDrift,
+)
 from .incremental_sketch import IncrementalHLL
 
-__all__ += ["IncrementalHLL", "IncrementalVocabDrift", "IncrementalPSI"]
+__all__ += [
+    "IncrementalHLL",
+    "IncrementalVocabDrift",
+    "IncrementalPSI",
+    "IncrementalBinnedKS",
+]

@@ -1,9 +1,10 @@
 """Incremental drift monitors for a continuously-ingested corpus:
-vocabulary JS divergence and Population Stability Index maintained
-across micro-batches — the monitors a production ingest runs
-continuously instead of re-scanning history per check.
+vocabulary JS divergence, Population Stability Index, and a binned
+Kolmogorov-Smirnov statistic maintained across micro-batches — the
+monitors a production ingest runs continuously instead of re-scanning
+history per check.
 
-Both follow the repo's append-only-register streaming pattern
+All follow the repo's append-only-register streaming pattern
 (streaming/incremental_sketch.py): per batch, ONE bounded aggregation
 summarizes the new rows into (group, bucket/bin, cnt) count registers
 (at most groups x buckets rows — KILOBYTES regardless of batch size)
@@ -231,6 +232,157 @@ class IncrementalPSI:
             bins=self.bins,
             k=self.k,
             round_to=self.round_to,
+        )
+
+    def attach(self) -> "callable":
+        """``foreachBatch`` adapter."""
+
+        def _fn(df: DataFrame, batch_id: int) -> None:
+            self.process_batch(df)
+
+        return _fn
+
+
+class IncrementalBinnedKS:
+    """Streaming Kolmogorov-Smirnov over FROZEN quantile bins: the
+    third monitor of the family — max CDF gap (tail-shape sensitive)
+    beside PSI (mass-weighted) and vocab JS (content), maintained from
+    the same kind of append-only (group, bin, cnt) registers.
+
+    Exactness contract: the score equals batch
+    ``operators.profile.ks_drift`` applied to the BIN-CENSORED values
+    (each value replaced by its bin index) — i.e. the empirical CDFs are
+    evaluated at the ``bins`` frozen edges instead of at every distinct
+    value.  With quantile edges from the reference slice, the bin grid
+    is exactly where the CDF mass sits, so the binned D converges to the
+    exact D at 1/bins resolution; the trade is O(groups x bins) state
+    regardless of how many rows or distinct values ever flow through —
+    the property a continuous-feature stream needs.
+
+    Edges freeze at state creation from ``edge_group``'s values in the
+    first batch (persisted in the ``_edges`` manifest, validated on
+    reload), mirroring :class:`IncrementalPSI`'s frozen-baseline
+    contract.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        *,
+        value_col: str,
+        group_col: str,
+        edge_group: str,
+        bins: int = 64,
+        round_to: int = 6,
+        max_groups: int = 1000,
+    ) -> None:
+        if bins < 2:
+            raise ValueError(f"IncrementalBinnedKS: bins must be >= 2, got {bins}")
+        self.spark = spark
+        self.state_dir = state_dir
+        self.value_col = value_col
+        self.group_col = group_col
+        self.edge_group = edge_group
+        self.bins = int(bins)
+        self.round_to = round_to
+        self.max_groups = max_groups
+        self._edges_dir = state_dir.rstrip("/") + "/_edges"
+
+    def _load_edges(self) -> list[float] | None:
+        try:
+            rows = self.spark.read.json(self._edges_dir).collect()
+        except Exception:
+            return None
+        if not rows:
+            return None
+        r = rows[0]
+        if int(r["bins"]) != self.bins:
+            raise ValueError(
+                f"IncrementalBinnedKS: state at {self.state_dir} was built "
+                f"with bins={int(r['bins'])}, not {self.bins} — a new "
+                "binning is a new baseline; use a fresh state dir."
+            )
+        return [float(e) for e in r["edges"]]
+
+    def _src(self, df: DataFrame) -> DataFrame:
+        return df.filter(
+            F.col(self.group_col).isNotNull() & F.col(self.value_col).isNotNull()
+        ).select(
+            F.col(self.group_col).cast("string").alias("__g"),
+            F.col(self.value_col).cast("double").alias("__v"),
+        )
+
+    def process_batch(self, df: DataFrame) -> None:
+        """Fold one batch in; the first batch's ``edge_group`` values
+        freeze the bin edges."""
+        src = self._src(df)
+        edges = self._load_edges()
+        if edges is None:
+            edges = psi_edges(
+                src.filter(F.col("__g") == self.edge_group), "__v", bins=self.bins
+            )
+            if edges is None:
+                raise ValueError(
+                    f"IncrementalBinnedKS: first batch has no rows for edge "
+                    f"group {self.edge_group!r} — the baseline must arrive "
+                    "before scoring starts"
+                )
+            self.spark.createDataFrame(
+                [(self.bins, edges)], "bins long, edges array<double>"
+            ).coalesce(1).write.mode("overwrite").json(self._edges_dir)
+        psi_bin_counts(src, "__v", "__g", edges, bins=self.bins).write.mode(
+            "append"
+        ).parquet(self.state_dir)
+
+    def counts(self) -> DataFrame | None:
+        try:
+            files = self.spark.read.parquet(self.state_dir).inputFiles()
+        except Exception:
+            return None
+        if not files:
+            return None
+        return (
+            self.spark.read.parquet(*files)
+            .groupBy("group", "bin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    def drift(self) -> DataFrame:
+        """Pairwise binned-KS statistic ``(group_a, group_b, n_a, n_b,
+        ks_stat)``, lexically ordered pairs — the groups x bins merged
+        state is a KB driver probe, so the pairwise max-gap scan runs
+        driver-side like the batch twins' score stages."""
+        merged = self.counts()
+        if merged is None:
+            raise ValueError("IncrementalBinnedKS.drift: no batches processed yet")
+        by_group: dict[str, dict[int, int]] = {}
+        for r in merged.collect():  # groups x bins rows — KB probe
+            by_group.setdefault(r["group"], {})[int(r["bin"])] = int(r["cnt"])
+        if len(by_group) > self.max_groups:
+            raise ValueError(
+                f"IncrementalBinnedKS: {len(by_group)} groups exceeds "
+                f"max_groups={self.max_groups} — groups are sources/"
+                "snapshots, not entities."
+            )
+        totals = {g: sum(c.values()) for g, c in by_group.items()}
+        groups = sorted(by_group)
+        out = []
+        for i, ga in enumerate(groups):
+            for gb in groups[i + 1 :]:
+                ca, cb = by_group[ga], by_group[gb]
+                na, nb = totals[ga], totals[gb]
+                cum_a = cum_b = 0
+                d = 0.0
+                for b in range(self.bins):
+                    cum_a += ca.get(b, 0)
+                    cum_b += cb.get(b, 0)
+                    d = max(d, abs(cum_a / na - cum_b / nb))
+                out.append((ga, gb, na, nb, round(d, self.round_to)))
+        return self.spark.createDataFrame(
+            out,
+            "group_a string, group_b string, n_a bigint, n_b bigint, "
+            "ks_stat double",
         )
 
     def attach(self) -> "callable":

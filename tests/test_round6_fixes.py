@@ -319,3 +319,69 @@ def test_supabase_sink_null_values_roundtrip(spark):
     sink.write("t", df)
     by_id = {r["id"]: r["name"] for r in client.rows["t"]}
     assert by_id == {1: None, 2: "x"}
+
+
+def test_incremental_binned_ks_equals_batch_on_censored_values(spark, tmp_path):
+    """The streamed binned-KS score must EQUAL batch ks_drift applied to
+    the bin-censored values (each value replaced by its frozen-edge bin
+    index) — the exact differential contract of the approximation."""
+    from etielle_spark.operators.profile import ks_drift, psi_bin_counts
+    from etielle_spark.streaming.incremental_drift import IncrementalBinnedKS
+
+    def v(g, i):
+        return float((i * 7919 + g * 131) % 997) + i * 1e-4
+
+    rows = [(f"g{g}", v(g, i)) for g in range(3) for i in range(400)]
+    batches = [rows[:500], rows[500:900], rows[900:]]
+    mon = IncrementalBinnedKS(
+        spark, str(tmp_path / "ks"), value_col="val", group_col="g",
+        edge_group="g0", bins=16,
+    )
+    for b in batches:
+        mon.process_batch(spark.createDataFrame(b, "g string, val double"))
+    streamed = {(r.group_a, r.group_b): (r.n_a, r.n_b, r.ks_stat)
+                for r in mon.drift().collect()}
+
+    # batch twin: censor every value to its bin index with the monitor's
+    # OWN frozen edges (they froze from batch 1's edge-group rows — the
+    # contract), then exact ks_drift on the censored column
+    full = spark.createDataFrame(rows, "g string, val double")
+    src = full.selectExpr("g as __g", "cast(val as double) as __v")
+    edges = mon._load_edges()
+    censored = psi_bin_counts(src, "__v", "__g", edges, bins=16).selectExpr(
+        "group as g", "cast(bin as double) as val", "cnt"
+    )
+    # expand counts back to rows is wasteful — ks_drift on (g, bin)
+    # weighted rows: replicate via explode(sequence)
+    expanded = censored.selectExpr("g", "val", "explode(sequence(1, cnt))")
+    batch = {(r.group_a, r.group_b): (r.n_a, r.n_b, r.ks_stat)
+             for r in ks_drift(expanded, "val", "g").collect()}
+    assert streamed == batch
+
+
+def test_incremental_binned_ks_guards(spark, tmp_path):
+    from etielle_spark.streaming.incremental_drift import IncrementalBinnedKS
+
+    state = str(tmp_path / "ks")
+    mon = IncrementalBinnedKS(
+        spark, state, value_col="v", group_col="g", edge_group="ref", bins=8
+    )
+    with pytest.raises(ValueError, match="baseline"):
+        mon.process_batch(
+            spark.createDataFrame([("cur", 1.0)], "g string, v double")
+        )
+    mon.process_batch(
+        spark.createDataFrame(
+            [("ref", float(i)) for i in range(30)] + [("cur", 3.0)],
+            "g string, v double",
+        )
+    )
+    rebinned = IncrementalBinnedKS(
+        spark, state, value_col="v", group_col="g", edge_group="ref", bins=4
+    )
+    with pytest.raises(ValueError, match="bins"):
+        rebinned.process_batch(
+            spark.createDataFrame([("cur", 1.0)], "g string, v double")
+        )
+    out = {(r.group_a, r.group_b) for r in mon.drift().collect()}
+    assert out == {("cur", "ref")}
