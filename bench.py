@@ -332,6 +332,10 @@ SCALE_QUERIES = {
     "q27_minhash_signatures": DOC_SCALE_FACTOR,
     "q30_simhash": DOC_SCALE_FACTOR,
     "q100_gram_duplication": DOC_SCALE_FACTOR,
+    # round-6 plans: the two-level distributed KS CDF and the 2-explode
+    # line dedup — their factors evidence the rewrites hold at 100x docs
+    "q237_ks_drift": DOC_SCALE_FACTOR,
+    "q232_line_dedup": DOC_SCALE_FACTOR,
 }
 SCALE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchdata", "sf1synth")
 

@@ -249,3 +249,60 @@ def test_media_bit_recovery_property(v):
     assert ic.ahash_bytes(ic.render_bits_blocks(v)) == v
     f = ac.wav_features(ac.render_bits_wav(v))
     assert f["zero_crossings"] == bin((v ^ (v >> 1)) & ((1 << 59) - 1)).count("1")
+
+
+# values with heavy ties AND near-continuous tails; groups of uneven size
+_ks_values = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.one_of(
+            st.integers(min_value=0, max_value=5).map(float),  # ties
+            st.floats(
+                min_value=0.0, max_value=100.0,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+    ),
+    min_size=4,
+    max_size=60,
+)
+
+
+@given(rows=_ks_values, buckets=st.sampled_from([1, 3, 64]))
+@settings(**_SETTINGS)
+def test_ks_drift_exact_and_bucket_invariant(spark, rows, buckets):
+    """The two-level distributed CDF must give the EXACT two-sample KS
+    for ANY bucket count (bucket boundaries affect only parallelism):
+    compare against a sorted-merge Python reference on adversarial
+    tie-heavy inputs."""
+    from etielle_spark.operators.profile import ks_drift
+
+    by_g: dict[str, list[float]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    if len(by_g) < 2:
+        return
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r.group_a, r.group_b): r.ks_stat
+        for r in ks_drift(df, "v", "g", cdf_buckets=buckets).collect()
+    }
+
+    def exact(a: list[float], b: list[float]) -> float:
+        vals = sorted(set(a) | set(b))
+        sa, sb = sorted(a), sorted(b)
+        ia = ib = 0
+        d = 0.0
+        for v in vals:
+            while ia < len(sa) and sa[ia] <= v:
+                ia += 1
+            while ib < len(sb) and sb[ib] <= v:
+                ib += 1
+            d = max(d, abs(ia / len(sa) - ib / len(sb)))
+        return d
+
+    gs = sorted(by_g)
+    for i, ga in enumerate(gs):
+        for gb in gs[i + 1 :]:
+            want = round(exact(by_g[ga], by_g[gb]), 6)
+            assert abs(got[(ga, gb)] - want) < 1e-9, (ga, gb, buckets)
