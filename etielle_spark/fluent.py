@@ -1351,49 +1351,53 @@ class PipelineBuilder:
                 emit(self._on_event, MapStarted(t))
                 emit(self._on_event, MapCompleted(t))
         else:
-            from pyspark.sql import Observation
-
-            for t in order:
-                emit(self._on_event, MapStarted(t))
-                emit(self._on_event, FlushStarted(t))
-                # observe() rides along the write job — the inserted
-                # count costs nothing extra (the round-1 df.count()
-                # re-executed the whole plan per table).  Observed
-                # regardless of callback so table_stats().inserted is
-                # always populated when a sink is attached.
-                obs = Observation()
-                df = public[t].observe(obs, F.count(F.lit(1)).alias("inserted"))
-                try:
-                    self._sink.write(t, df)
-                except Exception as e:
-                    # reference fluent.py:1003-1019: emit FlushFailed,
-                    # record all attempted rows as failed, re-raise.
-                    # FlushFailed FIRST — the count() below re-executes
-                    # the plan, and if the plan itself is what failed it
-                    # would raise again and mask the original error
-                    # before any event fired.
-                    emit(self._on_event, FlushFailed(t, error=str(e)))
-                    try:
-                        result._flush_failed[t] = public[t].count()
-                    except Exception:
-                        # plan error, not a sink error: attempted row
-                        # count is unknowable
-                        result._flush_failed[t] = 0
-                    raise
-                inserted = obs.get["inserted"]
-                result._flushed[t] = inserted
-                # the write materialized the table, so the mapped count is
-                # now known for free — MapCompleted carries it (emitted
-                # after FlushStarted by necessity in a lazy engine)
-                emit(self._on_event, MapCompleted(t, count=inserted))
-                emit(self._on_event, FlushCompleted(t, inserted=inserted))
-            # every table is written: release the backlink-parent caches
-            # now (repeated sink pipelines in one session must not
-            # accumulate them); sink-less results keep theirs — the
-            # caller is about to materialize the tables, LRU evicts after
-            for f in bl_persisted:
-                f.unpersist()
+            try:
+                self._flush_tables(order, public, result)
+            finally:
+                # release the backlink-parent caches whether the flush
+                # succeeded or not — a flaky sink must not accumulate
+                # MEMORY_AND_DISK parents run after run
+                for f in bl_persisted:
+                    f.unpersist()
         return result
+
+    def _flush_tables(self, order, public, result) -> None:
+        from pyspark.sql import Observation
+
+        for t in order:
+            emit(self._on_event, MapStarted(t))
+            emit(self._on_event, FlushStarted(t))
+            # observe() rides along the write job — the inserted
+            # count costs nothing extra (the round-1 df.count()
+            # re-executed the whole plan per table).  Observed
+            # regardless of callback so table_stats().inserted is
+            # always populated when a sink is attached.
+            obs = Observation()
+            df = public[t].observe(obs, F.count(F.lit(1)).alias("inserted"))
+            try:
+                self._sink.write(t, df)
+            except Exception as e:
+                # reference fluent.py:1003-1019: emit FlushFailed,
+                # record all attempted rows as failed, re-raise.
+                # FlushFailed FIRST — the count() below re-executes
+                # the plan, and if the plan itself is what failed it
+                # would raise again and mask the original error
+                # before any event fired.
+                emit(self._on_event, FlushFailed(t, error=str(e)))
+                try:
+                    result._flush_failed[t] = public[t].count()
+                except Exception:
+                    # plan error, not a sink error: attempted row
+                    # count is unknowable
+                    result._flush_failed[t] = 0
+                raise
+            inserted = obs.get["inserted"]
+            result._flushed[t] = inserted
+            # the write materialized the table, so the mapped count is
+            # now known for free — MapCompleted carries it (emitted
+            # after FlushStarted by necessity in a lazy engine)
+            emit(self._on_event, MapCompleted(t, count=inserted))
+            emit(self._on_event, FlushCompleted(t, inserted=inserted))
 
 
 def _ord_struct(

@@ -1453,20 +1453,22 @@ def cross_group_overlap(
     # list is dimension-sized by definition (sources/snapshots), so the
     # pair table is a driver-built local relation (the KB-probe pattern)
     # — equi-joins only, no nested-loop cross join in the plan
-    sizes = {
-        r["__g"]: int(r["__n"])
-        for r in digests.groupBy("__g")
+    # limit() bounds the driver BEFORE the guard fires — an entity column
+    # mistakenly used as the group collects max_groups + 1 rows, not all
+    size_rows = (
+        digests.groupBy("__g")
         .agg(F.count(F.lit(1)).alias("__n"))
+        .limit(max_groups + 1)
         .collect()
-    }
-    if len(sizes) > max_groups:
+    )
+    if len(size_rows) > max_groups:
         raise ValueError(
-            f"cross_group_overlap: {len(sizes)} distinct groups exceeds "
-            f"max_groups={max_groups} — the pairwise matrix is quadratic "
-            "in the group count; groups are sources/snapshots, not "
-            "entities. Pre-bucket the group column or raise max_groups "
-            "deliberately."
+            f"cross_group_overlap: more than max_groups={max_groups} "
+            "distinct groups — the pairwise matrix is quadratic in the "
+            "group count; groups are sources/snapshots, not entities. "
+            "Pre-bucket the group column or raise max_groups deliberately."
         )
+    sizes = {r["__g"]: int(r["__n"]) for r in size_rows}
     gs = sorted(sizes)
     pairs = df.sparkSession.createDataFrame(
         [

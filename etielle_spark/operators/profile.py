@@ -668,18 +668,22 @@ def ks_drift(
     # group list is dimension-sized by definition: build the pair table
     # driver-side (KB probe) so the plan is equi-joins only — no
     # nested-loop cross join for pair enumeration
-    sizes = {
-        r["__g"]: int(r["__n"])
-        for r in counts.groupBy("__g").agg(F.sum("__c").alias("__n")).collect()
-    }
-    if len(sizes) > max_groups:
+    # limit() bounds the driver BEFORE the guard fires — an entity column
+    # mistakenly used as the group collects max_groups + 1 rows, not all
+    size_rows = (
+        counts.groupBy("__g")
+        .agg(F.sum("__c").alias("__n"))
+        .limit(max_groups + 1)
+        .collect()
+    )
+    if len(size_rows) > max_groups:
         raise ValueError(
-            f"ks_drift: {len(sizes)} distinct groups exceeds "
-            f"max_groups={max_groups} — the pairwise matrix is quadratic "
-            "in the group count; groups are sources/snapshots, not "
-            "entities. Pre-bucket the group column or raise max_groups "
-            "deliberately."
+            f"ks_drift: more than max_groups={max_groups} distinct groups "
+            "— the pairwise matrix is quadratic in the group count; groups "
+            "are sources/snapshots, not entities. Pre-bucket the group "
+            "column or raise max_groups deliberately."
         )
+    sizes = {r["__g"]: int(r["__n"]) for r in size_rows}
     gs = sorted(sizes)
     pairs = df.sparkSession.createDataFrame(
         [
@@ -757,8 +761,11 @@ def ks_drift(
         F.coalesce(F.sum("__ta").over(w_off), F.lit(0)).alias("__oa"),
         F.coalesce(F.sum("__tb").over(w_off), F.lit(0)).alias("__ob"),
     )
+    # no broadcast hint: offsets is pairs x buckets rows — KBs for the
+    # typical handful of groups, but ~32M rows at the max_groups=1000
+    # cap; let AQE pick (it broadcasts the small case on its own)
     cdf = within.join(
-        F.broadcast(offsets), ["group_a", "group_b", "__bk"]
+        offsets, ["group_a", "group_b", "__bk"]
     ).select(
         "group_a",
         "group_b",
@@ -825,15 +832,21 @@ def psi_drift(
     if edges is None:
         raise ValueError(f"psi_drift: reference group {ref_group!r} has no rows")
     counts = psi_bin_counts(src, "__v", "__g", edges, bins=bins)
+    # bound the DRIVER before the collect: each group contributes <= bins
+    # rows, so more than max_groups x bins rows proves the guard fires —
+    # fetched with limit() so an entity-column mistake can't OOM the
+    # driver on the way to the error message
+    cap = max_groups * bins
+    rows = counts.limit(cap + 1).collect()
     by_group: dict[str, dict[int, int]] = {}
-    for r in counts.collect():  # groups x bins rows — KB probe
+    for r in rows:  # groups x bins rows — KB probe
         by_group.setdefault(r["group"], {})[int(r["bin"])] = int(r["cnt"])
-    if len(by_group) > max_groups:
+    if len(rows) > cap or len(by_group) > max_groups:
         raise ValueError(
-            f"psi_drift: {len(by_group)} distinct groups exceeds "
-            f"max_groups={max_groups} — the groups x bins table collects "
-            "to the driver; groups are sources/snapshots, not entities. "
-            "Pre-bucket the group column or raise max_groups deliberately."
+            f"psi_drift: more than max_groups={max_groups} distinct groups "
+            "— the groups x bins table collects to the driver; groups are "
+            "sources/snapshots, not entities. Pre-bucket the group column "
+            "or raise max_groups deliberately."
         )
     return psi_from_counts(
         df.sparkSession, by_group, ref_group, bins=bins, k=k, round_to=round_to

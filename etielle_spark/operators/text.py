@@ -1918,14 +1918,21 @@ def vocab_drift(
     appear.
     """
     counts = vocab_bucket_counts(df, text_col, group_col, n_buckets=n_buckets)
+    # the guard must bound the DRIVER, so it has to bind before the big
+    # collect: fetch at most the contract-size row count + 1 (each group
+    # contributes <= n_buckets rows, so more rows than that PROVES more
+    # than max_groups groups) — an entity column mistakenly used as the
+    # group can no longer OOM the driver on the way to the error message
+    cap = max_groups * int(n_buckets)
+    rows = counts.limit(cap + 1).collect()
     by_group: dict[str, dict[int, int]] = {}
-    for r in counts.collect():
+    for r in rows:
         by_group.setdefault(r["group"], {})[int(r["bucket"])] = int(r["cnt"])
-    if len(by_group) > max_groups:
+    if len(rows) > cap or len(by_group) > max_groups:
         raise ValueError(
-            f"vocab_drift: {len(by_group)} distinct groups exceeds "
-            f"max_groups={max_groups} — the driver-side pairwise JS loop "
-            "is O(groups^2 x n_buckets); groups are sources/snapshots, "
+            f"vocab_drift: more than max_groups={max_groups} distinct "
+            "groups — the driver-side pairwise JS loop is "
+            "O(groups^2 x n_buckets); groups are sources/snapshots, "
             "not entities. Pre-bucket the group column or raise "
             "max_groups deliberately."
         )

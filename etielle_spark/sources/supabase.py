@@ -83,6 +83,8 @@ def insert_batches(
     the insert); the return value is the concatenated server-echoed rows
     — the caller uses them to pick up DB-generated ids (two-phase FK).
     """
+    if batch_size < 1:
+        raise ValueError(f"insert_batches: batch_size must be >= 1, got {batch_size}")
     if not rows:
         return []
     results: list[dict] = []
@@ -157,6 +159,10 @@ class SupabaseSink(Sink):
         batch_size: int = 1000,
         on_batch: Optional[Callable[[str, int, int, int], None]] = None,
     ) -> None:
+        if batch_size < 1:
+            raise ValueError(
+                f"SupabaseSink: batch_size must be >= 1, got {batch_size}"
+            )
         self.client = client
         self.upsert = upsert
         self.upsert_on = upsert_on or {}

@@ -159,6 +159,8 @@ def supabase_two_phase_insert(
     dimension side by construction; the child join stays a distributed
     broadcast join, and the child insert streams one partition at a time.
     """
+    import json
+
     from .supabase import SupabaseSink, insert_returning
 
     spark = parent_df.sparkSession
@@ -171,7 +173,14 @@ def supabase_two_phase_insert(
             f"supabase_two_phase_insert: parent table '{parent_table}' "
             "returned no rows — nothing to wire child FKs against"
         )
-    written = spark.createDataFrame(returned)
+    # lift the echoed rows through JSON, not createDataFrame's sampling
+    # type inference — a nullable column that is None in EVERY echoed row
+    # would make inference raise AFTER phase 1 already committed the
+    # parent inserts (json reads an all-null column as string, which is
+    # fine: only the natural-key and gen_col columns are consumed here)
+    written = spark.read.json(
+        spark.sparkContext.parallelize([json.dumps(r, default=str) for r in returned])
+    )
     if gen_col not in written.columns:
         raise ValueError(
             f"supabase_two_phase_insert: returned rows have no "

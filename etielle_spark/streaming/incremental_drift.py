@@ -4,23 +4,33 @@ Kolmogorov-Smirnov statistic maintained across micro-batches — the
 monitors a production ingest runs continuously instead of re-scanning
 history per check.
 
-All follow the repo's append-only-register streaming pattern
+All follow the repo's bounded-register streaming pattern
 (streaming/incremental_sketch.py): per batch, ONE bounded aggregation
 summarizes the new rows into (group, bucket/bin, cnt) count registers
-(at most groups x buckets rows — KILOBYTES regardless of batch size)
-which append to parquet state; no read-modify-write, no state-store
-compaction.  Counts are ADDITIVE, so sum-merging the appended registers
-at read time gives EXACTLY the distribution a batch pass over the
-concatenated input would build — the drift scores are therefore
-bit-identical to their batch twins (``operators/text.py:vocab_drift``,
-``operators/profile.py:psi_drift``), which the differential tests
-assert as equality.
+(at most groups x buckets rows — KILOBYTES regardless of batch size);
+no read-modify-write, no state-store compaction.  Counts are ADDITIVE,
+so sum-merging the stored registers at read time gives EXACTLY the
+distribution a batch pass over the concatenated input would build — the
+drift scores are therefore bit-identical to their batch twins
+(``operators/text.py:vocab_drift``, ``operators/profile.py:psi_drift``),
+which the differential tests assert as equality.
 
-PSI's bin edges are pinned at state creation from the reference group
-(persisted in an ``_edges`` manifest beside the registers, validated on
-reload) — the streaming contract is "score every batch against the
-frozen baseline", which is what model monitoring means by PSI; a new
-baseline is a new state dir.
+Unlike a bitmap-OR (incremental_dedup's bloom) or a max-merge register
+(HLL), duplicated COUNT rows change the result — so replay safety can't
+come from merge idempotence.  Each batch therefore writes its registers
+to a DETERMINISTIC ``batch=<id>`` partition directory with
+``mode("overwrite")``: ``foreachBatch`` redelivers a crashed micro-batch
+under the same batch_id with the same data (Spark's replay contract),
+and the overwrite replaces the partial/duplicate attempt instead of
+appending beside it.  Calls without a batch_id (manual batch loops) get
+a unique directory — plain append semantics, replay detection impossible
+by construction there.
+
+PSI's / binned-KS's bin edges are pinned at state creation from the
+reference (edge) group — persisted in an ``_edges`` manifest beside the
+registers, validated on reload.  The streaming contract is "score every
+batch against the frozen baseline", which is what model monitoring means
+by these scores; a new baseline is a new state dir.
 
 Reference has no streaming analog; this extends the batch drift family
 to the ingest path the way incremental_dedup.py does for LSH dedup.
@@ -34,10 +44,80 @@ from ..operators.profile import psi_bin_counts, psi_edges, psi_from_counts
 from ..operators.text import js_from_counts, vocab_bucket_counts
 
 
+def _write_registers(counts: DataFrame, state_dir: str, batch_id) -> None:
+    """Write one batch's count registers.  batch_id-keyed directories
+    make ``foreachBatch`` replays idempotent (same id -> same path ->
+    overwrite); id-less calls write a unique directory (append)."""
+    import uuid
+
+    key = f"b{int(batch_id)}" if batch_id is not None else "u" + uuid.uuid4().hex
+    counts.write.mode("overwrite").parquet(
+        state_dir.rstrip("/") + f"/batch={key}"
+    )
+
+
+def _merged_counts(
+    spark: SparkSession, state_dir: str, key_col: str
+) -> DataFrame | None:
+    """Sum-merge every stored register partition (None if no state)."""
+    try:
+        files = spark.read.parquet(state_dir).inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("group", key_col)
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def _read_edges_manifest(
+    spark: SparkSession, edges_dir: str, bins: int, owner: str, state_dir: str
+) -> list[float] | None:
+    try:
+        rows = spark.read.json(edges_dir).collect()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    r = rows[0]
+    if int(r["bins"]) != bins:
+        raise ValueError(
+            f"{owner}: state at {state_dir} was built with "
+            f"bins={int(r['bins'])}, not {bins} — a new binning is a new "
+            "baseline; use a fresh state dir."
+        )
+    return [float(e) for e in r["edges"]]
+
+
+def _collect_by_group(
+    merged: DataFrame, key_col: str, max_groups: int, owner: str
+) -> dict[str, dict[int, int]]:
+    """Driver-collect the merged groups x buckets table, with the
+    group-count guard CHEAPLY pre-checked (one 1-row aggregate) so an
+    entity column mistakenly used as the group never reaches the big
+    collect."""
+    n_groups = merged.agg(
+        F.count_distinct(F.col("group")).alias("n")
+    ).first()["n"]
+    if n_groups > max_groups:
+        raise ValueError(
+            f"{owner}: {n_groups} distinct groups exceeds "
+            f"max_groups={max_groups} — groups are sources/snapshots, "
+            "not entities."
+        )
+    by_group: dict[str, dict[int, int]] = {}
+    for r in merged.collect():  # groups x buckets rows — KB probe
+        by_group.setdefault(r["group"], {})[int(r[key_col])] = int(r["cnt"])
+    return by_group
+
+
 class IncrementalVocabDrift:
-    """Append-only (group, bucket, cnt) unigram registers under
-    ``state_dir``; ``drift()`` scores the merged state with the exact
-    batch ``vocab_drift`` math."""
+    """(group, bucket, cnt) unigram registers under ``state_dir``;
+    ``drift()`` scores the merged state with the exact batch
+    ``vocab_drift`` math."""
 
     def __init__(
         self,
@@ -60,29 +140,22 @@ class IncrementalVocabDrift:
         self.round_to = round_to
         self.max_groups = max_groups
 
-    def _state(self) -> DataFrame | None:
-        try:
-            files = self.spark.read.parquet(self.state_dir).inputFiles()
-        except Exception:
-            return None
-        if not files:
-            return None
-        return self.spark.read.parquet(*files)
-
-    def process_batch(self, df: DataFrame) -> None:
+    def process_batch(self, df: DataFrame, batch_id=None) -> None:
         """Fold one batch in: one tokenize+hash pass to at most
-        groups x n_buckets count rows, appended to state."""
-        vocab_bucket_counts(
-            df, self.text_col, self.group_col, n_buckets=self.n_buckets
-        ).write.mode("append").parquet(self.state_dir)
+        groups x n_buckets count rows.  Pass the ``foreachBatch``
+        batch_id for replay-idempotent storage."""
+        _write_registers(
+            vocab_bucket_counts(
+                df, self.text_col, self.group_col, n_buckets=self.n_buckets
+            ),
+            self.state_dir,
+            batch_id,
+        )
 
     def counts(self) -> DataFrame | None:
         """Merged (group, bucket, cnt) — the distribution a batch pass
         over every processed row would build, exactly."""
-        state = self._state()
-        if state is None:
-            return None
-        return state.groupBy("group", "bucket").agg(F.sum("cnt").alias("cnt"))
+        return _merged_counts(self.spark, self.state_dir, "bucket")
 
     def drift(self) -> DataFrame:
         """Pairwise JS divergence over the merged state — bit-identical
@@ -92,15 +165,9 @@ class IncrementalVocabDrift:
             raise ValueError(
                 "IncrementalVocabDrift.drift: no batches processed yet"
             )
-        by_group: dict[str, dict[int, int]] = {}
-        for r in merged.collect():  # groups x n_buckets rows — KB probe
-            by_group.setdefault(r["group"], {})[int(r["bucket"])] = int(r["cnt"])
-        if len(by_group) > self.max_groups:
-            raise ValueError(
-                f"IncrementalVocabDrift: {len(by_group)} groups exceeds "
-                f"max_groups={self.max_groups} — groups are sources/"
-                "snapshots, not entities."
-            )
+        by_group = _collect_by_group(
+            merged, "bucket", self.max_groups, "IncrementalVocabDrift"
+        )
         return js_from_counts(
             self.spark,
             by_group,
@@ -110,18 +177,113 @@ class IncrementalVocabDrift:
         )
 
     def attach(self) -> "callable":
-        """``foreachBatch`` adapter."""
+        """``foreachBatch`` adapter (forwards the batch_id for replay
+        idempotence)."""
 
         def _fn(df: DataFrame, batch_id: int) -> None:
-            self.process_batch(df)
+            self.process_batch(df, batch_id=batch_id)
 
         return _fn
 
 
-class IncrementalPSI:
-    """Append-only (group, bin, cnt) registers with FROZEN reference-
-    quantile bin edges; ``psi()`` scores the merged state with the exact
-    batch ``psi_drift`` math."""
+class _BinnedValueMonitor:
+    """Shared machinery of the frozen-edge value monitors (PSI and
+    binned KS): NULL filtering, first-batch edge freezing with a
+    persisted+validated ``_edges`` manifest, replay-idempotent register
+    storage, and sum-merged reads."""
+
+    _owner = "_BinnedValueMonitor"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        *,
+        value_col: str,
+        group_col: str,
+        baseline_group: str,
+        bins: int,
+        round_to: int,
+        max_groups: int,
+    ) -> None:
+        if bins < 2:
+            raise ValueError(f"{self._owner}: bins must be >= 2, got {bins}")
+        self.spark = spark
+        self.state_dir = state_dir
+        self.value_col = value_col
+        self.group_col = group_col
+        self.baseline_group = baseline_group
+        self.bins = int(bins)
+        self.round_to = round_to
+        self.max_groups = max_groups
+        self._edges_dir = state_dir.rstrip("/") + "/_edges"
+
+    def _load_edges(self) -> list[float] | None:
+        return _read_edges_manifest(
+            self.spark, self._edges_dir, self.bins, self._owner, self.state_dir
+        )
+
+    def _src(self, df: DataFrame) -> DataFrame:
+        return df.filter(
+            F.col(self.group_col).isNotNull() & F.col(self.value_col).isNotNull()
+        ).select(
+            F.col(self.group_col).cast("string").alias("__g"),
+            F.col(self.value_col).cast("double").alias("__v"),
+        )
+
+    def process_batch(self, df: DataFrame, batch_id=None) -> None:
+        """Fold one batch in.  The FIRST batch must contain the baseline
+        group — its exact quantiles freeze the bin edges for the
+        lifetime of the state (persisted + validated on reload).  Pass
+        the ``foreachBatch`` batch_id for replay-idempotent storage."""
+        src = self._src(df)
+        edges = self._load_edges()
+        if edges is None:
+            edges = psi_edges(
+                src.filter(F.col("__g") == self.baseline_group),
+                "__v",
+                bins=self.bins,
+            )
+            if edges is None:
+                raise ValueError(
+                    f"{self._owner}: first batch has no rows for baseline "
+                    f"group {self.baseline_group!r} — the baseline must "
+                    "arrive before scoring starts"
+                )
+            self.spark.createDataFrame(
+                [(self.bins, edges)], "bins long, edges array<double>"
+            ).coalesce(1).write.mode("overwrite").json(self._edges_dir)
+        _write_registers(
+            psi_bin_counts(src, "__v", "__g", edges, bins=self.bins),
+            self.state_dir,
+            batch_id,
+        )
+
+    def counts(self) -> DataFrame | None:
+        return _merged_counts(self.spark, self.state_dir, "bin")
+
+    def _by_group(self, what: str) -> dict[str, dict[int, int]]:
+        merged = self.counts()
+        if merged is None:
+            raise ValueError(f"{self._owner}.{what}: no batches processed yet")
+        return _collect_by_group(merged, "bin", self.max_groups, self._owner)
+
+    def attach(self) -> "callable":
+        """``foreachBatch`` adapter (forwards the batch_id for replay
+        idempotence)."""
+
+        def _fn(df: DataFrame, batch_id: int) -> None:
+            self.process_batch(df, batch_id=batch_id)
+
+        return _fn
+
+
+class IncrementalPSI(_BinnedValueMonitor):
+    """(group, bin, cnt) registers with FROZEN reference-quantile bin
+    edges; ``psi()`` scores the merged state with the exact batch
+    ``psi_drift`` math."""
+
+    _owner = "IncrementalPSI"
 
     def __init__(
         self,
@@ -136,95 +298,24 @@ class IncrementalPSI:
         round_to: int = 6,
         max_groups: int = 10_000,
     ) -> None:
-        if bins < 2:
-            raise ValueError(f"IncrementalPSI: bins must be >= 2, got {bins}")
-        self.spark = spark
-        self.state_dir = state_dir
-        self.value_col = value_col
-        self.group_col = group_col
+        super().__init__(
+            spark,
+            state_dir,
+            value_col=value_col,
+            group_col=group_col,
+            baseline_group=ref_group,
+            bins=bins,
+            round_to=round_to,
+            max_groups=max_groups,
+        )
         self.ref_group = ref_group
-        self.bins = int(bins)
         self.k = k
-        self.round_to = round_to
-        self.max_groups = max_groups
-        self._edges_dir = state_dir.rstrip("/") + "/_edges"
-
-    def _load_edges(self) -> list[float] | None:
-        try:
-            rows = self.spark.read.json(self._edges_dir).collect()
-        except Exception:
-            return None
-        if not rows:
-            return None
-        r = rows[0]
-        if int(r["bins"]) != self.bins:
-            raise ValueError(
-                f"IncrementalPSI: state at {self.state_dir} was built with "
-                f"bins={int(r['bins'])}, not {self.bins} — a new binning is "
-                "a new baseline; use a fresh state dir."
-            )
-        return [float(e) for e in r["edges"]]
-
-    def _src(self, df: DataFrame) -> DataFrame:
-        return df.filter(
-            F.col(self.group_col).isNotNull() & F.col(self.value_col).isNotNull()
-        ).select(
-            F.col(self.group_col).cast("string").alias("__g"),
-            F.col(self.value_col).cast("double").alias("__v"),
-        )
-
-    def process_batch(self, df: DataFrame) -> None:
-        """Fold one batch in.  The FIRST batch must contain the
-        reference group — its exact quantiles freeze the bin edges for
-        the lifetime of the state (persisted + validated on reload)."""
-        src = self._src(df)
-        edges = self._load_edges()
-        if edges is None:
-            edges = psi_edges(
-                src.filter(F.col("__g") == self.ref_group), "__v", bins=self.bins
-            )
-            if edges is None:
-                raise ValueError(
-                    f"IncrementalPSI: first batch has no rows for reference "
-                    f"group {self.ref_group!r} — the baseline must arrive "
-                    "before scoring starts"
-                )
-            self.spark.createDataFrame(
-                [(self.bins, edges)], "bins long, edges array<double>"
-            ).coalesce(1).write.mode("overwrite").json(self._edges_dir)
-        psi_bin_counts(src, "__v", "__g", edges, bins=self.bins).write.mode(
-            "append"
-        ).parquet(self.state_dir)
-
-    def counts(self) -> DataFrame | None:
-        try:
-            files = self.spark.read.parquet(self.state_dir).inputFiles()
-        except Exception:
-            return None
-        if not files:
-            return None
-        return (
-            self.spark.read.parquet(*files)
-            .groupBy("group", "bin")
-            .agg(F.sum("cnt").alias("cnt"))
-        )
 
     def psi(self) -> DataFrame:
         """PSI of every group vs the frozen reference — bit-identical to
         ``psi_drift`` over the concatenated batches (the reference group
         fully present in batch one pins identical edges)."""
-        merged = self.counts()
-        if merged is None:
-            raise ValueError("IncrementalPSI.psi: no batches processed yet")
-        by_group: dict[str, dict[int, int]] = {}
-        for r in merged.collect():  # groups x bins rows — KB probe
-            by_group.setdefault(r["group"], {})[int(r["bin"])] = int(r["cnt"])
-        if len(by_group) > self.max_groups:
-            raise ValueError(
-                f"IncrementalPSI: {len(by_group)} groups exceeds "
-                f"max_groups={self.max_groups} — groups are sources/"
-                "snapshots, not entities."
-            )
+        by_group = self._by_group("psi")
         return psi_from_counts(
             self.spark,
             by_group,
@@ -234,36 +325,24 @@ class IncrementalPSI:
             round_to=self.round_to,
         )
 
-    def attach(self) -> "callable":
-        """``foreachBatch`` adapter."""
 
-        def _fn(df: DataFrame, batch_id: int) -> None:
-            self.process_batch(df)
-
-        return _fn
-
-
-class IncrementalBinnedKS:
+class IncrementalBinnedKS(_BinnedValueMonitor):
     """Streaming Kolmogorov-Smirnov over FROZEN quantile bins: the
     third monitor of the family — max CDF gap (tail-shape sensitive)
-    beside PSI (mass-weighted) and vocab JS (content), maintained from
-    the same kind of append-only (group, bin, cnt) registers.
+    beside PSI (mass-weighted) and vocab JS (content).
 
     Exactness contract: the score equals batch
     ``operators.profile.ks_drift`` applied to the BIN-CENSORED values
     (each value replaced by its bin index) — i.e. the empirical CDFs are
     evaluated at the ``bins`` frozen edges instead of at every distinct
-    value.  With quantile edges from the reference slice, the bin grid
-    is exactly where the CDF mass sits, so the binned D converges to the
-    exact D at 1/bins resolution; the trade is O(groups x bins) state
-    regardless of how many rows or distinct values ever flow through —
-    the property a continuous-feature stream needs.
+    value.  With quantile edges from the baseline slice, the bin grid is
+    exactly where the CDF mass sits, so the binned D converges to the
+    exact D at 1/bins resolution (and always lower-bounds it); the trade
+    is O(groups x bins) state regardless of how many rows or distinct
+    values ever flow through — the property a continuous-feature stream
+    needs."""
 
-    Edges freeze at state creation from ``edge_group``'s values in the
-    first batch (persisted in the ``_edges`` manifest, validated on
-    reload), mirroring :class:`IncrementalPSI`'s frozen-baseline
-    contract.
-    """
+    _owner = "IncrementalBinnedKS"
 
     def __init__(
         self,
@@ -277,94 +356,24 @@ class IncrementalBinnedKS:
         round_to: int = 6,
         max_groups: int = 1000,
     ) -> None:
-        if bins < 2:
-            raise ValueError(f"IncrementalBinnedKS: bins must be >= 2, got {bins}")
-        self.spark = spark
-        self.state_dir = state_dir
-        self.value_col = value_col
-        self.group_col = group_col
+        super().__init__(
+            spark,
+            state_dir,
+            value_col=value_col,
+            group_col=group_col,
+            baseline_group=edge_group,
+            bins=bins,
+            round_to=round_to,
+            max_groups=max_groups,
+        )
         self.edge_group = edge_group
-        self.bins = int(bins)
-        self.round_to = round_to
-        self.max_groups = max_groups
-        self._edges_dir = state_dir.rstrip("/") + "/_edges"
-
-    def _load_edges(self) -> list[float] | None:
-        try:
-            rows = self.spark.read.json(self._edges_dir).collect()
-        except Exception:
-            return None
-        if not rows:
-            return None
-        r = rows[0]
-        if int(r["bins"]) != self.bins:
-            raise ValueError(
-                f"IncrementalBinnedKS: state at {self.state_dir} was built "
-                f"with bins={int(r['bins'])}, not {self.bins} — a new "
-                "binning is a new baseline; use a fresh state dir."
-            )
-        return [float(e) for e in r["edges"]]
-
-    def _src(self, df: DataFrame) -> DataFrame:
-        return df.filter(
-            F.col(self.group_col).isNotNull() & F.col(self.value_col).isNotNull()
-        ).select(
-            F.col(self.group_col).cast("string").alias("__g"),
-            F.col(self.value_col).cast("double").alias("__v"),
-        )
-
-    def process_batch(self, df: DataFrame) -> None:
-        """Fold one batch in; the first batch's ``edge_group`` values
-        freeze the bin edges."""
-        src = self._src(df)
-        edges = self._load_edges()
-        if edges is None:
-            edges = psi_edges(
-                src.filter(F.col("__g") == self.edge_group), "__v", bins=self.bins
-            )
-            if edges is None:
-                raise ValueError(
-                    f"IncrementalBinnedKS: first batch has no rows for edge "
-                    f"group {self.edge_group!r} — the baseline must arrive "
-                    "before scoring starts"
-                )
-            self.spark.createDataFrame(
-                [(self.bins, edges)], "bins long, edges array<double>"
-            ).coalesce(1).write.mode("overwrite").json(self._edges_dir)
-        psi_bin_counts(src, "__v", "__g", edges, bins=self.bins).write.mode(
-            "append"
-        ).parquet(self.state_dir)
-
-    def counts(self) -> DataFrame | None:
-        try:
-            files = self.spark.read.parquet(self.state_dir).inputFiles()
-        except Exception:
-            return None
-        if not files:
-            return None
-        return (
-            self.spark.read.parquet(*files)
-            .groupBy("group", "bin")
-            .agg(F.sum("cnt").alias("cnt"))
-        )
 
     def drift(self) -> DataFrame:
         """Pairwise binned-KS statistic ``(group_a, group_b, n_a, n_b,
         ks_stat)``, lexically ordered pairs — the groups x bins merged
         state is a KB driver probe, so the pairwise max-gap scan runs
         driver-side like the batch twins' score stages."""
-        merged = self.counts()
-        if merged is None:
-            raise ValueError("IncrementalBinnedKS.drift: no batches processed yet")
-        by_group: dict[str, dict[int, int]] = {}
-        for r in merged.collect():  # groups x bins rows — KB probe
-            by_group.setdefault(r["group"], {})[int(r["bin"])] = int(r["cnt"])
-        if len(by_group) > self.max_groups:
-            raise ValueError(
-                f"IncrementalBinnedKS: {len(by_group)} groups exceeds "
-                f"max_groups={self.max_groups} — groups are sources/"
-                "snapshots, not entities."
-            )
+        by_group = self._by_group("drift")
         totals = {g: sum(c.values()) for g, c in by_group.items()}
         groups = sorted(by_group)
         out = []
@@ -384,11 +393,3 @@ class IncrementalBinnedKS:
             "group_a string, group_b string, n_a bigint, n_b bigint, "
             "ks_stat double",
         )
-
-    def attach(self) -> "callable":
-        """``foreachBatch`` adapter."""
-
-        def _fn(df: DataFrame, batch_id: int) -> None:
-            self.process_batch(df)
-
-        return _fn
