@@ -389,7 +389,76 @@ def main() -> None:
                 got9.add((canon(d.get("id")), canon(d.get("v"))))
         check("lookup-index", seed, want9, got9)
 
-    print(f"\nfuzz done: {n} seeds x 9 shapes, {len(failures)} mismatches")
+        # shape 10 (round 6): backlink — parent id-lists with missing /
+        # duplicated / None ids, empty lists, absent children.  The
+        # reference binds via setattr on INSTANCES (dicts silently don't
+        # bind — its own tests use dataclasses), so the reference side
+        # mirrors its test_backlink_sets_list_attribute shape; children
+        # are compared as ORDER-SENSITIVE text lists (id-list order).
+        from dataclasses import dataclass as _dc, field as _dcfield
+
+        @_dc
+        class _RQ:
+            __tablename__ = "q"
+            qid: str = ""
+            children: list = _dcfield(default_factory=list)
+
+        @_dc
+        class _RC:
+            __tablename__ = "c"
+            t: str = ""
+
+        rng10 = random.Random(10_000 + seed)
+        cid_pool = [f"c{j}" for j in range(6)]
+        qs10 = [
+            {
+                "qid": f"q{i}",
+                "cids": [
+                    rng10.choice(cid_pool + ["missing", None])
+                    for _ in range(rng10.randint(0, 5))
+                ],
+            }
+            for i in range(rng10.randint(1, 4))
+        ]
+        cs10 = [
+            {"cid": c, "t": f"t{j}"}
+            for j, c in enumerate(cid_pool)
+            if rng10.random() < 0.8
+        ]
+        data10 = {"qs": qs10, "cs": cs10}
+        r10 = (
+            retl(data10)
+            .goto("qs").each()
+            .map_to(table=_RQ, fields=[RF("qid", rget("qid")), RTF("cids", rget("cids"))])
+            .goto_root()
+            .goto("cs").each()
+            .map_to(table=_RC, fields=[RF("t", rget("t")), RTF("cid", rget("cid"))])
+            .backlink(parent=_RQ, child=_RC, attr="children", by={"cids": "cid"})
+            .run()
+        )
+        s10 = (
+            etl(data10, spark=spark)
+            .goto("qs").each()
+            .map_to("q", fields=[Field("qid", get("qid")), TempField("cids", get("cids"))],
+                    join_on=["qid"])
+            .goto_root()
+            .goto("cs").each()
+            .map_to("c", fields=[Field("t", get("t")), TempField("cid", get("cid"))],
+                    join_on=["t"])
+            .backlink("q", "c", "children", by={"cids": "cid"})
+            .run()
+        )
+        want10 = set()
+        if _RQ in r10.tables:
+            for q_obj in r10.tables[_RQ].values():
+                want10.add((q_obj.qid, tuple(c.t for c in q_obj.children)))
+        got10 = set()
+        if "q" in s10.tables:
+            for d in s10.rows("q"):
+                got10.add((d["qid"], tuple(c["t"] for c in d.get("children") or [])))
+        check("backlink", seed, want10, got10)
+
+    print(f"\nfuzz done: {n} seeds x 10 shapes, {len(failures)} mismatches")
     if failures:
         sys.exit(1)
 
