@@ -44,13 +44,37 @@ from ..operators.profile import psi_bin_counts, psi_edges, psi_from_counts
 from ..operators.text import js_from_counts, vocab_bucket_counts
 
 
-def _write_registers(counts: DataFrame, state_dir: str, batch_id) -> None:
-    """Write one batch's count registers.  batch_id-keyed directories
-    make ``foreachBatch`` replays idempotent (same id -> same path ->
-    overwrite); id-less calls write a unique directory (append)."""
+def _path_missing(e: Exception) -> bool:
+    """True only for path-not-found analysis errors — corruption,
+    permission, and layout failures must SURFACE, never read as
+    'no state yet'."""
+    s = str(e)
+    return (
+        "PATH_NOT_FOUND" in s
+        or "Path does not exist" in s
+        # an existing dir with no data files (e.g. only the _edges
+        # manifest after a crash between manifest and register writes)
+        # fails schema inference — that is also "no state yet"
+        or "UNABLE_TO_INFER_SCHEMA" in s
+    )
+
+
+def _write_registers(
+    counts: DataFrame, state_dir: str, run_token: str, batch_id
+) -> None:
+    """Write one batch's count registers.  (run_token, batch_id)-keyed
+    directories make ``foreachBatch`` replays idempotent (same key ->
+    same path -> overwrite) WITHOUT letting a different query whose
+    batch ids restart at 0 clobber accumulated state — the run token
+    scopes the key the way idempotent sinks scope on (queryId, batchId).
+    id-less calls write a unique directory (plain append semantics)."""
     import uuid
 
-    key = f"b{int(batch_id)}" if batch_id is not None else "u" + uuid.uuid4().hex
+    key = (
+        f"{run_token}-b{int(batch_id)}"
+        if batch_id is not None
+        else "u" + uuid.uuid4().hex
+    )
     counts.write.mode("overwrite").parquet(
         state_dir.rstrip("/") + f"/batch={key}"
     )
@@ -59,28 +83,46 @@ def _write_registers(counts: DataFrame, state_dir: str, batch_id) -> None:
 def _merged_counts(
     spark: SparkSession, state_dir: str, key_col: str
 ) -> DataFrame | None:
-    """Sum-merge every stored register partition (None if no state)."""
+    """Sum-merge every stored register file (None if no state).
+    recursiveFileLookup reads the batch=<key> layout AND any flat
+    legacy layout without partition-discovery conflicts; the underscore
+    manifests (``_edges``) stay hidden as always."""
     try:
-        files = spark.read.parquet(state_dir).inputFiles()
-    except Exception:
-        return None
-    if not files:
-        return None
-    return (
-        spark.read.parquet(state_dir)
-        .groupBy("group", key_col)
-        .agg(F.sum("cnt").alias("cnt"))
-    )
+        df = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(state_dir)
+            .select("group", key_col, "cnt")
+        )
+        if not df.inputFiles():
+            return None
+    except Exception as e:
+        if _path_missing(e):
+            return None
+        raise
+    return df.groupBy("group", key_col).agg(F.sum("cnt").alias("cnt"))
 
 
 def _read_edges_manifest(
     spark: SparkSession, edges_dir: str, bins: int, owner: str, state_dir: str
 ) -> list[float] | None:
+    """The frozen-edge manifest, or None when it has never been written.
+    A manifest that is MISSING while register state exists is corruption
+    (re-freezing edges would silently mix registers binned under
+    different grids), so that case raises instead of re-freezing."""
+    rows = None
     try:
         rows = spark.read.json(edges_dir).collect()
-    except Exception:
-        return None
+    except Exception as e:
+        if not _path_missing(e):
+            raise
     if not rows:
+        if _merged_counts(spark, state_dir, "bin") is not None:
+            raise ValueError(
+                f"{owner}: register state exists at {state_dir} but the "
+                "_edges manifest is missing/empty — re-freezing edges would "
+                "mix registers binned under different grids. Restore the "
+                "manifest or start a fresh state dir."
+            )
         return None
     r = rows[0]
     if int(r["bins"]) != bins:
@@ -93,24 +135,27 @@ def _read_edges_manifest(
 
 
 def _collect_by_group(
-    merged: DataFrame, key_col: str, max_groups: int, owner: str
+    merged: DataFrame,
+    key_col: str,
+    max_groups: int,
+    per_group_rows: int,
+    owner: str,
 ) -> dict[str, dict[int, int]]:
-    """Driver-collect the merged groups x buckets table, with the
-    group-count guard CHEAPLY pre-checked (one 1-row aggregate) so an
-    entity column mistakenly used as the group never reaches the big
-    collect."""
-    n_groups = merged.agg(
-        F.count_distinct(F.col("group")).alias("n")
-    ).first()["n"]
-    if n_groups > max_groups:
-        raise ValueError(
-            f"{owner}: {n_groups} distinct groups exceeds "
-            f"max_groups={max_groups} — groups are sources/snapshots, "
-            "not entities."
-        )
+    """Driver-collect the merged groups x buckets table in ONE bounded
+    action: each group contributes at most ``per_group_rows`` rows, so
+    fetching the contract-size row count + 1 both proves a guard
+    violation and caps driver memory on the way to the error (the same
+    limit(cap+1) pattern as the batch operators)."""
+    cap = max_groups * per_group_rows
+    rows = merged.limit(cap + 1).collect()
     by_group: dict[str, dict[int, int]] = {}
-    for r in merged.collect():  # groups x buckets rows — KB probe
+    for r in rows:  # groups x buckets rows — KB probe
         by_group.setdefault(r["group"], {})[int(r[key_col])] = int(r["cnt"])
+    if len(rows) > cap or len(by_group) > max_groups:
+        raise ValueError(
+            f"{owner}: more than max_groups={max_groups} distinct groups "
+            "— groups are sources/snapshots, not entities."
+        )
     return by_group
 
 
@@ -130,7 +175,10 @@ class IncrementalVocabDrift:
         k: float = 1.0,
         round_to: int = 6,
         max_groups: int = 1000,
+        run_id: str | None = None,
     ) -> None:
+        import uuid
+
         self.spark = spark
         self.state_dir = state_dir
         self.text_col = text_col
@@ -139,6 +187,12 @@ class IncrementalVocabDrift:
         self.k = k
         self.round_to = round_to
         self.max_groups = max_groups
+        # scopes the (batch_id)-keyed register paths: pass a stable
+        # run_id tied to your streaming checkpoint so replay idempotence
+        # survives MONITOR restarts; distinct queries sharing a state
+        # dir must use distinct run_ids (a fresh uuid per instance is
+        # the safe default — in-process retries still dedup)
+        self.run_token = run_id or uuid.uuid4().hex[:12]
 
     def process_batch(self, df: DataFrame, batch_id=None) -> None:
         """Fold one batch in: one tokenize+hash pass to at most
@@ -149,6 +203,7 @@ class IncrementalVocabDrift:
                 df, self.text_col, self.group_col, n_buckets=self.n_buckets
             ),
             self.state_dir,
+            self.run_token,
             batch_id,
         )
 
@@ -166,7 +221,8 @@ class IncrementalVocabDrift:
                 "IncrementalVocabDrift.drift: no batches processed yet"
             )
         by_group = _collect_by_group(
-            merged, "bucket", self.max_groups, "IncrementalVocabDrift"
+            merged, "bucket", self.max_groups, self.n_buckets,
+            "IncrementalVocabDrift",
         )
         return js_from_counts(
             self.spark,
@@ -205,9 +261,13 @@ class _BinnedValueMonitor:
         bins: int,
         round_to: int,
         max_groups: int,
+        run_id: str | None = None,
     ) -> None:
+        import uuid
+
         if bins < 2:
             raise ValueError(f"{self._owner}: bins must be >= 2, got {bins}")
+        self.run_token = run_id or uuid.uuid4().hex[:12]
         self.spark = spark
         self.state_dir = state_dir
         self.value_col = value_col
@@ -239,6 +299,11 @@ class _BinnedValueMonitor:
         src = self._src(df)
         edges = self._load_edges()
         if edges is None:
+            # an EMPTY first micro-batch (common at stream start) is a
+            # no-op, not an error — raising would wedge a checkpointed
+            # query on permanent replay of batch 0
+            if src.isEmpty():
+                return
             edges = psi_edges(
                 src.filter(F.col("__g") == self.baseline_group),
                 "__v",
@@ -246,9 +311,9 @@ class _BinnedValueMonitor:
             )
             if edges is None:
                 raise ValueError(
-                    f"{self._owner}: first batch has no rows for baseline "
-                    f"group {self.baseline_group!r} — the baseline must "
-                    "arrive before scoring starts"
+                    f"{self._owner}: first non-empty batch has no rows for "
+                    f"baseline group {self.baseline_group!r} — the baseline "
+                    "must arrive before scoring starts"
                 )
             self.spark.createDataFrame(
                 [(self.bins, edges)], "bins long, edges array<double>"
@@ -256,6 +321,7 @@ class _BinnedValueMonitor:
         _write_registers(
             psi_bin_counts(src, "__v", "__g", edges, bins=self.bins),
             self.state_dir,
+            self.run_token,
             batch_id,
         )
 
@@ -266,7 +332,9 @@ class _BinnedValueMonitor:
         merged = self.counts()
         if merged is None:
             raise ValueError(f"{self._owner}.{what}: no batches processed yet")
-        return _collect_by_group(merged, "bin", self.max_groups, self._owner)
+        return _collect_by_group(
+            merged, "bin", self.max_groups, self.bins, self._owner
+        )
 
     def attach(self) -> "callable":
         """``foreachBatch`` adapter (forwards the batch_id for replay
@@ -297,6 +365,7 @@ class IncrementalPSI(_BinnedValueMonitor):
         k: float = 0.5,
         round_to: int = 6,
         max_groups: int = 10_000,
+        run_id: str | None = None,
     ) -> None:
         super().__init__(
             spark,
@@ -307,6 +376,7 @@ class IncrementalPSI(_BinnedValueMonitor):
             bins=bins,
             round_to=round_to,
             max_groups=max_groups,
+            run_id=run_id,
         )
         self.ref_group = ref_group
         self.k = k
@@ -355,6 +425,7 @@ class IncrementalBinnedKS(_BinnedValueMonitor):
         bins: int = 64,
         round_to: int = 6,
         max_groups: int = 1000,
+        run_id: str | None = None,
     ) -> None:
         super().__init__(
             spark,
@@ -365,6 +436,7 @@ class IncrementalBinnedKS(_BinnedValueMonitor):
             bins=bins,
             round_to=round_to,
             max_groups=max_groups,
+            run_id=run_id,
         )
         self.edge_group = edge_group
 

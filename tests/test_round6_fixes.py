@@ -491,3 +491,64 @@ def test_backlink_cache_released_even_when_sink_fails(spark):
             .run()
         )
     assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() <= base
+
+
+def test_incremental_drift_run_scoped_batch_keys(spark, tmp_path):
+    """Two DIFFERENT runs (fresh monitors, batch ids restarting at 0)
+    feeding one state dir must ACCUMULATE, not clobber each other —
+    replay idempotence is scoped by (run token, batch id)."""
+    from etielle_spark.streaming.incremental_drift import IncrementalVocabDrift
+
+    state = str(tmp_path / "vd")
+    b = spark.createDataFrame([("alpha beta", "a")], "t string, g string")
+    run1 = IncrementalVocabDrift(spark, state, text_col="t", group_col="g",
+                                 n_buckets=16)
+    run1.process_batch(b, batch_id=0)
+    one = {(r["group"], r["bucket"]): r["cnt"] for r in run1.counts().collect()}
+    run2 = IncrementalVocabDrift(spark, state, text_col="t", group_col="g",
+                                 n_buckets=16)
+    run2.process_batch(b, batch_id=0)  # new run, same batch id
+    two = {(r["group"], r["bucket"]): r["cnt"] for r in run2.counts().collect()}
+    assert two == {k: 2 * v for k, v in one.items()}
+    # but a replay WITHIN run2 does not add a third copy
+    run2.process_batch(b, batch_id=0)
+    assert {(r["group"], r["bucket"]): r["cnt"]
+            for r in run2.counts().collect()} == two
+    # explicit shared run_id restores cross-restart idempotence
+    run3 = IncrementalVocabDrift(spark, state, text_col="t", group_col="g",
+                                 n_buckets=16, run_id="ckpt-7")
+    run3.process_batch(b, batch_id=1)
+    three = {(r["group"], r["bucket"]): r["cnt"] for r in run3.counts().collect()}
+    run4 = IncrementalVocabDrift(spark, state, text_col="t", group_col="g",
+                                 n_buckets=16, run_id="ckpt-7")
+    run4.process_batch(b, batch_id=1)  # restart replay of batch 1
+    assert {(r["group"], r["bucket"]): r["cnt"]
+            for r in run4.counts().collect()} == three
+
+
+def test_incremental_psi_empty_first_batch_is_noop(spark, tmp_path):
+    """An empty first micro-batch (common at stream start) must be a
+    no-op, not a wedged-checkpoint error; edge corruption (registers
+    without a manifest) must raise instead of silently re-freezing."""
+    from etielle_spark.streaming.incremental_drift import IncrementalPSI
+
+    mon = IncrementalPSI(
+        spark, str(tmp_path / "psi"), value_col="v", group_col="g",
+        ref_group="ref", bins=4,
+    )
+    mon.process_batch(spark.createDataFrame([], "g string, v double"))  # no-op
+    mon.process_batch(
+        spark.createDataFrame(
+            [("ref", float(i)) for i in range(16)] + [("cur", 5.0)],
+            "g string, v double",
+        )
+    )
+    assert {r.group for r in mon.psi().collect()} == {"cur"}
+    # corrupt: drop the manifest while registers remain
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "psi") + "/_edges")
+    with pytest.raises(ValueError, match="manifest"):
+        mon.process_batch(
+            spark.createDataFrame([("cur", 1.0)], "g string, v double")
+        )

@@ -457,6 +457,9 @@ def main() -> None:
             for d in s10.rows("q"):
                 got10.add((d["qid"], tuple(c["t"] for c in d.get("children") or [])))
         check("backlink", seed, want10, got10)
+        # sink-less backlink runs keep their parent cache for the caller;
+        # a 100-seed campaign must not accumulate 100 of them
+        spark.catalog.clearCache()
 
     print(f"\nfuzz done: {n} seeds x 10 shapes, {len(failures)} mismatches")
     if failures:
