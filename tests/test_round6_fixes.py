@@ -552,3 +552,38 @@ def test_incremental_psi_empty_first_batch_is_noop(spark, tmp_path):
         mon.process_batch(
             spark.createDataFrame([("cur", 1.0)], "g string, v double")
         )
+
+
+def test_incremental_drift_real_readstream(spark, tmp_path):
+    """Drive IncrementalVocabDrift through a REAL Structured Streaming
+    query (availableNow + foreachBatch + attach()) and match the batch
+    operator — the adapter path, not just direct process_batch calls."""
+    from etielle_spark.operators.text import vocab_drift
+    from etielle_spark.streaming.incremental_drift import IncrementalVocabDrift
+
+    rows = [
+        (f"doc {i} shared words {'x' if i % 2 else 'y'} tail{i}", f"g{i % 2}")
+        for i in range(40)
+    ]
+    src_dir = str(tmp_path / "src")
+    df = spark.createDataFrame(rows, "text string, lang string")
+    df.repartition(4).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    mon = IncrementalVocabDrift(
+        spark, str(tmp_path / "vd"), text_col="text", group_col="lang",
+        n_buckets=32, run_id="rs-test",
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(mon.attach())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(map(tuple, mon.drift().collect()))
+    batch = sorted(map(tuple, vocab_drift(df, "text", "lang", n_buckets=32).collect()))
+    assert streamed == batch
