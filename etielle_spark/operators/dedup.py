@@ -346,14 +346,18 @@ def lsh_candidate_pairs(
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     banded.count()
     if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "band_digest")
-        banded = (
-            banded.withColumn("__bsz", F.count("*").over(w))
+        # skew-safe stop-list: the per-bucket size comes from a map-side
+        # partially-aggregated groupBy (never a digest-keyed window, which
+        # would buffer a whole boilerplate bucket in one task); the
+        # left-semi probe streams heavy buckets' rows straight to the
+        # floor and AQE can skew-split it
+        ok = (
+            banded.groupBy("band", "band_digest")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
             .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
+            .select("band", "band_digest")
         )
+        banded = banded.join(ok, ["band", "band_digest"], "left_semi")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -533,6 +537,7 @@ def gram_duplication_stats(
     *,
     n: int = 8,
     drop_threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Cross-document substring duplication: for each document, the
     fraction of its distinct word ``n``-grams that also occur in at
@@ -541,33 +546,57 @@ def gram_duplication_stats(
     spans show up as runs of shared n-grams) without suffix arrays.
 
     Plan shape at scale: explode distinct grams (linear ``grams_of``
-    construction), then ONE shuffle on the gram digest (32-byte key,
-    never document text) where a window count attaches each gram's
-    document count — no join-back, no second scan of the gram
-    construction (the round-2 shape paid both) — and a per-document
-    aggregation on the doc id.  Heavy grams are just large window
-    groups; the count, not the postings, is what rides into the doc
-    aggregation.
+    construction, persisted once for its two consumers), aggregate the
+    per-digest document count with ``groupBy("g").count()`` — map-side
+    partial aggregation makes the count skew-immune no matter how many
+    documents share a boilerplate gram — then equi-join the small
+    "duplicated digests" set (one row per gram seen >1 time) back onto
+    the grams before the per-document aggregation.  The join is the
+    AQE-skew-splittable shape: a boilerplate 8-gram present in a large
+    fraction of the corpus lands as many probe-side rows that AQE
+    splits across tasks, where a ``count().over(Window.partitionBy(g))``
+    (the round-6 shape) would have pinned every posting of that gram
+    into ONE unsplittable task.
+
+    ``max_df`` (optional) is a stop-list in the
+    ``jaccard_similarity_join`` sense: grams held by more than
+    ``max_df`` documents are boilerplate and are excluded from BOTH the
+    numerator and the denominator, so the signal measures duplication
+    of distinctive content and the heaviest postings never reach the
+    join at all.
 
     Returns ``(id, n_grams, n_shared_grams, shared_frac, drop)``;
     documents with no tokens report 0 grams and shared_frac NULL.
     """
-    from pyspark.sql import Window
+    from pyspark import StorageLevel
 
     toks = df.select(F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t"))
     grams = toks.select(
         "id", F.explode(grams_of(F.col("t"), n)).alias("gram")
     ).select("id", F.md5(F.col("gram")).alias("g"))
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     # grams_of is per-doc distinct, so count(*) per digest == distinct
     # documents holding the gram
-    counted = grams.withColumn(
-        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    if max_df is not None:
+        stop = counts.filter(F.col("n_docs") > int(max_df)).select("g")
+        grams_eff = grams.join(stop, "g", "left_anti")
+        dup = counts.filter(
+            (F.col("n_docs") > 1) & (F.col("n_docs") <= int(max_df))
+        ).select("g")
+    else:
+        grams_eff = grams
+        dup = counts.filter(F.col("n_docs") > 1).select("g")
+    counted = grams_eff.join(
+        dup.withColumn("__dup", F.lit(1)), "g", "left"
     )
     per_doc = (
         counted.groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("n_docs") > 1).cast("bigint")).alias("n_shared_grams"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0)).cast("bigint")).alias(
+                "n_shared_grams"
+            ),
         )
     )
     base = df.select(F.col(id_col).alias("id"))

@@ -100,14 +100,16 @@ class IncrementalLSHDedup:
         hist = self._index()
         if hist is not None:
             if self.max_bucket_size is not None:
-                from pyspark.sql import Window
-
-                w = Window.partitionBy("band", "band_digest")
-                hist = (
-                    hist.withColumn("__bsz", F.count("*").over(w))
+                # same skew-safe stop-list shape as lsh_candidate_pairs:
+                # map-side-combined groupBy count + left-semi, never a
+                # digest-keyed window
+                ok = (
+                    hist.groupBy("band", "band_digest")
+                    .agg(F.count(F.lit(1)).alias("__bsz"))
                     .filter(F.col("__bsz") <= self.max_bucket_size)
-                    .drop("__bsz")
+                    .select("band", "band_digest")
                 )
+                hist = hist.join(ok, ["band", "band_digest"], "left_semi")
             h = hist.alias("h")
             cross = new.alias("n").join(
                 h,

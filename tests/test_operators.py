@@ -1070,6 +1070,47 @@ def test_gram_duplication_stats(spark):
     assert not out[4]["drop"]
 
 
+def test_gram_duplication_stats_max_df_stoplist(spark):
+    from etielle_spark.operators.dedup import gram_duplication_stats
+
+    # 6 docs all carrying the same boilerplate 8-gram; docs 1/2 additionally
+    # share a distinctive 8-gram; docs 3-6 are otherwise unique.
+    boiler = "click here to accept our cookie policy terms"
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, boiler + " " + shared),
+        (2, boiler + " " + shared),
+    ] + [
+        (i, boiler + f" unique{i} words only for document number {i} ok")
+        for i in range(3, 7)
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    # With max_df=5 the boilerplate gram (df=6) leaves numerator AND
+    # denominator; the distinctive shared gram (df=2) still counts.
+    out = {
+        r["id"]: r
+        for r in gram_duplication_stats(
+            df, "id", "text", n=8, drop_threshold=0.5, max_df=5
+        ).collect()
+    }
+    full = {
+        r["id"]: r
+        for r in gram_duplication_stats(
+            df, "id", "text", n=8, drop_threshold=0.5
+        ).collect()
+    }
+    for i in rows:
+        doc = i[0]
+        # denominator shrinks by the stop-listed grams
+        assert out[doc]["n_grams"] < full[doc]["n_grams"]
+    # docs 1/2 still flagged via the distinctive gram
+    assert out[1]["n_shared_grams"] >= 1 and out[2]["n_shared_grams"] >= 1
+    # docs 3-6 had ONLY the boilerplate overlap -> now fully unique
+    for doc in range(3, 7):
+        assert out[doc]["n_shared_grams"] == 0 and not out[doc]["drop"]
+        assert full[doc]["n_shared_grams"] >= 1  # sanity: it did overlap
+
+
 def test_mixture_resample_counts(spark):
     from etielle_spark.operators.clusters import mixture_resample
 

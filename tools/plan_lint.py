@@ -10,6 +10,15 @@ Flags per query:
   plan (Arrow/pandas variants are fine and are NOT flagged).
 - ``nested_loop``: ``CartesianProduct`` / ``BroadcastNestedLoopJoin``
   with a non-trivial build side — the O(n*m) plans.
+- ``digest_window``: a ``Window`` partitioned on a content-digest
+  column (md5/xxhash64/sha/crc32 of data) — one boilerplate digest =
+  one unsplittable corpus-fraction-sized task (AQE skew-splits joins,
+  never window partitions).  Rank-limit windows that Spark guards with
+  a map-side ``WindowGroupLimit ... Partial`` on the same spec are
+  exempt (each upstream task forwards at most ``limit`` rows per key).
+  The skew-safe shapes: ``groupBy(digest).count()`` + join-back
+  (``gram_duplication_stats``) or a left-semi bucket stop-list
+  (``lsh_candidate_pairs``).
 - ``sort_merge_joins`` / ``broadcast_joins`` / ``exchanges``: counts,
   for eyeballing shuffle pressure.
 
@@ -23,6 +32,7 @@ all-pairs cosine vs the q54/q61 ANN paths).
 from __future__ import annotations
 
 import json
+import re
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -52,8 +62,61 @@ ALLOW = {
 }
 
 
+_DIGEST_CALL = re.compile(r"\b(?:md5|sha1?|sha2|xxhash64|crc32|hash)\(")
+
+
+def _digest_cols(plan: str) -> set[str]:
+    """Column refs whose defining expression IS a bare digest call
+    (``md5(...) AS g#14``) — NOT digests folded into a bounded key
+    (``pmod(xxhash64(...), 64) AS shard#3L`` starts with pmod, so the
+    digest's closing paren is not followed by ``AS`` and it is skipped).
+    """
+    cols: set[str] = set()
+    for m in _DIGEST_CALL.finditer(plan):
+        i, depth = m.end() - 1, 0
+        while i < len(plan):
+            c = plan[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        am = re.match(r" AS (\w+#\d+L?)\b", plan[i + 1 : i + 80])
+        if am:
+            cols.add(am.group(1))
+    return cols
+
+
+def _digest_windows(plan: str) -> int:
+    """Count Window operators partitioned on a digest-derived column and
+    not guarded by a map-side WindowGroupLimit on the same spec."""
+    digest_cols = _digest_cols(plan)
+    if not digest_cols:
+        return 0
+    partial_limited = set(
+        re.findall(r"WindowGroupLimit \[([^\]]*)\],.*, Partial\b", plan)
+    )
+    n = 0
+    for line in plan.splitlines():
+        s = line.strip()
+        if "WindowGroupLimit" in s or "Window [" not in s:
+            continue
+        pm = re.search(r"\],\s*\[([^\]]*)\]", s)
+        if not pm or pm.group(1) in partial_limited:
+            continue
+        part_cols = re.findall(r"\w+#\d+L?", pm.group(1))
+        if any(c in digest_cols for c in part_cols):
+            n += 1
+    return n
+
+
 def lint(name: str, plan: str) -> dict:
     flags = {}
+    dw = _digest_windows(plan)
+    if dw:
+        flags["digest_window"] = dw
     if "BatchEvalPython" in plan:
         flags["python_row_udf"] = plan.count("BatchEvalPython")
     # A global aggregate legitimately funnels its (already partially

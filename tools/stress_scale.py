@@ -115,6 +115,25 @@ def main() -> None:
         lambda: gram_duplication_stats(docs, "doc_id", "text", n=8)
         .filter(F.col("drop")).count(),
     )
+    # adversarial skew: one boilerplate 8-gram stamped on 80% of the 600k
+    # docs (the cookie-banner shape).  The groupBy+join-back plan keeps
+    # this within ~2x of the uniform wall; the round-6 window-partition
+    # plan pinned all ~480k postings of that digest into ONE task.
+    boiler_docs = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 != 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" click here to accept our cookie policy terms"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    n_boiler_dropped = step(
+        "gram_duplication_8_boiler80",
+        lambda: gram_duplication_stats(boiler_docs, "doc_id", "text", n=8)
+        .filter(F.col("drop")).count(),
+    )
     src = docs.select(
         "doc_id",
         F.concat(F.lit("src"), (F.col("doc_id") % 7).cast("string")).alias("source"),
@@ -257,6 +276,7 @@ def main() -> None:
                 "lsh_candidate_pairs_capped": n_pairs_capped,
                 "domain_capped_rows": n_capped,
                 "gram_dup_dropped": n_gram_dropped,
+                "gram_dup_boiler80_dropped": n_boiler_dropped,
                 "mixture_resampled_rows": n_resampled,
                 "semdedup_vectors": n_vec,
                 "semdedup_dropped": n_semdrop,
