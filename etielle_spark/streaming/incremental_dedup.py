@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.dedup import band_digests
+from .incremental_drift import _path_missing
 
 
 class IncrementalLSHDedup:
@@ -201,19 +202,36 @@ class IncrementalExactDedup:
         self.bloom_bits = bloom_bits
         self.bloom_hashes = bloom_hashes
         self.bloom_dir = index_dir.rstrip("/") + "_bloom"
+        # manifest state cached after the first disk read: the monitor
+        # OWNS the bloom dir, so in-memory updates on append stay exact
+        # and the per-batch probe stops paying two JSON reads + a
+        # file-diff recompute (the round-6 +17% on
+        # streaming_incremental_dedup).  (None, None) means "not read
+        # yet"; a crashed writer can't invalidate the cache because every
+        # cache update happens AFTER the corresponding manifest write.
+        self._meta_cache: tuple[int, int] | None = None
+        self._covered_cache: set[str] | None = None
+        self._words_cache: DataFrame | None = None
 
     def _index_files(self) -> list[str]:
         try:
             return sorted(self.spark.read.parquet(self.index_dir).inputFiles())
-        except Exception:
-            return []
+        except Exception as e:
+            if _path_missing(e):
+                return []
+            # a transient storage/permission error must SURFACE: reading
+            # it as "no history" would skip the anti-join and emit
+            # previously-seen digests as new
+            raise
 
     def _read_meta(self) -> tuple[int, int] | None:
         """Persisted (num_bits, num_hashes) of the on-disk filter."""
         try:
             rows = self.spark.read.json(self.bloom_dir + "/_meta").collect()
-        except Exception:
-            return None
+        except Exception as e:
+            if _path_missing(e):
+                return None
+            raise
         if not rows:
             return None
         return int(rows[0]["num_bits"]), int(rows[0]["num_hashes"])
@@ -225,8 +243,10 @@ class IncrementalExactDedup:
                 r["file"]
                 for r in self.spark.read.json(self.bloom_dir + "/_covered").collect()
             }
-        except Exception:
-            return set()
+        except Exception as e:
+            if _path_missing(e):
+                return set()
+            raise
 
     def _sync_bloom(self, idx_files: list[str]) -> None:
         """Bring the word table up to cover every file in ``idx_files``.
@@ -238,12 +258,19 @@ class IncrementalExactDedup:
         harmless (duplicate fold-ins set the same bits)."""
         from ..operators.sketches import bloom_build
 
-        meta = self._read_meta()
+        meta = self._meta_cache if self._meta_cache is not None else self._read_meta()
         params = (int(self.bloom_bits), int(self.bloom_hashes))
         rebuild = meta is not None and meta != params
-        covered = set() if rebuild else self._read_covered()
+        if rebuild:
+            covered: set[str] = set()
+        elif self._covered_cache is not None:
+            covered = self._covered_cache
+        else:
+            covered = self._read_covered()
         uncovered = sorted(set(idx_files) - covered)
         if not uncovered and not rebuild and meta is not None:
+            self._meta_cache = meta
+            self._covered_cache = covered
             return
         if uncovered:
             digests = self.spark.read.parquet(*uncovered).select("digest")
@@ -267,27 +294,46 @@ class IncrementalExactDedup:
         self.spark.createDataFrame(
             [params], "num_bits long, num_hashes long"
         ).coalesce(1).write.mode("overwrite").json(self.bloom_dir + "/_meta")
-        all_covered = sorted(covered | set(uncovered))
+        all_covered = covered | set(uncovered)
         self.spark.createDataFrame(
-            [(f,) for f in all_covered], "file string"
+            [(f,) for f in sorted(all_covered)], "file string"
         ).coalesce(1).write.mode("overwrite").json(self.bloom_dir + "/_covered")
+        # caches updated only after both manifests are durably written,
+        # so a crash mid-sync re-reads the true state next time — and the
+        # word table changed, so the merged-words cache is stale
+        self._meta_cache = params
+        self._covered_cache = all_covered
+        if self._words_cache is not None:
+            self._words_cache.unpersist()
+            self._words_cache = None
 
     def _bloom_words(self, idx_files: list[str]) -> DataFrame | None:
         """The filter as one OR-merged word table, synced to cover
-        exactly the given index snapshot (or a superset of it)."""
+        exactly the given index snapshot (or a superset of it).  The
+        merged table is persisted on the instance and reused until a
+        sync appends/rebuilds words — steady-state batches probe a
+        cached, already-merged filter instead of re-scanning and
+        re-merging every word file."""
         self._sync_bloom(idx_files)
+        if self._words_cache is not None:
+            return self._words_cache
         try:
             files = self.spark.read.parquet(self.bloom_dir).inputFiles()
-        except Exception:
-            return None
+        except Exception as e:
+            if _path_missing(e):
+                return None
+            raise
         if not files:
             return None
         # Per-batch word tables append; OR them back into one filter.
-        return (
+        words = (
             self.spark.read.parquet(*files)
             .groupBy("word_idx")
             .agg(F.bit_or("word").alias("word"))
+            .persist()
         )
+        self._words_cache = words
+        return words
 
     def process_batch(self, docs: DataFrame) -> DataFrame:
         """Returns the batch's surviving rows (first occurrence of each
@@ -354,6 +400,13 @@ class IncrementalExactDedup:
         """``foreachBatch`` adapter like :meth:`IncrementalLSHDedup.attach`."""
 
         def _fn(df: DataFrame, batch_id: int) -> None:
-            sink(self.process_batch(df), batch_id)
+            out = self.process_batch(df)
+            try:
+                sink(out, batch_id)
+            finally:
+                # process_batch persists the survivors for its own
+                # index-append barrier; once the sink has consumed them
+                # the cache is dead weight across a long-running stream
+                out.unpersist()
 
         return _fn

@@ -134,6 +134,40 @@ def _read_edges_manifest(
     return [float(e) for e in r["edges"]]
 
 
+def _checkpoint_token(checkpoint_location: str) -> str:
+    """Deterministic run token from a checkpoint path: the checkpoint IS
+    the restart identity (a restarted query resumes from the same
+    location with the same batch ids), so keying registers on it makes
+    (run_token, batch_id) stable across driver restarts."""
+    import hashlib
+
+    return "ckpt" + hashlib.md5(
+        checkpoint_location.rstrip("/").encode()
+    ).hexdigest()[:12]
+
+
+def _attach_token(monitor, checkpoint_location: str | None) -> str:
+    """Resolve the register-scoping token for ``attach()``.  A fresh
+    per-instance uuid is NOT acceptable here: a restarted checkpointed
+    query replays its last uncommitted batch through a NEW monitor
+    instance, and a new uuid would store the replay beside the crashed
+    attempt's registers — double-counting the batch.  The token must
+    therefore come from something that survives restarts: an explicit
+    ``run_id`` or the query's checkpoint location."""
+    if checkpoint_location is not None:
+        return _checkpoint_token(checkpoint_location)
+    if monitor._explicit_run_id:
+        return monitor.run_token
+    raise ValueError(
+        f"{type(monitor).__name__}.attach: pass checkpoint_location= (the "
+        "same checkpointLocation as the writeStream) or construct the "
+        "monitor with an explicit run_id tied to your checkpoint. The "
+        "default per-instance token is not restart-safe: a crashed query's "
+        "replayed batch would be stored under a new token and counted "
+        "twice."
+    )
+
+
 def _collect_by_group(
     merged: DataFrame,
     key_col: str,
@@ -190,11 +224,14 @@ class IncrementalVocabDrift:
         # scopes the (batch_id)-keyed register paths: pass a stable
         # run_id tied to your streaming checkpoint so replay idempotence
         # survives MONITOR restarts; distinct queries sharing a state
-        # dir must use distinct run_ids (a fresh uuid per instance is
-        # the safe default — in-process retries still dedup)
+        # dir must use distinct run_ids.  The per-instance uuid default
+        # is fine for manual process_batch loops (in-process retries
+        # still dedup) but NOT restart-safe, so attach() refuses it
+        # unless given a checkpoint_location to derive a stable token.
+        self._explicit_run_id = run_id is not None
         self.run_token = run_id or uuid.uuid4().hex[:12]
 
-    def process_batch(self, df: DataFrame, batch_id=None) -> None:
+    def process_batch(self, df: DataFrame, batch_id=None, *, _token=None) -> None:
         """Fold one batch in: one tokenize+hash pass to at most
         groups x n_buckets count rows.  Pass the ``foreachBatch``
         batch_id for replay-idempotent storage."""
@@ -203,7 +240,7 @@ class IncrementalVocabDrift:
                 df, self.text_col, self.group_col, n_buckets=self.n_buckets
             ),
             self.state_dir,
-            self.run_token,
+            _token or self.run_token,
             batch_id,
         )
 
@@ -232,12 +269,16 @@ class IncrementalVocabDrift:
             round_to=self.round_to,
         )
 
-    def attach(self) -> "callable":
+    def attach(self, checkpoint_location: str | None = None) -> "callable":
         """``foreachBatch`` adapter (forwards the batch_id for replay
-        idempotence)."""
+        idempotence).  Restart safety requires a restart-stable token:
+        pass ``checkpoint_location`` (the writeStream's
+        ``checkpointLocation``) to derive one, or construct the monitor
+        with an explicit ``run_id``; otherwise this raises."""
+        token = _attach_token(self, checkpoint_location)
 
         def _fn(df: DataFrame, batch_id: int) -> None:
-            self.process_batch(df, batch_id=batch_id)
+            self.process_batch(df, batch_id=batch_id, _token=token)
 
         return _fn
 
@@ -267,6 +308,7 @@ class _BinnedValueMonitor:
 
         if bins < 2:
             raise ValueError(f"{self._owner}: bins must be >= 2, got {bins}")
+        self._explicit_run_id = run_id is not None
         self.run_token = run_id or uuid.uuid4().hex[:12]
         self.spark = spark
         self.state_dir = state_dir
@@ -291,7 +333,7 @@ class _BinnedValueMonitor:
             F.col(self.value_col).cast("double").alias("__v"),
         )
 
-    def process_batch(self, df: DataFrame, batch_id=None) -> None:
+    def process_batch(self, df: DataFrame, batch_id=None, *, _token=None) -> None:
         """Fold one batch in.  The FIRST batch must contain the baseline
         group — its exact quantiles freeze the bin edges for the
         lifetime of the state (persisted + validated on reload).  Pass
@@ -321,7 +363,7 @@ class _BinnedValueMonitor:
         _write_registers(
             psi_bin_counts(src, "__v", "__g", edges, bins=self.bins),
             self.state_dir,
-            self.run_token,
+            _token or self.run_token,
             batch_id,
         )
 
@@ -336,12 +378,16 @@ class _BinnedValueMonitor:
             merged, "bin", self.max_groups, self.bins, self._owner
         )
 
-    def attach(self) -> "callable":
+    def attach(self, checkpoint_location: str | None = None) -> "callable":
         """``foreachBatch`` adapter (forwards the batch_id for replay
-        idempotence)."""
+        idempotence).  Restart safety requires a restart-stable token:
+        pass ``checkpoint_location`` (the writeStream's
+        ``checkpointLocation``) to derive one, or construct the monitor
+        with an explicit ``run_id``; otherwise this raises."""
+        token = _attach_token(self, checkpoint_location)
 
         def _fn(df: DataFrame, batch_id: int) -> None:
-            self.process_batch(df, batch_id=batch_id)
+            self.process_batch(df, batch_id=batch_id, _token=token)
 
         return _fn
 
