@@ -671,6 +671,26 @@ class PipelineResult:
         # populated by run()'s flush when a sink is attached
         self._flushed: dict[str, int] = {}
         self._flush_failed: dict[str, int] = {}
+        # caches (backlink parents) owned by this result on the sink-less
+        # path; release() frees them deterministically
+        self._persisted: list[DataFrame] = []
+
+    def release(self) -> None:
+        """Unpersist every cache this result owns (backlink parents on a
+        sink-less run).  Call after materializing the tables you need —
+        a long-lived process running many pipelines would otherwise
+        accumulate one MEMORY_AND_DISK parent per backlink per run until
+        LRU pressure evicts them.  Idempotent; the tables remain usable
+        afterwards (Spark recomputes from lineage)."""
+        for f in self._persisted:
+            f.unpersist()
+        self._persisted = []
+
+    def __enter__(self) -> "PipelineResult":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
 
     def __getitem__(self, name) -> DataFrame:
         # table name or model class (reference tables proxy,
@@ -1346,7 +1366,11 @@ class PipelineBuilder:
         if self._sink is None:
             # lazy engine: without a sink nothing materializes, so counts
             # are unknown at this point (reference fluent.py:1496-1528
-            # emits real counts because its executor is eager)
+            # emits real counts because its executor is eager).  The
+            # backlink-parent caches transfer to the result — callers
+            # free them with result.release() (or `with ... as result:`)
+            # once their tables are materialized
+            result._persisted = bl_persisted
             for t in public:
                 emit(self._on_event, MapStarted(t))
                 emit(self._on_event, MapCompleted(t))

@@ -177,6 +177,19 @@ class SupabaseSink(Sink):
         return ",".join(spec) if isinstance(spec, (list, tuple)) else str(spec)
 
     def write(self, table: str, df: DataFrame) -> None:
+        from pyspark import StorageLevel
+
+        # one materialization serves both the batch_total count and the
+        # row stream: without the persist, count() and toLocalIterator()
+        # execute the plan twice, and a non-deterministic plan could
+        # stream rows that disagree with the precomputed total
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            self._write_persisted(table, df)
+        finally:
+            df.unpersist()
+
+    def _write_persisted(self, table: str, df: DataFrame) -> None:
         total = df.count()
         if total == 0:
             return

@@ -112,8 +112,15 @@ def populate_child_fk(
     (cf, pf), *rest = by.items()
     if rest:
         raise ValueError("populate_child_fk: single natural-key pair only")
+    # cast the parent key to the CHILD key's exact dtype before joining:
+    # the Supabase flow lifts echoed rows through json.dumps(default=str),
+    # so date/timestamp/Decimal natural keys arrive as strings, and an
+    # implicit-cast equality that misses would silently leave child FKs
+    # NULL with required=False
+    child_key_type = dict(child_df.dtypes)[cf]
     parent_side = written_parents.select(
-        F.col(pf).alias("__tp_key"), F.col(gen_col).alias(fk_col)
+        F.col(pf).cast(child_key_type).alias("__tp_key"),
+        F.col(gen_col).alias(fk_col),
     ).dropDuplicates(["__tp_key"])
     out = child_df.join(
         F.broadcast(parent_side), child_df[cf] == parent_side["__tp_key"], "left"

@@ -458,8 +458,9 @@ def main() -> None:
                 got10.add((d["qid"], tuple(c["t"] for c in d.get("children") or [])))
         check("backlink", seed, want10, got10)
         # sink-less backlink runs keep their parent cache for the caller;
-        # a 100-seed campaign must not accumulate 100 of them
-        spark.catalog.clearCache()
+        # release it deterministically (round-7 API) instead of nuking
+        # the whole session cache
+        s10.release()
 
     print(f"\nfuzz done: {n} seeds x 10 shapes, {len(failures)} mismatches")
     if failures:
