@@ -357,13 +357,14 @@ def _explode_level(
             keep = kind.startswith("OBJECT") & F.col(p).isNotNull()
         else:
             keep = (container & F.col(p).isNotNull()) | scalar
+        # keep-list select replaces select + drop + rename (3 analyses -> 1)
         df2 = ex.filter(keep).select(
-            "*",
+            *[c for c in ex.columns if c not in (f"__e{lvl}", p)],
             F.when(scalar, F.col(src)).otherwise(F.col(f"__e{lvl}")).alias(n),
             # raw entry position: NULL for scalar-single rows, so index()
             # reports None exactly like the reference's non-iterated node
-            F.col(p).cast("long").alias(f"__pp{lvl}"),
-        ).drop(f"__e{lvl}", p).withColumnRenamed(f"__pp{lvl}", p)
+            F.col(p).cast("long").alias(p),
+        )
         env.levels.append(
             LevelEnv(
                 node=F.col(n),
@@ -394,10 +395,10 @@ def _explode_level(
         e = f"__e{lvl}"
         df2 = df.select("*", F.posexplode(F.map_entries(nav)).alias(p, e))
         df2 = df2.select(
-            "*",
+            *[c for c in df2.columns if c != e],
             F.col(e).getField("key").alias(k),
             F.col(e).getField("value").alias(n),
-        ).drop(e)
+        )
         env.levels.append(
             LevelEnv(
                 node=F.col(n),
@@ -487,10 +488,10 @@ def _explode_level(
             )
         df2 = df.select("*", F.posexplode(entries).alias(p, e))
         df2 = df2.select(
-            "*",
+            *[c for c in df2.columns if c != e],
             F.col(e).getField("key").alias(k),
             F.col(e).getField("value").alias(n),
-        ).drop(e)
+        )
         value_type = df2.schema[n].dataType
         env.levels.append(
             LevelEnv(
@@ -1616,13 +1617,17 @@ def _assemble_table(
                 key_exprs.append(F.col(k))
                 key_restore.append(F.col(k))
         grouped = unioned.groupBy(*key_exprs).agg(*aggs)
+        # restore variant keys AND declared column order in ONE select
+        # (each DataFrame op is a py4j round trip + a full plan
+        # re-analysis; the fluent compile is driver-latency-bound)
+        restore_by_key = dict(zip(join_on, key_restore))
         grouped = grouped.select(
-            *key_restore,
-            *[F.col(n) for n in field_order if n not in join_on],
+            *[
+                restore_by_key[n] if n in restore_by_key else F.col(n)
+                for n in field_order
+            ],
             F.col(_ORD),
         )
-        # restore declared column order
-        grouped = grouped.select(*field_order, _ORD)
         parts.append(grouped)
 
     for em, df in autos:
@@ -1642,15 +1647,22 @@ def _assemble_table(
     # injected id can coexist with a TempField('id') (whose internal
     # column relationships still need — reference shadow-store priority).
     public_pairs = [(n, n) for n in field_order if n not in temp_names]
+    inj: list[Column] = []
     if join_on and len(join_on) == 1 and "id" not in [p for p, _ in public_pairs]:
         if "id" in temp_names:
-            out = out.withColumn("__inj_id", F.col(join_on[0]))
+            inj = [F.col(join_on[0]).alias("__inj_id")]
             public_pairs = [("id", "__inj_id")] + public_pairs
         else:
-            out = out.withColumn("id", F.col(join_on[0]))
+            inj = [F.col(join_on[0]).alias("id")]
             public_pairs = [("id", "id")] + public_pairs
 
-    out = out.withColumnRenamed(_ORD, _SEQ)
+    # id injection + the _ORD -> _SEQ rename in ONE select (py4j/analysis
+    # latency; see the grouped-select fusion above)
+    out = out.select(
+        *[F.col(c) for c in out.columns if c != _ORD],
+        *inj,
+        F.col(_ORD).alias(_SEQ),
+    )
 
     # typed validation, two stages like the reference (instances.py:189-224):
     # 'update' = a supplied value fails its field cast (incremental
@@ -1712,10 +1724,14 @@ def _assemble_table(
                     ).alias(f"__errf_{fld.name}")
                 )
         if checks:
-            with_errs = out.select("*", *checks)
-            err_cols = [c for c in with_errs.columns if c.startswith("__err")]
+            staged = out.select("*", *checks)
+            err_cols = [c for c in staged.columns if c.startswith("__err")]
             err_arr = F.array_compact(F.array(*[F.col(c) for c in err_cols]))
-            with_errs = with_errs.withColumn("__errs", err_arr).drop(*err_cols)
+            # one select folds the __errs build and the check-column drop
+            with_errs = staged.select(
+                *[c for c in staged.columns if not c.startswith("__err")],
+                err_arr.alias("__errs"),
+            )
             key_col = (
                 F.concat_ws("|", *[F.col(k).cast("string") for k in join_on])
                 if join_on
@@ -1736,16 +1752,23 @@ def _assemble_table(
                     F.col("e.stage").alias("stage"),
                 )
             )
-            ok = with_errs.filter(F.size("__errs") == 0).drop("__errs")
-            for name, cast_col in casts.items():
+            # the __errs drop and every declared cast in ONE select
+            # (the old per-field withColumn loop paid one plan
+            # re-analysis per cast field)
+            def _cast_or_keep(name: str) -> Column:
+                if name not in casts:
+                    return F.col(name)
                 c = F.col(name)
-                ok = ok.withColumn(
-                    name,
+                casted = (
                     c.try_cast(schema[name].dataType)
                     if hasattr(c, "try_cast")
-                    else c.cast(schema[name].dataType),
+                    else c.cast(schema[name].dataType)
                 )
-            out = ok
+                return casted.alias(name)
+
+            out = with_errs.filter(F.size("__errs") == 0).select(
+                *[_cast_or_keep(c) for c in with_errs.columns if c != "__errs"]
+            )
 
     return out, public_pairs, err_df
 

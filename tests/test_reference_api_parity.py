@@ -1,8 +1,8 @@
 """Top-level API parity with the reference package: every name in the
 reference's ``__all__`` either imports from ``etielle_spark`` under the
 same name or is a documented structural divergence (FlushContext,
-MappingRuntimeState — see corespec module docstring; Context exists as
-the UDF-time chain materialized by apply_ctx)."""
+MappingRuntimeState — see corespec module docstring).  ``Context``
+imports by name too (the UDF-time chain type apply_ctx materializes)."""
 
 import pytest
 
@@ -23,7 +23,7 @@ REFERENCE_ALL = [
     "MapStarted", "MapCompleted", "FlushStarted", "FlushCompleted",
     "FlushFailed",
     # transforms
-    "apply", "get", "get_from_root", "get_from_parent", "literal",
+    "Context", "apply", "get", "get_from_root", "get_from_parent", "literal",
     "concat", "coalesce", "format_id", "key", "index", "parent_key",
     "parent_index", "node", "len_of", "lookup",
     # relationships
