@@ -464,6 +464,13 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """backlink: parent id-list -> ordered array of child rows
     (reference relationships.py:368-458)."""
+    # release the PREVIOUS invocation's backlink-parent cache (the
+    # result handed it over on the sink-less path) — repeated builds in
+    # one session (bench loops, notebooks) must not accumulate stale
+    # MEMORY_AND_DISK parents
+    prev = getattr(q11, "_last_result", None)
+    if prev is not None:
+        prev.release()
     li = _t(spark, sf_dir, "lineitem").withColumn(
         "ln_key", F.col("l_orderkey") * 100 + F.col("l_linenumber")
     )
@@ -492,6 +499,7 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .backlink("orders_t", "lines_t", "lines", by={"line_ids": "ln_key"})
         .run()
     )
+    q11._last_result = result
     out = result["orders_t"]
     return out.select(
         F.col("okey"),

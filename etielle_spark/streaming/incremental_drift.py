@@ -26,6 +26,14 @@ appending beside it.  Calls without a batch_id (manual batch loops) get
 a unique directory — plain append semantics, replay detection impossible
 by construction there.
 
+Replay safety must also survive DRIVER restarts: the register key is
+(run_token, batch_id), and a token minted fresh per monitor instance
+would store a restarted query's replayed batch beside the crashed
+attempt's registers — counted twice.  ``attach()`` therefore refuses
+the per-instance uuid default and requires a restart-stable token: a
+caller-supplied ``run_id`` or a ``checkpoint_location`` (the token is
+derived from the path, which IS the restart identity).
+
 PSI's / binned-KS's bin edges are pinned at state creation from the
 reference (edge) group — persisted in an ``_edges`` manifest beside the
 registers, validated on reload.  The streaming contract is "score every
