@@ -182,12 +182,17 @@ class SupabaseSink(Sink):
         # one materialization serves both the batch_total count and the
         # row stream: without the persist, count() and toLocalIterator()
         # execute the plan twice, and a non-deterministic plan could
-        # stream rows that disagree with the precomputed total
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        # stream rows that disagree with the precomputed total.  An
+        # already-persisted frame belongs to the CALLER — don't evict
+        # their cache on the way out.
+        own = df.storageLevel == StorageLevel.NONE
+        if own:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             self._write_persisted(table, df)
         finally:
-            df.unpersist()
+            if own:
+                df.unpersist()
 
     def _write_persisted(self, table: str, df: DataFrame) -> None:
         total = df.count()

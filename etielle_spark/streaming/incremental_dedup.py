@@ -142,7 +142,14 @@ class IncrementalLSHDedup:
         ``sink(pairs_df, batch_id)``."""
 
         def _fn(df: DataFrame, batch_id: int) -> None:
-            sink(self.process_batch(df), batch_id)
+            out = self.process_batch(df)
+            try:
+                sink(out, batch_id)
+            finally:
+                # `out` IS the frame process_batch persisted — releasing
+                # it here keeps a long-running stream from accumulating
+                # one pair cache per micro-batch
+                out.unpersist()
 
         return _fn
 
@@ -212,6 +219,7 @@ class IncrementalExactDedup:
         self._meta_cache: tuple[int, int] | None = None
         self._covered_cache: set[str] | None = None
         self._words_cache: DataFrame | None = None
+        self._batch_cache: DataFrame | None = None
 
     def _index_files(self) -> list[str]:
         try:
@@ -394,7 +402,34 @@ class IncrementalExactDedup:
         # silently missing digests.
         if flagged is not None:
             flagged.unpersist()
+        # the PERSISTED plan is `survivors`, not the drop() projection
+        # returned below — Spark's non-cascading uncache matches on the
+        # exact plan, so callers unpersisting the returned frame free
+        # nothing.  Track the cache on the instance: attach() releases it
+        # after the sink consumes each batch, and release_batch_cache()
+        # serves manual loops.
+        self._batch_cache = survivors
         return survivors.drop("__digest")
+
+    def release_batch_cache(self) -> None:
+        """Free the current batch's survivor cache (persisted by
+        :meth:`process_batch` for its index-append barrier).  Safe after
+        the batch's output has been consumed; the returned frame stays
+        usable (Spark recomputes from lineage)."""
+        cache = getattr(self, "_batch_cache", None)
+        if cache is not None:
+            cache.unpersist()
+            self._batch_cache = None
+
+    def close(self) -> None:
+        """Release every cache the monitor owns: the current batch's
+        survivors AND the long-lived OR-merged bloom word table.  Call
+        when the stream stops; a new batch rebuilds what it needs from
+        the on-disk state."""
+        self.release_batch_cache()
+        if self._words_cache is not None:
+            self._words_cache.unpersist()
+            self._words_cache = None
 
     def attach(self, sink) -> "callable":
         """``foreachBatch`` adapter like :meth:`IncrementalLSHDedup.attach`."""
@@ -404,9 +439,8 @@ class IncrementalExactDedup:
             try:
                 sink(out, batch_id)
             finally:
-                # process_batch persists the survivors for its own
-                # index-append barrier; once the sink has consumed them
-                # the cache is dead weight across a long-running stream
-                out.unpersist()
+                # once the sink has consumed the batch the survivor cache
+                # is dead weight across a long-running stream
+                self.release_batch_cache()
 
         return _fn

@@ -146,12 +146,24 @@ def _checkpoint_token(checkpoint_location: str) -> str:
     """Deterministic run token from a checkpoint path: the checkpoint IS
     the restart identity (a restarted query resumes from the same
     location with the same batch ids), so keying registers on it makes
-    (run_token, batch_id) stable across driver restarts."""
-    import hashlib
+    (run_token, batch_id) stable across driver restarts.
 
-    return "ckpt" + hashlib.md5(
-        checkpoint_location.rstrip("/").encode()
-    ).hexdigest()[:12]
+    The location is lightly canonicalized first — ``file:///data/ckpt``,
+    ``file:/data/ckpt`` and ``/data/ckpt`` name the same checkpoint and
+    must yield the same token, or a restart script that spells the path
+    differently re-enables the double-count this token prevents.
+    (Relative paths can't be resolved against a cluster filesystem here;
+    spell the location absolutely, as Structured Streaming itself
+    expects.)"""
+    import hashlib
+    import posixpath
+    from urllib.parse import urlparse
+
+    u = urlparse(checkpoint_location)
+    scheme = u.scheme or "file"
+    path = posixpath.normpath((u.netloc or "") + u.path) if u.path else u.netloc
+    canon = f"{scheme}://{path}"
+    return "ckpt" + hashlib.md5(canon.encode()).hexdigest()[:12]
 
 
 def _attach_token(monitor, checkpoint_location: str | None) -> str:

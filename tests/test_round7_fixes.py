@@ -116,10 +116,12 @@ def test_incremental_exact_dedup_cached_manifests(spark, tmp_path):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
         "doc_id", "text"
-    ).limit(90)
+    ).filter("doc_id < 90")
     b1 = docs.filter("doc_id % 3 = 0")
-    b2 = docs.filter("doc_id % 3 = 1").union(b1.limit(10))  # 10 history dups
-    b3 = b2.limit(5).union(docs.filter("doc_id % 3 = 2"))   # 5 more dups
+    # deterministic overlap subsets (limit() on an unordered frame can
+    # pick different rows across jobs)
+    b2 = docs.filter("doc_id % 3 = 1").union(b1.filter("doc_id < 30"))
+    b3 = b2.filter("doc_id < 15").union(docs.filter("doc_id % 3 = 2"))
 
     inc = IncrementalExactDedup(
         spark, str(tmp_path / "idx"), bloom_bits=1 << 16, bloom_hashes=4
@@ -263,3 +265,116 @@ def test_sinkless_backlink_release(spark):
         pinned = list(res2._persisted)
         assert pinned and pinned[0].storageLevel != StorageLevel.NONE
     assert all(f.storageLevel == StorageLevel.NONE for f in pinned)
+
+
+def test_checkpoint_token_canonicalization():
+    """Spellings of the same checkpoint location must yield ONE token,
+    or a restart script that spells the path differently re-enables the
+    double-count."""
+    from etielle_spark.streaming.incremental_drift import _checkpoint_token
+
+    t = _checkpoint_token("/data/ckpt")
+    assert t == _checkpoint_token("file:///data/ckpt")
+    assert t == _checkpoint_token("file:/data/ckpt")
+    assert t == _checkpoint_token("/data/ckpt/")
+    assert t == _checkpoint_token("/data//ckpt")
+    assert t != _checkpoint_token("/data/other")
+    assert _checkpoint_token("hdfs://nn:8020/c") != _checkpoint_token(
+        "hdfs://nn2:8020/c"
+    )
+
+
+def test_digest_window_lint_counts_per_spec(spark):
+    """A guarded rank window must not exempt an UNGUARDED count window
+    that shares its partition spec."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from plan_lint import _digest_windows
+    from pyspark.sql import Window
+
+    df = spark.range(100).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("g")
+    )
+    w = Window.partitionBy("g")
+    both = (
+        df.withColumn("rk", F.row_number().over(w.orderBy("id")))
+        .filter(F.col("rk") == 1)                       # guarded (WGL Partial)
+        .withColumn("n", F.count(F.lit(1)).over(w))     # unguarded count
+    )
+    plan = both._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and ", Partial" in plan  # guard present
+    assert _digest_windows(plan) >= 1  # ...but the count window still flags
+
+
+def test_streaming_dedup_attach_releases_caches(spark, tmp_path):
+    """attach() must release the exact persisted frames, one per batch
+    (the returned drop() projection is a DIFFERENT plan — unpersisting
+    it frees nothing)."""
+    from pyspark import StorageLevel
+
+    from etielle_spark.streaming.incremental_dedup import (
+        IncrementalExactDedup,
+        IncrementalLSHDedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).filter("doc_id < 60")
+
+    exact = IncrementalExactDedup(spark, str(tmp_path / "idx"))
+    seen = []
+    fn = exact.attach(lambda d, b: seen.append(d.count()))
+    fn(docs.filter("doc_id < 30"), 0)
+    fn(docs.filter("doc_id >= 30"), 1)
+    assert seen and exact._batch_cache is None  # released after each sink
+
+    lsh = IncrementalLSHDedup(spark, str(tmp_path / "lsh"), num_hashes=8, bands=4)
+    got = []
+
+    captured = []
+
+    def sink(d, b):
+        captured.append(d)
+        got.append(d.count())
+
+    lfn = lsh.attach(sink)
+    lfn(docs, 0)
+    assert captured[0].storageLevel == StorageLevel.NONE  # out IS the cache
+
+
+def test_supabase_sink_keeps_caller_cache(spark):
+    """write() must not evict a cache the caller owns."""
+    from pyspark import StorageLevel
+
+    from etielle_spark.sources.supabase import SupabaseSink, fake_client
+
+    df = spark.createDataFrame([(i,) for i in range(4)], "id long").persist()
+    df.count()
+    sink = SupabaseSink(fake_client(), batch_size=2)
+    sink.write("t", df)
+    assert df.storageLevel != StorageLevel.NONE  # caller's cache intact
+    df.unpersist()
+
+
+def test_incremental_exact_dedup_close_releases_all(spark, tmp_path):
+    """close() frees the survivor cache AND the bloom words cache; the
+    monitor keeps working afterwards from on-disk state."""
+    from etielle_spark.streaming.incremental_dedup import IncrementalExactDedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).filter("doc_id < 60")
+    inc = IncrementalExactDedup(
+        spark, str(tmp_path / "idx"), bloom_bits=1 << 16, bloom_hashes=4
+    )
+    out = inc.process_batch(docs.filter("doc_id < 30"))
+    out.count()
+    inc.process_batch(docs.filter("doc_id >= 30")).count()
+    assert inc._words_cache is not None  # bloom path exercised
+    inc.close()
+    assert inc._batch_cache is None and inc._words_cache is None
+    # still functional: everything is duplicate now
+    again = inc.process_batch(docs)
+    assert again.count() == 0
+    inc.close()

@@ -95,21 +95,29 @@ def _digest_windows(plan: str) -> int:
     digest_cols = _digest_cols(plan)
     if not digest_cols:
         return 0
-    partial_limited = set(
+    # each Partial WindowGroupLimit guards exactly ONE rank window on its
+    # spec — count them per spec, so an unguarded count-over-digest
+    # window SHARING a spec with a guarded rank window is still flagged
+    from collections import Counter
+
+    partial_limited = Counter(
         re.findall(r"WindowGroupLimit \[([^\]]*)\],.*, Partial\b", plan)
     )
-    n = 0
+    windows: Counter = Counter()
     for line in plan.splitlines():
         s = line.strip()
         if "WindowGroupLimit" in s or "Window [" not in s:
             continue
         pm = re.search(r"\],\s*\[([^\]]*)\]", s)
-        if not pm or pm.group(1) in partial_limited:
+        if not pm:
             continue
         part_cols = re.findall(r"\w+#\d+L?", pm.group(1))
         if any(c in digest_cols for c in part_cols):
-            n += 1
-    return n
+            windows[pm.group(1)] += 1
+    return sum(
+        max(0, cnt - partial_limited.get(spec, 0))
+        for spec, cnt in windows.items()
+    )
 
 
 def lint(name: str, plan: str) -> dict:
