@@ -378,3 +378,67 @@ def test_incremental_exact_dedup_close_releases_all(spark, tmp_path):
     again = inc.process_batch(docs)
     assert again.count() == 0
     inc.close()
+
+
+def test_round7_null_and_edge_input_audit(spark, tmp_path):
+    """NULL/degenerate-input audit for the round-7 surfaces (the r5/r6
+    audit pattern): no worker crashes, sane results."""
+    from etielle_spark.operators.dedup import (
+        gram_duplication_stats,
+        lsh_candidate_pairs,
+    )
+
+    # gram join-back path: NULL text, empty text, whitespace-only,
+    # NULL id — with and without the max_df stop-list
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "   "),
+            (4, "a b c d e f g h shared tail"),
+            (5, "a b c d e f g h other tail"),
+            (None, "z y x w v u t s null id"),
+        ],
+        "id long, text string",
+    )
+    for kw in ({}, {"max_df": 2}):
+        out = {
+            r["id"]: r
+            for r in gram_duplication_stats(
+                docs, "id", "text", n=8, drop_threshold=0.5, **kw
+            ).collect()
+        }
+        # degenerate docs: zero grams, NULL frac, kept
+        for d in (1, 2, 3):
+            assert out[d]["n_grams"] == 0 and out[d]["shared_frac"] is None
+            assert not out[d]["drop"]
+        # docs 4/5 share the leading 8-gram
+        assert out[4]["n_shared_grams"] >= 1 and out[5]["n_shared_grams"] >= 1
+        assert None in out  # NULL id flows through, never crashes
+
+    # LSH stop-list path: degenerate corpus (all empty/NULL) -> no pairs
+    empty = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "")], "doc_id long, text string"
+    )
+    assert (
+        lsh_candidate_pairs(
+            empty, "doc_id", "text", num_hashes=8, bands=4, max_bucket_size=2
+        ).count()
+        >= 0
+    )  # executes without crashing (empty texts may bucket together)
+
+    # populate_child_fk: NULL child keys never match, required=True
+    # ignores them (only non-NULL misses raise)
+    from etielle_spark.sources.twophase import populate_child_fk
+
+    parents = spark.createDataFrame([("k1", 10)], "nk string, gen_id long")
+    children = spark.createDataFrame(
+        [("k1", "a"), (None, "b")], "ck string, v string"
+    )
+    got = {
+        r["v"]: r["fk"]
+        for r in populate_child_fk(
+            children, parents, by={"ck": "nk"}, fk_col="fk", required=True
+        ).collect()
+    }
+    assert got == {"a": 10, "b": None}
