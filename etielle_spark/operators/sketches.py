@@ -113,43 +113,73 @@ def cms_heavy_hitters(
         raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
     groups = group_cols or []
 
-    item = F.col(item_col).cast("string")
-
-    def bucket(j: int, col) -> object:
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{j}|"), col)), 1, 8), 16, 10
-            ).cast("long")
-            % width
-        )
-
-    def cells_of(frame: DataFrame) -> DataFrame:
-        return frame.select(
-            *groups,
-            "__item",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("j"),
-                            bucket(j, F.col("__item")).alias("b"),
-                        )
-                        for j in range(depth)
-                    ]
-                )
-            ).alias("c"),
-        )
-
-    occurrences = df.select(*groups, item.alias("__item")).filter(
-        F.col("__item").isNotNull()
+    occurrences = df.select(
+        *groups, F.col(item_col).cast("string").alias("__item")
+    ).filter(F.col("__item").isNotNull())
+    sketch = cms_cells(occurrences, groups, depth=depth, width=width)
+    return cms_estimate_topk(
+        sketch, occurrences.distinct(), groups, depth=depth, width=width, k=k
     )
-    sketch = (
-        cells_of(occurrences)
+
+
+def cms_bucket(j: int, col, width: int):
+    """The CMS row-``j`` bucket of a string column — md5-based so sketch
+    state is engine- and session-reproducible (the batch op and the
+    streaming monitor MUST hash identically for their differential)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}|"), col)), 1, 8), 16, 10
+        ).cast("long")
+        % width
+    )
+
+
+def _cms_cells_of(frame: DataFrame, groups: list[str], depth: int, width: int):
+    return frame.select(
+        *groups,
+        "__item",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        cms_bucket(j, F.col("__item"), width).alias("b"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("c"),
+    )
+
+
+def cms_cells(
+    occurrences: DataFrame, groups: list[str], *, depth: int, width: int
+) -> DataFrame:
+    """The Count-Min sketch of an ``(*groups, __item)`` occurrence frame:
+    ``(*groups, j, b, cnt)`` — at most ``|groups| * depth * width`` rows
+    regardless of input size.  Counts are ADDITIVE, so sum-merging the
+    sketches of disjoint slices equals the sketch of their union (what
+    the streaming monitor's register merge relies on)."""
+    return (
+        _cms_cells_of(occurrences, groups, depth, width)
         .select(*groups, "c.j", "c.b")
         .groupBy(*groups, "j", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
+
+def cms_estimate_topk(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    groups: list[str],
+    *,
+    depth: int,
+    width: int,
+    k: int,
+) -> DataFrame:
+    """Top-``k`` of a candidate ``(*groups, __item)`` frame by CMS
+    estimate (min counter across the ``depth`` rows) against a
+    ``(*groups, j, b, cnt)`` sketch; ties broken by item ascending."""
     skt = sketch.select(
         *[F.col(g).alias(f"__g_{g}") for g in groups],
         F.col("j").alias("__j"),
@@ -159,7 +189,7 @@ def cms_heavy_hitters(
     cond = (F.col("c.j") == F.col("__j")) & (F.col("c.b") == F.col("__b"))
     for g in groups:
         cond = cond & (F.col(g) == F.col(f"__g_{g}"))
-    distinct_cells = cells_of(occurrences.distinct())
+    distinct_cells = _cms_cells_of(candidates, groups, depth, width)
     est = (
         distinct_cells.join(F.broadcast(skt), cond)
         .groupBy(*groups, "__item")

@@ -55,6 +55,7 @@ __all__ = [
     "session_agg",
 ]
 
+from .incremental_cms import IncrementalCMS
 from .incremental_drift import (
     IncrementalBinnedKS,
     IncrementalPSI,
@@ -67,4 +68,5 @@ __all__ += [
     "IncrementalVocabDrift",
     "IncrementalPSI",
     "IncrementalBinnedKS",
+    "IncrementalCMS",
 ]

@@ -1,0 +1,203 @@
+"""Incremental Count-Min heavy hitters for a continuously-ingested
+corpus: the hot-terms / hot-domains report a training-data ingest keeps
+live without re-scanning history per refresh.
+
+State is two bounded families under ``state_dir``:
+
+- **Sketch registers** — per batch, ONE bounded aggregation reduces the
+  new rows to ``(groups..., j, b, cnt)`` CMS cells (at most
+  ``|groups| * depth * width`` rows — KILOBYTES regardless of batch
+  size).  CMS counts are ADDITIVE, so sum-merging the stored registers
+  at read time gives EXACTLY the sketch a batch pass over the
+  concatenated input would build.  Like the drift monitors' counts (and
+  unlike bitmap-OR / max-merge registers), duplicated COUNT rows change
+  the result, so each batch writes to a deterministic
+  ``batch=<run_token>-b<id>`` directory with ``mode("overwrite")`` —
+  ``foreachBatch`` replays overwrite the crashed attempt instead of
+  appending beside it, and ``attach()`` requires a restart-stable token
+  (explicit ``run_id`` or a ``checkpoint_location`` to derive one),
+  exactly the incremental_drift contract.
+
+- **Candidate sets** — a CMS can estimate any item's count but cannot
+  ENUMERATE items, so each batch also records its own top
+  ``candidate_k`` items per group by exact within-batch count (a
+  bounded Misra-Gries-style pass) under ``state_dir/_cands`` (the
+  underscore keeps it invisible to the register parquet reads), same
+  overwrite-keyed layout.  ``heavy_hitters(k)`` estimates the UNION of
+  all recorded candidates against the merged sketch.
+
+Exactness contract: estimated counts equal the batch
+``operators.sketches.cms_heavy_hitters`` estimates over the
+concatenated input (identical md5 bucketing, additive register merge —
+the differential test asserts equality).  Candidate RECALL is the one
+approximation: a global heavy hitter is reported iff it entered some
+batch's top ``candidate_k`` — guaranteed whenever an item's share
+within at least one batch matches its global ranking (true for genuine
+heavy hitters under any roughly-stationary mix; raise ``candidate_k``
+for adversarially bursty layouts).  Reference has no streaming-sketch
+analog; this extends the incremental family (incremental_sketch.py's
+HLL, incremental_drift.py's monitors) with the counts-shaped sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.sketches import cms_cells, cms_estimate_topk
+from .incremental_drift import _attach_token, _path_missing, _write_registers
+
+
+class IncrementalCMS:
+    """Append-only CMS register + candidate state under ``state_dir``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        *,
+        item_col: str,
+        group_cols: list[str] | None = None,
+        depth: int = 4,
+        width: int = 256,
+        candidate_k: int = 64,
+        max_groups: int = 1000,
+        run_id: str | None = None,
+    ) -> None:
+        import uuid
+
+        if depth < 1 or width < 2:
+            raise ValueError(
+                f"IncrementalCMS: need depth >= 1 and width >= 2, "
+                f"got {depth}x{width}"
+            )
+        if candidate_k < 1:
+            raise ValueError("IncrementalCMS: candidate_k must be >= 1")
+        self.spark = spark
+        self.state_dir = state_dir
+        self.item_col = item_col
+        self.group_cols = list(group_cols or [])
+        self.depth = int(depth)
+        self.width = int(width)
+        self.candidate_k = int(candidate_k)
+        self.max_groups = int(max_groups)
+        self._explicit_run_id = run_id is not None
+        self.run_token = run_id or uuid.uuid4().hex[:12]
+        self._cands_dir = state_dir.rstrip("/") + "/_cands"
+
+    def _occurrences(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            *self.group_cols,
+            F.col(self.item_col).cast("string").alias("__item"),
+        ).filter(F.col("__item").isNotNull())
+
+    def _batch_candidates(self, occ: DataFrame) -> DataFrame:
+        """This batch's top ``candidate_k`` items per group by EXACT
+        within-batch count — a bounded frame (|groups| x candidate_k)."""
+        counts = occ.groupBy(*self.group_cols, "__item").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        if not self.group_cols:
+            return (
+                counts.orderBy(F.col("__c").desc(), F.col("__item").asc())
+                .limit(self.candidate_k)
+                .select("__item")
+            )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*self.group_cols).orderBy(
+            F.col("__c").desc(), F.col("__item").asc()
+        )
+        return (
+            counts.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= self.candidate_k)
+            .select(*self.group_cols, "__item")
+        )
+
+    def process_batch(self, df: DataFrame, batch_id=None, *, _token=None) -> None:
+        """Fold one batch in: one bounded cells aggregation + one bounded
+        candidate pass.  Pass the ``foreachBatch`` batch_id for
+        replay-idempotent storage."""
+        occ = self._occurrences(df)
+        token = _token or self.run_token
+        _write_registers(
+            cms_cells(occ, self.group_cols, depth=self.depth, width=self.width),
+            self.state_dir,
+            token,
+            batch_id,
+        )
+        _write_registers(
+            self._batch_candidates(occ), self._cands_dir, token, batch_id
+        )
+
+    def sketch(self) -> DataFrame | None:
+        """Merged ``(groups..., j, b, cnt)`` — exactly the CMS a batch
+        pass over every processed row would build."""
+        try:
+            df = (
+                self.spark.read.option("recursiveFileLookup", "true")
+                .parquet(self.state_dir)
+                .select(*self.group_cols, "j", "b", "cnt")
+            )
+            if not df.inputFiles():
+                return None
+        except Exception as e:
+            if _path_missing(e):
+                return None
+            raise
+        return df.groupBy(*self.group_cols, "j", "b").agg(
+            F.sum("cnt").alias("cnt")
+        )
+
+    def _candidates(self) -> DataFrame:
+        return (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .parquet(self._cands_dir)
+            .select(*self.group_cols, "__item")
+            .distinct()
+        )
+
+    def heavy_hitters(self, k: int = 10) -> DataFrame:
+        """Top-``k`` per group by merged-sketch estimate over every
+        recorded candidate: ``(*group_cols, item, est_count)``, the
+        batch ``cms_heavy_hitters`` output shape.  The sketch is a
+        bounded driver-safe frame; the candidate union is
+        |groups| x candidate_k x batches at worst, deduped before the
+        broadcast estimate join."""
+        sketch = self.sketch()
+        if sketch is None:
+            raise ValueError("IncrementalCMS.heavy_hitters: no batches yet")
+        if self.group_cols:
+            ng = (
+                sketch.select(*self.group_cols)
+                .distinct()
+                .limit(self.max_groups + 1)
+                .count()
+            )
+            if ng > self.max_groups:
+                raise ValueError(
+                    f"IncrementalCMS: more than max_groups={self.max_groups} "
+                    "distinct groups — groups are sources/snapshots, not "
+                    "entities."
+                )
+        return cms_estimate_topk(
+            sketch,
+            self._candidates(),
+            self.group_cols,
+            depth=self.depth,
+            width=self.width,
+            k=k,
+        )
+
+    def attach(self, checkpoint_location: str | None = None) -> "callable":
+        """``foreachBatch`` adapter (forwards the batch_id for replay
+        idempotence).  Restart safety requires a restart-stable token:
+        pass ``checkpoint_location`` (the writeStream's
+        ``checkpointLocation``) to derive one, or construct the monitor
+        with an explicit ``run_id``; otherwise this raises — the
+        incremental_drift contract."""
+        token = _attach_token(self, checkpoint_location)
+
+        def _fn(df: DataFrame, batch_id: int) -> None:
+            self.process_batch(df, batch_id=batch_id, _token=token)
+
+        return _fn
