@@ -272,6 +272,54 @@ def reference_workload(spark) -> float:
 
 
 
+def streaming_incremental_cms(spark) -> float:
+    """Incremental CMS heavy hitters at bench scale: document tokens
+    streamed in micro-batches through foreachBatch; per batch one bounded
+    cells aggregation + candidate pass, then one merged heavy-hitters
+    read (streaming/incremental_cms.py)."""
+    import shutil
+    import tempfile
+
+    from etielle_spark.streaming.incremental_cms import IncrementalCMS
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="bench_stream_cms_")
+    try:
+        toks = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(
+                "lang",
+                F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+            )
+            .filter(F.col("tok") != "")
+        )
+        src = f"{work}/src"
+        toks.repartition(4).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        inc = IncrementalCMS(
+            spark, f"{work}/state", item_col="tok", group_cols=["lang"],
+            candidate_k=128, run_id="bench",
+        )
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(inc.attach())
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        n = inc.heavy_hitters(k=10).count()
+        assert n > 0
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def streaming_incremental_dedup(spark) -> float:
     """Incremental LSH dedup at bench scale: the documents table streamed
     in micro-batches through foreachBatch; each batch's signatures are
@@ -549,6 +597,7 @@ def main() -> None:
         "streaming_events_1m_windows": streaming_events_windows,
         "streaming_ref_workload_users_posts_8k": streaming_reference_workload,
         "streaming_incremental_dedup": streaming_incremental_dedup,
+        "streaming_incremental_cms": streaming_incremental_cms,
     }
     # phase isolation: drop every cached relation the headline phase left
     # behind (Spark's cache manager never releases them on its own —

@@ -134,6 +134,15 @@ def main() -> None:
         lambda: gram_duplication_stats(boiler_docs, "doc_id", "text", n=8)
         .filter(F.col("drop")).count(),
     )
+    from etielle_spark.operators.sketches import cms_heavy_hitters
+
+    cms_toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    n_cms = step(
+        "cms_heavy_hitters_600k",
+        lambda: cms_heavy_hitters(cms_toks, "tok", depth=4, width=1024, k=20).count(),
+    )
     src = docs.select(
         "doc_id",
         F.concat(F.lit("src"), (F.col("doc_id") % 7).cast("string")).alias("source"),
@@ -277,6 +286,7 @@ def main() -> None:
                 "domain_capped_rows": n_capped,
                 "gram_dup_dropped": n_gram_dropped,
                 "gram_dup_boiler80_dropped": n_boiler_dropped,
+                "cms_heavy_hitters": n_cms,
                 "mixture_resampled_rows": n_resampled,
                 "semdedup_vectors": n_vec,
                 "semdedup_dropped": n_semdrop,
