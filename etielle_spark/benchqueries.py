@@ -10772,3 +10772,63 @@ def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
     ref = docs.filter(F.col("lang").isNotNull()).agg(F.min("lang")).first()[0]
     return psi_drift(docs, "n_chars", "lang", ref, bins=10)
+
+
+@q(
+    "q239_cluster_canonicalize",
+    """
+    WITH d AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS score
+               FROM documents),
+    l AS (
+      SELECT d.doc_id, d.score,
+             (p.doc_id IS NOT NULL AND
+              ('0x' || substr(md5((d.doc_id - 1)::VARCHAR), 1, 2))::INT < 128)
+               AS link_prev
+      FROM d LEFT JOIN d p ON p.doc_id = d.doc_id - 1
+    ),
+    c AS (
+      SELECT doc_id, score,
+             max(CASE WHEN NOT link_prev THEN doc_id END)
+               OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cluster_id
+      FROM l
+    ),
+    k AS (
+      SELECT cluster_id, doc_id AS keep_id FROM (
+        SELECT cluster_id, doc_id,
+               row_number() OVER (
+                 PARTITION BY cluster_id
+                 ORDER BY score DESC, doc_id ASC) AS rk
+        FROM c) WHERE rk = 1
+    )
+    SELECT c.doc_id AS id, c.score, c.cluster_id,
+           c.doc_id = k.keep_id AS keep,
+           CASE WHEN c.doc_id <> k.keep_id THEN k.keep_id END AS dup_of
+    FROM c JOIN k USING (cluster_id)
+    """,
+)
+def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup retention (operators/clusters.py:
+    canonicalize_clusters): connected components over a candidate-pair
+    graph, then the HIGHEST-scoring member of each component survives
+    (ties -> min id) and the rest point at it via dup_of — the
+    best-document-wins pass pipelines run over LSH/SemDedup pairs.
+
+    The pair graph here is a deterministic md5 chain (doc i links to
+    i+1 when md5(i) starts low), so components are multi-hop runs that
+    exercise the label-propagation transitivity while the DuckDB oracle
+    computes the same clusters with gaps-and-islands."""
+    from .operators.clusters import canonicalize_clusters
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("double").alias("score")
+    )
+    link = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        < 128
+    )
+    a = docs.select("doc_id").filter(link).alias("a")
+    b = docs.select(F.col("doc_id").alias("doc_b")).alias("b")
+    pairs = a.join(b, F.col("doc_b") == F.col("doc_id") + 1).select(
+        F.col("doc_id").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    return canonicalize_clusters(docs, pairs, "doc_id", "score")

@@ -1647,3 +1647,48 @@ def test_semdedup_engines_agree(spark, emb):
         ).collect()
     }
     assert a == s and len(a) > 0
+
+
+def test_canonicalize_clusters_best_doc_wins(spark):
+    from etielle_spark.operators.clusters import canonicalize_clusters
+
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 7.0),   # chain 1-2-3: 2 wins
+         (4, 3.0), (5, 3.0),             # pair with tied scores: min id 4 wins
+         (6, None), (7, 1.0),            # NULL loses to any score: 7 wins
+         (8, 2.0)],                      # singleton: keeps itself
+        "id long, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 7)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r for r in
+           canonicalize_clusters(docs, pairs, "id", "score").collect()}
+    assert len(out) == 8
+    assert out[2]["keep"] and not out[1]["keep"] and not out[3]["keep"]
+    assert out[1]["dup_of"] == 2 and out[3]["dup_of"] == 2
+    assert {out[1]["cluster_id"], out[2]["cluster_id"], out[3]["cluster_id"]} == {1}
+    assert out[4]["keep"] and out[5]["dup_of"] == 4   # tie -> min id
+    assert out[7]["keep"] and out[6]["dup_of"] == 7   # NULL score loses
+    assert out[8]["keep"] and out[8]["dup_of"] is None and out[8]["cluster_id"] == 8
+
+
+def test_dedup_clusters_deep_chain_no_plan_blowup(spark):
+    """A 600-node path graph needs ~10 label-propagation rounds; the
+    per-round checkpoint keeps analysis flat (the old persist-only loop
+    doubled plan size per round and OOMed the analyzer by round 7)."""
+    import time
+
+    from etielle_spark.operators.clusters import dedup_clusters
+
+    n = 600
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    t0 = time.time()
+    labels = dedup_clusters(pairs)
+    rows = labels.collect()
+    dt = time.time() - t0
+    assert len(rows) == n
+    assert {r["cluster_id"] for r in rows} == {0}  # one component, min label
+    assert dt < 120, f"deep-chain CC took {dt:.0f}s — plan blowup is back"
