@@ -31,77 +31,20 @@ def dedup_clusters(
     minimum id reachable through the pair graph (connected components by
     min-label propagation).
 
-    Each round does TWO label-halving steps: (1) propagate — every node
-    takes the min label among itself and its neighbors; (2) pointer-jump
-    — every node follows its label one hop (``l(v) <- l(l(v))``), the
-    Shiloach-Vishkin shortcutting that makes convergence O(log diameter)
-    instead of O(diameter) (a 600-node path converges in ~10 rounds, not
-    599 — web near-dup graphs chain through boilerplate overlaps exactly
-    like that).  Rounds are joins/groupBys on (id, label) pairs only —
-    no adjacency lists materialize, skewed hub nodes are just wide
-    groups (AQE handles them).
-
-    Every round CHECKPOINTS its labels (reliable when the context has a
-    checkpoint dir, local otherwise): ``persist()`` alone does NOT
-    truncate the logical plan, so an iterative self-referencing loop
-    doubles its analysis cost per round — measured on a 10-round chain
-    graph: 1.4 s -> 34 s -> analyzer OOM by round 7 with persist, flat
-    with checkpoints (the GraphFrames CC discipline).
+    Delegates to :func:`operators.graph.connected_components_df` — ONE
+    checkpointed propagate + pointer-jump loop in the repo (round 7:
+    this module used to carry a persist-only duplicate whose
+    self-referencing plan doubled per round — analyzer OOM by round 7
+    on a 10-round chain graph; ``persist()`` does not truncate logical
+    plans, checkpoints do).  Raises rather than returning a
+    half-converged labeling when ``max_iterations`` is exceeded.
     """
-    spark = pairs.sparkSession
-    reliable = spark.sparkContext.getCheckpointDir() is not None
+    from .graph import connected_components_df
 
-    def pin(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if reliable else df.localCheckpoint()
-
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .persist()
+    labels = connected_components_df(
+        pairs, id_a, id_b, max_iter=max_iterations
     )
-    labels = pin(
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-    )
-    for _ in range(max_iterations):
-        neigh = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        cand = labels.join(neigh, labels["id"] == neigh["src"], "left").select(
-            labels["id"],
-            F.least(
-                labels["label"], F.coalesce(F.col("nlabel"), labels["label"])
-            ).alias("label"),
-        )
-        # pointer jump: l(v) <- min(l(v), l(l(v))) — labels are node ids,
-        # so the hop is a self-join of the candidate labels
-        parent = cand.select(
-            F.col("id").alias("__pid"), F.col("label").alias("__plabel")
-        )
-        new_labels = pin(
-            cand.join(parent, cand["label"] == parent["__pid"], "left").select(
-                cand["id"],
-                F.least(
-                    cand["label"],
-                    F.coalesce(F.col("__plabel"), cand["label"]),
-                ).alias("label"),
-            )
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
-    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    return labels.select(F.col("id"), F.col("component").alias("cluster_id"))
 
 
 def canonicalize_clusters(
@@ -125,7 +68,11 @@ def canonicalize_clusters(
     Returns ``(id, score, cluster_id, keep, dup_of)`` for EVERY row of
     ``df``: ids in no pair are singleton keepers of their own cluster;
     NULL scores sort below every non-NULL score (a scored duplicate
-    always beats an unscored one).
+    always beats an unscored one); rows with a NULL id cannot be graph
+    members (nothing can point at them) and pass through as singleton
+    keepers with a NULL cluster_id.  Ids need only be orderable —
+    string/UUID keys work (the tie-break never negates or casts the
+    id).
 
     Plan shape at scale: the component labels come from the checkpointed
     min-label propagation (join+groupBy rounds on (id, label) pairs —
@@ -141,21 +88,38 @@ def canonicalize_clusters(
         F.col(id_col).alias("id"),
         F.col(score_col).cast("double").alias("score"),
     )
-    labeled = base.join(labels, "id", "left").select(
-        "id", "score", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id")
+    # NULL ids would vanish through the keeper equi-join (NULL keys
+    # never match); route them around the graph as singleton keepers
+    null_ids = base.filter(F.col("id").isNull()).select(
+        "id",
+        "score",
+        F.lit(None).cast(base.schema["id"].dataType).alias("cluster_id"),
+        F.lit(True).alias("keep"),
+        F.lit(None).cast(base.schema["id"].dataType).alias("dup_of"),
     )
-    # keeper per cluster: max score, ties -> min id.  NULL scores lose to
-    # any non-NULL: order by (score IS NOT NULL, score, -id) descending
-    # via a struct max_by key
+    labeled = (
+        base.filter(F.col("id").isNotNull())
+        .join(labels, "id", "left")
+        .select(
+            "id",
+            "score",
+            F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
+        )
+    )
+    # keeper per cluster: max score, ties -> min id.  min_by over an
+    # ASCENDING preference key keeps the id un-negated and un-cast, so
+    # string/UUID/snowflake ids stay exact: (NULL-score flag asc puts
+    # scored rows first, -score asc puts high scores first, id asc
+    # breaks ties to the smallest)
     pref = F.struct(
-        F.col("score").isNotNull().cast("int").alias("s0"),
-        F.coalesce(F.col("score"), F.lit(float("-inf"))).alias("s1"),
-        (-F.col("id").cast("double")).alias("s2"),
+        F.col("score").isNull().cast("int").alias("s0"),
+        (-F.coalesce(F.col("score"), F.lit(0.0))).alias("s1"),
+        F.col("id").alias("s2"),
     )
     keepers = labeled.groupBy("cluster_id").agg(
-        F.max_by(F.col("id"), pref).alias("__keep_id")
+        F.min_by(F.col("id"), pref).alias("__keep_id")
     )
-    return labeled.join(keepers, "cluster_id").select(
+    out = labeled.join(keepers, "cluster_id").select(
         "id",
         "score",
         "cluster_id",
@@ -164,6 +128,7 @@ def canonicalize_clusters(
             "dup_of"
         ),
     )
+    return out.unionByName(null_ids)
 
 
 def stratified_sample_exact(

@@ -163,10 +163,13 @@ def connected_components_df(
     """Distributed connected components over an edge DataFrame by
     iterative min-label propagation: every vertex starts labeled with
     itself; each round takes the min of its own label and its
-    neighbors' labels.  Converges in O(max component diameter) rounds —
-    for dedup candidate graphs (LSH pairs are clique-ish) that is a
-    handful; ``max_iter`` bounds pathological chains, raising rather
-    than returning a half-converged labeling.
+    neighbors' labels, THEN pointer-jumps (``l(v) <- min(l(v),
+    l(l(v)))``, the Shiloach-Vishkin shortcut) — convergence is
+    O(log max component diameter), so a 600-vertex path needs ~10
+    rounds, not 599 (round 7; web near-dup graphs chain through
+    boilerplate overlaps exactly like that).  ``max_iter`` bounds
+    pathological graphs, raising rather than returning a
+    half-converged labeling.
 
     Plan shape per round: one join of the symmetrized edge frame with
     the (one-row-per-vertex) label frame on the destination key, one
@@ -183,7 +186,12 @@ def connected_components_df(
     known failure mode of every iterative DataFrame algorithm.  On a
     real cluster set ``sparkContext.setCheckpointDir`` so label loss on
     executor failure recovers from storage instead of rerunning the
-    loop.
+    loop.  Storage of superseded rounds: local-checkpoint blocks are
+    MEMORY_AND_DISK and are reaped when the dropped per-round
+    references are GC'd (LRU-evictable meanwhile); reliable-checkpoint
+    FILES outlive the loop unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` is set —
+    set it on long-running drivers that call this repeatedly.
 
     Returns ``(id, component)`` with ``component`` = the smallest id in
     the vertex's component, one row per vertex that appears in any edge.
@@ -207,11 +215,26 @@ def connected_components_df(
         prop = sym.join(labels, sym["d"] == labels["id"]).select(
             F.col("s").alias("id"), F.col("component")
         )
-        new_labels = _truncate(
+        cand = (
             labels.select("id", "component")
             .union(prop)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jump: labels are vertex ids, so l(l(v)) is one
+        # self-join of the candidate labels
+        parent = cand.select(
+            F.col("id").alias("__pid"), F.col("component").alias("__pc")
+        )
+        new_labels = _truncate(
+            cand.join(parent, cand["component"] == parent["__pid"], "left")
+            .select(
+                cand["id"],
+                F.least(
+                    cand["component"],
+                    F.coalesce(F.col("__pc"), cand["component"]),
+                ).alias("component"),
+            )
         )
         changed = (
             new_labels.alias("n")

@@ -116,6 +116,11 @@ def cms_heavy_hitters(
     occurrences = df.select(
         *groups, F.col(item_col).cast("string").alias("__item")
     ).filter(F.col("__item").isNotNull())
+    for g in groups:
+        # NULL group keys would write register weight the estimate
+        # equi-join can never surface (NULL never equals NULL there) —
+        # drop them at the source like the drift family does
+        occurrences = occurrences.filter(F.col(g).isNotNull())
     sketch = cms_cells(occurrences, groups, depth=depth, width=width)
     return cms_estimate_topk(
         sketch, occurrences.distinct(), groups, depth=depth, width=width, k=k

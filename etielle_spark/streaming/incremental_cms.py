@@ -44,7 +44,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.sketches import cms_cells, cms_estimate_topk
-from .incremental_drift import _attach_token, _path_missing, _write_registers
+from .incremental_drift import (
+    _attach_token,
+    _merged_counts,
+    _path_missing,
+    _write_registers,
+)
 
 
 class IncrementalCMS:
@@ -83,12 +88,51 @@ class IncrementalCMS:
         self._explicit_run_id = run_id is not None
         self.run_token = run_id or uuid.uuid4().hex[:12]
         self._cands_dir = state_dir.rstrip("/") + "/_cands"
+        self._meta_dir = state_dir.rstrip("/") + "/_meta"
+        self._meta_checked = False
+
+    def _check_meta(self) -> None:
+        """Validate (depth, width) against the persisted manifest —
+        registers hashed under different params merge into garbage, and
+        (unlike the bloom index) the original items are gone, so a
+        mismatch raises instead of rebuilding.  Writes the manifest on
+        first contact; idempotent thereafter (cached on the instance —
+        the monitor owns the dir)."""
+        if self._meta_checked:
+            return
+        rows = None
+        try:
+            rows = self.spark.read.json(self._meta_dir).collect()
+        except Exception as e:
+            if not _path_missing(e):
+                raise
+        if rows:
+            d, w = int(rows[0]["depth"]), int(rows[0]["width"])
+            if (d, w) != (self.depth, self.width):
+                raise ValueError(
+                    f"IncrementalCMS: state at {self.state_dir} was built "
+                    f"with depth={d}, width={w}, not "
+                    f"{self.depth}x{self.width} — a new sketch geometry is "
+                    "a new baseline; use a fresh state dir."
+                )
+        else:
+            self.spark.createDataFrame(
+                [(self.depth, self.width)], "depth long, width long"
+            ).coalesce(1).write.mode("overwrite").json(self._meta_dir)
+        self._meta_checked = True
 
     def _occurrences(self, df: DataFrame) -> DataFrame:
-        return df.select(
+        """NULL items AND NULL group keys are dropped at the source (the
+        drift monitors' filter discipline) — a NULL group would write
+        register dead weight that the estimate equi-join can never
+        surface."""
+        occ = df.select(
             *self.group_cols,
             F.col(self.item_col).cast("string").alias("__item"),
         ).filter(F.col("__item").isNotNull())
+        for g in self.group_cols:
+            occ = occ.filter(F.col(g).isNotNull())
+        return occ
 
     def _batch_candidates(self, occ: DataFrame) -> DataFrame:
         """This batch's top ``candidate_k`` items per group by EXACT
@@ -117,6 +161,7 @@ class IncrementalCMS:
         """Fold one batch in: one bounded cells aggregation + one bounded
         candidate pass.  Pass the ``foreachBatch`` batch_id for
         replay-idempotent storage."""
+        self._check_meta()
         occ = self._occurrences(df)
         token = _token or self.run_token
         _write_registers(
@@ -132,11 +177,22 @@ class IncrementalCMS:
     def sketch(self) -> DataFrame | None:
         """Merged ``(groups..., j, b, cnt)`` — exactly the CMS a batch
         pass over every processed row would build."""
+        self._check_meta()
+        return _merged_counts(
+            self.spark, self.state_dir, ["j", "b"], group_cols=self.group_cols
+        )
+
+    def _candidates(self) -> DataFrame | None:
+        """Distinct recorded candidates, or None when the _cands dir has
+        never been written (a crash between the register write and the
+        candidate write on a manually-driven first batch — foreachBatch
+        replays repair it, manual loops surface an empty report rather
+        than a raw path error)."""
         try:
             df = (
                 self.spark.read.option("recursiveFileLookup", "true")
-                .parquet(self.state_dir)
-                .select(*self.group_cols, "j", "b", "cnt")
+                .parquet(self._cands_dir)
+                .select(*self.group_cols, "__item")
             )
             if not df.inputFiles():
                 return None
@@ -144,17 +200,7 @@ class IncrementalCMS:
             if _path_missing(e):
                 return None
             raise
-        return df.groupBy(*self.group_cols, "j", "b").agg(
-            F.sum("cnt").alias("cnt")
-        )
-
-    def _candidates(self) -> DataFrame:
-        return (
-            self.spark.read.option("recursiveFileLookup", "true")
-            .parquet(self._cands_dir)
-            .select(*self.group_cols, "__item")
-            .distinct()
-        )
+        return df.distinct()
 
     def heavy_hitters(self, k: int = 10) -> DataFrame:
         """Top-``k`` per group by merged-sketch estimate over every
@@ -164,8 +210,18 @@ class IncrementalCMS:
         |groups| x candidate_k x batches at worst, deduped before the
         broadcast estimate join."""
         sketch = self.sketch()
+        cands = self._candidates()
         if sketch is None:
             raise ValueError("IncrementalCMS.heavy_hitters: no batches yet")
+        if cands is None:
+            # registers exist but the candidate write never landed (crash
+            # between the two writes, never replayed): report empty
+            # rather than raising a raw path error
+            schema = ", ".join(
+                f"{g} string" for g in self.group_cols
+            )
+            schema = (schema + ", " if schema else "") + "item string, est_count bigint"
+            return self.spark.createDataFrame([], schema)
         if self.group_cols:
             ng = (
                 sketch.select(*self.group_cols)
@@ -181,7 +237,7 @@ class IncrementalCMS:
                 )
         return cms_estimate_topk(
             sketch,
-            self._candidates(),
+            cands,
             self.group_cols,
             depth=self.depth,
             width=self.width,

@@ -89,17 +89,21 @@ def _write_registers(
 
 
 def _merged_counts(
-    spark: SparkSession, state_dir: str, key_col: str
+    spark: SparkSession, state_dir: str, key_col, group_cols=("group",)
 ) -> DataFrame | None:
     """Sum-merge every stored register file (None if no state).
     recursiveFileLookup reads the batch=<key> layout AND any flat
     legacy layout without partition-discovery conflicts; the underscore
-    manifests (``_edges``) stay hidden as always."""
+    manifests (``_edges``) stay hidden as always.  ``key_col`` may be a
+    single name or a list (the CMS monitor merges (j, b) cells);
+    ``group_cols`` defaults to the drift monitors' single ``group``."""
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    cols = list(group_cols) + keys
     try:
         df = (
             spark.read.option("recursiveFileLookup", "true")
             .parquet(state_dir)
-            .select("group", key_col, "cnt")
+            .select(*cols, "cnt")
         )
         if not df.inputFiles():
             return None
@@ -107,7 +111,7 @@ def _merged_counts(
         if _path_missing(e):
             return None
         raise
-    return df.groupBy("group", key_col).agg(F.sum("cnt").alias("cnt"))
+    return df.groupBy(*cols).agg(F.sum("cnt").alias("cnt"))
 
 
 def _read_edges_manifest(

@@ -147,3 +147,46 @@ def test_incremental_cms_guards_and_empty(spark, tmp_path):
     )
     got = [(r["item"], r["est_count"]) for r in inc.heavy_hitters(k=3).collect()]
     assert got == [("a", 4)]
+
+
+def test_incremental_cms_param_mismatch_raises(spark, tmp_path):
+    """Registers hashed under different (depth, width) must never merge:
+    the persisted _meta manifest raises on mismatch (the items are gone,
+    so no rebuild is possible — new geometry = new state dir)."""
+    from etielle_spark.streaming.incremental_cms import IncrementalCMS
+
+    state = str(tmp_path / "s")
+    m1 = IncrementalCMS(spark, state, item_col="tok", width=256, run_id="r")
+    m1.process_batch(spark.createDataFrame([("a",)] * 3, "tok string"), batch_id=0)
+    m2 = IncrementalCMS(spark, state, item_col="tok", width=512, run_id="r")
+    with pytest.raises(ValueError, match="depth=4, width=256"):
+        m2.process_batch(
+            spark.createDataFrame([("a",)], "tok string"), batch_id=1
+        )
+    with pytest.raises(ValueError, match="width=256"):
+        m2.heavy_hitters()
+    # matching params keep working
+    m3 = IncrementalCMS(spark, state, item_col="tok", width=256, run_id="r")
+    assert m3.heavy_hitters(k=1).collect()[0]["item"] == "a"
+
+
+def test_incremental_cms_null_groups_dropped(spark, tmp_path):
+    """NULL group keys are dropped at the source (register weight the
+    estimate join could never surface), matching the batch operator."""
+    from etielle_spark.operators.sketches import cms_heavy_hitters
+    from etielle_spark.streaming.incremental_cms import IncrementalCMS
+
+    df = spark.createDataFrame(
+        [("en", "x")] * 5 + [(None, "y")] * 9 + [("de", "z")] * 2,
+        "lang string, tok string",
+    )
+    inc = IncrementalCMS(
+        spark, str(tmp_path / "s"), item_col="tok", group_cols=["lang"],
+        run_id="r",
+    )
+    inc.process_batch(df, batch_id=0)
+    got = {(r["lang"], r["item"], r["est_count"])
+           for r in inc.heavy_hitters(k=2).collect()}
+    want = {(r["lang"], r["item"], r["est_count"])
+            for r in cms_heavy_hitters(df, "tok", group_cols=["lang"], k=2).collect()}
+    assert got == want == {("en", "x", 5), ("de", "z", 2)}

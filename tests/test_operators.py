@@ -1692,3 +1692,25 @@ def test_dedup_clusters_deep_chain_no_plan_blowup(spark):
     assert len(rows) == n
     assert {r["cluster_id"] for r in rows} == {0}  # one component, min label
     assert dt < 120, f"deep-chain CC took {dt:.0f}s — plan blowup is back"
+
+
+def test_canonicalize_clusters_null_and_string_ids(spark):
+    """NULL ids pass through as singleton keepers (they cannot be graph
+    members); string ids work — the tie-break never casts or negates
+    the id."""
+    from etielle_spark.operators.clusters import canonicalize_clusters
+
+    docs = spark.createDataFrame(
+        [("a", 1.0), ("b", 5.0), ("c", 5.0), (None, 9.0), ("d", 2.0)],
+        "id string, score double",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string"
+    )
+    rows = canonicalize_clusters(docs, pairs, "id", "score").collect()
+    assert len(rows) == 5  # NULL id row did NOT vanish
+    out = {r["id"]: r for r in rows}
+    # tie at 5.0 between b and c -> min id "b" wins the a-b-c cluster
+    assert out["b"]["keep"] and out["a"]["dup_of"] == "b" and out["c"]["dup_of"] == "b"
+    assert out[None]["keep"] and out[None]["cluster_id"] is None
+    assert out["d"]["keep"] and out["d"]["cluster_id"] == "d"
