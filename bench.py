@@ -384,6 +384,10 @@ SCALE_QUERIES = {
     # line dedup — their factors evidence the rewrites hold at 100x docs
     "q237_ks_drift": DOC_SCALE_FACTOR,
     "q232_line_dedup": DOC_SCALE_FACTOR,
+    # round-7: the checkpointed pointer-jump CC + best-score retention —
+    # rounds grow O(log max-run), so the factor should sit well BELOW
+    # the data factor
+    "q239_cluster_canonicalize": DOC_SCALE_FACTOR,
 }
 SCALE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchdata", "sf1synth")
 
