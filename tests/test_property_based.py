@@ -306,3 +306,65 @@ def test_ks_drift_exact_and_bucket_invariant(spark, rows, buckets):
         for gb in gs[i + 1 :]:
             want = round(exact(by_g[ga], by_g[gb]), 6)
             assert abs(got[(ga, gb)] - want) < 1e-9, (ga, gb, buckets)
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=0,
+    max_size=20,
+)
+_scores = st.lists(
+    st.one_of(st.none(), st.integers(0, 5)), min_size=16, max_size=16
+)
+
+
+@given(edges=_edges, scores=_scores)
+@settings(**_SETTINGS)
+def test_canonicalize_clusters_matches_union_find(spark, edges, scores):
+    """Random graphs + random (possibly NULL, tied) scores: the
+    distributed pointer-jump CC + min_by keeper must equal a driver
+    union-find with the documented ordering (max score, NULLs last,
+    ties -> min id)."""
+    from etielle_spark.operators.clusters import canonicalize_clusters
+
+    edges = [(a, b) for a, b in edges if a != b]
+    docs = spark.createDataFrame(
+        [(i, float(s) if s is not None else None) for i, s in enumerate(scores)],
+        "id long, score double",
+    )
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long"
+    ).filter(F.col("id_a") != F.col("id_b"))
+
+    out = {r["id"]: r for r in canonicalize_clusters(docs, pairs, "id", "score").collect()}
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for i in range(16):
+        comps.setdefault(find(i), []).append(i)
+    assert len(out) == 16
+    for root, members in comps.items():
+        keeper = max(
+            members,
+            key=lambda i: (
+                scores[i] is not None,
+                scores[i] if scores[i] is not None else -1,
+                -i,
+            ),
+        )
+        for m in members:
+            r = out[m]
+            assert r["cluster_id"] == min(members)
+            assert r["keep"] == (m == keeper)
+            assert r["dup_of"] == (None if m == keeper else keeper)
