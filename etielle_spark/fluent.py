@@ -250,16 +250,79 @@ def _prepare_obj(
     return obj
 
 
+def _null_only_paths(prepared_objs: list) -> frozenset:
+    """Paths (prepared-JSON space, list segment '*') whose EVERY observed
+    value across the batch is None.  spark.read.json infers such leaves
+    as STRING, which then poisons cross-emission unions — unionByName
+    coerces long+string to string, silently stringifying the other
+    emission's real values (the round-7 fuzz shape-11 find).  Containers
+    mark their own path non-null; marker fields stay as inferred."""
+    seen: dict[tuple, bool] = {}
+
+    def walk(o: Any, p: tuple) -> None:
+        if isinstance(o, dict):
+            seen[p] = True
+            for k, v in o.items():
+                walk(v, p + (k,))
+        elif isinstance(o, list):
+            seen[p] = True
+            for v in o:
+                walk(v, p + ("*",))
+        else:
+            seen[p] = seen.get(p, False) or (o is not None)
+
+    for o in prepared_objs:
+        walk(o, ())
+    return frozenset(
+        p
+        for p, nonnull in seen.items()
+        if not nonnull and (not p or p[-1] not in MARKER_FIELDS)
+    )
+
+
+def _voidify(dt: T.DataType, p: tuple, nulls: frozenset) -> T.DataType:
+    """Rewrite the inferred schema: null-only leaf paths become NullType
+    (VOID), so downstream unions unify them with ANY sibling emission's
+    real type instead of dragging everything to string."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    f.name, _voidify(f.dataType, p + (f.name,), nulls), True
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_voidify(dt.elementType, p + ("*",), nulls), True)
+    return T.NullType() if p in nulls else dt
+
+
+def _read_prepared_json(
+    spark: SparkSession, payloads: list[str], prepared_objs: list
+) -> DataFrame:
+    """spark.read.json with the null-only-leaf schema fix: infer, rewrite
+    string-from-nothing leaves to VOID, re-read under the explicit schema
+    (values are all NULL there, so the re-read is exact)."""
+    rdd = spark.sparkContext.parallelize(payloads, 1)
+    jdf = spark.read.json(rdd)
+    nulls = _null_only_paths(prepared_objs)
+    if nulls:
+        fixed = _voidify(jdf.schema, (), nulls)
+        if fixed != jdf.schema:
+            jdf = spark.read.schema(fixed).json(rdd)
+    return jdf
+
+
 def _df_from_obj(spark: SparkSession, obj: Any) -> tuple[DataFrame, T.DataType]:
     """One in-memory JSON root -> a single-row DataFrame with column __n0.
 
     The root is wrapped so top-level lists/scalars stay a single node
     (spark.read.json would otherwise explode a top-level array into rows).
     """
-    payload = json.dumps(
-        {"__root__": _prepare_obj(obj, _variant_paths([obj]))}
-    )
-    jdf = spark.read.json(spark.sparkContext.parallelize([payload], 1))
+    prepared = _prepare_obj(obj, _variant_paths([obj]))
+    payload = json.dumps({"__root__": prepared})
+    jdf = _read_prepared_json(spark, [payload], [{"__root__": prepared}])
     if "__root__" not in jdf.columns:
         # e.g. root == {} or None: no inferable schema
         df = spark.range(1).select(F.lit(None).alias("__n0"))
@@ -570,6 +633,35 @@ def _contains_struct(dtype: T.DataType) -> bool:
     return False
 
 
+def _has_void(t: T.DataType) -> bool:
+    if isinstance(t, T.NullType):
+        return True
+    if isinstance(t, T.StructType):
+        return any(_has_void(f.dataType) for f in t.fields)
+    if isinstance(t, T.ArrayType):
+        return _has_void(t.elementType)
+    return False
+
+
+def _devoid_type(t: T.DataType) -> T.DataType:
+    """VOID positions become string — their values are always NULL and
+    JSON null is typeless, but ``to_variant_object`` refuses structs
+    carrying VOID fields (the round-7 null-only-leaf schema fix made
+    those reachable)."""
+    if isinstance(t, T.NullType):
+        return T.StringType()
+    if isinstance(t, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _devoid_type(f.dataType), True)
+                for f in t.fields
+            ]
+        )
+    if isinstance(t, T.ArrayType):
+        return T.ArrayType(_devoid_type(t.elementType), True)
+    return t
+
+
 def _project_to(col: Column, src: T.DataType, dst: T.DataType) -> Column:
     """Reshape ``col`` (of type src) onto the unified type dst.
 
@@ -586,6 +678,9 @@ def _project_to(col: Column, src: T.DataType, dst: T.DataType) -> Column:
         col, src = strip_marker_fields(col, src)
         if isinstance(src, T.VariantType):  # unwrapped serialize-time wrapper
             return col
+        if _has_void(src):
+            devoided = _devoid_type(src)
+            col, src = col.cast(devoided), devoided
         if isinstance(src, (T.StructType, T.MapType)) or _contains_struct(src):
             return F.to_variant_object(col)
         return col.cast(T.VariantType())

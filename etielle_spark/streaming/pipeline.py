@@ -23,7 +23,13 @@ from typing import Any, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..fluent import PipelineBuilder, PipelineResult, _prepare_obj, _variant_paths
+from ..fluent import (
+    PipelineBuilder,
+    PipelineResult,
+    _prepare_obj,
+    _read_prepared_json,
+    _variant_paths,
+)
 from .chunks import Chunk, ChunkSource, RelationshipIncompleteError
 
 
@@ -242,11 +248,14 @@ class StreamPipeline(PipelineBuilder):
         # _prepare_obj injects the __keys__/__empty__ presence markers, so
         # dict iteration over schema-unioned chunk rows stays per-row exact
         vp = _variant_paths(objs)
+        prepared = [_prepare_obj(o, vp) for o in objs]
         payloads = [
-            json.dumps({"__roword": i, **_prepare_obj(o, vp)})
-            for i, o in enumerate(objs)
+            json.dumps({"__roword": i, **p}) for i, p in enumerate(prepared)
         ]
-        return spark.read.json(spark.sparkContext.parallelize(payloads, 1))
+        # null-only-leaf schema fix (fluent._read_prepared_json): leaves
+        # None everywhere in THIS chunk read as VOID, not string, so the
+        # emission unions keep the other emissions' real types
+        return _read_prepared_json(spark, payloads, prepared)
 
     def _run_chunk(self, spark: SparkSession, chunk: Chunk) -> PipelineResult:
         if chunk.sequential:

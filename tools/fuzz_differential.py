@@ -462,7 +462,78 @@ def main() -> None:
         # the whole session cache
         s10.release()
 
-    print(f"\nfuzz done: {n} seeds x 10 shapes, {len(failures)} mismatches")
+        # shape 11 (round 7): TWO emissions merging into ONE keyed table
+        # with Min/Max/FirstNonNull/default-LWW fields, dirty keys, and
+        # explicit Nones — the cross-emission traversal-order semantics
+        # (xs rows arrive before ys rows; LWW explicit-None overwrites;
+        # FirstNonNull keeps the earliest non-null across BOTH emissions)
+        from etielle.instances import (
+            FirstNonNullPolicy as RFnn,
+            MaxPolicy as RMaxP,
+            MinPolicy as RMinP,
+        )
+
+        from etielle_spark import FirstNonNullPolicy, MaxPolicy, MinPolicy
+
+        rng11 = random.Random(11_000 + seed)
+
+        def _row11():
+            return {
+                "k": rng11.choice(["a", "b", "c", None, ""]),
+                "v": rng11.choice([1, 2, 3, None]),
+                "w": rng11.choice(["p", "q", None]),
+                "z": rng11.choice([10, 20, None]),
+            }
+
+        data11 = {
+            "xs": [_row11() for _ in range(rng11.randint(0, 8))],
+            "ys": [_row11() for _ in range(rng11.randint(0, 8))],
+        }
+
+        def _fields11(FieldCls, getter, mn, mx, fnn):
+            return [
+                FieldCls("k", getter("k")),
+                FieldCls("mn", getter("v"), merge=mn()),
+                FieldCls("mx", getter("z"), merge=mx()),
+                FieldCls("fnn", getter("w"), merge=fnn()),
+                FieldCls("last", getter("v")),
+            ]
+
+        r11 = (
+            retl(data11)
+            .goto("xs").each()
+            .map_to(table="m", fields=_fields11(RF, rget, RMinP, RMaxP, RFnn),
+                    join_on=["k"])
+            .goto_root()
+            .goto("ys").each()
+            .map_to(table="m", fields=_fields11(RF, rget, RMinP, RMaxP, RFnn),
+                    join_on=["k"])
+            .run()
+        )
+        s11 = (
+            etl(data11, spark=spark)
+            .goto("xs").each()
+            .map_to("m", fields=_fields11(Field, get, MinPolicy, MaxPolicy,
+                                          FirstNonNullPolicy), join_on=["k"])
+            .goto_root()
+            .goto("ys").each()
+            .map_to("m", fields=_fields11(Field, get, MinPolicy, MaxPolicy,
+                                          FirstNonNullPolicy), join_on=["k"])
+            .run()
+        )
+        want11 = set()
+        if "m" in r11.tables:
+            for row in r11.tables["m"].values():
+                d = dict(row)
+                want11.add((d["k"], d.get("mn"), d.get("mx"), d.get("fnn"),
+                            d.get("last")))
+        got11 = set()
+        if "m" in s11.tables:
+            for d in s11.rows("m"):
+                got11.add((d["k"], d["mn"], d["mx"], d["fnn"], d["last"]))
+        check("multi-emission-policies", seed, want11, got11)
+
+    print(f"\nfuzz done: {n} seeds x 11 shapes, {len(failures)} mismatches")
     if failures:
         sys.exit(1)
 
