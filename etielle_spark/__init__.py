@@ -79,6 +79,7 @@ from .policies import (
     MinPolicy,
 )
 from .session import get_spark
+from .caches import release_operator_caches, tracked_cache_count
 from .transforms import (
     Context,
     apply,
@@ -187,6 +188,9 @@ __all__ = [
     "FlushStarted",
     "FlushCompleted",
     "FlushFailed",
+    # operator cache lifecycle
+    "release_operator_caches",
+    "tracked_cache_count",
 ]
 
 __version__ = "0.1.0"

@@ -343,7 +343,9 @@ def lsh_candidate_pairs(
     # spills oversized band tables rather than evicting them
     from pyspark import StorageLevel
 
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    from ..caches import track_cache
+
+    banded = track_cache(banded.persist(StorageLevel.MEMORY_AND_DISK))
     banded.count()
     if max_bucket_size is not None:
         # skew-safe stop-list: the per-bucket size comes from a map-side
@@ -503,7 +505,9 @@ def minhash_jaccard_estimate(
     )
     from pyspark import StorageLevel
 
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    from ..caches import track_cache
+
+    sig = track_cache(sig.persist(StorageLevel.MEMORY_AND_DISK))
     cand = lsh_candidate_pairs(
         df, id_col, text_col,
         n=n, num_hashes=num_hashes, bands=bands, signatures=sig,
@@ -574,7 +578,12 @@ def gram_duplication_stats(
     grams = toks.select(
         "id", F.explode(grams_of(F.col("t"), n)).alias("gram")
     ).select("id", F.md5(F.col("gram")).alias("g"))
-    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    # the persisted postings outlive this call (the returned frame is
+    # lazy); registered with the cache registry so long-lived sessions
+    # can release between stages — see caches.release_operator_caches
+    from ..caches import track_cache
+
+    grams = track_cache(grams.persist(StorageLevel.MEMORY_AND_DISK))
     # grams_of is per-doc distinct, so count(*) per digest == distinct
     # documents holding the gram
     counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))

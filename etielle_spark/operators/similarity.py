@@ -1277,7 +1277,9 @@ def semdedup(
     # executor loss on a real cluster).
     from pyspark import StorageLevel
 
-    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    from ..caches import track_cache
+
+    assigned = track_cache(assigned.persist(StorageLevel.MEMORY_AND_DISK))
 
     a = assigned.select(F.col("cell"), F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = assigned.select(F.col("cell"), F.col("id").alias("id_b"), F.col("v").alias("vb"))

@@ -216,12 +216,22 @@ class IncrementalCMS:
         if cands is None:
             # registers exist but the candidate write never landed (crash
             # between the two writes, never replayed): report empty
-            # rather than raising a raw path error
-            schema = ", ".join(
-                f"{g} string" for g in self.group_cols
-            )
-            schema = (schema + ", " if schema else "") + "item string, est_count bigint"
-            return self.spark.createDataFrame([], schema)
+            # rather than raising a raw path error.  Group column types
+            # come from the merged sketch (not a hardcoded string) so the
+            # fallback schema matches cms_estimate_topk's output for
+            # non-string group keys — unions/writers downstream are
+            # schema-sensitive.
+            from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+            fields = [
+                StructField(g, sketch.schema[g].dataType, True)
+                for g in self.group_cols
+            ]
+            fields += [
+                StructField("item", StringType(), True),
+                StructField("est_count", LongType(), True),
+            ]
+            return self.spark.createDataFrame([], StructType(fields))
         if self.group_cols:
             ng = (
                 sketch.select(*self.group_cols)

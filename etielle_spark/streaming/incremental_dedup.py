@@ -67,8 +67,15 @@ class IncrementalLSHDedup:
         an explicit file list doesn't)."""
         try:
             files = self.spark.read.parquet(self.index_dir).inputFiles()
-        except Exception:
-            return None
+        except Exception as e:
+            if _path_missing(e):
+                return None
+            # a transient storage/permission error must SURFACE: reading
+            # it as "no history" would emit only within-batch pairs while
+            # still appending this batch's digests — every cross-batch
+            # duplicate pair for this batch silently lost forever (the
+            # IncrementalExactDedup._index_files contract)
+            raise
         if not files:
             return None
         return self.spark.read.parquet(*files)

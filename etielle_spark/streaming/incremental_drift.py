@@ -177,11 +177,18 @@ def _attach_token(monitor, checkpoint_location: str | None) -> str:
     instance, and a new uuid would store the replay beside the crashed
     attempt's registers — double-counting the batch.  The token must
     therefore come from something that survives restarts: an explicit
-    ``run_id`` or the query's checkpoint location."""
-    if checkpoint_location is not None:
-        return _checkpoint_token(checkpoint_location)
+    ``run_id`` or the query's checkpoint location.
+
+    An explicit ``run_id`` WINS over ``checkpoint_location``: manual
+    ``process_batch`` calls store under ``run_token``, so a monitor
+    driven both ways on the same state dir must resolve to that same
+    token — deriving a second token from the checkpoint path here would
+    store the same batch_id twice, the exact double-count this contract
+    exists to prevent."""
     if monitor._explicit_run_id:
         return monitor.run_token
+    if checkpoint_location is not None:
+        return _checkpoint_token(checkpoint_location)
     raise ValueError(
         f"{type(monitor).__name__}.attach: pass checkpoint_location= (the "
         "same checkpointLocation as the writeStream) or construct the "
