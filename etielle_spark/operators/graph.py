@@ -189,9 +189,15 @@ def connected_components_df(
     loop.  Storage of superseded rounds: local-checkpoint blocks are
     MEMORY_AND_DISK and are reaped when the dropped per-round
     references are GC'd (LRU-evictable meanwhile); reliable-checkpoint
-    FILES outlive the loop unless
-    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` is set —
-    set it on long-running drivers that call this repeatedly.
+    FILES of round N-1 are DELETED inside the loop as soon as round N
+    is materialized and the convergence count (the last consumer of
+    round N-1) has run — a long-running driver calling this repeatedly
+    leaks nothing, and the checkpoint dir holds O(1) round files at any
+    moment.  Only the CONVERGED round's files outlive the call (the
+    returned frame reads them); ``get_spark`` sets
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` so
+    Spark's reference-tracking cleaner removes those once the returned
+    frame is garbage-collected.
 
     Returns ``(id, component)`` with ``component`` = the smallest id in
     the vertex's component, one row per vertex that appears in any edge.
@@ -202,10 +208,37 @@ def connected_components_df(
     sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
 
-    reliable = sym.sparkSession.sparkContext.getCheckpointDir() is not None
+    spark = sym.sparkSession
+    reliable = spark.sparkContext.getCheckpointDir() is not None
 
     def _truncate(df: DataFrame) -> DataFrame:
         return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+    def _ckpt_path(df: DataFrame) -> str | None:
+        """The reliable-checkpoint file dir behind a df.checkpoint()
+        result (a LogicalRDD over the checkpointed RDD), or None when
+        the internals don't expose it — then the session-level
+        reference-tracking cleaner is the (slower, GC-driven) fallback."""
+        if not reliable:
+            return None
+        try:
+            opt = df._jdf.queryExecution().analyzed().rdd().getCheckpointFile()
+            return opt.get() if opt.isDefined() else None
+        except Exception:
+            return None
+
+    def _drop_ckpt(path: str | None) -> None:
+        if path is None:
+            return
+        try:
+            jvm = spark.sparkContext._jvm
+            p = jvm.org.apache.hadoop.fs.Path(path)
+            fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+            fs.delete(p, True)
+        except Exception:
+            # cleanup must never fail the algorithm; the cleaner flag
+            # reaps anything this misses
+            pass
 
     labels = _truncate(
         sym.select(F.col("s").alias("id")).distinct().withColumn("component", F.col("id"))
@@ -242,7 +275,12 @@ def connected_components_df(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
+        # round N is materialized and the convergence count (the last
+        # consumer of round N-1) has run: round N-1's checkpoint files
+        # are garbage NOW — delete them so the dir holds O(1) rounds
+        superseded = _ckpt_path(labels)
         labels = new_labels
+        _drop_ckpt(superseded)
         if changed == 0:
             sym.unpersist()
             return labels

@@ -29,6 +29,26 @@ def get_spark(app_name: str = "etielle_spark", *, cpus: int | None = None) -> Sp
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.ui.enabled", "false")
+        # reliable-checkpoint files (the CC loop's converged round —
+        # operators/graph.py deletes superseded rounds itself) are
+        # reaped once their frames are GC'd instead of outliving the
+        # driver
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        # per-op call-site capture costs 3 extra py4j round trips + a
+        # Python traceback walk on EVERY DataFrame method — measured
+        # ~40% of the fluent compile latency (q11 build 0.68 s -> 0.40 s).
+        # The trade is losing the PySpark line number in JVM analysis
+        # error messages; the engine raises its own contextual errors.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # our scans are CPU-bound (tokenize/minhash/codec per row), not
+        # IO-bound: the default 128m split leaves a ~70 MB single-file
+        # table at 3 tasks on 32 cores.  32m sizes splits for compute
+        # parallelism; at cluster scale the input is thousands of files
+        # and AQE coalescing absorbs the extra map tasks.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     return builder.getOrCreate()

@@ -183,24 +183,37 @@ class IncrementalCMS:
         )
 
     def _candidates(self) -> DataFrame | None:
-        """Distinct recorded candidates, or None when the _cands dir has
-        never been written (a crash between the register write and the
-        candidate write on a manually-driven first batch — foreachBatch
-        replays repair it, manual loops surface an empty report rather
-        than a raw path error)."""
-        try:
-            df = (
-                self.spark.read.option("recursiveFileLookup", "true")
-                .parquet(self._cands_dir)
-                .select(*self.group_cols, "__item")
-            )
-            if not df.inputFiles():
-                return None
-        except Exception as e:
-            if _path_missing(e):
-                return None
-            raise
-        return df.distinct()
+        """Distinct recorded candidates (live batch dirs + compaction
+        epochs), or None when the _cands dir has never been written (a
+        crash between the register write and the candidate write on a
+        manually-driven first batch — foreachBatch replays repair it,
+        manual loops surface an empty report rather than a raw path
+        error)."""
+        from .compaction import live_register_files
+
+        files = live_register_files(self.spark, self._cands_dir)
+        if not files:
+            return None
+        return (
+            self.spark.read.parquet(*files)
+            .select(*self.group_cols, "__item")
+            .distinct()
+        )
+
+    def compact(self, *, keep_recent: int = 4) -> bool:
+        """Fold old batch dirs into consolidated epochs — additive
+        sum-merge for the CMS cells, set-distinct for the candidate
+        records; both are the read-time algebra, so the fold is
+        lossless.  See streaming/compaction.py."""
+        from .compaction import compact_registers, distinct_rows, sum_counts
+
+        a = compact_registers(
+            self.spark, self.state_dir, sum_counts, keep_recent=keep_recent
+        )
+        b = compact_registers(
+            self.spark, self._cands_dir, distinct_rows, keep_recent=keep_recent
+        )
+        return a or b
 
     def heavy_hitters(self, k: int = 10) -> DataFrame:
         """Top-``k`` per group by merged-sketch estimate over every

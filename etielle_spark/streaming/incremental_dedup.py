@@ -143,6 +143,17 @@ class IncrementalLSHDedup:
         new.unpersist()
         return out
 
+    def compact(self, *, min_files: int = 16) -> bool:
+        """Rewrite the per-batch band-digest files as one consolidated
+        file.  History rows are probed by equi-join and the emitted
+        pairs are distinct()-deduped, so the crash window where old and
+        new files coexist is EXACT (see streaming/compaction.py)."""
+        from .compaction import compact_flat_parquet
+
+        return bool(
+            compact_flat_parquet(self.spark, self.index_dir, min_files=min_files)
+        )
+
     def attach(self, sink) -> "callable":
         """``foreachBatch`` adapter: returns a ``(df, batch_id)`` callable
         that processes each micro-batch and hands the emitted pairs to
@@ -437,6 +448,56 @@ class IncrementalExactDedup:
         if self._words_cache is not None:
             self._words_cache.unpersist()
             self._words_cache = None
+
+    def compact(self, *, min_files: int = 16) -> bool:
+        """Rewrite the per-batch digest index files (and bloom word
+        files, when enabled) as one consolidated file each.  Digest rows
+        are probed by anti-join and word rows OR-merge — both idempotent
+        — so the crash window where old and new files coexist is EXACT
+        (see streaming/compaction.py).  Bounds the per-batch index scan
+        and bloom sync at O(1) files + O(since-compaction) appends.
+
+        Single writer: call between batches (the instance owns the dir).
+        """
+        from .compaction import _hadoop_delete, compact_flat_parquet
+
+        old = self._index_files()
+        if len(old) < min_files:
+            return False
+        if self.bloom_bits is not None:
+            # cover the ENTIRE pre-compaction file list first, so the
+            # consolidated file's content is provably already folded in
+            # and the _covered swap below cannot mark un-folded digests
+            # as covered (that would be a false-negative machine)
+            self._sync_bloom(old)
+        self.spark.read.parquet(*old).coalesce(1).write.mode("append").parquet(
+            self.index_dir
+        )
+        new = sorted(set(self._index_files()) - set(old))
+        for f in old:
+            _hadoop_delete(self.spark, f, False)
+        if self.bloom_bits is not None and self._covered_cache is not None:
+            covered = (self._covered_cache - set(old)) | set(new)
+            self.spark.createDataFrame(
+                [(f,) for f in sorted(covered)], "file string"
+            ).coalesce(1).write.mode("overwrite").json(
+                self.bloom_dir + "/_covered"
+            )
+            self._covered_cache = covered
+            # word content unchanged; compact the word FILES too and
+            # drop the merged-words cache (it pins the old file list)
+            compact_flat_parquet(
+                self.spark,
+                self.bloom_dir,
+                merge=lambda df: df.groupBy("word_idx").agg(
+                    F.bit_or("word").alias("word")
+                ),
+                min_files=2,
+            )
+            if self._words_cache is not None:
+                self._words_cache.unpersist()
+                self._words_cache = None
+        return True
 
     def attach(self, sink) -> "callable":
         """``foreachBatch`` adapter like :meth:`IncrementalLSHDedup.attach`."""

@@ -91,26 +91,22 @@ def _write_registers(
 def _merged_counts(
     spark: SparkSession, state_dir: str, key_col, group_cols=("group",)
 ) -> DataFrame | None:
-    """Sum-merge every stored register file (None if no state).
-    recursiveFileLookup reads the batch=<key> layout AND any flat
-    legacy layout without partition-discovery conflicts; the underscore
-    manifests (``_edges``) stay hidden as always.  ``key_col`` may be a
-    single name or a list (the CMS monitor merges (j, b) cells);
-    ``group_cols`` defaults to the drift monitors' single ``group``."""
+    """Sum-merge the LIVE register set (None if no state): batch dirs
+    not folded into a compaction epoch, plus manifest-referenced epoch
+    data (streaming/compaction.py) — O(1) consolidated files +
+    O(recent) batch dirs after a ``compact()``.  The underscore
+    manifests (``_edges``, ``_epochs``, ``_epoch_data``) stay hidden
+    from the raw listing as always.  ``key_col`` may be a single name
+    or a list (the CMS monitor merges (j, b) cells); ``group_cols``
+    defaults to the drift monitors' single ``group``."""
+    from .compaction import live_register_files
+
     keys = [key_col] if isinstance(key_col, str) else list(key_col)
     cols = list(group_cols) + keys
-    try:
-        df = (
-            spark.read.option("recursiveFileLookup", "true")
-            .parquet(state_dir)
-            .select(*cols, "cnt")
-        )
-        if not df.inputFiles():
-            return None
-    except Exception as e:
-        if _path_missing(e):
-            return None
-        raise
+    files = live_register_files(spark, state_dir)
+    if not files:
+        return None
+    df = spark.read.parquet(*files).select(*cols, "cnt")
     return df.groupBy(*cols).agg(F.sum("cnt").alias("cnt"))
 
 
@@ -280,6 +276,17 @@ class IncrementalVocabDrift:
         over every processed row would build, exactly."""
         return _merged_counts(self.spark, self.state_dir, "bucket")
 
+    def compact(self, *, keep_recent: int = 4) -> bool:
+        """Fold batch dirs older than ``keep_recent`` (per run token)
+        into one consolidated epoch — the additive register merge makes
+        the fold lossless.  Call every N batches from the foreachBatch
+        callback (single writer).  See streaming/compaction.py."""
+        from .compaction import compact_registers, sum_counts
+
+        return compact_registers(
+            self.spark, self.state_dir, sum_counts, keep_recent=keep_recent
+        )
+
     def drift(self) -> DataFrame:
         """Pairwise JS divergence over the merged state — bit-identical
         to ``vocab_drift`` over the concatenated batches."""
@@ -400,6 +407,15 @@ class _BinnedValueMonitor:
 
     def counts(self) -> DataFrame | None:
         return _merged_counts(self.spark, self.state_dir, "bin")
+
+    def compact(self, *, keep_recent: int = 4) -> bool:
+        """Fold old batch dirs into one consolidated epoch (lossless —
+        additive counts); see streaming/compaction.py."""
+        from .compaction import compact_registers, sum_counts
+
+        return compact_registers(
+            self.spark, self.state_dir, sum_counts, keep_recent=keep_recent
+        )
 
     def _by_group(self, what: str) -> dict[str, dict[int, int]]:
         merged = self.counts()

@@ -52,10 +52,16 @@ class IncrementalHLL:
     def _state(self) -> DataFrame | None:
         """State pinned to the current file list (a concurrent append
         must not leak into a snapshot if a partition recomputes)."""
+        from .incremental_drift import _path_missing
+
         try:
             files = self.spark.read.parquet(self.state_dir).inputFiles()
-        except Exception:
-            return None
+        except Exception as e:
+            if _path_missing(e):
+                return None
+            # a transient storage error must SURFACE — "no state" here
+            # would silently report an empty estimate over real history
+            raise
         if not files:
             return None
         return self.spark.read.parquet(*files)
@@ -90,6 +96,25 @@ class IncrementalHLL:
             )
         return hll_estimate(
             regs, self.group_cols, bucket_hex=self.bucket_hex
+        )
+
+    def compact(self, *, min_files: int = 8) -> bool:
+        """Rewrite the appended register files as one max-merged file —
+        the idempotent max makes the crash window where old and new
+        files coexist EXACT, so no manifest protocol is needed (see
+        streaming/compaction.py).  Bounds the estimate() read path at
+        O(1) files + O(since-compaction) appends."""
+        from .compaction import compact_flat_parquet
+
+        def _max_merge(df: DataFrame) -> DataFrame:
+            return df.groupBy(*self.group_cols, "bucket").agg(
+                F.max("rho").alias("rho")
+            )
+
+        return bool(
+            compact_flat_parquet(
+                self.spark, self.state_dir, merge=_max_merge, min_files=min_files
+            )
         )
 
     def attach(self):
