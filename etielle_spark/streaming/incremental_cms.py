@@ -30,13 +30,31 @@ Exactness contract: estimated counts equal the batch
 ``operators.sketches.cms_heavy_hitters`` estimates over the
 concatenated input (identical md5 bucketing, additive register merge —
 the differential test asserts equality).  Candidate RECALL is the one
-approximation: a global heavy hitter is reported iff it entered some
-batch's top ``candidate_k`` — guaranteed whenever an item's share
-within at least one batch matches its global ranking (true for genuine
-heavy hitters under any roughly-stationary mix; raise ``candidate_k``
-for adversarially bursty layouts).  Reference has no streaming-sketch
-analog; this extends the incremental family (incremental_sketch.py's
-HLL, incremental_drift.py's monitors) with the counts-shaped sketch.
+approximation, and its bound is the standard frequent-items bound, NOT
+batch-count-dependent:
+
+    any item whose GLOBAL share (within its group) exceeds
+    ``1/(candidate_k+1)`` is guaranteed recorded.
+
+Proof sketch: global share is the batch-weighted average of per-batch
+shares, so share > 1/(k+1) globally forces share > 1/(k+1) within some
+batch; in that batch at most k items can have count >= its count
+(k+1 items each above a 1/(k+1) share would exceed the batch), so it
+ranks in that batch's top ``candidate_k`` and is recorded.  This is the
+same guarantee a cross-batch-merged Misra-Gries summary of capacity
+``candidate_k`` provides — carrying merged MG state across batches
+would add machinery without strengthening the bound.  The converse is
+equally tight: an item pinned at rank ``candidate_k+1`` in EVERY batch
+(the adversarial drip) necessarily has global share <= 1/(candidate_k+1)
+— it is not a guaranteed-reportable heavy hitter at this capacity in
+ANY deterministic k-summary, and the drip test pins both directions.
+Sizing rule: to guarantee items of global share s, set
+``candidate_k >= ceil(1/s) - 1`` (e.g. 1% items -> candidate_k=99) —
+independent of batch count and skew layout.
+
+Reference has no streaming-sketch analog; this extends the incremental
+family (incremental_sketch.py's HLL, incremental_drift.py's monitors)
+with the counts-shaped sketch.
 """
 
 from __future__ import annotations

@@ -114,6 +114,47 @@ def test_attach_without_run_id_still_uses_checkpoint_token(spark, tmp_path):
         _attach_token(mon, None)
 
 
+def test_cms_adversarial_drip_pins_candidate_bound(spark, tmp_path):
+    """The adversarial drip (an item pinned at rank candidate_k+1 in
+    EVERY batch): below the frequent-items bound it is invisible BY
+    NECESSITY (global share <= 1/(k+1) — no deterministic k-summary
+    must report it), and one notch of candidate_k per the documented
+    sizing rule catches it.  Pins both directions of the docstring's
+    recall contract."""
+    from etielle_spark.streaming.incremental_cms import IncrementalCMS
+
+    def drive(k, state):
+        cms = IncrementalCMS(
+            spark, state, item_col="tok", depth=4, width=128,
+            candidate_k=k, run_id="r1",
+        )
+        total = drip_total = 0
+        for b in range(12):
+            rows = []
+            for i in range(4):  # 4 rotating decoys, 6 occurrences each
+                rows += [(f"dec-{b}-{i}",)] * 6
+            rows += [("drip",)] * 5  # rank 5 within every batch
+            total += len(rows)
+            drip_total += 5
+            cms.process_batch(
+                spark.createDataFrame(rows, "tok string"), batch_id=b
+            )
+        return cms, drip_total / total
+
+    # k=4: drip is rank k+1 everywhere -> share NECESSARILY <= 1/(k+1)
+    cms4, share = drive(4, str(tmp_path / "k4"))
+    assert share <= 1 / 5  # the documented bound is tight, not violated
+    cands4 = {r["__item"] for r in cms4._candidates().collect()}
+    assert "drip" not in cands4  # invisible at this capacity, as documented
+
+    # sizing rule: share ~0.172 -> candidate_k >= ceil(1/0.172)-1 = 5
+    cms5, _ = drive(5, str(tmp_path / "k5"))
+    cands5 = {r["__item"] for r in cms5._candidates().collect()}
+    assert "drip" in cands5
+    hh = {r["item"]: r["est_count"] for r in cms5.heavy_hitters(k=1).collect()}
+    assert hh == {"drip": 60}  # global top-1, exact under CMS here
+
+
 def test_release_operator_caches(spark):
     """gram_duplication_stats (and the other corpus-scale two-consumer
     persists) register with the cache registry; release_operator_caches
