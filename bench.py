@@ -475,6 +475,16 @@ def scale_curve(spark, base_times: dict[str, float]) -> dict:
             t0 = time.perf_counter()
             fn(spark, big_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+        # per-block isolation: operators that persist a corpus-scale
+        # intermediate (q100's gram postings — a round-7 addition, and
+        # the exact window in which q237's curve row regressed 2x)
+        # must not leave it resident to contend with the NEXT block's
+        # shuffles; same rationale as the headline->streaming
+        # clearCache below, applied per curve entry
+        from etielle_spark import release_operator_caches
+
+        release_operator_caches()
+        spark.catalog.clearCache()
     for name, dfac in SCALE_QUERIES.items():
         med = statistics.median(samples[name])
         big_times[name] = round(med, 3)

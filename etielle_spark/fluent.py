@@ -2141,7 +2141,17 @@ def _apply_backlinks(
                     f"ids {missing} (fail_on_missing=True; reference "
                     "relationships.py:434-441)"
                 )
-        matched = exploded.join(
+        # both sides are corpus-scale (the exploded id list is |parents| x
+        # list-length; the child table is the corpus), so a STATIC
+        # broadcast is never the right physical plan — Catalyst's size
+        # estimate of the exploded cached parent undercounts the Generate
+        # blowup and picks a BroadcastHashJoin build of the exploded side
+        # (measured: a 600k-row single-threaded HashedRelation build at
+        # sf0.1; unbounded at 100 TB).  The merge hint forces a shuffled
+        # join whose exchanges co-partition with the keyed-merge
+        # aggregations already keyed on the same ids; AQE still
+        # skew-splits hot ids
+        matched = exploded.hint("merge").join(
             child_side, exploded["__bl_id"] == child_side["__bl_cid"], "inner"
         )
         grp = [f"__bl_k_{i}" for i in range(len(rid_cols))]
@@ -2164,7 +2174,13 @@ def _apply_backlinks(
         # op is a py4j round trip + a JVM re-analysis of the whole plan,
         # and the fluent compile is driver-latency-bound (profiled:
         # ~0.9 s of socket waits per q11 build)
-        joined = parent_int.join(collected, cond, "left").select(
+        # same scale contract for the rejoin: `collected` is one row per
+        # parent (corpus-scale), and both sides are already partitioned
+        # on the parent key (the parent from its keyed-merge exchange,
+        # `collected` from the groupBy above) — the merge join reuses
+        # both exchanges where a broadcast would rebuild a parent-sized
+        # hash relation per executor
+        joined = parent_int.join(collected.hint("merge"), cond, "left").select(
             *[parent_int[c] for c in parent_int.columns if c != spec.attr],
             F.coalesce(
                 collected[spec.attr], F.array().cast(elem_type)

@@ -40,14 +40,16 @@ def get_spark(app_name: str = "etielle_spark", *, cpus: int | None = None) -> Sp
         # The trade is losing the PySpark line number in JVM analysis
         # error messages; the engine raises its own contextual errors.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
-        # our scans are CPU-bound (tokenize/minhash/codec per row), not
-        # IO-bound: the default 128m split leaves a ~70 MB single-file
-        # table at 3 tasks on 32 cores.  32m sizes splits for compute
-        # parallelism; at cluster scale the input is thousands of files
-        # and AQE coalescing absorbs the extra map tasks.
+        # input split size, env-overridable.  Measured A/B at sf0.1
+        # (two full headline benches, medians of 3): 32m LOST to the
+        # 128m default across the board (total 20.0 vs 18.7 s) — the
+        # tables are small enough that extra tiny tasks cost more than
+        # the added scan parallelism buys.  On a CPU-bound cluster scan
+        # (tokenize/minhash per row over few huge files) lower this via
+        # SPARK_GRAFT_MAX_PARTITION_BYTES instead of editing code.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

@@ -285,16 +285,25 @@ class IncrementalCMS:
             k=k,
         )
 
-    def attach(self, checkpoint_location: str | None = None) -> "callable":
+    def attach(
+        self,
+        checkpoint_location: str | None = None,
+        *,
+        compact_every: int | None = None,
+    ) -> "callable":
         """``foreachBatch`` adapter (forwards the batch_id for replay
         idempotence).  Restart safety requires a restart-stable token:
         pass ``checkpoint_location`` (the writeStream's
         ``checkpointLocation``) to derive one, or construct the monitor
         with an explicit ``run_id``; otherwise this raises — the
-        incremental_drift contract."""
+        incremental_drift contract.  ``compact_every=N`` folds old
+        register AND candidate batch dirs into consolidated epochs
+        every N batches from inside the callback (the single writer)."""
         token = _attach_token(self, checkpoint_location)
 
         def _fn(df: DataFrame, batch_id: int) -> None:
             self.process_batch(df, batch_id=batch_id, _token=token)
+            if compact_every and batch_id % compact_every == compact_every - 1:
+                self.compact()
 
         return _fn

@@ -307,16 +307,27 @@ class IncrementalVocabDrift:
             round_to=self.round_to,
         )
 
-    def attach(self, checkpoint_location: str | None = None) -> "callable":
+    def attach(
+        self,
+        checkpoint_location: str | None = None,
+        *,
+        compact_every: int | None = None,
+    ) -> "callable":
         """``foreachBatch`` adapter (forwards the batch_id for replay
         idempotence).  Restart safety requires a restart-stable token:
         pass ``checkpoint_location`` (the writeStream's
         ``checkpointLocation``) to derive one, or construct the monitor
-        with an explicit ``run_id``; otherwise this raises."""
+        with an explicit ``run_id``; otherwise this raises.
+        ``compact_every=N`` folds old batch dirs into a consolidated
+        epoch every N batches from inside the callback (the single
+        writer), keeping the state dir at O(1) epochs + O(recent) batch
+        dirs on a long-running stream."""
         token = _attach_token(self, checkpoint_location)
 
         def _fn(df: DataFrame, batch_id: int) -> None:
             self.process_batch(df, batch_id=batch_id, _token=token)
+            if compact_every and batch_id % compact_every == compact_every - 1:
+                self.compact()
 
         return _fn
 
@@ -425,16 +436,25 @@ class _BinnedValueMonitor:
             merged, "bin", self.max_groups, self.bins, self._owner
         )
 
-    def attach(self, checkpoint_location: str | None = None) -> "callable":
+    def attach(
+        self,
+        checkpoint_location: str | None = None,
+        *,
+        compact_every: int | None = None,
+    ) -> "callable":
         """``foreachBatch`` adapter (forwards the batch_id for replay
         idempotence).  Restart safety requires a restart-stable token:
         pass ``checkpoint_location`` (the writeStream's
         ``checkpointLocation``) to derive one, or construct the monitor
-        with an explicit ``run_id``; otherwise this raises."""
+        with an explicit ``run_id``; otherwise this raises.
+        ``compact_every=N`` folds old batch dirs into a consolidated
+        epoch every N batches (see IncrementalVocabDrift.attach)."""
         token = _attach_token(self, checkpoint_location)
 
         def _fn(df: DataFrame, batch_id: int) -> None:
             self.process_batch(df, batch_id=batch_id, _token=token)
+            if compact_every and batch_id % compact_every == compact_every - 1:
+                self.compact()
 
         return _fn
 

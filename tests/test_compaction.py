@@ -136,6 +136,33 @@ def test_cms_compaction_differential_and_crash_windows(spark, tmp_path):
     assert _counts_dict(comp.sketch()) == before
 
 
+def test_attach_compact_every_bounds_state(spark, tmp_path):
+    """attach(compact_every=N) folds from inside the foreachBatch
+    callback: after 20 batches the state dir is O(recent) batch dirs +
+    one epoch, and the merged counts equal an uncompacted twin's."""
+    from etielle_spark.streaming.incremental_drift import IncrementalVocabDrift
+
+    comp_dir, raw_dir = str(tmp_path / "comp"), str(tmp_path / "raw")
+    comp = IncrementalVocabDrift(
+        spark, comp_dir, text_col="text", group_col="lang",
+        n_buckets=16, run_id="rA",
+    )
+    raw = IncrementalVocabDrift(
+        spark, raw_dir, text_col="text", group_col="lang",
+        n_buckets=16, run_id="rA",
+    )
+    fn = comp.attach(compact_every=5)
+    for b in range(20):
+        df = spark.createDataFrame(
+            [("en", f"w{b} w{(b+1) % 7} filler")], "lang string, text string"
+        )
+        fn(df, b)
+        raw.process_batch(df, batch_id=b)
+    assert len(_batch_dir_names(comp_dir)) <= 6
+    assert os.path.isdir(os.path.join(comp_dir, "_epoch_data"))
+    assert _counts_dict(comp.counts()) == _counts_dict(raw.counts())
+
+
 def test_hll_compaction_exact_and_idempotent(spark, tmp_path):
     from etielle_spark.streaming.incremental_sketch import IncrementalHLL
 
@@ -201,6 +228,41 @@ def test_exact_dedup_compaction_with_bloom(spark, tmp_path):
     assert cold.process_batch(fresh).count() == 2
     cold.close()
     inc.close()
+
+
+def test_compact_on_empty_or_fresh_state_is_noop(spark, tmp_path):
+    """Edge sweep: compacting state that does not exist yet (or has too
+    few batches to fold) returns False and writes nothing."""
+    from etielle_spark.streaming.incremental_cms import IncrementalCMS
+    from etielle_spark.streaming.incremental_drift import IncrementalVocabDrift
+    from etielle_spark.streaming.incremental_sketch import IncrementalHLL
+
+    mon = IncrementalVocabDrift(
+        spark, str(tmp_path / "never"), text_col="t", group_col="g", run_id="r"
+    )
+    assert mon.compact() is False
+    assert not os.path.exists(str(tmp_path / "never"))
+
+    cms = IncrementalCMS(
+        spark, str(tmp_path / "cms"), item_col="t", run_id="r"
+    )
+    assert cms.compact() is False
+
+    hll = IncrementalHLL(
+        spark, str(tmp_path / "hll"), group_cols=[], item_col="t"
+    )
+    assert hll.compact() is False
+
+    # two batches with keep_recent=4: nothing old enough to fold
+    mon2 = IncrementalVocabDrift(
+        spark, str(tmp_path / "two"), text_col="text", group_col="lang",
+        n_buckets=16, run_id="r",
+    )
+    df = spark.createDataFrame([("en", "a b c")], "lang string, text string")
+    mon2.process_batch(df, batch_id=0)
+    mon2.process_batch(df, batch_id=1)
+    assert mon2.compact(keep_recent=4) is False
+    assert len(_batch_dir_names(str(tmp_path / "two"))) == 2
 
 
 def test_lsh_dedup_compaction(spark, tmp_path):
