@@ -206,7 +206,11 @@ def connected_components_df(
 
     e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
     sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
-    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    # pre-partition the persisted edge frame on the per-round join key:
+    # the cached partitioning satisfies the join's distribution
+    # requirement every round, so only the (one-row-per-vertex) label
+    # side shuffles per iteration — the standard iterative-join layout
+    sym = sym.repartition(F.col("d")).persist(StorageLevel.MEMORY_AND_DISK)
 
     spark = sym.sparkSession
     reliable = spark.sparkContext.getCheckpointDir() is not None
@@ -244,21 +248,38 @@ def connected_components_df(
         sym.select(F.col("s").alias("id")).distinct().withColumn("component", F.col("id"))
     )
 
+    from pyspark.sql import Observation
+
+    comp_t = labels.schema["component"].dataType
     for _ in range(max_iter):
         prop = sym.join(labels, sym["d"] == labels["id"]).select(
-            F.col("s").alias("id"), F.col("component")
+            F.col("s").alias("id"),
+            F.col("component"),
+            F.lit(None).cast(comp_t).alias("__old"),
         )
+        # each vertex's PRE-round label rides the union as __old (one
+        # non-null value per id, so max() recovers it through the
+        # min-label aggregation): the convergence check then computes
+        # inside the round's own checkpoint action via observe() —
+        # round 8 removed the separate new-vs-old join + count job that
+        # previously ran per round
         cand = (
-            labels.select("id", "component")
-            .union(prop)
+            labels.select(
+                "id", "component", F.col("component").alias("__old")
+            )
+            .unionByName(prop)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max("__old").alias("__old"),
+            )
         )
         # pointer jump: labels are vertex ids, so l(l(v)) is one
         # self-join of the candidate labels
         parent = cand.select(
             F.col("id").alias("__pid"), F.col("component").alias("__pc")
         )
+        obs = Observation()
         new_labels = _truncate(
             cand.join(parent, cand["component"] == parent["__pid"], "left")
             .select(
@@ -267,17 +288,20 @@ def connected_components_df(
                     cand["component"],
                     F.coalesce(F.col("__pc"), cand["component"]),
                 ).alias("component"),
+                cand["__old"],
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("component") != F.col("__old")).cast("long")
+                ).alias("changed"),
+            )
+            .select("id", "component")
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        # round N is materialized and the convergence count (the last
-        # consumer of round N-1) has run: round N-1's checkpoint files
-        # are garbage NOW — delete them so the dir holds O(1) rounds
+        changed = int(obs.get["changed"] or 0)
+        # round N is materialized and the convergence count rode its
+        # checkpoint action: round N-1's checkpoint files are garbage
+        # NOW — delete them so the dir holds O(1) rounds
         superseded = _ckpt_path(labels)
         labels = new_labels
         _drop_ckpt(superseded)
