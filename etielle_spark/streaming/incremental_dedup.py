@@ -59,6 +59,26 @@ class IncrementalLSHDedup:
         self.num_hashes = num_hashes
         self.bands = bands
         self.max_bucket_size = max_bucket_size
+        self._meta_checked = False
+
+    def _check_meta(self) -> None:
+        """(n, num_hashes, bands) pin for the persistent index — band
+        digests hashed under different params equi-join into silence
+        (every cross-batch pair missed, no error), the same hazard class
+        the CMS/PSI/bloom manifests close.  Raises on mismatch; writes
+        the manifest on first contact (cached per instance)."""
+        if self._meta_checked:
+            return
+        from .incremental_drift import _check_geometry
+
+        _check_geometry(
+            self.spark,
+            self.index_dir.rstrip("/") + "/_meta",
+            "IncrementalLSHDedup",
+            self.index_dir,
+            {"n": self.n, "num_hashes": self.num_hashes, "bands": self.bands},
+        )
+        self._meta_checked = True
 
     def _index(self) -> DataFrame | None:
         """The index as of NOW, pinned to the current file list: a later
@@ -88,6 +108,7 @@ class IncrementalLSHDedup:
         The returned frame is materialized (the pair join must run
         against the PRE-append index), so calling this is an action.
         """
+        self._check_meta()
         new = band_digests(
             docs, self.id_col, self.text_col,
             n=self.n, num_hashes=self.num_hashes, bands=self.bands,

@@ -67,6 +67,39 @@ def _path_missing(e: Exception) -> bool:
     )
 
 
+def _check_geometry(
+    spark: SparkSession,
+    meta_dir: str,
+    owner: str,
+    state_dir: str,
+    fields: dict,
+) -> None:
+    """Validate (writing on first contact) a sketch-geometry manifest:
+    state written under one geometry merged/probed under another is
+    silent garbage (mis-bucketed registers, mismatched band digests), so
+    a mismatch RAISES — a new geometry is a new index/baseline."""
+    rows = None
+    try:
+        rows = spark.read.json(meta_dir).collect()
+    except Exception as e:
+        if not _path_missing(e):
+            raise
+    want = {k: int(v) for k, v in fields.items()}
+    if rows:
+        got = {k: int(rows[0][k]) for k in fields}
+        if got != want:
+            raise ValueError(
+                f"{owner}: state at {state_dir} was built with {got}, not "
+                f"{want} — a new geometry is a new index/baseline; use a "
+                "fresh dir."
+            )
+    else:
+        schema = ", ".join(f"{k} long" for k in fields)
+        spark.createDataFrame(
+            [tuple(want[k] for k in fields)], schema
+        ).coalesce(1).write.mode("overwrite").json(meta_dir)
+
+
 def _write_registers(
     counts: DataFrame, state_dir: str, run_token: str, batch_id
 ) -> None:

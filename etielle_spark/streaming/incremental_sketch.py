@@ -48,6 +48,25 @@ class IncrementalHLL:
         self.group_cols = list(group_cols)
         self.item_col = item_col
         self.bucket_hex = bucket_hex
+        self._meta_checked = False
+
+    def _check_meta(self) -> None:
+        """bucket_hex pin for the register state — registers bucketed
+        under a different m = 16**bucket_hex max-merge into garbage
+        (same hazard class as the CMS geometry manifest).  Raises on
+        mismatch; writes the manifest on first contact."""
+        if self._meta_checked:
+            return
+        from .incremental_drift import _check_geometry
+
+        _check_geometry(
+            self.spark,
+            self.state_dir.rstrip("/") + "/_meta",
+            "IncrementalHLL",
+            self.state_dir,
+            {"bucket_hex": self.bucket_hex},
+        )
+        self._meta_checked = True
 
     def _state(self) -> DataFrame | None:
         """State pinned to the current file list (a concurrent append
@@ -71,6 +90,7 @@ class IncrementalHLL:
         output) and append them.  No merge happens at write time — the
         state stays append-only; merge cost is paid at estimate() over
         the (tiny) register rows."""
+        self._check_meta()
         regs = hll_registers(
             df, self.group_cols, self.item_col, bucket_hex=self.bucket_hex
         )
@@ -78,6 +98,7 @@ class IncrementalHLL:
 
     def registers(self) -> DataFrame | None:
         """Current merged register state: max rho per (group, bucket)."""
+        self._check_meta()
         state = self._state()
         if state is None:
             return None

@@ -155,6 +155,40 @@ def test_cms_adversarial_drip_pins_candidate_bound(spark, tmp_path):
     assert hh == {"drip": 60}  # global top-1, exact under CMS here
 
 
+def test_lsh_and_hll_geometry_manifests(spark, tmp_path):
+    """The persistent LSH index and HLL register state pin their sketch
+    geometry like the CMS/PSI/bloom manifests: reopening with different
+    params raises instead of silently missing every cross-batch pair /
+    max-merging mis-bucketed registers."""
+    from etielle_spark.streaming.incremental_dedup import IncrementalLSHDedup
+    from etielle_spark.streaming.incremental_sketch import IncrementalHLL
+
+    docs = spark.createDataFrame(
+        [("a", "one two three four five"), ("b", "six seven eight nine ten")],
+        "doc_id string, text string",
+    )
+    lsh = IncrementalLSHDedup(spark, str(tmp_path / "lsh"), num_hashes=8, bands=4)
+    lsh.process_batch(docs).unpersist()
+    # same geometry reopens fine
+    ok = IncrementalLSHDedup(spark, str(tmp_path / "lsh"), num_hashes=8, bands=4)
+    ok.process_batch(docs).unpersist()
+    bad = IncrementalLSHDedup(spark, str(tmp_path / "lsh"), num_hashes=16, bands=8)
+    with pytest.raises(ValueError, match="geometry|built with"):
+        bad.process_batch(docs)
+
+    hll = IncrementalHLL(
+        spark, str(tmp_path / "hll"), group_cols=[], item_col="doc_id",
+        bucket_hex=2,
+    )
+    hll.process_batch(docs)
+    bad_h = IncrementalHLL(
+        spark, str(tmp_path / "hll"), group_cols=[], item_col="doc_id",
+        bucket_hex=3,
+    )
+    with pytest.raises(ValueError, match="geometry|built with"):
+        bad_h.estimate()
+
+
 def test_release_operator_caches(spark):
     """gram_duplication_stats (and the other corpus-scale two-consumer
     persists) register with the cache registry; release_operator_caches
