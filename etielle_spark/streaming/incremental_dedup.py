@@ -175,16 +175,22 @@ class IncrementalLSHDedup:
             compact_flat_parquet(self.spark, self.index_dir, min_files=min_files)
         )
 
-    def attach(self, sink) -> "callable":
+    def attach(self, sink, *, compact_every: int | None = None) -> "callable":
         """``foreachBatch`` adapter: returns a ``(df, batch_id)`` callable
         that processes each micro-batch and hands the emitted pairs to
-        ``sink(pairs_df, batch_id)``."""
+        ``sink(pairs_df, batch_id)``.  ``compact_every=N`` rewrites the
+        per-batch index files as one every N batches (idempotent, so
+        any crash window is exact) — without it a months-running stream
+        pays O(batches) file-listing cost per probe."""
 
         def _fn(df: DataFrame, batch_id: int) -> None:
             out = self.process_batch(df)
             try:
                 sink(out, batch_id)
             finally:
+                if compact_every and batch_id % compact_every == compact_every - 1:
+                    # the caller chose the cadence: fold whatever is there
+                    self.compact(min_files=2)
                 # `out` IS the frame process_batch persisted — releasing
                 # it here keeps a long-running stream from accumulating
                 # one pair cache per micro-batch
@@ -520,14 +526,19 @@ class IncrementalExactDedup:
                 self._words_cache = None
         return True
 
-    def attach(self, sink) -> "callable":
-        """``foreachBatch`` adapter like :meth:`IncrementalLSHDedup.attach`."""
+    def attach(self, sink, *, compact_every: int | None = None) -> "callable":
+        """``foreachBatch`` adapter like :meth:`IncrementalLSHDedup.attach`
+        (``compact_every=N`` rewrites digest-index + bloom-word files
+        every N batches)."""
 
         def _fn(df: DataFrame, batch_id: int) -> None:
             out = self.process_batch(df)
             try:
                 sink(out, batch_id)
             finally:
+                if compact_every and batch_id % compact_every == compact_every - 1:
+                    # the caller chose the cadence: fold whatever is there
+                    self.compact(min_files=2)
                 # once the sink has consumed the batch the survivor cache
                 # is dead weight across a long-running stream
                 self.release_batch_cache()

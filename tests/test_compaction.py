@@ -230,6 +230,34 @@ def test_exact_dedup_compaction_with_bloom(spark, tmp_path):
     inc.close()
 
 
+def test_dedup_attach_compact_every(spark, tmp_path):
+    """attach(sink, compact_every=N) on the exact-dedup monitor folds
+    the index from inside the adapter; history and results unchanged."""
+    from etielle_spark.streaming.incremental_dedup import IncrementalExactDedup
+
+    inc = IncrementalExactDedup(spark, str(tmp_path / "idx"))
+    survivors = []
+    fn = inc.attach(
+        lambda out, bid: survivors.append(out.count()), compact_every=3
+    )
+    seen = []
+    for b in range(9):
+        rows = [(f"d{b}-{i}", f"text {b} {i}") for i in range(4)]
+        if b > 0:
+            rows += seen[:2]  # cross-batch duplicates
+        seen.extend(rows[:4])
+        fn(spark.createDataFrame(rows, "doc_id string, text string"), b)
+    assert survivors == [4] + [4] * 8  # dups dropped every batch
+    assert len(inc._index_files()) <= 2  # last fold ran at b=8
+    # full history intact after folds
+    cold = IncrementalExactDedup(spark, str(tmp_path / "idx"))
+    assert cold.process_batch(
+        spark.createDataFrame(seen[:10], "doc_id string, text string")
+    ).count() == 0
+    cold.close()
+    inc.close()
+
+
 def test_compact_on_empty_or_fresh_state_is_noop(spark, tmp_path):
     """Edge sweep: compacting state that does not exist yet (or has too
     few batches to fold) returns False and writes nothing."""
