@@ -164,15 +164,22 @@ class IncrementalLSHDedup:
         new.unpersist()
         return out
 
-    def compact(self, *, min_files: int = 16) -> bool:
-        """Rewrite the per-batch band-digest files as one consolidated
-        file.  History rows are probed by equi-join and the emitted
-        pairs are distinct()-deduped, so the crash window where old and
-        new files coexist is EXACT (see streaming/compaction.py)."""
+    def compact(self, *, min_files: int = 16, target_files: int = 1) -> bool:
+        """Rewrite the per-batch band-digest files as ``target_files``
+        consolidated files (corpus-scale index: size to ~100M rows/file
+        on a cluster so the rewrite parallelizes).  History rows are
+        probed by equi-join and the emitted pairs are
+        distinct()-deduped, so the crash window where old and new files
+        coexist is EXACT (see streaming/compaction.py)."""
         from .compaction import compact_flat_parquet
 
         return bool(
-            compact_flat_parquet(self.spark, self.index_dir, min_files=min_files)
+            compact_flat_parquet(
+                self.spark,
+                self.index_dir,
+                min_files=min_files,
+                target_files=max(1, int(target_files)),
+            )
         )
 
     def attach(self, sink, *, compact_every: int | None = None) -> "callable":
@@ -476,13 +483,19 @@ class IncrementalExactDedup:
             self._words_cache.unpersist()
             self._words_cache = None
 
-    def compact(self, *, min_files: int = 16) -> bool:
+    def compact(self, *, min_files: int = 16, target_files: int = 1) -> bool:
         """Rewrite the per-batch digest index files (and bloom word
-        files, when enabled) as one consolidated file each.  Digest rows
-        are probed by anti-join and word rows OR-merge — both idempotent
-        — so the crash window where old and new files coexist is EXACT
-        (see streaming/compaction.py).  Bounds the per-batch index scan
-        and bloom sync at O(1) files + O(since-compaction) appends.
+        files, when enabled) as ``target_files`` consolidated files.
+        Digest rows are probed by anti-join and word rows OR-merge —
+        both idempotent — so the crash window where old and new files
+        coexist is EXACT (see streaming/compaction.py).  Bounds the
+        per-batch index scan and bloom sync at O(target_files) +
+        O(since-compaction) appends.
+
+        ``target_files=1`` suits local/small state; at cluster scale the
+        index is billions of digest rows — size ``target_files`` to
+        ~100M rows/file so the rewrite parallelizes instead of
+        funnelling through one task.
 
         Single writer: call between batches (the instance owns the dir).
         """
@@ -497,9 +510,9 @@ class IncrementalExactDedup:
             # and the _covered swap below cannot mark un-folded digests
             # as covered (that would be a false-negative machine)
             self._sync_bloom(old)
-        self.spark.read.parquet(*old).coalesce(1).write.mode("append").parquet(
-            self.index_dir
-        )
+        self.spark.read.parquet(*old).coalesce(
+            max(1, int(target_files))
+        ).write.mode("append").parquet(self.index_dir)
         new = sorted(set(self._index_files()) - set(old))
         for f in old:
             _hadoop_delete(self.spark, f, False)
