@@ -26,6 +26,17 @@ A small allowlist covers queries whose flagged pattern is the documented
 correctness baseline for a first-class scale path elsewhere (e.g. q32
 all-pairs cosine vs the q54/q61 ANN paths).
 
+NOT a rule here — broadcast-over-explode: round 8 found (and fixed, via
+merge hints in the fluent backlink) a static BroadcastHashJoin build of
+a cached-then-exploded corpus side, where Catalyst's size estimate
+misses the Generate blowup.  A lint for it was prototyped and rejected:
+at lint SF, 23 queries legitimately broadcast small exploded sides
+(band tables, ANN query sides) under AQE's RUNTIME size decision, which
+re-decides correctly at scale — the hazard is only the STATIC
+mis-estimate, which tiny-SF plans cannot distinguish from the adaptive
+choice.  The engine paths whose semantics guarantee corpus-scale sides
+(backlink) carry explicit merge hints instead.
+
     python tools/plan_lint.py [sf_dir]
 """
 
