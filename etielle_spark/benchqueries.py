@@ -10832,3 +10832,143 @@ def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_a"), F.col("doc_b").alias("id_b")
     )
     return canonicalize_clusters(docs, pairs, "doc_id", "score")
+
+
+@q(
+    "q240_unimax_mixture",
+    """
+    WITH RECURSIVE b AS (
+      SELECT CAST(sum(n_chars) AS DOUBLE) * 0.5 AS bud
+      FROM documents WHERE lang IS NOT NULL
+    ),
+    g AS (
+      SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS sz,
+             row_number() OVER (
+               ORDER BY CAST(sum(n_chars) AS DOUBLE), lang) AS rn,
+             count(*) OVER () AS n
+      FROM documents WHERE lang IS NOT NULL GROUP BY lang
+    ),
+    w AS (
+      SELECT g.rn, g.n, g.lang, g.sz,
+             least(g.sz * 0.65, b.bud / g.n) AS alloc,
+             b.bud - least(g.sz * 0.65, b.bud / g.n) AS rem
+      FROM g, b WHERE g.rn = 1
+      UNION ALL
+      SELECT g.rn, g.n, g.lang, g.sz,
+             least(g.sz * 0.65, w.rem / (g.n - w.rn)),
+             w.rem - least(g.sz * 0.65, w.rem / (g.n - w.rn))
+      FROM g JOIN w ON g.rn = w.rn + 1
+    )
+    SELECT lang AS "group", CAST(sz AS BIGINT) AS group_size,
+           round(alloc, 6) AS alloc_budget,
+           round(alloc / (SELECT bud FROM b), 6) AS weight
+    FROM w
+    """,
+)
+def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax epoch-capped mixture allocation (operators/clusters.py:
+    unimax_mixture; Chung et al., ICLR 2023): split half the corpus's
+    character budget across languages, no language repeated past 0.65
+    epochs of its own data — the fair multilingual sampling rule.  The
+    DuckDB oracle replays the exact waterfill recurrence as a recursive
+    CTE (ascending-size order, ties on the language name), so the
+    per-group allocations must agree to the rounded 6th decimal."""
+    from .operators.clusters import unimax_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    total = (
+        docs.filter(F.col("lang").isNotNull()).agg(F.sum("n_chars")).collect()[0][0]
+    )
+    return unimax_mixture(
+        docs, "lang", size_col="n_chars", budget=total * 0.5, max_epochs=0.65
+    )
+
+
+@q(
+    "q241_ann_recall_truncated",
+    """
+    WITH e AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    nf AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+    dotsf AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.v * c.v) AS dot
+      FROM (SELECT * FROM e WHERE vec_id < 5) q
+      JOIN e c USING (i)
+      WHERE c.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ),
+    full_k AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT d.query_id, d.neighbor_id,
+               row_number() OVER (PARTITION BY d.query_id
+                 ORDER BY round(d.dot / (nq.nrm * nc.nrm), 6) DESC,
+                          d.neighbor_id) AS rk
+        FROM dotsf d JOIN nf nq ON d.query_id = nq.vec_id
+                     JOIN nf nc ON d.neighbor_id = nc.vec_id
+      ) WHERE rk <= 10
+    ),
+    t AS (SELECT * FROM e WHERE i <= 8),
+    nt AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM t GROUP BY vec_id),
+    dotst AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.v * c.v) AS dot
+      FROM (SELECT * FROM t WHERE vec_id < 5) q
+      JOIN t c USING (i)
+      WHERE c.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ),
+    trunc_k AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT d.query_id, d.neighbor_id,
+               row_number() OVER (PARTITION BY d.query_id
+                 ORDER BY round(d.dot / (nq.nrm * nc.nrm), 6) DESC,
+                          d.neighbor_id) AS rk
+        FROM dotst d JOIN nt nq ON d.query_id = nq.vec_id
+                     JOIN nt nc ON d.neighbor_id = nc.vec_id
+      ) WHERE rk <= 10
+    )
+    SELECT f.query_id AS query, count(*) AS n_exact,
+           count(a.query_id) AS n_hit,
+           round(count(a.query_id)::DOUBLE / count(*), 6) AS recall
+    FROM full_k f LEFT JOIN trunc_k a
+      ON f.query_id = a.query_id AND f.neighbor_id = a.neighbor_id
+    GROUP BY 1
+    """,
+)
+def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN acceptance gate (operators/similarity.py: ann_recall):
+    recall@10 of a dimension-truncated probe (first 8 of 64 dims)
+    against exact full-dimension cosine top-10, per query.  Both sides
+    rank on the ROUNDED cosine (the q31 idiom) so last-ulp summation
+    differences between engines cannot flip a rank, and the recall
+    aggregation is the operator under test."""
+    from .operators.similarity import ann_recall, cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def ranked(vec: F.Column) -> DataFrame:
+        q_side = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), vec.alias("qv")
+        )
+        c_side = emb.select(F.col("vec_id").alias("neighbor_id"), vec.alias("cv"))
+        scored = (
+            c_side.crossJoin(F.broadcast(q_side))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= 10
+        )
+
+    full = ranked(F.col("embedding").cast("array<double>"))
+    trunc = ranked(F.slice(F.col("embedding").cast("array<double>"), 1, 8))
+    return ann_recall(full, trunc)

@@ -1557,6 +1557,63 @@ def _null_empty_key_filter(df: DataFrame, keys: list[str]) -> DataFrame:
 # differentially check fast == general on the same pipelines)
 _FAST_SINGLE_EMISSION = True
 
+# escape hatch for the provably-distinct merge skip (same differential
+# test treatment)
+_DISTINCT_KEY_SKIP = True
+
+
+def _keys_provably_distinct(df: DataFrame, join_on: list[str]) -> bool:
+    """True when Catalyst PROVES the emission frame has at most one row
+    per ``join_on`` key — e.g. the frame is a ``groupBy(keys).agg(...)``
+    on exactly those keys (the document-building idiom: collect child
+    ids per parent, then map the parent emission over the aggregate).
+    The keyed merge is then the identity and its whole aggregation
+    (two SortAggregate passes + their sorts at every scale) can be
+    skipped.
+
+    Uses Catalyst's own distinct-key propagation
+    (``LogicalPlanDistinctKeys``, flows through aliasing projections),
+    so the proof is as strong as the optimizer's.  The optimizer pass
+    this forces costs ~ms on the tiny pre-action plan; callers gate on
+    an analyzed-plan Aggregate/Distinct sniff so the common
+    non-aggregate emission never pays it.  Name-collision safe: a
+    distinct-key attribute counts only if it IS the output column of
+    that name (exprId match), not merely a namesake."""
+    want = set(join_on)
+    try:
+        op = df._jdf.queryExecution().optimizedPlan()
+        out_ids: dict[str, object] = {}
+        it = op.output().iterator()
+        while it.hasNext():
+            a = it.next()
+            n = a.name()
+            # duplicate output names: unaddressable, never claim them
+            out_ids[n] = None if n in out_ids else a.exprId()
+        ks_it = op.distinctKeys().iterator()
+        while ks_it.hasNext():
+            names: set[str] = set()
+            ok = True
+            e_it = ks_it.next().iterator()
+            while e_it.hasNext():
+                e = e_it.next()
+                if e.getClass().getSimpleName() != "AttributeReference":
+                    ok = False
+                    break
+                n = e.name()
+                if n not in want or out_ids.get(n) is None or not e.exprId().equals(
+                    out_ids[n]
+                ):
+                    ok = False
+                    break
+                names.add(n)
+            if ok and names:
+                return True
+        return False
+    except Exception:
+        # the proof is an optimization only — any py4j/Catalyst surprise
+        # (API drift, command plans) falls back to the real aggregation
+        return False
+
 
 def _assemble_table(
     table: str, pairs: list[tuple[EmissionSpec, DataFrame]]
@@ -1618,11 +1675,30 @@ def _assemble_table(
             for k in join_on
         )
     )
+    skip_merge = False
     if keyed and fast_single:
         em, df = keyed[0]
         df = _null_empty_key_filter(df, em.join_on)
         val_fields = [n for n in field_order if n not in join_on]
         lww_fields = [n for n in val_fields if n not in policies]
+        # PROVABLY-DISTINCT SKIP: one emission, no merge policies, and
+        # Catalyst proves <=1 row per key (the groupBy-built document
+        # root) -> the merge aggregation is the identity; emit the
+        # frame as-is.  The analyzed-plan sniff keeps the optimizer
+        # probe off the common non-aggregate emission path (policies
+        # are excluded because e.g. AppendPolicy wraps even a 1-row
+        # group in a list — not the identity).
+        skip_merge = (
+            _DISTINCT_KEY_SKIP
+            and not policies
+            and "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+            and _keys_provably_distinct(df, join_on)
+        )
+        if skip_merge:
+            parts.append(
+                df.select(*[F.col(n) for n in field_order], F.col(_ORD))
+            )
+    if keyed and fast_single and not skip_merge:
         # With one emission and no nesting positions, _ORD is
         # struct(r, w, e) with r (root index) and e (emission seq)
         # CONSTANT — ordering by the single long w is identical and
@@ -1658,7 +1734,7 @@ def _assemble_table(
             for n in field_order
         ]
         parts.append(grouped.select(*sel, F.col(_ORD)))
-    elif keyed:
+    elif keyed and not skip_merge:
         marked = []
         for em, df in keyed:
             df = _null_empty_key_filter(df, em.join_on)

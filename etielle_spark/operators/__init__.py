@@ -50,7 +50,7 @@ from .similarity import (
     mmr_select,
     silhouette_centroid,
 )
-from .clusters import temperature_mixture
+from .clusters import temperature_mixture, unimax_mixture
 from .sketches import (
     bloom_anti_join,
     bloom_build,
@@ -147,4 +147,5 @@ __all__ = [
     "cross_group_overlap",
     "ks_drift",
     "psi_drift",
+    "unimax_mixture",
 ]

@@ -348,6 +348,85 @@ def temperature_mixture(
     )
 
 
+def unimax_mixture(
+    df: DataFrame,
+    group_col: str,
+    *,
+    budget: float,
+    max_epochs: float,
+    size_col: str | None = None,
+    max_groups: int = 100_000,
+) -> DataFrame:
+    """UniMax epoch-capped budget allocation (Chung et al., "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining", ICLR 2023): distribute a total training
+    ``budget`` across groups as uniformly as possible subject to a
+    per-group repetition cap — no group contributes more than
+    ``max_epochs`` passes over its own data.  The waterfill visits
+    groups in ascending size; each receives
+    ``min(size * max_epochs, remaining_budget / remaining_groups)``,
+    so small groups are capped by repetition and large groups split the
+    leftover evenly — the fairness property temperature sampling
+    (:func:`temperature_mixture`) only approximates.
+
+    Scale shape: ONE map-side-combined aggregation (one row per group);
+    the waterfill itself is O(G log G) on the driver over the
+    ``max_groups``-guarded group list (the guard binds BEFORE the
+    collect, the ks_drift idiom).  The result is the tiny per-group
+    allocation table — feed ``weight = alloc_budget / group_size``
+    epochs into :func:`mixture_resample` for the actual row fan-out.
+
+    NULL groups are unaddressable mixture identities and are excluded
+    (the ``pack_counts`` contract).  Ties in group size break on the
+    group name so the allocation is engine-reproducible.  Returns one
+    row per group: ``(group, group_size, alloc_budget, weight)``, the
+    floats rounded to 6 decimals for engine-stable comparison.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    size = (
+        F.sum(F.col(size_col)).alias("__sz")
+        if size_col is not None
+        else F.count(F.lit(1)).alias("__sz")
+    )
+    rows = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(size)
+        .limit(max_groups + 1)
+        .collect()
+    )
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"unimax_mixture: more than max_groups={max_groups} distinct "
+            "groups — the allocation table is driver-side by design; "
+            "aggregate groups first or raise max_groups"
+        )
+    # all-double arithmetic in waterfill order, so a SQL replay of the
+    # same recurrence (recursive CTE) reproduces the values bit-for-bit
+    sized = sorted(
+        ((float(r["__sz"]), str(r["group"])) for r in rows if r["__sz"] is not None)
+    )
+    remaining = float(budget)
+    alloc: list[tuple[str, float, float]] = []
+    for i, (sz, grp) in enumerate(sized):
+        a = min(sz * float(max_epochs), remaining / (len(sized) - i))
+        remaining -= a
+        alloc.append((grp, sz, a))
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        alloc or [], "group string, group_size double, alloc_budget double"
+    )
+    return out.select(
+        "group",
+        F.col("group_size").cast("bigint").alias("group_size"),
+        F.round("alloc_budget", 6).alias("alloc_budget"),
+        F.round(F.col("alloc_budget") / F.lit(float(budget)), 6).alias("weight"),
+    )
+
+
 def shard_assign(
     df: DataFrame,
     id_col: str,

@@ -134,6 +134,57 @@ def brute_force_topk(
     )
 
 
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    *,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall of an approximate top-k result against the
+    exact one — the acceptance gate for every ANN shortcut in this
+    module (:func:`ivf_topk`, :func:`lsh_bucket_topk`, quantized or
+    dimension-truncated probes): run both on a query SAMPLE, and ship
+    the approximate plan only if recall clears the bar.
+
+    ``recall = |approx ∩ exact| / |exact|`` per query (both sides
+    deduplicated on (query, neighbor) first, so a bucketed probe that
+    reaches the same neighbor twice is not double-counted).  Queries
+    the approximate side missed entirely score 0, not absent.
+
+    Scale shape: one equi-join on (query, neighbor) + one per-query
+    aggregation — both shuffles are keyed on the query sample, which is
+    small by construction (recall evaluation is sampled; the corpus
+    never appears here, only two top-k result sets).  Returns
+    ``(query, n_exact, n_hit, recall)`` with recall rounded to 6
+    decimals for engine-stable comparison.
+    """
+    ex = exact.select(
+        F.col(query_col).alias("query"), F.col(neighbor_col).alias("__nb")
+    ).dropDuplicates()
+    ap = (
+        approx.select(
+            F.col(query_col).alias("query"), F.col(neighbor_col).alias("__nb")
+        )
+        .dropDuplicates()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        ex.join(ap, ["query", "__nb"], "left")
+        .groupBy("query")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        )
+        .select(
+            "query",
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

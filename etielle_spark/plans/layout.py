@@ -65,3 +65,45 @@ def zorder_layout(
         else with_key.repartitionByRange("__zkey")
     )
     return parted.sortWithinPartitions("__zkey").drop("__zkey")
+
+
+def bucket_layout(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    *,
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a BUCKETED table: files are hash-clustered on
+    ``keys`` into ``num_buckets`` buckets (and optionally sorted within
+    each bucket), registered in the session catalog under ``table``.
+
+    This is the shuffle-elimination layout for repeated big joins and
+    aggregations: two tables bucketed on the same keys with the same
+    bucket count join with ZERO Exchange on either side — at 100 TB the
+    join shuffle IS the cost, and bucketing prepays it once at write
+    time for every subsequent query.  A ``groupBy`` on the bucket keys
+    likewise reuses the stored clustering instead of shuffling.
+    (Spark's bucketed-scan planning needs the catalog entry, which is
+    why this writes a table, not bare files; ``path`` keeps the data at
+    an external location.)  ``sort_by`` additionally pre-sorts each
+    bucket file so sort-merge joins skip their sort too.
+
+    Bucket pruning: an equality filter on the first bucket key scans
+    ``1/num_buckets`` of the files.  Pick ``num_buckets`` so one bucket
+    of the LARGER table fits an executor's shuffle-free merge (~the
+    same arithmetic as ``spark.sql.files.maxPartitionBytes``).
+    """
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    if not keys:
+        raise ValueError("bucket_layout needs at least one bucket key")
+    writer = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *keys)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

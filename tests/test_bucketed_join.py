@@ -27,14 +27,18 @@ def test_bucketed_join_has_no_exchange(spark, warehouse):
     orders = spark.read.parquet(f"{sf}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf}/lineitem.parquet")
 
+    from etielle_spark.plans import bucket_layout
+
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    (orders.write.format("parquet").bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey").option("path", f"{warehouse}/b_orders")
-        .saveAsTable("b_orders"))
-    (lineitem.write.format("parquet").bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey").option("path", f"{warehouse}/b_lineitem")
-        .saveAsTable("b_lineitem"))
+    bucket_layout(
+        orders, "b_orders", ["o_orderkey"], num_buckets=8,
+        sort_by=["o_orderkey"], path=f"{warehouse}/b_orders",
+    )
+    bucket_layout(
+        lineitem, "b_lineitem", ["l_orderkey"], num_buckets=8,
+        sort_by=["l_orderkey"], path=f"{warehouse}/b_lineitem",
+    )
 
     bo = spark.table("b_orders")
     bl = spark.table("b_lineitem")

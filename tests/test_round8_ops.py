@@ -1,0 +1,133 @@
+"""Round-8 additions: UniMax epoch-capped mixture allocation and the
+ANN recall acceptance gate."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from etielle_spark.operators.clusters import unimax_mixture
+from etielle_spark.operators.similarity import ann_recall
+
+
+def _waterfill(sizes, budget, epochs):
+    """Reference UniMax: ascending-size waterfill, ties on group name."""
+    rows = sorted((float(s), g) for g, s in sizes.items())
+    remaining = float(budget)
+    out = {}
+    for i, (sz, g) in enumerate(rows):
+        a = min(sz * float(epochs), remaining / (len(rows) - i))
+        remaining -= a
+        out[g] = a
+    return out
+
+
+class TestUnimaxMixture:
+    def test_caps_small_groups_and_splits_rest(self, spark):
+        # en is huge, mi is tiny: mi must hit its epoch cap, en must
+        # absorb the leftover uniform share
+        df = spark.createDataFrame(
+            [("en", 1000), ("fr", 300), ("mi", 10)], "lang string, n long"
+        )
+        out = {
+            r["group"]: r
+            for r in unimax_mixture(
+                df, "lang", size_col="n", budget=600.0, max_epochs=2.0
+            ).collect()
+        }
+        want = _waterfill({"en": 1000, "fr": 300, "mi": 10}, 600.0, 2.0)
+        assert out["mi"]["alloc_budget"] == pytest.approx(20.0)  # 10 * 2 epochs
+        for g, a in want.items():
+            assert out[g]["alloc_budget"] == pytest.approx(a, abs=1e-6)
+            assert out[g]["weight"] == pytest.approx(a / 600.0, abs=1e-6)
+        # budget fully spent when the caps don't bind globally
+        assert sum(r["alloc_budget"] for r in out.values()) == pytest.approx(600.0)
+
+    def test_all_capped_leaves_budget_unspent(self, spark):
+        df = spark.createDataFrame(
+            [("a", 10), ("b", 20)], "lang string, n long"
+        )
+        out = unimax_mixture(
+            df, "lang", size_col="n", budget=1000.0, max_epochs=1.0
+        ).collect()
+        by = {r["group"]: r["alloc_budget"] for r in out}
+        assert by == {"a": pytest.approx(10.0), "b": pytest.approx(20.0)}
+
+    def test_row_count_size_default(self, spark):
+        df = spark.createDataFrame(
+            [("a",)] * 6 + [("b",)] * 2, "lang string"
+        )
+        out = {
+            r["group"]: r["group_size"]
+            for r in unimax_mixture(df, "lang", budget=4.0, max_epochs=1.0).collect()
+        }
+        assert out == {"a": 6, "b": 2}
+
+    def test_null_groups_excluded(self, spark):
+        df = spark.createDataFrame(
+            [Row(lang="a", n=5), Row(lang=None, n=100)]
+        )
+        out = unimax_mixture(
+            df, "lang", size_col="n", budget=10.0, max_epochs=2.0
+        ).collect()
+        assert [r["group"] for r in out] == ["a"]
+        # the NULL group's mass must not leak into the budget split
+        assert out[0]["alloc_budget"] == pytest.approx(10.0)
+
+    def test_empty_input_stable_schema(self, spark):
+        df = spark.createDataFrame([], "lang string, n long")
+        out = unimax_mixture(df, "lang", size_col="n", budget=10.0, max_epochs=1.0)
+        assert out.columns == ["group", "group_size", "alloc_budget", "weight"]
+        assert out.count() == 0
+
+    def test_guards(self, spark):
+        df = spark.createDataFrame([("a", 1)], "lang string, n long")
+        with pytest.raises(ValueError, match="budget"):
+            unimax_mixture(df, "lang", size_col="n", budget=0, max_epochs=1.0)
+        with pytest.raises(ValueError, match="max_epochs"):
+            unimax_mixture(df, "lang", size_col="n", budget=1.0, max_epochs=0)
+        many = spark.createDataFrame(
+            [(str(i), 1) for i in range(30)], "lang string, n long"
+        )
+        with pytest.raises(ValueError, match="max_groups"):
+            unimax_mixture(
+                many, "lang", size_col="n", budget=1.0, max_epochs=1.0, max_groups=10
+            )
+
+
+class TestAnnRecall:
+    def _frames(self, spark, exact_rows, approx_rows):
+        mk = lambda rows: spark.createDataFrame(
+            rows, "query_id long, neighbor_id long"
+        )
+        return mk(exact_rows), mk(approx_rows)
+
+    def test_partial_and_full_overlap(self, spark):
+        exact, approx = self._frames(
+            spark,
+            [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+            [(1, 10), (1, 12), (1, 99), (2, 20), (2, 21)],
+        )
+        out = {r["query"]: r for r in ann_recall(exact, approx).collect()}
+        assert out[1]["n_exact"] == 3 and out[1]["n_hit"] == 2
+        assert out[1]["recall"] == pytest.approx(2 / 3, abs=1e-6)
+        assert out[2]["recall"] == pytest.approx(1.0)
+
+    def test_missed_query_scores_zero_not_absent(self, spark):
+        exact, approx = self._frames(spark, [(1, 10), (2, 20)], [(1, 10)])
+        out = {r["query"]: r["recall"] for r in ann_recall(exact, approx).collect()}
+        assert out == {1: pytest.approx(1.0), 2: pytest.approx(0.0)}
+
+    def test_duplicate_approx_hits_not_double_counted(self, spark):
+        exact, approx = self._frames(
+            spark, [(1, 10), (1, 11)], [(1, 10), (1, 10), (1, 10)]
+        )
+        (row,) = ann_recall(exact, approx).collect()
+        assert row["n_hit"] == 1
+        assert row["recall"] == pytest.approx(0.5)
+
+    def test_custom_column_names(self, spark):
+        exact = spark.createDataFrame([(1, 5)], "q long, nb long")
+        approx = spark.createDataFrame([(1, 5)], "q long, nb long")
+        (row,) = ann_recall(
+            exact, approx, query_col="q", neighbor_col="nb"
+        ).collect()
+        assert row["recall"] == pytest.approx(1.0)

@@ -62,6 +62,7 @@ ALLOW = {
         "q228_quantization_recall": "two broadcasts of the 5-row query side (exact + int8-reconstructed brute_force_topk) — the q31 contract twice; the eval measures quantization recall, the production search path is IVF/LSH (q54/q61/q224)",
         "q195_vocab_growth": "both nested-loop build sides are the 6-row checkpoint-marks frame broadcast onto ALREADY-AGGREGATED inputs (per-word first-occurrence docs, per-doc token counts) — 6 range comparisons per aggregated row, the intended plan",
         "q198_stylometric_deviation": "both nested-loop build sides are the 1-row corpus mean/std aggregate broadcast onto the per-doc frequency scan (appears twice because the z frame feeds both the centroid aggregate and the final join) — the intended plan, same class as q169",
+        "q241_ann_recall_truncated": "two broadcasts of the 5-row query side (full-dim + truncated brute_force_topk feeding ann_recall) — the q228 contract; recall evaluation is sampled by construction, the production search path stays IVF/LSH",
     },
     "single_partition": {
         "q16_window_topk_per_group": "final presentation sort of an already-reduced frame",
