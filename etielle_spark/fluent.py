@@ -1386,8 +1386,22 @@ class PipelineBuilder:
         public_map: dict[str, list[tuple[str, str]]] = {}
         errors: dict[str, DataFrame] = {}
         table_keys: dict[str, list[str]] = {}
+        # only DataFrame roots can carry an Aggregate into the emission
+        # frame (dict/list docs compile from a LocalRelation), so the
+        # distinct-key probe is statically off everywhere else — the
+        # analyzed-plan sniff is a py4j toString per keyed table, which
+        # a 50-emission doc pipeline should never pay
+        df_roots = {
+            i for i, r in enumerate(self._roots) if isinstance(r, DataFrame)
+        }
         for table, pairs in by_table.items():
-            internal_df, public_pairs, err_df = _assemble_table(table, pairs)
+            internal_df, public_pairs, err_df = _assemble_table(
+                table,
+                pairs,
+                maybe_aggregate_root=any(
+                    em.root_index in df_roots for em, _ in pairs
+                ),
+            )
             internal[table] = internal_df
             public_map[table] = public_pairs
             public[table] = _select_public(internal_df, public_pairs)
@@ -1616,7 +1630,10 @@ def _keys_provably_distinct(df: DataFrame, join_on: list[str]) -> bool:
 
 
 def _assemble_table(
-    table: str, pairs: list[tuple[EmissionSpec, DataFrame]]
+    table: str,
+    pairs: list[tuple[EmissionSpec, DataFrame]],
+    *,
+    maybe_aggregate_root: bool = True,
 ) -> tuple[DataFrame, list[str], Optional[DataFrame]]:
     """Merge all emissions targeting one table.
 
@@ -1690,6 +1707,7 @@ def _assemble_table(
         # group in a list — not the identity).
         skip_merge = (
             _DISTINCT_KEY_SKIP
+            and maybe_aggregate_root
             and not policies
             and "Aggregate" in df._jdf.queryExecution().analyzed().toString()
             and _keys_provably_distinct(df, join_on)
