@@ -100,21 +100,11 @@ class IncrementalLSHDedup:
             return None
         return self.spark.read.parquet(*files)
 
-    def process_batch(self, docs: DataFrame) -> DataFrame:
-        """Returns the candidate pairs this batch introduces, as
-        ``(id_a, id_b)`` with ``id_a < id_b``, deduplicated across bands;
-        then appends the batch's digests to the index.
-
-        The returned frame is materialized (the pair join must run
-        against the PRE-append index), so calling this is an action.
-        """
-        self._check_meta()
-        new = band_digests(
-            docs, self.id_col, self.text_col,
-            n=self.n, num_hashes=self.num_hashes, bands=self.bands,
-        ).persist()
-        new.count()
-
+    def _candidate_pairs(self, new: DataFrame) -> DataFrame:
+        """Banded pairs for a digest frame: within the frame itself plus
+        against the persisted index as of now — the shared join shape of
+        ``process_batch`` (which then appends) and ``query`` (which
+        doesn't)."""
         l, r = new.alias("l"), new.alias("r")
         id_c = self.id_col
         within = l.join(
@@ -151,8 +141,39 @@ class IncrementalLSHDedup:
             pairs = within.union(cross)
         else:
             pairs = within
+        return pairs.filter(F.col("id_a") != F.col("id_b")).distinct()
 
-        out = pairs.filter(F.col("id_a") != F.col("id_b")).distinct()
+    def query(self, docs: DataFrame) -> DataFrame:
+        """Read-only probe: candidate pairs between ``docs`` and the
+        index as of now (plus among ``docs`` themselves), WITHOUT
+        appending anything — admission control at ingest ("is this a
+        near-dup of the corpus so far?") or ad-hoc contamination checks
+        against a frozen index.  Lazy: no action runs here, and the
+        file-list pin in ``_index`` keeps the result stable even if a
+        concurrent ``process_batch`` appends after this returns."""
+        self._check_meta()
+        new = band_digests(
+            docs, self.id_col, self.text_col,
+            n=self.n, num_hashes=self.num_hashes, bands=self.bands,
+        )
+        return self._candidate_pairs(new)
+
+    def process_batch(self, docs: DataFrame) -> DataFrame:
+        """Returns the candidate pairs this batch introduces, as
+        ``(id_a, id_b)`` with ``id_a < id_b``, deduplicated across bands;
+        then appends the batch's digests to the index.
+
+        The returned frame is materialized (the pair join must run
+        against the PRE-append index), so calling this is an action.
+        """
+        self._check_meta()
+        new = band_digests(
+            docs, self.id_col, self.text_col,
+            n=self.n, num_hashes=self.num_hashes, bands=self.bands,
+        ).persist()
+        new.count()
+
+        out = self._candidate_pairs(new)
         # Pin the pair frame BEFORE appending to the index: the join must
         # run against the pre-append snapshot.  persist (not collect) —
         # the pairs never funnel through the driver; a sink downstream

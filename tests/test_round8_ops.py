@@ -131,3 +131,158 @@ class TestAnnRecall:
             exact, approx, query_col="q", neighbor_col="nb"
         ).collect()
         assert row["recall"] == pytest.approx(1.0)
+
+
+def test_lsh_index_query_is_read_only(spark, tmp_path):
+    """IncrementalLSHDedup.query probes the index without appending:
+    same pairs as process_batch would emit for the same docs, the index
+    file set untouched, and a cold index yields within-batch pairs
+    only."""
+    from etielle_spark.streaming.incremental_dedup import IncrementalLSHDedup
+
+    corpus = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(90)
+    )
+    # duplicate some documents across the batch boundary so cross-index
+    # pairs exist
+    dup = corpus.filter("doc_id < 10").withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    idx = str(tmp_path / "lsh_q")
+    inc = IncrementalLSHDedup(spark, idx, num_hashes=8, bands=4)
+
+    # cold index: query returns only within-batch pairs, writes nothing
+    cold = set(
+        (r["id_a"], r["id_b"]) for r in inc.query(corpus.union(dup)).collect()
+    )
+    assert all(a < b for a, b in cold)
+    assert inc._index() is None  # still no index on disk
+
+    inc.process_batch(corpus)
+    before = sorted(spark.read.parquet(idx).inputFiles())
+
+    probe = dup
+    q_pairs = set((r["id_a"], r["id_b"]) for r in inc.query(probe).collect())
+    after_query = sorted(spark.read.parquet(idx).inputFiles())
+    assert after_query == before  # read-only
+
+    p_pairs = set(
+        (r["id_a"], r["id_b"]) for r in inc.process_batch(probe).collect()
+    )
+    assert q_pairs == p_pairs  # same snapshot semantics as the write path
+    assert len(q_pairs) >= 10  # the duplicated docs pair with their originals
+
+
+def test_merge_paths_seeded_self_differential(spark):
+    """Seeded random keyed pipelines produce identical tables through
+    the general union-merge path and the single-emission fast path —
+    the same contract the round-5 differential pins, swept over random
+    policy/None/empty-key layouts."""
+    import random
+
+    from etielle_spark import Field, etl, get
+    from etielle_spark import fluent as fl
+    from etielle_spark.policies import (
+        AddPolicy,
+        AppendPolicy,
+        FirstNonNullPolicy,
+        MaxPolicy,
+        MinPolicy,
+    )
+
+    pol_mk = [
+        lambda: None,
+        AddPolicy,
+        AppendPolicy,
+        MinPolicy,
+        MaxPolicy,
+        FirstNonNullPolicy,
+    ]
+    for seed in range(8):
+        rng = random.Random(1000 + seed)
+        docs = [
+            {
+                "k": rng.choice([None, "", "k1", "k2", "k3"]),
+                "a": rng.choice([None, rng.randint(0, 9)]),
+                "b": rng.choice([None, "", "x", "y"]),
+            }
+            for _ in range(rng.randint(4, 24))
+        ]
+        pa = rng.choice(pol_mk)()
+        pb = rng.choice(pol_mk)()
+
+        def run():
+            res = (
+                etl({"docs": docs}, spark=spark)
+                .goto("docs")
+                .each()
+                .map_to(
+                    "t",
+                    fields=[
+                        Field("k", get("k")),
+                        Field("a", get("a"), merge=pa),
+                        Field("b", get("b"), merge=pb),
+                    ],
+                    join_on=["k"],
+                )
+                .run()
+            )
+            norm = lambda v: tuple(v) if isinstance(v, list) else v
+            return sorted(
+                (r["k"], norm(r["a"]), norm(r["b"])) for r in res.rows("t")
+            )
+
+        fast = run()
+        fl._FAST_SINGLE_EMISSION = False
+        try:
+            general = run()
+        finally:
+            fl._FAST_SINGLE_EMISSION = True
+        assert fast == general, f"seed {seed}: {fast} != {general}"
+
+
+def test_skip_path_seeded_self_differential(spark):
+    """Seeded random grouped DataFrame roots produce identical tables
+    with the distinct-key skip on and off (the skip only ever fires on
+    provably one-row-per-key frames, so it must be invisible)."""
+    import random
+
+    from etielle_spark import Field, etl, get
+    from etielle_spark import fluent as fl
+
+    for seed in range(5):
+        rng = random.Random(2000 + seed)
+        rows = [
+            (rng.randint(1, 5), rng.randint(0, 99))
+            for _ in range(rng.randint(3, 40))
+        ]
+        src = spark.createDataFrame(rows, "k long, v long")
+        grouped = src.groupBy("k").agg(
+            F.sum("v").alias("s"), F.max("v").alias("m")
+        )
+
+        def run():
+            res = (
+                etl(grouped, spark=spark)
+                .map_to(
+                    "t",
+                    fields=[
+                        Field("k", get("k")),
+                        Field("s", get("s")),
+                        Field("m", get("m")),
+                    ],
+                    join_on=["k"],
+                )
+                .run()
+            )
+            return sorted((r["k"], r["s"], r["m"]) for r in res.rows("t"))
+
+        on = run()
+        fl._DISTINCT_KEY_SKIP = False
+        try:
+            off = run()
+        finally:
+            fl._DISTINCT_KEY_SKIP = True
+        assert on == off, f"seed {seed}"
