@@ -185,6 +185,24 @@ def ann_recall(
     )
 
 
+def _cell_scores(
+    vec: Column,
+    centroids: list[tuple[int, list[float]]],
+    round_cosine: int | None,
+) -> Column:
+    """array<struct<c: cosine, nid: -cell_id>> against a literal
+    codebook — struct ordering makes ``array_max`` pick highest cosine,
+    then smallest cell id.  Shared by :func:`ivf_topk` and the
+    persistent IVF index so both assign cells identically."""
+    entries = []
+    for cid, cvec in centroids:
+        cos = cosine(vec, F.array(*[F.lit(float(x)) for x in cvec]))
+        if round_cosine is not None:
+            cos = F.round(cos, round_cosine)
+        entries.append(F.struct(cos.alias("c"), F.lit(-cid).alias("nid")))
+    return F.array(*entries)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -221,15 +239,7 @@ def ivf_topk(
         raise ValueError("ivf_topk: no centroids (empty corpus?)")
 
     def cell_scores(vec: Column) -> Column:
-        # array<struct<c: cosine, nid: -cell_id>> — struct ordering makes
-        # array_max pick highest cosine, then smallest cell id
-        entries = []
-        for cid, cvec in centroids:
-            cos = cosine(vec, F.array(*[F.lit(float(x)) for x in cvec]))
-            if round_cosine is not None:
-                cos = F.round(cos, round_cosine)
-            entries.append(F.struct(cos.alias("c"), F.lit(-cid).alias("nid")))
-        return F.array(*entries)
+        return _cell_scores(vec, centroids, round_cosine)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

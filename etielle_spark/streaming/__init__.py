@@ -55,6 +55,7 @@ __all__ = [
     "session_agg",
 ]
 
+from .incremental_ann import PersistentIVFIndex
 from .incremental_cms import IncrementalCMS
 from .incremental_drift import (
     IncrementalBinnedKS,
@@ -69,4 +70,5 @@ __all__ += [
     "IncrementalPSI",
     "IncrementalBinnedKS",
     "IncrementalCMS",
+    "PersistentIVFIndex",
 ]

@@ -1,0 +1,272 @@
+"""Persistent IVF index: disk-backed approximate nearest-neighbor
+search over an embedding corpus that grows batch by batch.
+
+The batch operator (``operators/similarity.py: ivf_topk``) re-assigns
+the whole corpus to cells on every call; at 100 TB the corpus must be
+assigned ONCE, laid out so a query touches only its probed cells, and
+extended incrementally as new documents arrive.  This index is that
+layout:
+
+- ``build`` trains/loads a codebook (driver-resident by construction —
+  an IVF codebook is KBs), assigns every vector to its closest cell
+  with the same literal-centroid projection as ``ivf_topk`` (one scan,
+  no shuffle except the ``partitionBy`` write clustering), and writes
+  the vectors PARTITIONED BY CELL, so the physical layout IS the
+  inverted file.
+- ``add`` assigns new vectors under the frozen codebook and appends —
+  map-only per batch.
+- ``query`` probes each query's ``nprobe`` closest cells: the probed
+  cell set is collected driver-side (|queries| x nprobe ids — the
+  query side is small by contract, same as ``brute_force_topk``) and
+  applied as a STATIC partition filter, so the parquet scan reads
+  ``nprobe/nlist`` of the data regardless of corpus size; candidates
+  then broadcast-join on the cell and rank on rounded cosine (ties ->
+  neighbor id), the ``ivf_topk``/q31 determinism idiom.
+- ``compact`` bounds per-cell file counts after many ``add`` batches
+  (the duplicate-window is exact: the read path dedups candidates on
+  (query, neighbor) before ranking).
+
+The codebook manifest freezes (dim, nlist, rounding) — vectors
+assigned under one codebook and probed under another are silent recall
+loss, the same hazard class the LSH/CMS/drift geometry manifests close,
+so a mismatched reopen RAISES.
+
+Reference scope note: the reference (etielle) has no ANN surface; this
+is part of the engine's training-data extension family (SemDedup, IVF,
+LSH top-k) and composes with ``operators/similarity.py: ann_recall``
+as its acceptance gate.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from .incremental_drift import _check_geometry, _path_missing
+
+
+class PersistentIVFIndex:
+    """Disk-backed IVF index at ``index_dir``: a ``_meta`` geometry
+    manifest, a ``_centroids`` codebook, and ``vectors/cell=N/``
+    parquet partitions."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        nlist: int = 16,
+        round_cosine: int = 6,
+    ) -> None:
+        if nlist < 1:
+            raise ValueError(f"nlist must be >= 1, got {nlist}")
+        self.spark = spark
+        self.index_dir = index_dir.rstrip("/")
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.nlist = nlist
+        self.round_cosine = round_cosine
+        self._centroids_cache: list[tuple[int, list[float]]] | None = None
+
+    # -- codebook ----------------------------------------------------
+
+    def _centroids_dir(self) -> str:
+        return self.index_dir + "/_centroids"
+
+    def _load_centroids(self) -> list[tuple[int, list[float]]]:
+        """The frozen codebook (cached per instance — it never changes
+        after build; a new codebook is a new index)."""
+        if self._centroids_cache is not None:
+            return self._centroids_cache
+        try:
+            rows = self.spark.read.json(self._centroids_dir()).collect()
+        except Exception as e:
+            if _path_missing(e):
+                raise ValueError(
+                    f"PersistentIVFIndex: no codebook at {self.index_dir} — "
+                    "call build() first"
+                )
+            raise
+        cents = sorted(
+            (int(r["cell"]), [float(x) for x in r["vec"]]) for r in rows
+        )
+        if not cents:
+            raise ValueError(
+                f"PersistentIVFIndex: empty codebook at {self.index_dir}"
+            )
+        self._centroids_cache = cents
+        return cents
+
+    def _check_meta(self, dim: int) -> None:
+        _check_geometry(
+            self.spark,
+            self.index_dir + "/_meta",
+            "PersistentIVFIndex",
+            self.index_dir,
+            {
+                "dim": dim,
+                "nlist": self.nlist,
+                "round_cosine": self.round_cosine,
+            },
+        )
+
+    # -- assignment (shared with ivf_topk) ---------------------------
+
+    def _assign(self, docs: DataFrame) -> DataFrame:
+        from ..operators.similarity import _cell_scores
+
+        cents = self._load_centroids()
+        v = F.col(self.vec_col).cast("array<double>")
+        return docs.select(
+            F.col(self.id_col).alias("__id"), v.alias("__vec")
+        ).withColumn(
+            "cell",
+            -F.array_max(
+                _cell_scores(F.col("__vec"), cents, self.round_cosine)
+            ).getField("nid"),
+        )
+
+    # -- lifecycle ---------------------------------------------------
+
+    def build(
+        self,
+        corpus: DataFrame,
+        *,
+        centroids: list[tuple[int, list[float]]] | None = None,
+    ) -> None:
+        """Create the index from ``corpus``.  ``centroids`` defaults to
+        the deterministic hash-ordered sample ``ivf_topk`` uses (pass a
+        ``kmeans_fit`` codebook for production recall).  Refuses to
+        overwrite an existing codebook — a new codebook invalidates
+        every stored assignment, so that is a new index dir."""
+        from ..operators.similarity import _seed_vectors
+
+        try:
+            if self.spark.read.json(self._centroids_dir()).count() > 0:
+                raise ValueError(
+                    f"PersistentIVFIndex: {self.index_dir} already has a "
+                    "codebook; build() on a fresh dir (assignments are "
+                    "frozen to their codebook)"
+                )
+        except Exception as e:
+            if not _path_missing(e):
+                raise
+        if centroids is None:
+            centroids = _seed_vectors(
+                corpus, self.id_col, self.vec_col, self.nlist
+            )
+        if not centroids:
+            raise ValueError("PersistentIVFIndex.build: empty corpus")
+        dim = len(centroids[0][1])
+        self._check_meta(dim)
+        self.spark.createDataFrame(
+            [(int(c), [float(x) for x in vec]) for c, vec in centroids],
+            "cell long, vec array<double>",
+        ).coalesce(1).write.mode("overwrite").json(self._centroids_dir())
+        self._centroids_cache = None
+        self.add(corpus)
+
+    def add(self, docs: DataFrame) -> None:
+        """Assign ``docs`` under the frozen codebook and append — the
+        per-batch ingest path (map-only: one literal-codebook projection
+        plus the partitioned write's clustering)."""
+        cents = self._load_centroids()
+        self._check_meta(len(cents[0][1]))
+        self._assign(docs).write.mode("append").partitionBy("cell").parquet(
+            self.index_dir + "/vectors"
+        )
+
+    def query(
+        self,
+        queries: DataFrame,
+        *,
+        k: int = 10,
+        nprobe: int = 3,
+        exclude_self: bool = True,
+    ) -> DataFrame:
+        """Top-``k`` neighbors from the ``nprobe`` closest cells per
+        query.  Returns ``(query_id, neighbor_id, cosine, rank)`` —
+        the ``ivf_topk`` schema, so :func:`ann_recall` gates it
+        directly.  With ``nprobe >= nlist`` this is exhaustive."""
+        from ..operators.similarity import _cell_scores, cosine
+
+        cents = self._load_centroids()
+        self._check_meta(len(cents[0][1]))
+        q = queries.select(
+            F.col(self.id_col).alias("query_id"),
+            F.col(self.vec_col).cast("array<double>").alias("qv"),
+        )
+        probed = F.slice(
+            F.reverse(
+                F.array_sort(
+                    _cell_scores(F.col("qv"), cents, self.round_cosine)
+                )
+            ),
+            1,
+            min(nprobe, len(cents)),
+        )
+        q = q.withColumn("cell", F.explode(probed.getField("nid"))).withColumn(
+            "cell", -F.col("cell")
+        )
+        # static partition pruning: the probed cell set is |queries| x
+        # nprobe ids, driver-bounded because the query side is small by
+        # contract (the brute_force_topk broadcast contract)
+        cells = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+        vecs = (
+            self.spark.read.parquet(self.index_dir + "/vectors")
+            .filter(F.col("cell").isin(cells))
+            .select(
+                F.col("__id").alias("neighbor_id"),
+                F.col("__vec").alias("cv"),
+                "cell",
+            )
+        )
+        cos = F.round(cosine(F.col("qv"), F.col("cv")), self.round_cosine)
+        scored = vecs.join(F.broadcast(q), "cell")
+        if exclude_self:
+            scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+        scored = scored.select(
+            "query_id", "neighbor_id", cos.alias("cosine")
+        ).dropDuplicates(["query_id", "neighbor_id"])
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
+
+    def compact(self, *, min_files: int = 8, target_files: int = 1) -> int:
+        """Rewrite cells whose partition holds >= ``min_files`` files as
+        ``target_files`` files each; returns the number of cells
+        compacted.  Safe under the flat idempotent contract: the query
+        path dedups candidates on (query, neighbor) before ranking, so
+        the crash window where old and new files coexist cannot change
+        any result."""
+        from .compaction import compact_flat_parquet
+
+        jvm = self.spark.sparkContext._jvm
+        root = jvm.org.apache.hadoop.fs.Path(self.index_dir + "/vectors")
+        fs = root.getFileSystem(
+            self.spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        if not fs.exists(root):
+            return 0
+        done = 0
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("cell=")):
+                continue
+            if compact_flat_parquet(
+                self.spark,
+                f"{self.index_dir}/vectors/{name}",
+                min_files=min_files,
+                target_files=target_files,
+            ):
+                done += 1
+        return done

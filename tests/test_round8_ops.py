@@ -286,3 +286,109 @@ def test_skip_path_seeded_self_differential(spark):
         finally:
             fl._DISTINCT_KEY_SKIP = True
         assert on == off, f"seed {seed}"
+
+
+class TestPersistentIVFIndex:
+    def _index(self, spark, tmp_path, name="ivf", **kw):
+        from etielle_spark.streaming.incremental_ann import PersistentIVFIndex
+
+        return PersistentIVFIndex(
+            spark, str(tmp_path / name), nlist=kw.pop("nlist", 8), **kw
+        )
+
+    def _emb(self, spark, lo=0, hi=200):
+        return (
+            spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+            .filter(f"vec_id >= {lo} and vec_id < {hi}")
+        )
+
+    def test_exhaustive_probe_matches_batch_exact(self, spark, tmp_path):
+        """nprobe >= nlist probes every cell — the index must reproduce
+        brute-force cosine top-k exactly (ann_recall == 1.0 per query)."""
+        from etielle_spark.operators.similarity import ann_recall, brute_force_topk
+
+        emb = self._emb(spark)
+        idx = self._index(spark, tmp_path)
+        idx.build(emb)
+        q = emb.filter("vec_id < 3")
+        approx = idx.query(q, k=5, nprobe=8)
+        exact = brute_force_topk(emb, q, "vec_id", "embedding", k=5)
+        recalls = [r["recall"] for r in ann_recall(exact, approx).collect()]
+        assert recalls and all(r == pytest.approx(1.0) for r in recalls)
+
+    def test_query_equals_ivf_topk_same_codebook(self, spark, tmp_path):
+        """The persisted layout must not change results: query() with
+        the seed codebook returns exactly what the batch ivf_topk
+        returns for the same (nlist, nprobe)."""
+        from etielle_spark.operators.similarity import ivf_topk
+
+        emb = self._emb(spark)
+        idx = self._index(spark, tmp_path)
+        idx.build(emb)
+        q = emb.filter("vec_id < 3")
+        mine = idx.query(q, k=5, nprobe=3)
+        batch = ivf_topk(emb, q, "vec_id", "embedding", k=5, nlist=8, nprobe=3)
+        as_set = lambda df: {
+            (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+            for r in df.collect()
+        }
+        assert as_set(mine) == as_set(batch)
+
+    def test_add_extends_the_searchable_corpus(self, spark, tmp_path):
+        emb = self._emb(spark, 0, 100)
+        more = self._emb(spark, 100, 200)
+        idx = self._index(spark, tmp_path)
+        idx.build(emb)
+        q = emb.filter("vec_id < 2")
+        before = {
+            (r["query_id"], r["neighbor_id"])
+            for r in idx.query(q, k=200, nprobe=8).collect()
+        }
+        assert all(nid < 100 for _, nid in before)
+        idx.add(more)
+        after = {
+            (r["query_id"], r["neighbor_id"])
+            for r in idx.query(q, k=200, nprobe=8).collect()
+        }
+        assert any(nid >= 100 for _, nid in after)
+
+    def test_compact_preserves_results_and_shrinks_files(self, spark, tmp_path):
+        emb = self._emb(spark, 0, 60)
+        idx = self._index(spark, tmp_path, nlist=2)
+        idx.build(emb)
+        for lo in range(60, 140, 20):
+            idx.add(self._emb(spark, lo, lo + 20))
+        q = emb.filter("vec_id < 2")
+        before = sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in idx.query(q, k=10, nprobe=2).collect()
+        )
+        files_before = len(
+            spark.read.parquet(str(tmp_path / "ivf") + "/vectors").inputFiles()
+        )
+        assert idx.compact(min_files=2) >= 1
+        files_after = len(
+            spark.read.parquet(str(tmp_path / "ivf") + "/vectors").inputFiles()
+        )
+        assert files_after < files_before
+        after = sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in idx.query(q, k=10, nprobe=2).collect()
+        )
+        assert after == before
+
+    def test_geometry_and_codebook_guards(self, spark, tmp_path):
+        from etielle_spark.streaming.incremental_ann import PersistentIVFIndex
+
+        emb = self._emb(spark, 0, 50)
+        idx = self._index(spark, tmp_path)
+        with pytest.raises(ValueError, match="no codebook"):
+            idx.query(emb.filter("vec_id < 2"))
+        idx.build(emb)
+        with pytest.raises(ValueError, match="already has a codebook"):
+            idx.build(emb)
+        # reopening with different geometry raises instead of silently
+        # mis-probing
+        other = PersistentIVFIndex(spark, str(tmp_path / "ivf"), nlist=4)
+        with pytest.raises(ValueError, match="geometry|built with"):
+            other.add(self._emb(spark, 50, 60))
