@@ -362,6 +362,42 @@ def streaming_incremental_dedup(spark) -> float:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def index_ivf_lifecycle(spark) -> float:
+    """Persistent IVF index at bench scale: build on 80% of the
+    embeddings table, append the rest in 4 batches, then probe 16
+    queries at nprobe=3 against the cell-partitioned layout
+    (streaming/incremental_ann.py)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etielle_spark.streaming.incremental_ann import PersistentIVFIndex
+
+    work = tempfile.mkdtemp(prefix="bench_ivf_")
+    try:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        hi = emb.agg(F.max("vec_id")).collect()[0][0]
+        cut = int(hi * 0.8)
+        step = max(1, (hi - cut) // 4)
+
+        t0 = time.perf_counter()
+        idx = PersistentIVFIndex(spark, f"{work}/ivf", nlist=16)
+        idx.build(emb.filter(F.col("vec_id") <= cut))
+        for lo in range(cut + 1, hi + 1, step):
+            idx.add(
+                emb.filter(
+                    (F.col("vec_id") > lo - 1) & (F.col("vec_id") <= lo + step - 1)
+                )
+            )
+        n = idx.query(
+            emb.filter("vec_id < 16"), k=10, nprobe=3
+        ).count()
+        assert n > 0
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
 
 # --- 10x scale curve (round-3 VERDICT ask #3) -------------------------------
 
@@ -612,6 +648,7 @@ def main() -> None:
         "streaming_ref_workload_users_posts_8k": streaming_reference_workload,
         "streaming_incremental_dedup": streaming_incremental_dedup,
         "streaming_incremental_cms": streaming_incremental_cms,
+        "index_ivf_lifecycle": index_ivf_lifecycle,
     }
     # phase isolation: drop every cached relation the headline phase left
     # behind (Spark's cache manager never releases them on its own —

@@ -71,6 +71,7 @@ class PersistentIVFIndex:
         self.nlist = nlist
         self.round_cosine = round_cosine
         self._centroids_cache: list[tuple[int, list[float]]] | None = None
+        self._meta_checked = False
 
     # -- codebook ----------------------------------------------------
 
@@ -102,6 +103,11 @@ class PersistentIVFIndex:
         return cents
 
     def _check_meta(self, dim: int) -> None:
+        # checked once per instance (the IncrementalLSHDedup idiom):
+        # geometry never changes after build, so a steady-state ingest
+        # loop must not pay a JSON manifest read per batch
+        if self._meta_checked:
+            return
         _check_geometry(
             self.spark,
             self.index_dir + "/_meta",
@@ -113,6 +119,7 @@ class PersistentIVFIndex:
                 "round_cosine": self.round_cosine,
             },
         )
+        self._meta_checked = True
 
     # -- assignment (shared with ivf_topk) ---------------------------
 
