@@ -248,6 +248,23 @@ class PersistentIVFIndex:
             .select("query_id", "neighbor_id", "cosine", "rank")
         )
 
+    def attach(self, *, compact_every: int | None = None) -> "callable":
+        """``foreachBatch`` adapter: returns a ``(df, batch_id)``
+        callable that ingests each micro-batch under the frozen
+        codebook (``build()`` must have run).  A replayed batch
+        re-appends the same vectors, which is EXACT for the read path:
+        ``query`` dedups candidates on (query, neighbor) before
+        ranking, so duplicate rows cannot change any result — the same
+        contract that makes the LSH index replay-safe.
+        ``compact_every=N`` folds per-cell files every N batches."""
+
+        def _fn(df: DataFrame, batch_id: int) -> None:
+            self.add(df)
+            if compact_every and batch_id % compact_every == compact_every - 1:
+                self.compact(min_files=2)
+
+        return _fn
+
     def compact(self, *, min_files: int = 8, target_files: int = 1) -> int:
         """Rewrite cells whose partition holds >= ``min_files`` files as
         ``target_files`` files each; returns the number of cells

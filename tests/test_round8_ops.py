@@ -392,3 +392,44 @@ class TestPersistentIVFIndex:
         other = PersistentIVFIndex(spark, str(tmp_path / "ivf"), nlist=4)
         with pytest.raises(ValueError, match="geometry|built with"):
             other.add(self._emb(spark, 50, 60))
+
+
+def test_ivf_attach_streams_batches_and_replay_is_exact(spark, tmp_path):
+    """PersistentIVFIndex.attach ingests a real readStream; a replayed
+    batch (same rows appended twice) cannot change query results — the
+    candidate dedup makes duplicate vector rows invisible."""
+    from etielle_spark.streaming.incremental_ann import PersistentIVFIndex
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter("vec_id < 200")
+    )
+    src = str(tmp_path / "src")
+    emb.filter("vec_id >= 100").repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    idx = PersistentIVFIndex(spark, str(tmp_path / "ivf"), nlist=4)
+    idx.build(emb.filter("vec_id < 100"))
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(idx.attach(compact_every=2))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    queries = emb.filter("vec_id < 2")
+    before = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in idx.query(queries, k=10, nprobe=4).collect()
+    )
+    assert any(nid >= 100 for _, nid, _ in before)  # streamed rows searchable
+    # simulate a replay: re-append one batch's rows verbatim
+    idx.add(emb.filter("vec_id >= 100 and vec_id < 130"))
+    after = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in idx.query(queries, k=10, nprobe=4).collect()
+    )
+    assert after == before
