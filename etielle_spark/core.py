@@ -75,6 +75,15 @@ def has_marker_fields(dtype: T.DataType) -> bool:
 
 
 def _stripped_type(dtype: T.DataType) -> T.DataType:
+    # a serialize-time variant wrapper STRIPS TO VARIANT: the value side
+    # (strip_marker_fields) parses the wrapper's JSON, so the declared
+    # type must say VariantType too — reporting the wrapper struct here
+    # made downstream casts (e.g. _project_to's devoid cast) try
+    # ``cast(variant AS struct<__variant__: string>)`` on a NESTED
+    # wrapper field, a runtime INVALID_VARIANT_CAST (found by fuzz
+    # shape 3, seed 77)
+    if is_variant_wrapper(dtype):
+        return T.VariantType()
     if isinstance(dtype, T.StructType):
         keep = [f for f in dtype.fields if f.name not in MARKER_FIELDS]
         if not keep:
