@@ -433,3 +433,32 @@ def test_ivf_attach_streams_batches_and_replay_is_exact(spark, tmp_path):
         for r in idx.query(queries, k=10, nprobe=4).collect()
     )
     assert after == before
+
+
+def test_ivf_empty_queries_and_missing_index_edges(spark, tmp_path):
+    """Edge sweep for the IVF index: zero queries -> empty stable-schema
+    result; build on an empty corpus raises; add of an empty batch is a
+    no-op for results."""
+    from etielle_spark.streaming.incremental_ann import PersistentIVFIndex
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter("vec_id < 80")
+    )
+    idx = PersistentIVFIndex(spark, str(tmp_path / "ivf"), nlist=4)
+    with pytest.raises(ValueError, match="empty corpus"):
+        idx.build(emb.filter("vec_id < 0"))
+    idx.build(emb)
+    out = idx.query(emb.filter("vec_id < 0"), k=5)
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    assert out.count() == 0
+    before = sorted(
+        (r["query_id"], r["neighbor_id"])
+        for r in idx.query(emb.filter("vec_id < 2"), k=5, nprobe=4).collect()
+    )
+    idx.add(emb.filter("vec_id < 0"))  # empty append
+    after = sorted(
+        (r["query_id"], r["neighbor_id"])
+        for r in idx.query(emb.filter("vec_id < 2"), k=5, nprobe=4).collect()
+    )
+    assert after == before
