@@ -10972,3 +10972,81 @@ def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = ranked(F.col("embedding").cast("array<double>"))
     trunc = ranked(F.slice(F.col("embedding").cast("array<double>"), 1, 8))
     return ann_recall(full, trunc)
+
+
+@q(
+    "q242_unimax_resample",
+    """
+    WITH RECURSIVE b AS (
+      SELECT CAST(sum(n_chars) AS DOUBLE) * 0.5 AS bud
+      FROM documents WHERE lang IS NOT NULL
+    ),
+    g AS (
+      SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS sz,
+             row_number() OVER (
+               ORDER BY CAST(sum(n_chars) AS DOUBLE), lang) AS rn,
+             count(*) OVER () AS n
+      FROM documents WHERE lang IS NOT NULL GROUP BY lang
+    ),
+    w AS (
+      SELECT g.rn, g.n, g.lang, g.sz,
+             least(g.sz * 0.65, b.bud / g.n) AS alloc,
+             b.bud - least(g.sz * 0.65, b.bud / g.n) AS rem
+      FROM g, b WHERE g.rn = 1
+      UNION ALL
+      SELECT g.rn, g.n, g.lang, g.sz,
+             least(g.sz * 0.65, w.rem / (g.n - w.rn)),
+             w.rem - least(g.sz * 0.65, w.rem / (g.n - w.rn))
+      FROM g JOIN w ON g.rn = w.rn + 1
+    ),
+    wt AS (
+      SELECT lang,
+             round(round(alloc, 6) / CAST(sz AS BIGINT), 9) AS epochs
+      FROM w
+    ),
+    u AS (
+      SELECT d.doc_id, d.lang, wt.epochs,
+             ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE
+               / 4294967296.0 AS unif
+      FROM documents d JOIN wt USING (lang)
+      WHERE d.lang IS NOT NULL
+    ),
+    n AS (
+      SELECT doc_id, lang,
+             (floor(epochs) + (unif < epochs - floor(epochs))::INT)::INT
+               AS n_copies
+      FROM u
+    )
+    SELECT doc_id, lang, unnest(range(0, n_copies))::BIGINT AS copy_idx
+    FROM n WHERE n_copies > 0
+    """,
+)
+def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end UniMax corpus balancing: the q240 waterfill allocation
+    converted to per-language epoch weights and fanned out through the
+    deterministic md5 mixture (operators/clusters.py: unimax_mixture ->
+    mixture_resample).  The allocation table is a driver-side collect
+    (one row per language); the fan-out is the shuffle-free ``sequence``
+    explode.  Weights round to 9 decimals before the fractional-copy
+    test (the temperature_mixture boundary idiom) so Spark and the
+    DuckDB replay agree on boundary rows."""
+    from .operators.clusters import mixture_resample, unimax_mixture
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    total = (
+        docs.filter(F.col("lang").isNotNull()).agg(F.sum("n_chars")).collect()[0][0]
+    )
+    alloc = unimax_mixture(
+        docs, "lang", size_col="n_chars", budget=total * 0.5, max_epochs=0.65
+    ).collect()
+    weights = {
+        r["group"]: round(r["alloc_budget"] / r["group_size"], 9) for r in alloc
+    }
+    out = mixture_resample(
+        docs.filter(F.col("lang").isNotNull()).select("doc_id", "lang"),
+        "doc_id",
+        "lang",
+        weights,
+        default_weight=0.0,
+    )
+    return out.select("doc_id", "lang", "copy_idx")
