@@ -1728,8 +1728,25 @@ def _assemble_table(
             f.name for f in ord_t.fields
         ] == ["r", "w", "e"]
         ord_col = F.col(_ORD).getField("w") if slim else F.col(_ORD)
+        # all-atomic LWW fields aggregate PER FIELD: a scalar
+        # max_by(col, ord) buffer is hash-mutable, so the whole merge
+        # plans as a codegen'd HashAggregate; the whole-row
+        # max_by(struct(...), ord) falls to SortAggregate (immutable
+        # struct buffer), which sorts every partition twice at any
+        # scale.  Identical semantics because the arrival order is
+        # unique per row — every per-field max_by picks the same
+        # winning row the struct pick would.  Non-atomic fields keep
+        # the one-struct form (per-field would still SortAggregate,
+        # just with more buffers).
+        atomic_lww = all(
+            isinstance(df.schema[n].dataType, T.AtomicType) for n in lww_fields
+        )
         aggs = []
-        if lww_fields:
+        if lww_fields and atomic_lww:
+            aggs.extend(
+                F.max_by(F.col(n), ord_col).alias(n) for n in lww_fields
+            )
+        elif lww_fields:
             aggs.append(
                 F.max_by(
                     F.struct(*[F.col(n).alias(n) for n in lww_fields]),
@@ -1747,7 +1764,7 @@ def _assemble_table(
         grouped = df.groupBy(*[F.col(k) for k in join_on]).agg(*aggs)
         sel = [
             F.col("__row").getField(n).alias(n)
-            if n in lww_fields
+            if n in lww_fields and not atomic_lww
             else F.col(n)
             for n in field_order
         ]
