@@ -377,10 +377,12 @@ def unimax_mixture(
     epochs into :func:`mixture_resample` for the actual row fan-out.
 
     NULL groups are unaddressable mixture identities and are excluded
-    (the ``pack_counts`` contract).  Ties in group size break on the
-    group name so the allocation is engine-reproducible.  Returns one
-    row per group: ``(group, group_size, alloc_budget, weight)``, the
-    floats rounded to 6 decimals for engine-stable comparison.
+    (the ``pack_counts`` contract); a group whose sizes are ALL NULL has
+    no measurable mass and is likewise dropped rather than given a NULL
+    allocation.  Ties in group size break on the group name so the
+    allocation is engine-reproducible.  Returns one row per group:
+    ``(group, group_size, alloc_budget, weight)``, the floats rounded
+    to 6 decimals for engine-stable comparison.
     """
     if budget <= 0:
         raise ValueError(f"budget must be > 0, got {budget}")

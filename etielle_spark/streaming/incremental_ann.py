@@ -201,6 +201,10 @@ class PersistentIVFIndex:
         directly.  With ``nprobe >= nlist`` this is exhaustive."""
         from ..operators.similarity import _cell_scores, cosine
 
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        if nprobe < 1:
+            raise ValueError(f"nprobe must be >= 1, got {nprobe}")
         cents = self._load_centroids()
         self._check_meta(len(cents[0][1]))
         q = queries.select(

@@ -462,3 +462,36 @@ def test_ivf_empty_queries_and_missing_index_edges(spark, tmp_path):
         for r in idx.query(emb.filter("vec_id < 2"), k=5, nprobe=4).collect()
     )
     assert after == before
+
+
+def test_unimax_all_null_sizes_group_dropped(spark):
+    """A group whose sizes are all NULL has no measurable mass: dropped
+    from the allocation (not given a NULL row), and its absence must not
+    distort the remaining groups' split."""
+    df = spark.createDataFrame(
+        [("a", 10), ("ghost", None), ("b", 30)], "lang string, n long"
+    )
+    out = {
+        r["group"]: r["alloc_budget"]
+        for r in unimax_mixture(
+            df, "lang", size_col="n", budget=20.0, max_epochs=1.0
+        ).collect()
+    }
+    assert set(out) == {"a", "b"}
+    assert out["a"] == pytest.approx(10.0)  # capped at 1 epoch
+    assert out["b"] == pytest.approx(10.0)  # the rest of the budget
+
+
+def test_ivf_query_guards(spark, tmp_path):
+    from etielle_spark.streaming.incremental_ann import PersistentIVFIndex
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter("vec_id < 40")
+    )
+    idx = PersistentIVFIndex(spark, str(tmp_path / "ivf"), nlist=2)
+    idx.build(emb)
+    with pytest.raises(ValueError, match="nprobe"):
+        idx.query(emb.limit(1), nprobe=0)
+    with pytest.raises(ValueError, match="k must"):
+        idx.query(emb.limit(1), k=0)
