@@ -1575,6 +1575,10 @@ _FAST_SINGLE_EMISSION = True
 # test treatment)
 _DISTINCT_KEY_SKIP = True
 
+# escape hatch for the per-field (hash-aggregable) LWW form; False
+# restores the whole-row struct max_by (tests A/B the two)
+_PER_FIELD_LWW = True
+
 
 def _keys_provably_distinct(df: DataFrame, join_on: list[str]) -> bool:
     """True when Catalyst PROVES the emission frame has at most one row
@@ -1738,7 +1742,7 @@ def _assemble_table(
         # winning row the struct pick would.  Non-atomic fields keep
         # the one-struct form (per-field would still SortAggregate,
         # just with more buffers).
-        atomic_lww = all(
+        atomic_lww = _PER_FIELD_LWW and all(
             isinstance(df.schema[n].dataType, T.AtomicType) for n in lww_fields
         )
         aggs = []

@@ -235,12 +235,17 @@ def test_merge_paths_seeded_self_differential(spark):
             )
 
         fast = run()
-        fl._FAST_SINGLE_EMISSION = False
         try:
+            fl._PER_FIELD_LWW = False
+            struct_form = run()
+            fl._PER_FIELD_LWW = True
+            fl._FAST_SINGLE_EMISSION = False
             general = run()
         finally:
             fl._FAST_SINGLE_EMISSION = True
+            fl._PER_FIELD_LWW = True
         assert fast == general, f"seed {seed}: {fast} != {general}"
+        assert fast == struct_form, f"seed {seed}: per-field != struct LWW"
 
 
 def test_skip_path_seeded_self_differential(spark):
