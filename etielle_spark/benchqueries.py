@@ -10847,6 +10847,7 @@ def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY CAST(sum(n_chars) AS DOUBLE), lang) AS rn,
              count(*) OVER () AS n
       FROM documents WHERE lang IS NOT NULL GROUP BY lang
+      HAVING sum(n_chars) IS NOT NULL
     ),
     w AS (
       SELECT g.rn, g.n, g.lang, g.sz,
@@ -10987,6 +10988,7 @@ def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY CAST(sum(n_chars) AS DOUBLE), lang) AS rn,
              count(*) OVER () AS n
       FROM documents WHERE lang IS NOT NULL GROUP BY lang
+      HAVING sum(n_chars) IS NOT NULL
     ),
     w AS (
       SELECT g.rn, g.n, g.lang, g.sz,

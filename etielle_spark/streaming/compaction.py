@@ -82,18 +82,16 @@ def _parquet_files(spark: SparkSession, path: str) -> list[str]:
 
 def _read_manifests(spark: SparkSession, state_dir: str):
     """(live_epoch_rels, folded_rels, next_epoch_id).  Epoch data dirs
-    that a LATER epoch folded are in folded_rels like any batch dir."""
+    that a LATER epoch folded are in folded_rels like any batch dir.
+    Driver-side read (streaming/manifest.py) — this runs on EVERY
+    merged-state read via ``live_register_files``, so a Spark job here
+    would tax every ``drift()``/``estimate()``/``heavy_hitters()``."""
+    from .manifest import read_json_rows
+
     mdir = state_dir.rstrip("/") + "/" + EPOCH_MANIFESTS
-    try:
-        rows = (
-            spark.read.option("recursiveFileLookup", "true")
-            .json(mdir)
-            .collect()
-        )
-    except Exception as e:
-        if _path_missing(e):
-            return [], set(), 0
-        raise
+    rows = read_json_rows(spark, mdir, recursive=True)
+    if rows is None:
+        return [], set(), 0
     folded: set[str] = set()
     by_epoch: dict[int, str] = {}
     for r in rows:
@@ -210,11 +208,12 @@ def compact_registers(
     # the commit point: one append-only manifest (its own dir per epoch,
     # never rewritten) flips the folded sources out of the read set and
     # the epoch data in, atomically from the reader's perspective
-    spark.createDataFrame(
-        [(next_epoch, data_rel, sources)],
-        "epoch long, data string, folded array<string>",
-    ).coalesce(1).write.mode("overwrite").json(
-        f"{base}/{EPOCH_MANIFESTS}/e{next_epoch:06d}"
+    from .manifest import write_json_rows
+
+    write_json_rows(
+        spark,
+        f"{base}/{EPOCH_MANIFESTS}/e{next_epoch:06d}",
+        [{"epoch": next_epoch, "data": data_rel, "folded": sources}],
     )
 
     for rel in sources:

@@ -39,12 +39,10 @@ as its acceptance gate.
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from .incremental_drift import _check_geometry, _path_missing
+from .incremental_drift import _check_geometry
 
 
 class PersistentIVFIndex:
@@ -80,32 +78,40 @@ class PersistentIVFIndex:
 
     def _load_centroids(self) -> list[tuple[int, list[float]]]:
         """The frozen codebook (cached per instance — it never changes
-        after build; a new codebook is a new index)."""
+        after build; a new codebook is a new index).  Driver-side read
+        (streaming/manifest.py): the codebook is KBs by construction,
+        and a fresh instance must not pay a Spark job to open it."""
         if self._centroids_cache is not None:
             return self._centroids_cache
-        try:
-            rows = self.spark.read.json(self._centroids_dir()).collect()
-        except Exception as e:
-            if _path_missing(e):
-                raise ValueError(
-                    f"PersistentIVFIndex: no codebook at {self.index_dir} — "
-                    "call build() first"
-                )
-            raise
+        from .manifest import read_json_rows
+
+        rows = read_json_rows(self.spark, self._centroids_dir())
+        if not rows:
+            raise ValueError(
+                f"PersistentIVFIndex: no codebook at {self.index_dir} — "
+                "call build() first"
+            )
         cents = sorted(
             (int(r["cell"]), [float(x) for x in r["vec"]]) for r in rows
         )
-        if not cents:
-            raise ValueError(
-                f"PersistentIVFIndex: empty codebook at {self.index_dir}"
-            )
         self._centroids_cache = cents
         return cents
+
+    def _geometry_fields(self, dim: int) -> dict:
+        return {
+            "dim": dim,
+            "nlist": self.nlist,
+            "round_cosine": self.round_cosine,
+        }
 
     def _check_meta(self, dim: int) -> None:
         # checked once per instance (the IncrementalLSHDedup idiom):
         # geometry never changes after build, so a steady-state ingest
-        # loop must not pay a JSON manifest read per batch
+        # loop must not pay a JSON manifest read per batch.  The manifest
+        # doubles as build()'s commit marker (written LAST), so a MISSING
+        # manifest raises — a codebook without it is a crashed build whose
+        # vector set may be partial, the silent-recall-loss hazard this
+        # module exists to close.
         if self._meta_checked:
             return
         _check_geometry(
@@ -113,11 +119,8 @@ class PersistentIVFIndex:
             self.index_dir + "/_meta",
             "PersistentIVFIndex",
             self.index_dir,
-            {
-                "dim": dim,
-                "nlist": self.nlist,
-                "round_cosine": self.round_cosine,
-            },
+            self._geometry_fields(dim),
+            on_missing="raise",
         )
         self._meta_checked = True
 
@@ -148,34 +151,58 @@ class PersistentIVFIndex:
         """Create the index from ``corpus``.  ``centroids`` defaults to
         the deterministic hash-ordered sample ``ivf_topk`` uses (pass a
         ``kmeans_fit`` codebook for production recall).  Refuses to
-        overwrite an existing codebook — a new codebook invalidates
-        every stored assignment, so that is a new index dir."""
-        from ..operators.similarity import _seed_vectors
+        overwrite a built index — a new codebook invalidates every
+        stored assignment, so that is a new index dir.
 
-        try:
-            if self.spark.read.json(self._centroids_dir()).count() > 0:
-                raise ValueError(
-                    f"PersistentIVFIndex: {self.index_dir} already has a "
-                    "codebook; build() on a fresh dir (assignments are "
-                    "frozen to their codebook)"
-                )
-        except Exception as e:
-            if not _path_missing(e):
-                raise
+        Crash-atomic (the streaming/compaction.py crash-window
+        discipline): the geometry manifest is written LAST, as the
+        build-complete marker.  A crash anywhere before it leaves an
+        index that ``add()``/``query()`` REFUSE (no marker) instead of
+        silently searching a partial corpus, and a re-run of ``build()``
+        clears the crashed attempt's codebook/vectors before starting
+        clean."""
+        from ..operators.similarity import _seed_vectors
+        from .compaction import _hadoop_delete
+        from .manifest import read_json_rows, write_json_rows
+
+        if read_json_rows(self.spark, self.index_dir + "/_meta"):
+            raise ValueError(
+                f"PersistentIVFIndex: {self.index_dir} already has a "
+                "codebook; build() on a fresh dir (assignments are "
+                "frozen to their codebook)"
+            )
         if centroids is None:
             centroids = _seed_vectors(
                 corpus, self.id_col, self.vec_col, self.nlist
             )
         if not centroids:
             raise ValueError("PersistentIVFIndex.build: empty corpus")
-        dim = len(centroids[0][1])
-        self._check_meta(dim)
-        self.spark.createDataFrame(
-            [(int(c), [float(x) for x in vec]) for c, vec in centroids],
-            "cell long, vec array<double>",
-        ).coalesce(1).write.mode("overwrite").json(self._centroids_dir())
-        self._centroids_cache = None
-        self.add(corpus)
+        # no marker: any codebook/vectors here are a crashed build's
+        # partial state (possibly assigned under different centroids) —
+        # garbage by contract, cleared before the clean rebuild
+        _hadoop_delete(self.spark, self._centroids_dir(), True)
+        _hadoop_delete(self.spark, self.index_dir + "/vectors", True)
+        cents = sorted(
+            (int(c), [float(x) for x in vec]) for c, vec in centroids
+        )
+        dim = len(cents[0][1])
+        write_json_rows(
+            self.spark,
+            self._centroids_dir(),
+            [{"cell": c, "vec": v} for c, v in cents],
+        )
+        self._centroids_cache = cents
+        self._ingest(corpus)
+        # the commit point: geometry manifest == build-complete marker
+        write_json_rows(
+            self.spark, self.index_dir + "/_meta", [self._geometry_fields(dim)]
+        )
+        self._meta_checked = True
+
+    def _ingest(self, docs: DataFrame) -> None:
+        self._assign(docs).write.mode("append").partitionBy("cell").parquet(
+            self.index_dir + "/vectors"
+        )
 
     def add(self, docs: DataFrame) -> None:
         """Assign ``docs`` under the frozen codebook and append — the
@@ -183,9 +210,7 @@ class PersistentIVFIndex:
         plus the partitioned write's clustering)."""
         cents = self._load_centroids()
         self._check_meta(len(cents[0][1]))
-        self._assign(docs).write.mode("append").partitionBy("cell").parquet(
-            self.index_dir + "/vectors"
-        )
+        self._ingest(docs)
 
     def query(
         self,
@@ -252,7 +277,7 @@ class PersistentIVFIndex:
             .select("query_id", "neighbor_id", "cosine", "rank")
         )
 
-    def attach(self, *, compact_every: int | None = None) -> "callable":
+    def attach(self, *, compact_every: int | None = 8) -> "callable":
         """``foreachBatch`` adapter: returns a ``(df, batch_id)``
         callable that ingests each micro-batch under the frozen
         codebook (``build()`` must have run).  A replayed batch
@@ -260,7 +285,14 @@ class PersistentIVFIndex:
         ``query`` dedups candidates on (query, neighbor) before
         ranking, so duplicate rows cannot change any result — the same
         contract that makes the LSH index replay-safe.
-        ``compact_every=N`` folds per-cell files every N batches."""
+
+        ``compact_every=N`` folds per-cell files every N batches —
+        every ``add()`` appends at least one file per touched cell, so
+        an UNcompacted 1-doc-per-trigger stream grows
+        O(batches x cells) files; the default cadence bounds steady
+        state at ~``compact_every`` files/cell.  Pass ``None`` to
+        manage compaction yourself (``files_per_cell()`` is the
+        cadence probe)."""
 
         def _fn(df: DataFrame, batch_id: int) -> None:
             self.add(df)
@@ -268,6 +300,32 @@ class PersistentIVFIndex:
                 self.compact(min_files=2)
 
         return _fn
+
+    def files_per_cell(self) -> dict[int, int]:
+        """Driver-side FS probe: data-file count per cell partition —
+        the compaction-cadence signal (many ``add()`` batches push the
+        per-cell file count up; ``compact()`` folds it back down).
+        Empty dict when no vectors have been written."""
+        jvm = self.spark.sparkContext._jvm
+        root = jvm.org.apache.hadoop.fs.Path(self.index_dir + "/vectors")
+        fs = root.getFileSystem(
+            self.spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        if not fs.exists(root):
+            return {}
+        out: dict[int, int] = {}
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("cell=")):
+                continue
+            n = sum(
+                1
+                for f in fs.listStatus(st.getPath())
+                if not f.isDirectory()
+                and not f.getPath().getName().startswith((".", "_"))
+            )
+            out[int(name[len("cell="):])] = n
+        return out
 
     def compact(self, *, min_files: int = 8, target_files: int = 1) -> int:
         """Rewrite cells whose partition holds >= ``min_files`` files as

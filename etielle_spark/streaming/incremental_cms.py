@@ -65,7 +65,6 @@ from ..operators.sketches import cms_cells, cms_estimate_topk
 from .incremental_drift import (
     _attach_token,
     _merged_counts,
-    _path_missing,
     _write_registers,
 )
 
@@ -118,12 +117,9 @@ class IncrementalCMS:
         the monitor owns the dir)."""
         if self._meta_checked:
             return
-        rows = None
-        try:
-            rows = self.spark.read.json(self._meta_dir).collect()
-        except Exception as e:
-            if not _path_missing(e):
-                raise
+        from .manifest import read_json_rows, write_json_rows
+
+        rows = read_json_rows(self.spark, self._meta_dir)
         if rows:
             d, w = int(rows[0]["depth"]), int(rows[0]["width"])
             if (d, w) != (self.depth, self.width):
@@ -134,9 +130,11 @@ class IncrementalCMS:
                     "a new baseline; use a fresh state dir."
                 )
         else:
-            self.spark.createDataFrame(
-                [(self.depth, self.width)], "depth long, width long"
-            ).coalesce(1).write.mode("overwrite").json(self._meta_dir)
+            write_json_rows(
+                self.spark,
+                self._meta_dir,
+                [{"depth": self.depth, "width": self.width}],
+            )
         self._meta_checked = True
 
     def _occurrences(self, df: DataFrame) -> DataFrame:

@@ -306,28 +306,21 @@ class IncrementalExactDedup:
             raise
 
     def _read_meta(self) -> tuple[int, int] | None:
-        """Persisted (num_bits, num_hashes) of the on-disk filter."""
-        try:
-            rows = self.spark.read.json(self.bloom_dir + "/_meta").collect()
-        except Exception as e:
-            if _path_missing(e):
-                return None
-            raise
+        """Persisted (num_bits, num_hashes) of the on-disk filter —
+        driver-side read (streaming/manifest.py), no Spark job."""
+        from .manifest import read_json_rows
+
+        rows = read_json_rows(self.spark, self.bloom_dir + "/_meta")
         if not rows:
             return None
         return int(rows[0]["num_bits"]), int(rows[0]["num_hashes"])
 
     def _read_covered(self) -> set[str]:
         """Index files already folded into the on-disk filter."""
-        try:
-            return {
-                r["file"]
-                for r in self.spark.read.json(self.bloom_dir + "/_covered").collect()
-            }
-        except Exception as e:
-            if _path_missing(e):
-                return set()
-            raise
+        from .manifest import read_json_rows
+
+        rows = read_json_rows(self.spark, self.bloom_dir + "/_covered")
+        return {r["file"] for r in rows} if rows else set()
 
     def _sync_bloom(self, idx_files: list[str]) -> None:
         """Bring the word table up to cover every file in ``idx_files``.
@@ -372,13 +365,19 @@ class IncrementalExactDedup:
                 num_bits=self.bloom_bits,
                 num_hashes=self.bloom_hashes,
             ).write.mode("overwrite").parquet(self.bloom_dir)
-        self.spark.createDataFrame(
-            [params], "num_bits long, num_hashes long"
-        ).coalesce(1).write.mode("overwrite").json(self.bloom_dir + "/_meta")
+        from .manifest import write_json_rows
+
+        write_json_rows(
+            self.spark,
+            self.bloom_dir + "/_meta",
+            [{"num_bits": params[0], "num_hashes": params[1]}],
+        )
         all_covered = covered | set(uncovered)
-        self.spark.createDataFrame(
-            [(f,) for f in sorted(all_covered)], "file string"
-        ).coalesce(1).write.mode("overwrite").json(self.bloom_dir + "/_covered")
+        write_json_rows(
+            self.spark,
+            self.bloom_dir + "/_covered",
+            [{"file": f} for f in sorted(all_covered)],
+        )
         # caches updated only after both manifests are durably written,
         # so a crash mid-sync re-reads the true state next time — and the
         # word table changed, so the merged-words cache is stale
@@ -538,11 +537,13 @@ class IncrementalExactDedup:
         for f in old:
             _hadoop_delete(self.spark, f, False)
         if self.bloom_bits is not None and self._covered_cache is not None:
+            from .manifest import write_json_rows
+
             covered = (self._covered_cache - set(old)) | set(new)
-            self.spark.createDataFrame(
-                [(f,) for f in sorted(covered)], "file string"
-            ).coalesce(1).write.mode("overwrite").json(
-                self.bloom_dir + "/_covered"
+            write_json_rows(
+                self.spark,
+                self.bloom_dir + "/_covered",
+                [{"file": f} for f in sorted(covered)],
             )
             self._covered_cache = covered
             # word content unchanged; compact the word FILES too and

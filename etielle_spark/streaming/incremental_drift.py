@@ -73,17 +73,22 @@ def _check_geometry(
     owner: str,
     state_dir: str,
     fields: dict,
+    *,
+    on_missing: str = "write",
 ) -> None:
     """Validate (writing on first contact) a sketch-geometry manifest:
     state written under one geometry merged/probed under another is
     silent garbage (mis-bucketed registers, mismatched band digests), so
-    a mismatch RAISES — a new geometry is a new index/baseline."""
-    rows = None
-    try:
-        rows = spark.read.json(meta_dir).collect()
-    except Exception as e:
-        if not _path_missing(e):
-            raise
+    a mismatch RAISES — a new geometry is a new index/baseline.
+
+    All I/O is driver-side (streaming/manifest.py) — the manifest is one
+    JSON row, and paying a Spark job per touch was the round-8
+    ``streaming_incremental_dedup`` regression.  ``on_missing="raise"``
+    turns the first-contact write into an error, for indexes whose
+    manifest doubles as a build-complete marker (PersistentIVFIndex)."""
+    from .manifest import read_json_rows, write_json_rows
+
+    rows = read_json_rows(spark, meta_dir)
     want = {k: int(v) for k, v in fields.items()}
     if rows:
         got = {k: int(rows[0][k]) for k in fields}
@@ -93,11 +98,15 @@ def _check_geometry(
                 f"{want} — a new geometry is a new index/baseline; use a "
                 "fresh dir."
             )
+    elif on_missing == "raise":
+        raise ValueError(
+            f"{owner}: no geometry manifest at {meta_dir} — the index at "
+            f"{state_dir} was never built, or a build crashed before its "
+            "commit marker; (re)run build() (a fresh dir if the old one "
+            "holds partial state)."
+        )
     else:
-        schema = ", ".join(f"{k} long" for k in fields)
-        spark.createDataFrame(
-            [tuple(want[k] for k in fields)], schema
-        ).coalesce(1).write.mode("overwrite").json(meta_dir)
+        write_json_rows(spark, meta_dir, [want])
 
 
 def _write_registers(
@@ -149,13 +158,12 @@ def _read_edges_manifest(
     """The frozen-edge manifest, or None when it has never been written.
     A manifest that is MISSING while register state exists is corruption
     (re-freezing edges would silently mix registers binned under
-    different grids), so that case raises instead of re-freezing."""
-    rows = None
-    try:
-        rows = spark.read.json(edges_dir).collect()
-    except Exception as e:
-        if not _path_missing(e):
-            raise
+    different grids), so that case raises instead of re-freezing.
+    Driver-side read (streaming/manifest.py) — this runs once per
+    ``process_batch``, so a Spark job here would be a per-batch tax."""
+    from .manifest import read_json_rows
+
+    rows = read_json_rows(spark, edges_dir)
     if not rows:
         if _merged_counts(spark, state_dir, "bin") is not None:
             raise ValueError(
@@ -439,9 +447,13 @@ class _BinnedValueMonitor:
                     f"baseline group {self.baseline_group!r} — the baseline "
                     "must arrive before scoring starts"
                 )
-            self.spark.createDataFrame(
-                [(self.bins, edges)], "bins long, edges array<double>"
-            ).coalesce(1).write.mode("overwrite").json(self._edges_dir)
+            from .manifest import write_json_rows
+
+            write_json_rows(
+                self.spark,
+                self._edges_dir,
+                [{"bins": self.bins, "edges": [float(e) for e in edges]}],
+            )
         _write_registers(
             psi_bin_counts(src, "__v", "__g", edges, bins=self.bins),
             self.state_dir,

@@ -1,0 +1,140 @@
+"""Driver-side JSON manifest I/O for the incremental monitors' tiny
+(KB-scale) state manifests — geometry pins, frozen bin edges, bloom
+coverage lists, IVF codebooks, compaction epoch manifests.
+
+These were originally read/written with ``spark.read.json`` /
+``createDataFrame().coalesce(1).write.json``, each a full Spark job —
+scheduler round-trip, task launch, commit protocol — a multi-second
+fixed cost per touch for one row of JSON (measured as the entire
+``streaming_incremental_dedup`` 8.2 -> 13.6 s round-8 bench
+regression: first contact with a fresh index paid a read-miss job plus
+a write job).  A one-row manifest needs a *filesystem* read, not a
+distributed job, so everything here goes through the Hadoop
+``FileSystem`` API directly — which resolves the same way Spark's own
+data paths do (local, HDFS, S3A, ABFS, ...), runs entirely on the
+driver, and launches no job.
+
+Layout contract (back-compatible with the Spark-written dirs): a
+manifest at ``<path>`` is a DIRECTORY holding JSON-lines files.  This
+module writes exactly one non-hidden file ``data.json`` (hidden tmp
+file + same-directory rename, so a reader never observes a torn
+manifest), and reads EVERY non-hidden file under the path — old
+``part-*.json`` manifests written by Spark keep reading, and
+``spark.read.json(path)`` still reads the new layout (external tooling
+and a few tests do).
+
+Error discipline (the ``_path_missing`` contract): a MISSING path reads
+as ``None`` ("never written"); unparseable content RAISES — a torn or
+corrupt manifest is corruption and must surface, never silently read as
+"no state yet" (for the geometry manifests that silent read would
+rewrite the pin and wave mismatched state through).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import SparkSession
+
+
+def _fs_for(spark: SparkSession, path_str: str):
+    """(jvm, Path, FileSystem) for a path string, resolved through the
+    session's Hadoop configuration — the same resolution Spark's own
+    readers use, so the manifests live wherever the state parquet does."""
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return jvm, p, fs
+
+
+def _read_text(jvm, fs, path) -> str:
+    """Whole-file read through the Hadoop stream API (manifests are KB
+    by contract, so a line loop over the py4j bridge is fine)."""
+    stream = fs.open(path)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        while True:
+            line = reader.readLine()
+            if line is None:
+                break
+            lines.append(line)
+        return "\n".join(lines)
+    finally:
+        stream.close()
+
+
+def _data_files(fs, status, out: list, recursive: bool) -> None:
+    """Collect non-hidden data files under a status.  Hidden children
+    (``_SUCCESS``, ``.data.json.tmp`` leftovers, dot files) are skipped
+    at every level — the Hadoop listing convention — but the ROOT path
+    itself may be underscore-named (``_meta``, ``_edges``, ...)."""
+    if status.isDirectory():
+        for child in fs.listStatus(status.getPath()):
+            name = child.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            if child.isDirectory():
+                if recursive:
+                    _data_files(fs, child, out, recursive)
+            else:
+                out.append(child.getPath())
+    else:
+        out.append(status.getPath())
+
+
+def read_json_rows(
+    spark: SparkSession, path: str, *, recursive: bool = False
+) -> list[dict] | None:
+    """Parse every JSON line under ``path`` (driver-side, no Spark job).
+    Returns ``None`` when the path has never been written (missing, or
+    holds no data file / no line); raises ``ValueError`` on unparseable
+    content — a torn manifest must surface, never read as 'no state'."""
+    jvm, p, fs = _fs_for(spark, path)
+    if not fs.exists(p):
+        return None
+    files: list = []
+    _data_files(fs, fs.getFileStatus(p), files, recursive)
+    rows: list[dict] = []
+    for fp in sorted(files, key=str):
+        for line in _read_text(jvm, fs, fp).splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rows.append(json.loads(line))
+            except ValueError as e:
+                raise ValueError(
+                    f"corrupt JSON manifest file {fp} under {path}: {e} — "
+                    "restore the manifest or start a fresh state dir"
+                ) from e
+    return rows or None
+
+
+def write_json_rows(spark: SparkSession, path: str, rows: list[dict]) -> None:
+    """Write ``rows`` as the manifest at ``path`` (driver-side, no Spark
+    job): one JSON-lines file ``<path>/data.json``, via hidden tmp +
+    same-directory rename so a concurrent/crashed reader sees either the
+    previous manifest or the new one, never a torn file.  Replaces any
+    previous content (including an old Spark-written ``part-*`` set)."""
+    jvm, p, fs = _fs_for(spark, path)
+    base = path.rstrip("/")
+    data = "".join(json.dumps(r, sort_keys=True) + "\n" for r in rows)
+    tmp = jvm.org.apache.hadoop.fs.Path(base + "/.data.json.tmp")
+    out = fs.create(tmp, True)  # creates parent dirs
+    try:
+        out.write(bytearray(data.encode("utf-8")))
+    finally:
+        out.close()
+    # drop superseded content (old part files / previous data.json);
+    # hidden names — _SUCCESS, the tmp itself — are never in the read set
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        fs.delete(st.getPath(), True)
+    target = jvm.org.apache.hadoop.fs.Path(base + "/data.json")
+    if not fs.rename(tmp, target):
+        raise IOError(f"manifest rename failed: {tmp} -> {target}")

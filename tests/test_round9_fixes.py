@@ -1,0 +1,257 @@
+"""Round-9 receipts.
+
+1. Manifest I/O off the Spark-job path (streaming/manifest.py): the
+   round-8 VERDICT bisected the streaming_incremental_dedup 8.2->13.6 s
+   bench regression to `_check_geometry` paying a spark.read.json miss
+   plus a createDataFrame().write.json job on first contact with a
+   fresh index.  The contract (mismatched geometry RAISES) is kept; the
+   I/O is now a driver-side Hadoop-FS read/write of one tiny JSON
+   object — these tests pin "no Spark job", torn-manifest surfacing,
+   partial-write crash behavior, and both-direction layout compat.
+2. PersistentIVFIndex build atomicity (round-8 ADVICE): the geometry
+   manifest is written LAST as the build-complete marker; a crashed
+   build is refused by add()/query() and self-healed by a re-run.
+3. PersistentIVFIndex recall receipt (VERDICT #4) and bounded per-cell
+   file growth under the attach() default compaction cadence
+   (VERDICT #5).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def _no_group_jobs(spark):
+    return set(spark.sparkContext.statusTracker().getJobIdsForGroup())
+
+
+# --- 1. manifest I/O runs driver-side -------------------------------------
+
+
+def test_geometry_manifest_check_runs_no_spark_job(spark, tmp_path):
+    """First-contact write, matching re-read, AND the mismatch raise all
+    complete without launching a single Spark job — the entire round-8
+    streaming_incremental_dedup regression was this path costing one
+    read-miss job plus one write job per fresh index."""
+    from etielle_spark.streaming.incremental_drift import _check_geometry
+
+    meta = str(tmp_path / "_meta")
+    before = _no_group_jobs(spark)
+    _check_geometry(spark, meta, "T", str(tmp_path), {"n": 3, "bands": 4})
+    _check_geometry(spark, meta, "T", str(tmp_path), {"n": 3, "bands": 4})
+    with pytest.raises(ValueError, match="built with"):
+        _check_geometry(spark, meta, "T", str(tmp_path), {"n": 5, "bands": 4})
+    assert _no_group_jobs(spark) == before
+
+
+def test_lsh_dedup_first_contact_meta_check_no_job(spark, tmp_path):
+    """The bench-regressed call site itself: a fresh IncrementalLSHDedup
+    instance's first _check_meta on an unborn index dir is job-free."""
+    from etielle_spark.streaming.incremental_dedup import IncrementalLSHDedup
+
+    inc = IncrementalLSHDedup(spark, str(tmp_path / "idx"))
+    before = _no_group_jobs(spark)
+    inc._check_meta()
+    assert _no_group_jobs(spark) == before
+    # and a second instance re-reading the written manifest: still no job
+    again = IncrementalLSHDedup(spark, str(tmp_path / "idx"))
+    before = _no_group_jobs(spark)
+    again._check_meta()
+    assert _no_group_jobs(spark) == before
+
+
+def test_torn_manifest_raises_never_silent(spark, tmp_path):
+    """Unparseable manifest content is corruption and must SURFACE — a
+    silent 'no state yet' read would rewrite the geometry pin and wave
+    mismatched registers through."""
+    from etielle_spark.streaming.incremental_drift import _check_geometry
+    from etielle_spark.streaming.manifest import read_json_rows, write_json_rows
+
+    d = tmp_path / "_meta"
+    write_json_rows(spark, str(d), [{"n": 3}])
+    assert read_json_rows(spark, str(d)) == [{"n": 3}]
+    (d / "data.json").write_text('{"n": 3')  # torn mid-object
+    # the local FS also keeps a Hadoop .crc sidecar; drop it so the read
+    # reaches the JSON parser (with it, the checksum layer raises first —
+    # also a surfaced error, pinned below)
+    (d / ".data.json.crc").unlink()
+    with pytest.raises(ValueError, match="corrupt"):
+        read_json_rows(spark, str(d))
+    with pytest.raises(ValueError, match="corrupt"):
+        _check_geometry(spark, str(d), "T", str(tmp_path), {"n": 3})
+
+
+def test_checksum_mismatch_surfaces(spark, tmp_path):
+    """Out-of-band tampering that trips the Hadoop checksum layer also
+    SURFACES (as the FS's own error) — never reads as 'no state'."""
+    from etielle_spark.streaming.manifest import read_json_rows, write_json_rows
+
+    d = tmp_path / "_meta"
+    write_json_rows(spark, str(d), [{"n": 3}])
+    (d / "data.json").write_text('{"n": 9}\n')  # stale .crc now mismatches
+    with pytest.raises(Exception, match="Checksum|checksum"):
+        read_json_rows(spark, str(d))
+
+
+def test_partial_manifest_write_reads_as_missing(spark, tmp_path):
+    """A crash BEFORE the tmp->data.json rename leaves only the hidden
+    tmp file: that reads as 'never written' (the write never committed),
+    so the next first-contact write simply completes it."""
+    from etielle_spark.streaming.incremental_drift import _check_geometry
+    from etielle_spark.streaming.manifest import read_json_rows
+
+    d = tmp_path / "_meta"
+    d.mkdir()
+    (d / ".data.json.tmp").write_text('{"n": 3}\n')
+    assert read_json_rows(spark, str(d)) is None
+    _check_geometry(spark, str(d), "T", str(tmp_path), {"n": 4})
+    assert read_json_rows(spark, str(d)) == [{"n": 4}]
+
+
+def test_manifest_layout_compat_both_directions(spark, tmp_path):
+    """Old Spark-written part-file manifests keep reading through the
+    driver-side path (existing state dirs stay valid), and Spark itself
+    can read the new single-file layout (external tooling does)."""
+    from etielle_spark.streaming.incremental_drift import _check_geometry
+    from etielle_spark.streaming.manifest import read_json_rows, write_json_rows
+
+    old = str(tmp_path / "old_meta")
+    spark.createDataFrame(
+        [(8, 4)], "num_hashes long, bands long"
+    ).coalesce(1).write.json(old)
+    rows = read_json_rows(spark, old)
+    assert rows and int(rows[0]["bands"]) == 4
+    _check_geometry(spark, old, "T", "s", {"num_hashes": 8, "bands": 4})
+    with pytest.raises(ValueError, match="built with"):
+        _check_geometry(spark, old, "T", "s", {"num_hashes": 8, "bands": 5})
+    # a driver-side rewrite replaces the Spark part files cleanly
+    write_json_rows(spark, old, [{"num_hashes": 9, "bands": 4}])
+    assert [int(r["num_hashes"]) for r in read_json_rows(spark, old)] == [9]
+    # forward direction: Spark reads the new layout
+    new = str(tmp_path / "new_meta")
+    write_json_rows(spark, new, [{"a": 1}, {"a": 2}])
+    assert spark.read.json(new).count() == 2
+
+
+def test_epoch_manifests_read_driver_side(spark, tmp_path):
+    """Compaction's epoch manifests go through the same driver-side
+    path: after a fold, deriving the live register set launches no job
+    for the MANIFEST read (the register data read itself is Spark)."""
+    from etielle_spark.streaming.compaction import _read_manifests
+    from etielle_spark.streaming.incremental_drift import IncrementalVocabDrift
+
+    mon = IncrementalVocabDrift(
+        spark, str(tmp_path / "s"), n_buckets=64, run_id="r9"
+    )
+    for b in range(6):
+        mon.process_batch(
+            spark.createDataFrame([(f"w{b} common text", "g")], "text string, lang string"),
+            batch_id=b,
+        )
+    assert mon.compact(keep_recent=2)
+    before = _no_group_jobs(spark)
+    live, folded, nxt = _read_manifests(spark, str(tmp_path / "s"))
+    assert _no_group_jobs(spark) == before
+    assert nxt == 1 and live and folded
+
+
+# --- 2. IVF build atomicity ------------------------------------------------
+
+
+def _emb(spark, cond="vec_id < 120"):
+    return spark.read.parquet(EMB).filter(cond)
+
+
+def test_ivf_crashed_build_refused_then_selfheals(spark, tmp_path):
+    """A build that crashed before its commit marker (codebook +
+    vectors present, _meta absent) must be REFUSED by add()/query()
+    instead of silently searching a partial corpus, and a re-run of
+    build() must clear the leftovers and reproduce a clean build."""
+    import shutil
+
+    from etielle_spark.streaming.incremental_ann import PersistentIVFIndex
+
+    emb = _emb(spark)
+    q = emb.filter("vec_id < 3")
+    idx_dir = str(tmp_path / "ivf")
+    idx = PersistentIVFIndex(spark, idx_dir, nlist=4)
+    idx.build(emb)
+    clean = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in idx.query(q, k=5, nprobe=4).collect()
+    )
+    # simulate the crash window: marker gone, partial state behind
+    shutil.rmtree(idx_dir + "/_meta")
+    fresh = PersistentIVFIndex(spark, idx_dir, nlist=4)
+    with pytest.raises(ValueError, match="no geometry manifest"):
+        fresh.add(emb.filter("vec_id < 2"))
+    with pytest.raises(ValueError, match="no geometry manifest"):
+        fresh.query(q)
+    # self-heal: rebuild clears the crashed attempt and completes
+    healed = PersistentIVFIndex(spark, idx_dir, nlist=4)
+    healed.build(emb)
+    again = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in healed.query(q, k=5, nprobe=4).collect()
+    )
+    assert again == clean
+
+
+# --- 3. IVF recall receipt + bounded file growth ----------------------------
+
+
+def test_ivf_recall_receipt_seed_and_kmeans_codebooks(spark, tmp_path):
+    """VERDICT r8 #4: turn the 'pass a kmeans_fit codebook for
+    production recall' docstring claim into numbers.  At nprobe=nlist
+    the index is exhaustive (recall 1.0 per query); at nprobe=3/16 the
+    mean recall@10 clears a pinned floor with BOTH the deterministic
+    seed codebook and a kmeans_fit codebook.  (The synthetic embeddings
+    are near-isotropic, so nprobe=3 recall sits near the
+    geometry-bound ~0.43 — measured seed 0.425 / kmeans 0.4625 here,
+    0.41 / 0.44 at sf0.01; real clustered corpora sit far higher.)"""
+    from etielle_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        kmeans_fit,
+    )
+    from etielle_spark.streaming.incremental_ann import PersistentIVFIndex
+
+    emb = spark.read.parquet(EMB)
+    q = emb.filter("vec_id < 8")
+    exact = brute_force_topk(emb, q, "vec_id", "embedding", k=10)
+    km = kmeans_fit(emb, "vec_id", "embedding", nlist=16, n_iter=2)
+    km_cents = sorted(
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in km.collect()
+    )
+    for tag, cents in (("seed", None), ("kmeans", km_cents)):
+        idx = PersistentIVFIndex(spark, str(tmp_path / f"ivf_{tag}"), nlist=16)
+        idx.build(emb, centroids=cents)
+        full = ann_recall(exact, idx.query(q, k=10, nprobe=16)).collect()
+        assert full and all(r["recall"] == pytest.approx(1.0) for r in full)
+        part = ann_recall(exact, idx.query(q, k=10, nprobe=3)).collect()
+        mean = sum(r["recall"] for r in part) / len(part)
+        assert mean >= 0.35, f"{tag} nprobe=3 mean recall {mean}"
+
+
+def test_ivf_attach_default_bounds_files_per_cell(spark, tmp_path):
+    """VERDICT r8 #5: a many-batch ingest under attach()'s DEFAULT
+    cadence keeps per-cell file counts bounded (~compact_every), instead
+    of growing O(batches x cells); files_per_cell() is the probe."""
+    from etielle_spark.streaming.incremental_ann import PersistentIVFIndex
+
+    emb = spark.read.parquet(EMB)
+    idx = PersistentIVFIndex(spark, str(tmp_path / "ivf"), nlist=2)
+    idx.build(emb.filter("vec_id < 40"))
+    fn = idx.attach()  # default compact cadence
+    for b in range(20):
+        lo = 40 + 2 * b
+        fn(emb.filter(f"vec_id >= {lo} and vec_id < {lo + 2}"), b)
+    fpc = idx.files_per_cell()
+    assert fpc, "no cells written"
+    # 20 one-file-per-cell appends uncompacted would exceed 20 files in
+    # some cell; the default cadence (compact every 8) bounds it
+    assert max(fpc.values()) <= 10, fpc
+    # and the index still answers
+    assert idx.query(emb.filter("vec_id < 2"), k=5, nprobe=2).count() > 0
