@@ -11052,3 +11052,77 @@ def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_weight=0.0,
     )
     return out.select("doc_id", "lang", "copy_idx")
+
+
+@q(
+    "q243_pq_adc_topk",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS ci,
+             e AS ce
+      FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    spaces AS (SELECT unnest(range(0, 8)) AS j),
+    dists AS (
+      SELECT v.vec_id, s.j, c.ci,
+             round(list_sum([
+               (v.e[s.j * 8 + k] - c.ce[s.j * 8 + k]) ^ 2
+               for k in range(1, 9)
+             ]), 6) AS d
+      FROM v CROSS JOIN spaces s CROSS JOIN cent c
+    ),
+    best AS (
+      SELECT vec_id, j, ci,
+             row_number() OVER (PARTITION BY vec_id, j ORDER BY d, ci) AS rk
+      FROM dists
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, s.j, c.ci,
+             round(list_sum([
+               (q.e[s.j * 8 + k] - c.ce[s.j * 8 + k]) ^ 2
+               for k in range(1, 9)
+             ]), 6) AS d
+      FROM v q CROSS JOIN spaces s CROSS JOIN cent c
+      WHERE q.vec_id < 8
+    ),
+    adc AS (
+      SELECT l.query_id, b.vec_id AS neighbor_id, round(sum(l.d), 6) AS adc_dist
+      FROM best b JOIN lut l ON l.j = b.j AND l.ci = b.ci
+      WHERE b.rk = 1 AND b.vec_id != l.query_id
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS r
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, adc_dist, r::BIGINT AS rank
+    FROM rk WHERE r <= 10
+    """,
+)
+def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search (operators/similarity.py: pq_topk)
+    over the q115 encoding: the corpus is touched only as its
+    (id, subspace, code) bytes, each query precomputes an
+    m x n_centroids L2 lookup table as column expressions, and the ADC
+    distance is the map-side-combined sum of the broadcast-joined LUT
+    entries — the RAM-sized search path of a billion-vector PQ index.
+    The DuckDB oracle replays seed sampling, per-subspace encoding, the
+    LUT, and the ADC ranking exactly (ties -> smaller neighbor id)."""
+    from .operators.similarity import pq_codebooks, pq_codes, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks(emb, "vec_id", "embedding", m=8, n_centroids=16)
+    codes = pq_codes(
+        emb, "vec_id", "embedding", m=8, n_centroids=16, codebooks=cbs
+    )
+    return pq_topk(
+        codes,
+        emb.filter(F.col("vec_id") < 8),
+        "vec_id",
+        "embedding",
+        codebooks=cbs,
+        k=10,
+    )

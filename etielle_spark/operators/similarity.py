@@ -1366,6 +1366,39 @@ def semdedup(
     )
 
 
+def pq_codebooks(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    m: int = 8,
+    n_centroids: int = 16,
+    dim: int | None = None,
+) -> list[list[tuple[int, list[float]]]]:
+    """The deterministic seed codebooks :func:`pq_codes` defaults to —
+    the hash-ordered corpus sample's subvectors, one ``[(code,
+    subvector)]`` list per subspace.  Factored out so encode
+    (:func:`pq_codes`) and search (:func:`pq_topk`) can share ONE
+    codebook object — codes joined against a different codebook's LUT
+    are silently wrong distances, the geometry hazard class the
+    persistent indexes pin with manifests; for these stateless
+    operators codebook identity is the caller's contract.  Production
+    trains per-subspace k-means instead; any equal-dim
+    ``[(code, subvector)]`` lists work."""
+    seeds = _seed_vectors(emb, id_col, vec_col, n_centroids)
+    if not seeds:
+        raise ValueError("pq_codebooks: empty corpus")
+    if dim is None:
+        dim = len(seeds[0][1])
+    if dim % m != 0:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m {m}")
+    sub = dim // m
+    return [
+        [(ci, vec[j * sub : (j + 1) * sub]) for ci, vec in seeds]
+        for j in range(m)
+    ]
+
+
 def pq_codes(
     emb: DataFrame,
     id_col: str,
@@ -1396,22 +1429,12 @@ def pq_codes(
     squared-L2 to the chosen centroid.
     """
     if codebooks is None:
-        seeds = _seed_vectors(emb, id_col, vec_col, n_centroids)
-        if not seeds:
-            raise ValueError("pq_codes: empty corpus")
-        if dim is None:
-            dim = len(seeds[0][1])
-        if dim % m != 0:
-            raise ValueError(f"pq_codes: dim {dim} not divisible by m {m}")
-        sub = dim // m
-        codebooks = [
-            [(ci, vec[j * sub : (j + 1) * sub]) for ci, vec in seeds]
-            for j in range(m)
-        ]
-    else:
-        if dim is None:
-            dim = sum(len(cb[0][1]) for cb in codebooks)
-        sub = dim // m
+        codebooks = pq_codebooks(
+            emb, id_col, vec_col, m=m, n_centroids=n_centroids, dim=dim
+        )
+    if dim is None:
+        dim = sum(len(cb[0][1]) for cb in codebooks)
+    sub = dim // m
 
     v = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
@@ -1449,6 +1472,101 @@ def pq_codes(
     return (
         v.select("id", F.explode(F.array(*per_space)).alias("r"))
         .select("id", "r.subspace", "r.code", "r.dist")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 10,
+    exclude_self: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus — the
+    search half of the :func:`pq_codes` compression lever: the corpus is
+    touched only as its ``(id, subspace, code)`` table (``m`` bytes per
+    vector at <=256 centroids), never as raw floats, so a billion-vector
+    index scans from RAM-sized parquet and every distance evaluation is
+    a table lookup.
+
+    For each query, the squared-L2 from its j-th subvector to EVERY
+    centroid of subspace j is precomputed into a lookup table —
+    ``|queries| x m x n_centroids`` rows, built as pure column
+    expressions on the (small-by-contract) query frame and broadcast.
+    The corpus codes equi-join the LUT on ``(subspace, code)`` and the
+    per-pair ADC distance is the map-side-combined ``sum`` of the m
+    looked-up entries; ranking is ascending distance, ties -> smaller
+    neighbor id (the brute_force_topk determinism idiom).  One corpus
+    scan, one broadcast join, one keyed aggregation, one per-query
+    window — no raw-vector shuffle anywhere.
+
+    ``codebooks`` must be the object that encoded ``codes`` (share one
+    :func:`pq_codebooks` result): codes looked up in a different
+    codebook's LUT are silently wrong distances — the stateless twin of
+    the geometry hazard the persistent indexes pin with manifests.
+    Accuracy is gated like every ANN shortcut here: run
+    :func:`ann_recall` against :func:`brute_force_topk` on a query
+    sample and ship only if recall clears the bar.
+
+    Returns ``(query_id, neighbor_id, adc_dist, rank)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not codebooks or not codebooks[0]:
+        raise ValueError("pq_topk: empty codebooks")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+
+    def sq_l2(a: Column, centroid: list[float]) -> Column:
+        c = F.array(*[F.lit(float(x)) for x in centroid])
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            round_to,
+        )
+
+    entries = []
+    off = 0
+    for j, cb in enumerate(codebooks):
+        subj = len(cb[0][1])
+        subv = F.slice(F.col("qv"), off + 1, subj)
+        for ci, cvec in cb:
+            entries.append(
+                F.struct(
+                    F.lit(j).cast("bigint").alias("subspace"),
+                    F.lit(int(ci)).cast("bigint").alias("code"),
+                    sq_l2(subv, cvec).alias("d"),
+                )
+            )
+        off += subj
+    lut = q.select("query_id", F.explode(F.array(*entries)).alias("r")).select(
+        "query_id", "r.subspace", "r.code", "r.d"
+    )
+
+    scored = (
+        codes.select(F.col("id").alias("neighbor_id"), "subspace", "code")
+        .join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d"), round_to).alias("adc_dist"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
 
 
