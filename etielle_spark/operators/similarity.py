@@ -1366,6 +1366,21 @@ def semdedup(
     )
 
 
+def _sq_l2(a: Column, centroid: list[float], round_to: int = 6) -> Column:
+    """Rounded squared-L2 of an array column against a literal centroid —
+    the shared distance kernel of the PQ family (encode, query LUT, the
+    persistent IVF-PQ index), so every consumer quantizes identically."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        round_to,
+    )
+
+
 def pq_codebooks(
     emb: DataFrame,
     id_col: str,
@@ -1440,24 +1455,13 @@ def pq_codes(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
 
-    def sq_l2(a: Column, centroid: list[float]) -> Column:
-        c = F.array(*[F.lit(float(x)) for x in centroid])
-        return F.round(
-            F.aggregate(
-                F.zip_with(a, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        )
-
     per_space = []
     for j, cb in enumerate(codebooks):
         subv = F.slice(F.col("v"), j * sub + 1, sub)
         best = F.array_min(
             F.array(
                 *[
-                    F.struct(sq_l2(subv, cvec).alias("d"), F.lit(ci).alias("code"))
+                    F.struct(_sq_l2(subv, cvec).alias("d"), F.lit(ci).alias("code"))
                     for ci, cvec in cb
                 ]
             )
@@ -1523,17 +1527,6 @@ def pq_topk(
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
 
-    def sq_l2(a: Column, centroid: list[float]) -> Column:
-        c = F.array(*[F.lit(float(x)) for x in centroid])
-        return F.round(
-            F.aggregate(
-                F.zip_with(a, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            round_to,
-        )
-
     entries = []
     off = 0
     for j, cb in enumerate(codebooks):
@@ -1544,7 +1537,7 @@ def pq_topk(
                 F.struct(
                     F.lit(j).cast("bigint").alias("subspace"),
                     F.lit(int(ci)).cast("bigint").alias("code"),
-                    sq_l2(subv, cvec).alias("d"),
+                    _sq_l2(subv, cvec, round_to).alias("d"),
                 )
             )
         off += subj

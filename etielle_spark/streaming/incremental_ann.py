@@ -25,6 +25,13 @@ layout:
 - ``compact`` bounds per-cell file counts after many ``add`` batches
   (the duplicate-window is exact: the read path dedups candidates on
   (query, neighbor) before ranking).
+- ``pq_m`` turns on IVF-PQ: build/add additionally product-quantize
+  every vector (codebooks frozen at build beside the cell codebook),
+  and ``query_adc`` scans the probed cells as their ``pq_m``-byte code
+  columns only — asymmetric distance against a broadcast per-query
+  LUT, optionally re-ranked exactly over the raw vectors
+  (``refine=R``).  This is the layout that stays RAM-sized when the
+  raw vectors are terabytes.
 
 The codebook manifest freezes (dim, nlist, rounding) — vectors
 assigned under one codebook and probed under another are silent recall
@@ -59,16 +66,30 @@ class PersistentIVFIndex:
         vec_col: str = "embedding",
         nlist: int = 16,
         round_cosine: int = 6,
+        pq_m: int | None = None,
+        pq_centroids: int = 16,
     ) -> None:
+        """``pq_m`` turns on IVF-PQ: vectors are additionally
+        product-quantized into ``pq_m`` codes per vector at build/add
+        time (codebooks frozen at build, persisted beside the cell
+        codebook), and :meth:`query_adc` searches the probed cells by
+        asymmetric distance over the CODE columns only — the scan that
+        stays RAM-sized when raw vectors are terabytes.  PQ geometry is
+        part of the index geometry: a mismatched reopen raises."""
         if nlist < 1:
             raise ValueError(f"nlist must be >= 1, got {nlist}")
+        if pq_m is not None and pq_m < 1:
+            raise ValueError(f"pq_m must be >= 1 or None, got {pq_m}")
         self.spark = spark
         self.index_dir = index_dir.rstrip("/")
         self.id_col = id_col
         self.vec_col = vec_col
         self.nlist = nlist
         self.round_cosine = round_cosine
+        self.pq_m = pq_m
+        self.pq_centroids = int(pq_centroids)
         self._centroids_cache: list[tuple[int, list[float]]] | None = None
+        self._pq_cache: list[list[tuple[int, list[float]]]] | None = None
         self._meta_checked = False
 
     # -- codebook ----------------------------------------------------
@@ -98,11 +119,69 @@ class PersistentIVFIndex:
         return cents
 
     def _geometry_fields(self, dim: int) -> dict:
+        # pq fields are 0 when PQ is off — also what a pre-PQ manifest
+        # reads as, so old indexes reopen cleanly with pq_m=None and
+        # mismatch loudly against a PQ-on instance
         return {
             "dim": dim,
             "nlist": self.nlist,
             "round_cosine": self.round_cosine,
+            "pq_m": self.pq_m or 0,
+            "pq_centroids": self.pq_centroids if self.pq_m else 0,
         }
+
+    # -- PQ codebooks (IVF-PQ mode) -----------------------------------
+
+    def _pq_dir(self) -> str:
+        return self.index_dir + "/_pq"
+
+    def _load_pq(self) -> list[list[tuple[int, list[float]]]]:
+        """The frozen per-subspace PQ codebooks (cached per instance)."""
+        if self._pq_cache is not None:
+            return self._pq_cache
+        from .manifest import read_json_rows
+
+        rows = read_json_rows(self.spark, self._pq_dir())
+        if not rows:
+            raise ValueError(
+                f"PersistentIVFIndex: no PQ codebooks at {self.index_dir} — "
+                "the index was built without pq_m"
+            )
+        by_space: dict[int, list[tuple[int, list[float]]]] = {}
+        for r in rows:
+            by_space.setdefault(int(r["subspace"]), []).append(
+                (int(r["code"]), [float(x) for x in r["vec"]])
+            )
+        cbs = [sorted(by_space[j]) for j in sorted(by_space)]
+        self._pq_cache = cbs
+        return cbs
+
+    def _with_codes(self, assigned: DataFrame) -> DataFrame:
+        """Append the ``__codes`` column (one PQ code per subspace) to an
+        assigned frame — the same literal-codebook projection as
+        ``pq_codes``, map-only."""
+        from ..operators.similarity import _sq_l2
+
+        cbs = self._load_pq()
+        per_space = []
+        off = 0
+        for cb in cbs:
+            subj = len(cb[0][1])
+            subv = F.slice(F.col("__vec"), off + 1, subj)
+            best = F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            _sq_l2(subv, cvec).alias("d"),
+                            F.lit(int(ci)).alias("code"),
+                        )
+                        for ci, cvec in cb
+                    ]
+                )
+            )
+            per_space.append(best.getField("code").cast("long"))
+            off += subj
+        return assigned.withColumn("__codes", F.array(*per_space))
 
     def _check_meta(self, dim: int) -> None:
         # checked once per instance (the IncrementalLSHDedup idiom):
@@ -181,6 +260,7 @@ class PersistentIVFIndex:
         # partial state (possibly assigned under different centroids) —
         # garbage by contract, cleared before the clean rebuild
         _hadoop_delete(self.spark, self._centroids_dir(), True)
+        _hadoop_delete(self.spark, self._pq_dir(), True)
         _hadoop_delete(self.spark, self.index_dir + "/vectors", True)
         cents = sorted(
             (int(c), [float(x) for x in vec]) for c, vec in centroids
@@ -192,6 +272,27 @@ class PersistentIVFIndex:
             [{"cell": c, "vec": v} for c, v in cents],
         )
         self._centroids_cache = cents
+        if self.pq_m:
+            from ..operators.similarity import pq_codebooks
+
+            cbs = pq_codebooks(
+                corpus,
+                self.id_col,
+                self.vec_col,
+                m=self.pq_m,
+                n_centroids=self.pq_centroids,
+                dim=dim,
+            )
+            write_json_rows(
+                self.spark,
+                self._pq_dir(),
+                [
+                    {"subspace": j, "code": int(ci), "vec": list(v)}
+                    for j, cb in enumerate(cbs)
+                    for ci, v in cb
+                ],
+            )
+            self._pq_cache = cbs
         self._ingest(corpus)
         # the commit point: geometry manifest == build-complete marker
         write_json_rows(
@@ -200,7 +301,10 @@ class PersistentIVFIndex:
         self._meta_checked = True
 
     def _ingest(self, docs: DataFrame) -> None:
-        self._assign(docs).write.mode("append").partitionBy("cell").parquet(
+        assigned = self._assign(docs)
+        if self.pq_m:
+            assigned = self._with_codes(assigned)
+        assigned.write.mode("append").partitionBy("cell").parquet(
             self.index_dir + "/vectors"
         )
 
@@ -212,24 +316,15 @@ class PersistentIVFIndex:
         self._check_meta(len(cents[0][1]))
         self._ingest(docs)
 
-    def query(
-        self,
-        queries: DataFrame,
-        *,
-        k: int = 10,
-        nprobe: int = 3,
-        exclude_self: bool = True,
-    ) -> DataFrame:
-        """Top-``k`` neighbors from the ``nprobe`` closest cells per
-        query.  Returns ``(query_id, neighbor_id, cosine, rank)`` —
-        the ``ivf_topk`` schema, so :func:`ann_recall` gates it
-        directly.  With ``nprobe >= nlist`` this is exhaustive."""
-        from ..operators.similarity import _cell_scores, cosine
+    def _probed_queries(self, queries: DataFrame, nprobe: int):
+        """(query frame exploded to its probed cells, sorted probed cell
+        ids).  The cell id set is |queries| x nprobe, driver-bounded
+        because the query side is small by contract (the
+        brute_force_topk broadcast contract); applying it as a static
+        partition filter is what keeps the scan at nprobe/nlist of the
+        corpus regardless of size."""
+        from ..operators.similarity import _cell_scores
 
-        if k < 1:
-            raise ValueError(f"k must be >= 1, got {k}")
-        if nprobe < 1:
-            raise ValueError(f"nprobe must be >= 1, got {nprobe}")
         cents = self._load_centroids()
         self._check_meta(len(cents[0][1]))
         q = queries.select(
@@ -248,10 +343,28 @@ class PersistentIVFIndex:
         q = q.withColumn("cell", F.explode(probed.getField("nid"))).withColumn(
             "cell", -F.col("cell")
         )
-        # static partition pruning: the probed cell set is |queries| x
-        # nprobe ids, driver-bounded because the query side is small by
-        # contract (the brute_force_topk broadcast contract)
         cells = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+        return q, cells
+
+    def query(
+        self,
+        queries: DataFrame,
+        *,
+        k: int = 10,
+        nprobe: int = 3,
+        exclude_self: bool = True,
+    ) -> DataFrame:
+        """Top-``k`` neighbors from the ``nprobe`` closest cells per
+        query.  Returns ``(query_id, neighbor_id, cosine, rank)`` —
+        the ``ivf_topk`` schema, so :func:`ann_recall` gates it
+        directly.  With ``nprobe >= nlist`` this is exhaustive."""
+        from ..operators.similarity import cosine
+
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        if nprobe < 1:
+            raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+        q, cells = self._probed_queries(queries, nprobe)
         vecs = (
             self.spark.read.parquet(self.index_dir + "/vectors")
             .filter(F.col("cell").isin(cells))
@@ -273,6 +386,123 @@ class PersistentIVFIndex:
         )
         return (
             scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
+
+    def query_adc(
+        self,
+        queries: DataFrame,
+        *,
+        k: int = 10,
+        nprobe: int = 3,
+        refine: int | None = None,
+        exclude_self: bool = True,
+    ) -> DataFrame:
+        """IVF-PQ search (requires ``pq_m`` at build): the probed cells
+        are scanned as their CODE columns only — ``pq_m`` longs per
+        vector instead of the raw floats, the column pruning that keeps
+        a billion-vector probe RAM-sized — and scored by asymmetric
+        distance against each query's broadcast ``m x pq_centroids``
+        LUT (the :func:`operators.similarity.pq_topk` kernel, inside
+        the cell-pruned scan).
+
+        ``refine=R`` re-ranks the ADC top ``R*k`` shortlist per query
+        with EXACT cosine over the raw vectors — one additional
+        shortlist-pruned scan of the same probed cells — and returns
+        the :meth:`query` schema ``(query_id, neighbor_id, cosine,
+        rank)``; ``refine=None`` returns ``(query_id, neighbor_id,
+        adc_dist, rank)`` ranked by ascending ADC distance.  Gate
+        either mode with ``ann_recall`` like every ANN shortcut.
+
+        Replay-exact like :meth:`query`: duplicate appended rows are
+        deduplicated per (query, neighbor, subspace) before the ADC sum
+        and per (query, neighbor) before the refine rank."""
+        from ..operators.similarity import _sq_l2, cosine
+
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        if nprobe < 1:
+            raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+        if refine is not None and refine < 1:
+            raise ValueError(f"refine must be >= 1 or None, got {refine}")
+        if not self.pq_m:
+            raise ValueError(
+                "PersistentIVFIndex.query_adc: index opened without pq_m — "
+                "ADC search needs the PQ codes written at build/add time"
+            )
+        cbs = self._load_pq()
+        q, cells = self._probed_queries(queries, nprobe)
+        quniq = q.select("query_id", "qv").dropDuplicates(["query_id"])
+
+        entries = []
+        off = 0
+        for j, cb in enumerate(cbs):
+            subj = len(cb[0][1])
+            subv = F.slice(F.col("qv"), off + 1, subj)
+            for ci, cvec in cb:
+                entries.append(
+                    F.struct(
+                        F.lit(j).cast("long").alias("subspace"),
+                        F.lit(int(ci)).cast("long").alias("code"),
+                        _sq_l2(subv, cvec).alias("d"),
+                    )
+                )
+            off += subj
+        lut = quniq.select(
+            "query_id", F.explode(F.array(*entries)).alias("r")
+        ).select("query_id", "r.subspace", "r.code", "r.d")
+
+        codes = (
+            self.spark.read.parquet(self.index_dir + "/vectors")
+            .filter(F.col("cell").isin(cells))
+            .select(
+                F.col("__id").alias("neighbor_id"),
+                "cell",
+                F.posexplode("__codes").alias("subspace", "code"),
+            )
+            .withColumn("subspace", F.col("subspace").cast("long"))
+        )
+        scored = (
+            codes.join(F.broadcast(q.select("query_id", "cell")), "cell")
+            .dropDuplicates(["query_id", "neighbor_id", "subspace"])
+            .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+        )
+        if exclude_self:
+            scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+        w_adc = Window.partitionBy("query_id").orderBy(
+            F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+        )
+        if refine is None:
+            return (
+                scored.withColumn("rank", F.row_number().over(w_adc))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "adc_dist", "rank")
+            )
+        shortlist = (
+            scored.withColumn("rank", F.row_number().over(w_adc))
+            .filter(F.col("rank") <= refine * k)
+            .select("query_id", "neighbor_id")
+        )
+        raw = (
+            self.spark.read.parquet(self.index_dir + "/vectors")
+            .filter(F.col("cell").isin(cells))
+            .select(F.col("__id").alias("neighbor_id"), F.col("__vec").alias("cv"))
+        )
+        sl = shortlist.join(quniq, "query_id")  # |q| x refine*k rows
+        cos = F.round(cosine(F.col("qv"), F.col("cv")), self.round_cosine)
+        exact = (
+            raw.join(F.broadcast(sl), "neighbor_id")
+            .select("query_id", "neighbor_id", cos.alias("cosine"))
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank")
         )

@@ -91,7 +91,11 @@ def _check_geometry(
     rows = read_json_rows(spark, meta_dir)
     want = {k: int(v) for k, v in fields.items()}
     if rows:
-        got = {k: int(rows[0][k]) for k in fields}
+        # a manifest written before a geometry field existed reads that
+        # field as 0 — the "feature off" value by convention — so old
+        # state opens under the old geometry and mismatches loudly
+        # against any instance that turns the new feature on
+        got = {k: int(rows[0].get(k, 0)) for k in fields}
         if got != want:
             raise ValueError(
                 f"{owner}: state at {state_dir} was built with {got}, not "

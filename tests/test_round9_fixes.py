@@ -331,3 +331,93 @@ def test_pq_topk_guards_shape_and_recall_lever(spark):
     assert means[8] >= 0.08
     assert means[16] >= 0.30
     assert means[16] > means[8], means
+
+
+# --- 5. IVF-PQ mode of the persistent index ---------------------------------
+
+
+def test_ivf_pq_adc_refine_and_replay(spark, tmp_path):
+    """IVF-PQ lifecycle: codes written at build/add, query_adc scans the
+    probed cells as codes only, refine=R re-ranks exactly — the measured
+    lever (exhaustive probe, so ADC quality is what's gated): plain ADC
+    recall ~0.34, refine=8 ~0.84, raw query 1.0.  A replayed append
+    cannot change ADC results (per-subspace dedup before the sum)."""
+    from etielle_spark.operators.similarity import ann_recall, brute_force_topk
+    from etielle_spark.streaming.incremental_ann import PersistentIVFIndex
+
+    emb = spark.read.parquet(EMB)
+    q = emb.filter("vec_id < 8")
+    idx = PersistentIVFIndex(
+        spark, str(tmp_path / "ivf"), nlist=8, pq_m=16, pq_centroids=16
+    )
+    idx.build(emb.filter("vec_id < 400"))
+    idx.add(emb.filter("vec_id >= 400"))
+    exact = brute_force_topk(emb, q, "vec_id", "embedding", k=10)
+
+    adc = idx.query_adc(q, k=10, nprobe=8)
+    assert adc.columns == ["query_id", "neighbor_id", "adc_dist", "rank"]
+    rec_adc = [r["recall"] for r in ann_recall(exact, adc).collect()]
+    mean_adc = sum(rec_adc) / len(rec_adc)
+    assert mean_adc >= 0.30, mean_adc
+
+    refined = idx.query_adc(q, k=10, nprobe=8, refine=8)
+    assert refined.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    rec_ref = [r["recall"] for r in ann_recall(exact, refined).collect()]
+    mean_ref = sum(rec_ref) / len(rec_ref)
+    assert mean_ref >= 0.75, mean_ref
+    assert mean_ref > mean_adc
+
+    before = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in idx.query_adc(q, k=10, nprobe=8).collect()
+    )
+    idx.add(emb.filter("vec_id >= 400 and vec_id < 450"))  # replay
+    after = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in idx.query_adc(q, k=10, nprobe=8).collect()
+    )
+    assert after == before
+
+
+def test_ivf_pq_geometry_guards_and_back_compat(spark, tmp_path):
+    """PQ geometry is index geometry: a PQ-built index refuses a
+    pq_m=None reopen (and vice versa), query_adc refuses a non-PQ
+    index, refine/pq_m guards raise — and a pre-PQ manifest (no pq
+    keys at all) reads as pq-off, so old indexes reopen cleanly."""
+    from etielle_spark.streaming.incremental_ann import PersistentIVFIndex
+    from etielle_spark.streaming.manifest import read_json_rows, write_json_rows
+
+    emb = spark.read.parquet(EMB).filter("vec_id < 120")
+    q = emb.filter("vec_id < 2")
+    with pytest.raises(ValueError, match="pq_m must"):
+        PersistentIVFIndex(spark, str(tmp_path / "x"), pq_m=0)
+
+    plain = PersistentIVFIndex(spark, str(tmp_path / "plain"), nlist=4)
+    plain.build(emb)
+    with pytest.raises(ValueError, match="without pq_m"):
+        plain.query_adc(q)
+    with pytest.raises(ValueError, match="built with"):
+        PersistentIVFIndex(
+            spark, str(tmp_path / "plain"), nlist=4, pq_m=8
+        ).query(q)
+
+    pq = PersistentIVFIndex(
+        spark, str(tmp_path / "pq"), nlist=4, pq_m=8, pq_centroids=16
+    )
+    pq.build(emb)
+    with pytest.raises(ValueError, match="refine must"):
+        pq.query_adc(q, refine=0)
+    with pytest.raises(ValueError, match="built with"):
+        PersistentIVFIndex(spark, str(tmp_path / "pq"), nlist=4).query(q)
+
+    # pre-PQ manifest: strip the pq keys the way a round-8 index wrote it
+    meta = str(tmp_path / "plain" / "_meta")
+    rows = read_json_rows(spark, meta)
+    old = {k: v for k, v in rows[0].items() if not k.startswith("pq_")}
+    write_json_rows(spark, meta, [old])
+    reopened = PersistentIVFIndex(spark, str(tmp_path / "plain"), nlist=4)
+    assert reopened.query(q, k=3, nprobe=4).count() > 0
+    with pytest.raises(ValueError, match="built with"):
+        PersistentIVFIndex(
+            spark, str(tmp_path / "plain"), nlist=4, pq_m=8
+        ).query(q)
