@@ -1414,6 +1414,107 @@ def pq_codebooks(
     ]
 
 
+def pq_fit(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    m: int = 8,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    dim: int | None = None,
+    round_to: int = 6,
+) -> list[list[tuple[int, list[float]]]]:
+    """Train PQ codebooks with per-subspace squared-L2 Lloyd iterations
+    — the production counterpart of the :func:`pq_codebooks` seed
+    sample.  (Deliberately NOT :func:`kmeans_fit`: that is COSINE
+    k-means for cell assignment; PQ quantizes subvectors under the same
+    L2 metric ADC sums, so the trainer must match.)
+
+    Scale shape: every iteration is ONE corpus scan — all ``m``
+    subspaces assign in a single literal-codebook projection (the
+    :func:`pq_codes` expression), the update shuffles only
+    ``(subspace, code, dim_pos)`` partial means (``m x n_centroids x
+    sub_dim`` cells — KBs), and the new centroids collect to the driver
+    between rounds, the kmeans_fit driver-coordination idiom.  Empty
+    codes drop out of their subspace's codebook (kmeans_fit's per-round
+    semantics); centroid components round to ``round_to`` so a refit on
+    identical data is bit-identical.
+
+    Returns codebooks in the :func:`pq_codes`/:func:`pq_topk` shape —
+    train once, pass the SAME object to encode and search."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    cbs = pq_codebooks(emb, id_col, vec_col, m=m, n_centroids=n_centroids, dim=dim)
+    vec = F.col(vec_col).cast("array<double>")
+    v = (
+        emb.select(vec.alias("v"))
+        .filter(
+            F.col("v").isNotNull()
+            & (F.size("v") > 0)
+            & ~F.exists("v", lambda x: x.isNull())
+        )
+    )
+    from pyspark import StorageLevel
+
+    cached = v.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for _ in range(n_iter):
+            cols = []
+            off = 0
+            for j, cb in enumerate(cbs):
+                subj = len(cb[0][1])
+                subv = F.slice(F.col("v"), off + 1, subj)
+                best = F.array_min(
+                    F.array(
+                        *[
+                            F.struct(
+                                _sq_l2(subv, cvec).alias("d"),
+                                F.lit(int(ci)).alias("code"),
+                            )
+                            for ci, cvec in cb
+                        ]
+                    )
+                )
+                cols.append(
+                    F.struct(
+                        F.lit(j).cast("long").alias("subspace"),
+                        best.getField("code").cast("long").alias("code"),
+                        subv.alias("sv"),
+                    )
+                )
+                off += subj
+            stats = (
+                cached.select(F.explode(F.array(*cols)).alias("r"))
+                .select(
+                    "r.subspace", "r.code", F.posexplode("r.sv").alias("pos", "val")
+                )
+                .groupBy("subspace", "code", "pos")
+                .agg(F.avg("val").alias("c"))
+            )
+            means: dict[tuple[int, int], dict[int, float]] = {}
+            for r in stats.collect():  # m x n_centroids x sub rows — KBs
+                means.setdefault((int(r["subspace"]), int(r["code"])), {})[
+                    int(r["pos"])
+                ] = float(r["c"])
+            nxt = []
+            for j, cb in enumerate(cbs):
+                subj = len(cb[0][1])
+                kept = []
+                for ci, _old in cb:
+                    got = means.get((j, ci))
+                    if got is None:
+                        continue  # empty code this round: drops out
+                    kept.append(
+                        (ci, [round(got[p], round_to) for p in range(subj)])
+                    )
+                nxt.append(kept)
+            cbs = nxt
+    finally:
+        cached.unpersist()
+    return cbs
+
+
 def pq_codes(
     emb: DataFrame,
     id_col: str,
@@ -1437,7 +1538,9 @@ def pq_codes(
     way they are literal-embedded (a PQ codebook is tiny by
     construction), so encoding is ONE corpus scan with pure codegen
     expressions — no shuffle, no UDF, and the output inherits the input
-    partitioning.
+    partitioning.  Production trains with :func:`pq_fit` (per-subspace
+    L2 Lloyd) and passes the SAME codebooks here and to
+    :func:`pq_topk`.
 
     Ties (equal rounded distance) pick the smaller code.  Returns long
     format ``(id, subspace, code, dist)`` with ``dist`` the rounded

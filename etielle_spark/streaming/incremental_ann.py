@@ -226,12 +226,15 @@ class PersistentIVFIndex:
         corpus: DataFrame,
         *,
         centroids: list[tuple[int, list[float]]] | None = None,
+        pq_books: list[list[tuple[int, list[float]]]] | None = None,
     ) -> None:
         """Create the index from ``corpus``.  ``centroids`` defaults to
         the deterministic hash-ordered sample ``ivf_topk`` uses (pass a
-        ``kmeans_fit`` codebook for production recall).  Refuses to
-        overwrite a built index — a new codebook invalidates every
-        stored assignment, so that is a new index dir.
+        ``kmeans_fit`` codebook for production recall).  In PQ mode,
+        ``pq_books`` defaults to the seed-sample codebooks — pass an
+        ``operators.similarity.pq_fit`` result for trained quantizers.
+        Refuses to overwrite a built index — a new codebook invalidates
+        every stored assignment, so that is a new index dir.
 
         Crash-atomic (the streaming/compaction.py crash-window
         discipline): the geometry manifest is written LAST, as the
@@ -275,7 +278,7 @@ class PersistentIVFIndex:
         if self.pq_m:
             from ..operators.similarity import pq_codebooks
 
-            cbs = pq_codebooks(
+            cbs = pq_books or pq_codebooks(
                 corpus,
                 self.id_col,
                 self.vec_col,

@@ -421,3 +421,42 @@ def test_ivf_pq_geometry_guards_and_back_compat(spark, tmp_path):
         PersistentIVFIndex(
             spark, str(tmp_path / "plain"), nlist=4, pq_m=8
         ).query(q)
+
+
+def test_pq_fit_trains_better_codebooks_than_seeds(spark):
+    """pq_fit is the L2 trainer the PQ family needs (kmeans_fit is
+    cosine — the wrong metric for ADC): each Lloyd iteration is one
+    corpus scan covering all subspaces, and the trained codebooks beat
+    the seed sample's recall.  Measured here (m=16, nc=16):
+    seed 0.3625 -> 2 iters 0.3875 -> 4 iters 0.4000 (deterministic)."""
+    from etielle_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        pq_codebooks,
+        pq_codes,
+        pq_fit,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(EMB)
+    q = emb.filter("vec_id < 8")
+    with pytest.raises(ValueError, match="n_iter"):
+        pq_fit(emb, "vec_id", "embedding", n_iter=0)
+    exact = brute_force_topk(emb, q, "vec_id", "embedding", k=10)
+
+    def mean_recall(cbs):
+        codes = pq_codes(
+            emb, "vec_id", "embedding", m=16, n_centroids=16, codebooks=cbs
+        )
+        out = pq_topk(codes, q, "vec_id", "embedding", codebooks=cbs, k=10)
+        rec = [r["recall"] for r in ann_recall(exact, out).collect()]
+        return sum(rec) / len(rec)
+
+    seed = mean_recall(
+        pq_codebooks(emb, "vec_id", "embedding", m=16, n_centroids=16)
+    )
+    fit = mean_recall(
+        pq_fit(emb, "vec_id", "embedding", m=16, n_centroids=16, n_iter=4)
+    )
+    assert fit > seed, (fit, seed)
+    assert fit >= 0.38, fit
