@@ -33,7 +33,7 @@ def _norm(a: Column) -> Column:
 
 
 def _seed_vectors(
-    df: DataFrame, id_col: str, vec_col: str, n: int
+    df: DataFrame, id_col: str, vec_col: str, n: int, salt: str | None = None
 ) -> list[tuple[int, list[float]]]:
     """Deterministic pseudo-random seed sample: the ``n`` vectors with the
     smallest ``md5(cast(id as string))`` (ties -> smaller id), numbered
@@ -59,7 +59,19 @@ def _seed_vectors(
             & (F.size("__sv") > 0)
             & ~F.exists("__sv", lambda x: x.isNull())
         )
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        # `salt` decorrelates TWO samples drawn from related frames — the
+        # IVF-PQ index must not seed its residual codebook from the same
+        # ids as its cell codebook (a cell seed's residual vs its own
+        # cell is exactly zero, which once collapsed every PQ centroid
+        # to the zero vector and every code to 0)
+        .orderBy(
+            F.md5(
+                F.concat(F.col(id_col).cast("string"), F.lit(salt))
+                if salt
+                else F.col(id_col).cast("string")
+            ),
+            F.col(id_col),
+        )
         .limit(n)
         .collect()
     )
@@ -1389,6 +1401,7 @@ def pq_codebooks(
     m: int = 8,
     n_centroids: int = 16,
     dim: int | None = None,
+    salt: str | None = None,
 ) -> list[list[tuple[int, list[float]]]]:
     """The deterministic seed codebooks :func:`pq_codes` defaults to —
     the hash-ordered corpus sample's subvectors, one ``[(code,
@@ -1400,7 +1413,7 @@ def pq_codebooks(
     operators codebook identity is the caller's contract.  Production
     trains per-subspace k-means instead; any equal-dim
     ``[(code, subvector)]`` lists work."""
-    seeds = _seed_vectors(emb, id_col, vec_col, n_centroids)
+    seeds = _seed_vectors(emb, id_col, vec_col, n_centroids, salt=salt)
     if not seeds:
         raise ValueError("pq_codebooks: empty corpus")
     if dim is None:

@@ -68,6 +68,7 @@ class PersistentIVFIndex:
         round_cosine: int = 6,
         pq_m: int | None = None,
         pq_centroids: int = 16,
+        pq_residual: bool = True,
     ) -> None:
         """``pq_m`` turns on IVF-PQ: vectors are additionally
         product-quantized into ``pq_m`` codes per vector at build/add
@@ -88,6 +89,7 @@ class PersistentIVFIndex:
         self.round_cosine = round_cosine
         self.pq_m = pq_m
         self.pq_centroids = int(pq_centroids)
+        self.pq_residual = bool(pq_residual)
         self._centroids_cache: list[tuple[int, list[float]]] | None = None
         self._pq_cache: list[list[tuple[int, list[float]]]] | None = None
         self._meta_checked = False
@@ -128,6 +130,7 @@ class PersistentIVFIndex:
             "round_cosine": self.round_cosine,
             "pq_m": self.pq_m or 0,
             "pq_centroids": self.pq_centroids if self.pq_m else 0,
+            "pq_residual": 1 if (self.pq_m and self.pq_residual) else 0,
         }
 
     # -- PQ codebooks (IVF-PQ mode) -----------------------------------
@@ -156,18 +159,52 @@ class PersistentIVFIndex:
         self._pq_cache = cbs
         return cbs
 
+    def _code_source(self, col):
+        """What the PQ codes store: the residual vs the assigned cell's
+        centroid (``pq_residual=True``, the IVFADC layout — right for
+        real clustered corpora, where within-cell structure is the
+        signal) or the raw vector (``pq_residual=False`` — measurably
+        better on structure-free/isotropic corpora, where subtracting
+        an arbitrary seed centroid only doubles the variance the
+        codebook must cover; receipts in SCALING.md)."""
+        if self.pq_residual:
+            return F.zip_with(col, self._centroid_of_cell(), lambda a, b: a - b)
+        return col
+
+    def _centroid_of_cell(self):
+        """Literal cell->centroid map, indexed by the ``cell`` column —
+        the codebook is KBs, so this is a constant expression."""
+        cents = self._load_centroids()
+        return F.map_from_arrays(
+            F.array(*[F.lit(int(c)) for c, _ in cents]),
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in vec])
+                    for _, vec in cents
+                ]
+            ),
+        )[F.col("cell")]
+
     def _with_codes(self, assigned: DataFrame) -> DataFrame:
-        """Append the ``__codes`` column (one PQ code per subspace) to an
-        assigned frame — the same literal-codebook projection as
-        ``pq_codes``, map-only."""
+        """Append the ``__codes`` column: PQ codes of the RESIDUAL
+        ``vec - centroid[cell]`` (the IVFADC layout, Jegou et al. 2011).
+        Quantizing residuals, not raw vectors, is what lets ``m`` bytes
+        resolve WITHIN-cell structure: on a clustered corpus the raw
+        vectors of one cell collapse to near-identical codes (measured:
+        ADC recall 0.05 on 550k vectors in 256 tight clusters) while
+        their residuals spread across the codebook.  Same map-only
+        literal-codebook projection as ``pq_codes``."""
         from ..operators.similarity import _sq_l2
 
         cbs = self._load_pq()
+        tagged = assigned.withColumn(
+            "__resid", self._code_source(F.col("__vec"))
+        )
         per_space = []
         off = 0
         for cb in cbs:
             subj = len(cb[0][1])
-            subv = F.slice(F.col("__vec"), off + 1, subj)
+            subv = F.slice(F.col("__resid"), off + 1, subj)
             best = F.array_min(
                 F.array(
                     *[
@@ -181,7 +218,7 @@ class PersistentIVFIndex:
             )
             per_space.append(best.getField("code").cast("long"))
             off += subj
-        return assigned.withColumn("__codes", F.array(*per_space))
+        return tagged.withColumn("__codes", F.array(*per_space)).drop("__resid")
 
     def _check_meta(self, dim: int) -> None:
         # checked once per instance (the IncrementalLSHDedup idiom):
@@ -278,14 +315,34 @@ class PersistentIVFIndex:
         if self.pq_m:
             from ..operators.similarity import pq_codebooks
 
-            cbs = pq_books or pq_codebooks(
-                corpus,
-                self.id_col,
-                self.vec_col,
-                m=self.pq_m,
-                n_centroids=self.pq_centroids,
-                dim=dim,
-            )
+            if pq_books is None:
+                # sample the codebooks from RESIDUALS, the quantity the
+                # codes store (raw-vector samples are unit-scale and
+                # quantize the small residuals badly).  SALTED sample:
+                # the unsalted hash order is the cell codebook's own
+                # sample, and a cell seed's residual vs its own cell is
+                # exactly zero — unsalted, every PQ centroid collapsed
+                # to the zero vector (all codes 0, ADC constant per
+                # cell).  The zero-residual filter closes the same hole
+                # for any seed that still collides.
+                resid = (
+                    self._assign(corpus)
+                    .select(
+                        F.col("__id"),
+                        self._code_source(F.col("__vec")).alias("__resid"),
+                    )
+                    .filter(F.exists("__resid", lambda x: x != 0))
+                )
+                pq_books = pq_codebooks(
+                    resid,
+                    "__id",
+                    "__resid",
+                    m=self.pq_m,
+                    n_centroids=self.pq_centroids,
+                    dim=dim,
+                    salt="ivfpq-residual",
+                )
+            cbs = pq_books
             write_json_rows(
                 self.spark,
                 self._pq_dir(),
@@ -406,9 +463,9 @@ class PersistentIVFIndex:
         are scanned as their CODE columns only — ``pq_m`` longs per
         vector instead of the raw floats, the column pruning that keeps
         a billion-vector probe RAM-sized — and scored by asymmetric
-        distance against each query's broadcast ``m x pq_centroids``
-        LUT (the :func:`operators.similarity.pq_topk` kernel, inside
-        the cell-pruned scan).
+        distance against broadcast residual LUTs (one per query x
+        probed cell, because the codes store ``vec - centroid[cell]``:
+        the IVFADC layout; see ``_with_codes``).
 
         ``refine=R`` re-ranks the ADC top ``R*k`` shortlist per query
         with EXACT cosine over the raw vectors — one additional
@@ -438,11 +495,17 @@ class PersistentIVFIndex:
         q, cells = self._probed_queries(queries, nprobe)
         quniq = q.select("query_id", "qv").dropDuplicates(["query_id"])
 
+        # IVFADC residual LUTs: codes store vec - centroid[cell], so the
+        # lookup table is per (query, PROBED CELL) — the query's residual
+        # vs that cell's centroid, against every codebook entry.
+        # |queries| x nprobe x m x n_centroids rows, broadcast-sized by
+        # the small-query contract.
+        qr = q.withColumn("__qr", self._code_source(F.col("qv")))
         entries = []
         off = 0
         for j, cb in enumerate(cbs):
             subj = len(cb[0][1])
-            subv = F.slice(F.col("qv"), off + 1, subj)
+            subv = F.slice(F.col("__qr"), off + 1, subj)
             for ci, cvec in cb:
                 entries.append(
                     F.struct(
@@ -452,9 +515,9 @@ class PersistentIVFIndex:
                     )
                 )
             off += subj
-        lut = quniq.select(
-            "query_id", F.explode(F.array(*entries)).alias("r")
-        ).select("query_id", "r.subspace", "r.code", "r.d")
+        lut = qr.select(
+            "query_id", "cell", F.explode(F.array(*entries)).alias("r")
+        ).select("query_id", "cell", "r.subspace", "r.code", "r.d")
 
         codes = (
             self.spark.read.parquet(self.index_dir + "/vectors")
@@ -467,9 +530,8 @@ class PersistentIVFIndex:
             .withColumn("subspace", F.col("subspace").cast("long"))
         )
         scored = (
-            codes.join(F.broadcast(q.select("query_id", "cell")), "cell")
+            codes.join(F.broadcast(lut), ["cell", "subspace", "code"])
             .dropDuplicates(["query_id", "neighbor_id", "subspace"])
-            .join(F.broadcast(lut), ["query_id", "subspace", "code"])
             .groupBy("query_id", "neighbor_id")
             .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
         )
