@@ -682,6 +682,29 @@ def main() -> None:
 
         try:
             spark.stop()
+            # spark.stop() leaves the py4j JVM RESIDENT until this python
+            # process exits — after ~12 min of headline+streaming its
+            # ballooned heap sat beside the curve subprocess and doubled
+            # every doc-text row (q22 0.98 -> 2.1 s, q27 5.2 -> 12-15.6 s
+            # measured, rounds 8-9); terminate it so the "fresh quiesced
+            # JVM" promise actually holds
+            try:
+                from pyspark import SparkContext
+
+                gw = SparkContext._gateway
+                jproc = getattr(gw, "proc", None)
+                if gw is not None:
+                    gw.shutdown()
+                    SparkContext._gateway = None
+                    SparkContext._jvm = None
+                if jproc is not None:
+                    jproc.terminate()
+                    try:
+                        jproc.wait(timeout=30)
+                    except Exception:
+                        jproc.kill()
+            except Exception:
+                pass
             with tempfile.NamedTemporaryFile(
                 "w", suffix=".json", delete=False
             ) as f:
