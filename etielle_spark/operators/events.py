@@ -9,6 +9,7 @@ scale) plus a tiny final rollup.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from ..session import ship_package
 
 
 def funnel_counts(
@@ -315,6 +316,7 @@ def ema(
         pdf = pdf.assign(ema=out)
         return pdf[[key_col, ts_col, value_col, "ema"]]
 
+    ship_package(src)
     return src.groupBy(key_col).applyInPandas(fold, schema)
 
 

@@ -27,6 +27,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
+from ..session import ship_package
 
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -106,6 +107,7 @@ def extract_features(
                 }
             )
 
+    ship_package(df)
     return df.select(F.col(id_col), F.col(payload_col)).filter(F.col(payload_col).isNotNull()).mapInPandas(op, FEATURE_SCHEMA)
 
 
@@ -158,6 +160,7 @@ def resize_images(
                 }
             )
 
+    ship_package(df)
     return df.select(F.col(id_col), F.col(payload_col)).filter(F.col(payload_col).isNotNull()).mapInPandas(
         op, f"id bigint, width int, height int, resized binary"
     )
@@ -205,6 +208,7 @@ def generate_videos(
                 {"id": pdf[id_col], "payload": pdf[text_col].map(render)}
             )
 
+    ship_package(df)
     rendered = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         op, "id bigint, payload binary"
     )
@@ -261,6 +265,7 @@ def sample_frames(
                         )
                 yield pd.DataFrame(rows)
 
+        ship_package(df)
         return df.select(F.col(id_col), F.col(payload_col)).filter(F.col(payload_col).isNotNull()).mapInPandas(
             op_real, "id bigint, frame_idx int, mean_luma double"
         )
@@ -278,6 +283,7 @@ def sample_frames(
                     )
             yield pd.DataFrame(rows)
 
+    ship_package(df)
     return df.select(F.col(id_col), F.col(payload_col)).filter(F.col(payload_col).isNotNull()).mapInPandas(
         op, "id bigint, frame_idx int, frame_digest string"
     )
@@ -317,6 +323,7 @@ def perceptual_hash(
                 hashes = pdf[payload_col].map(lambda b: hash_fn(bytes(b)))
             yield pd.DataFrame({"id": pdf[id_col], "phash": hashes})
 
+    ship_package(df)
     return df.select(F.col(id_col), F.col(payload_col)).filter(F.col(payload_col).isNotNull()).mapInPandas(
         op, "id bigint, phash bigint"
     )
@@ -428,6 +435,7 @@ def generate_images(
             )
             yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
 
+    ship_package(df)
     rendered = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         op, "id bigint, payload binary"
     )
@@ -470,6 +478,7 @@ def generate_audio(
             )
             yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
 
+    ship_package(df)
     rendered = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         op, "id bigint, payload binary"
     )
@@ -512,6 +521,7 @@ def extract_audio_features(
                 }
             )
 
+    ship_package(df)
     return df.select(F.col(id_col), F.col(payload_col)).filter(F.col(payload_col).isNotNull()).mapInPandas(
         op,
         "id bigint, sample_rate int, n_frames bigint, duration_ms double, "

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from ..session import ship_package
 
 PACK_SCHEMA = (
     "pack_id bigint, bucket bigint, n_docs bigint, n_tokens bigint, "
@@ -91,6 +92,7 @@ def pack_counts(
             }
         )
 
+    ship_package(sized)
     return sized.groupBy("bucket").applyInPandas(pack_bucket, PACK_SCHEMA)
 
 

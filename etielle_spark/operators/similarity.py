@@ -18,6 +18,7 @@ import math
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql import types as T
+from ..session import ship_package
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -697,6 +698,7 @@ def mmr_select(
             T.StructField("mmr_score", T.DoubleType()),
         ]
     )
+    ship_package(src)
     out = src.groupBy("__b").applyInPandas(pick, pick_schema).select(
         "bucket", "id", F.col("rank").cast("long").alias("rank"), "mmr_score"
     )
@@ -772,6 +774,7 @@ def gram_matrix(
                     }
                 )
 
+        ship_package(src)
         parts = src.mapInPandas(
             part, "i long, j long, sxy double, n double, sx double, sy double"
         )
@@ -1284,6 +1287,7 @@ def semdedup(
                     }
                 )
 
+        ship_package(src)
         assigned = src.mapInPandas(assign, mid_schema)
 
         def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -22,6 +22,7 @@ unit, same as any per-group rollup.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F, types as T
+from ..session import ship_package
 
 # 13 hex chars = 52 bits — exact in a double for both Spark and DuckDB.
 _HEX_CHARS = 13
@@ -588,6 +589,7 @@ def bloom_probe(
                 res[flag] = ok
                 yield res
 
+        ship_package(with_pos)
         return with_pos.mapInPandas(op, out_schema)
 
     tested = (

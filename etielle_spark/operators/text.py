@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .dedup import _normalize, let_, tokens_col
+from ..session import ship_package
 
 # Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
 # Public knowledge; intentionally small — language ID at scale is a
@@ -1885,6 +1886,7 @@ def compression_ratio(
                 {id_col: ids, "n_bytes": n_bytes, "ratio": ratios}
             )
 
+    ship_package(df)
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(op, out_schema)
 
 

@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .clusters import shard_assign
+from ..session import ship_package
 
 _MANIFEST_SCHEMA = "shard bigint, path string, n_samples bigint, n_bytes bigint"
 
@@ -144,6 +145,7 @@ def wds_write(
 
     # The manifest is tiny (num_shards rows); materialize so the tars
     # are on disk when this function returns, like any other sink.
+    ship_package(prepped)
     manifest = prepped.mapInPandas(write_tars, _MANIFEST_SCHEMA).persist()
     manifest.count()
     return manifest
@@ -190,6 +192,7 @@ def wds_read(
                     rows, columns=["shard_path", "key", "ext", "data"]
                 )
 
+    ship_package(pdf)
     return pdf.repartition(len(paths), "shard_path").mapInPandas(
         read_tars, "shard_path string, key string, ext string, data binary"
     )

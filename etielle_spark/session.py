@@ -10,9 +10,13 @@ yield NULL rather than raising (reference: etielle/transforms.py:83-114).
 
 from __future__ import annotations
 
+import hashlib
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 
 def get_spark(app_name: str = "etielle_spark", *, cpus: int | None = None) -> SparkSession:
@@ -53,4 +57,74 @@ def get_spark(app_name: str = "etielle_spark", *, cpus: int | None = None) -> Sp
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark
+
+
+# applicationIds whose Python workers already have the package zip on
+# sys.path.  Keyed by string id (not the SparkContext object) so a
+# stop/start cycle with a new app id re-ships.
+_SHIPPED_APPS: set[str] = set()
+
+
+def _package_zip(pkg_dir: Path) -> Path:
+    """Zip the ``etielle_spark`` package into a content-addressed archive.
+
+    The archive name embeds a digest of every ``.py`` file's bytes, so a
+    code edit produces a NEW file name — ``addPyFile`` refuses to re-add a
+    changed file under the same name, and a stale zip would silently pin
+    old worker code.  Existing archive with the same digest is reused.
+    """
+    files = sorted(
+        p for p in pkg_dir.rglob("*.py") if "__pycache__" not in p.parts
+    )
+    h = hashlib.sha1()
+    for p in files:
+        h.update(str(p.relative_to(pkg_dir)).encode())
+        h.update(b"\0")
+        h.update(p.read_bytes())
+    zip_path = Path(tempfile.gettempdir()) / f"etielle_spark-pyfiles-{h.hexdigest()[:12]}.zip"
+    if zip_path.exists():
+        return zip_path
+    tmp = zip_path.with_name(zip_path.name + f".tmp{os.getpid()}")
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        for p in files:
+            zf.write(p, arcname=str(Path(pkg_dir.name) / p.relative_to(pkg_dir)))
+    os.replace(tmp, zip_path)  # atomic: concurrent builders converge
+    return zip_path
+
+
+def ship_package(spark: SparkSession | DataFrame) -> str | None:
+    """Make ``etielle_spark`` importable inside Python workers.
+
+    Arrow-batched operators (``mapInPandas`` / ``applyInPandas`` /
+    ``applyInPandasWithState``) pickle closures that reference this
+    package by module name — the worker resolves them with a real
+    ``import etielle_spark...``.  On ``local[N]`` that works only
+    because workers inherit the driver's cwd; on a real cluster (and
+    from any other cwd) every such operator dies with a worker-side
+    ``ModuleNotFoundError``.  This zips the package and registers it via
+    ``sc.addPyFile`` so workers get it on ``sys.path`` regardless of cwd.
+
+    Idempotent per application (set lookup after the first call) and
+    called from every Arrow-UDF operator entry point, so it also covers
+    sessions NOT built by :func:`get_spark` (e.g. a test harness that
+    hands the engine its own ``SparkSession``).
+
+    Returns the zip path on the call that shipped it, ``None`` after.
+    """
+    if isinstance(spark, DataFrame):
+        spark = spark.sparkSession
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _SHIPPED_APPS:
+        return None
+    _SHIPPED_APPS.add(app_id)
+    pkg_dir = Path(__file__).resolve().parent
+    if not pkg_dir.is_dir():
+        # imported from a zip/egg that spark-submit already distributed
+        return None
+    zip_path = _package_zip(pkg_dir)
+    sc.addPyFile(str(zip_path))
+    return str(zip_path)

@@ -14,6 +14,7 @@ from typing import Any, Iterator, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from ..session import ship_package
 
 
 def running_counts(
@@ -44,6 +45,7 @@ def running_counts(
             {key_col: [key[0]], "running_count": [count], "running_sum": [total]}
         )
 
+    ship_package(df)
     return df.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=f"{key_col} {key_type}, running_count long, running_sum double",
@@ -114,6 +116,7 @@ def sessionize_stateful(
             }
         )
 
+    ship_package(df)
     return df.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=(
