@@ -703,8 +703,22 @@ def main() -> None:
                         jproc.wait(timeout=30)
                     except Exception:
                         jproc.kill()
-            except Exception:
-                pass
+                else:
+                    # pyspark internals moved (no gateway.proc): the JVM
+                    # stays resident and the curve runs contended — make
+                    # the fallback VISIBLE so a q22/q27 doubling is
+                    # attributable instead of mystery box noise
+                    print(
+                        "WARN: could not locate the py4j JVM process; "
+                        "scale-curve runs beside a resident parent JVM",
+                        file=sys.stderr,
+                    )
+            except Exception as e:
+                print(
+                    f"WARN: parent JVM teardown failed ({e!r}); scale-curve "
+                    "runs beside a resident parent JVM",
+                    file=sys.stderr,
+                )
             with tempfile.NamedTemporaryFile(
                 "w", suffix=".json", delete=False
             ) as f:

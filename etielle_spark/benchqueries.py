@@ -495,6 +495,12 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Field("ln", get("l_linenumber")),
             ],
             join_on=["ln_key"],
+            # (orderkey, linenumber) is lineitem's primary key, so ln_key
+            # is distinct by construction — but Catalyst can't prove it
+            # on a raw fact scan, and the r9 A/B showed the unprovable
+            # keyed merge IS the ~0.5 s engine-vs-floor premium
+            # (SCALING.md round-9 q11 receipt).  Declare it.
+            assume_distinct=True,
         )
         .backlink("orders_t", "lines_t", "lines", by={"line_ids": "ln_key"})
         .run()

@@ -72,6 +72,9 @@ class EmissionSpec:
     join_on: Optional[list[str]]
     schema: Optional[T.StructType]
     errors: Optional[str]
+    # user assertion that join_on keys are distinct in this emission —
+    # lets _assemble_table skip the LWW merge when Catalyst can't prove it
+    assume_distinct: bool = False
 
 
 @dataclass
@@ -1109,6 +1112,7 @@ class PipelineBuilder:
         join_on: Optional[Sequence[str]] = None,
         errors: Optional[str] = None,
         schema: Optional[Union[str, T.StructType]] = None,
+        assume_distinct: bool = False,
     ) -> "PipelineBuilder":
         """Emit rows to ``table`` from the current traversal position
         (etielle/fluent.py:531-576).
@@ -1118,7 +1122,22 @@ class PipelineBuilder:
         name and the class's type hints become the validation schema —
         the Spark equivalent of the reference's builder auto-detection
         (etielle/fluent.py:284-317, instances.py:189-224).  ``schema`` (DDL
-        string or StructType) opts into the same typed validation directly."""
+        string or StructType) opts into the same typed validation directly.
+
+        ``assume_distinct=True`` asserts that this emission produces at
+        most one row per ``join_on`` key, letting the engine skip the
+        keyed last-write-wins merge when Catalyst cannot PROVE
+        distinctness from the plan (e.g. keys drawn from a raw fact
+        table; the proven case — a groupBy-built emission — already
+        skips automatically).  The skip is an identity under the
+        assertion; if the data VIOLATES it, duplicate-key rows pass
+        through un-merged (last-write-wins is NOT applied) — the same
+        class of contract as a wrong primary-key declaration in a
+        warehouse.  Set ``fluent._VERIFY_DISTINCT_HINTS = True`` in
+        tests/staging to have every hinted emission verified with a
+        one-pass duplicate count that raises on violation.  The hint
+        only applies to single-emission tables without merge policies;
+        anything else still merges."""
         if isinstance(table, type):
             if not is_model_class(table):
                 raise TypeError(
@@ -1151,7 +1170,10 @@ class PipelineBuilder:
             join_on=list(join_on) if join_on else None,
             schema=schema,
             errors=errors,
+            assume_distinct=assume_distinct,
         )
+        if assume_distinct and not spec.join_on:
+            raise ValueError("assume_distinct requires join_on keys")
         field_names = {f.name for f in spec.fields}
         if spec.join_on:
             missing = [k for k in spec.join_on if k not in field_names]
@@ -1579,6 +1601,12 @@ _DISTINCT_KEY_SKIP = True
 # restores the whole-row struct max_by (tests A/B the two)
 _PER_FIELD_LWW = True
 
+# staging/debug switch: verify every assume_distinct hint with a
+# one-pass duplicate count and raise on violation (costs one extra
+# aggregation per hinted table — exactly the merge the hint skips, so
+# leave it off in production and on in test suites)
+_VERIFY_DISTINCT_HINTS = False
+
 
 def _keys_provably_distinct(df: DataFrame, join_on: list[str]) -> bool:
     """True when Catalyst PROVES the emission frame has at most one row
@@ -1709,13 +1737,28 @@ def _assemble_table(
         # probe off the common non-aggregate emission path (policies
         # are excluded because e.g. AppendPolicy wraps even a 1-row
         # group in a list — not the identity).
-        skip_merge = (
+        hinted = em.assume_distinct and not policies
+        skip_merge = hinted or (
             _DISTINCT_KEY_SKIP
             and maybe_aggregate_root
             and not policies
             and "Aggregate" in df._jdf.queryExecution().analyzed().toString()
             and _keys_provably_distinct(df, join_on)
         )
+        if hinted and _VERIFY_DISTINCT_HINTS:
+            dup = (
+                df.groupBy(*[F.col(k) for k in join_on])
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                key_repr = {k: dup[0][k] for k in join_on}
+                raise ValueError(
+                    f"assume_distinct violated for table '{table}': key "
+                    f"{key_repr} occurs more than once in the emission"
+                )
         if skip_merge:
             parts.append(
                 df.select(*[F.col(n) for n in field_order], F.col(_ORD))

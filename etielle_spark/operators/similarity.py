@@ -21,6 +21,28 @@ from pyspark.sql import types as T
 from ..session import ship_package
 
 
+# "Small by contract" broadcast sides get ENFORCED bounds (the
+# lookup()-10k idiom, transforms.py:413): an oversized query frame must
+# fail with an actionable error at plan-build time, not an executor OOM
+# mid-broadcast.  Row caps, not bytes: ~100k raw query vectors (64-dim
+# doubles ~= 50 MB) / ~2M LUT rows (~80 MB) — comfortably under default
+# executor memory with headroom for the rest of the stage.
+MAX_BROADCAST_QUERY_ROWS = 100_000
+MAX_BROADCAST_LUT_ROWS = 2_000_000
+
+
+def _guard_small_side(df: DataFrame, max_rows: int, what: str) -> None:
+    """Bounded existence check — ``limit(max+1).count()`` never scans
+    meaningfully past the cap — raising the shard hint on violation."""
+    if df.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"{what}: the query side exceeds {max_rows} rows but is "
+            "broadcast by contract — shard your query set (loop over "
+            "slices and union the per-slice top-k) instead of handing "
+            "the whole frame to one broadcast"
+        )
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -125,6 +147,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
+    _guard_small_side(q, MAX_BROADCAST_QUERY_ROWS, "brute_force_topk")
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
     )
@@ -264,6 +287,7 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
+    _guard_small_side(q, MAX_BROADCAST_QUERY_ROWS, "ivf_topk")
     # nprobe closest cells per query: sort desc by (cosine, -cell_id), slice
     probed = F.slice(
         F.reverse(F.array_sort(cell_scores(F.col("qv")))), 1, nprobe
@@ -352,6 +376,7 @@ def lsh_bucket_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).withColumn("bucket", bucket(F.col("qv")))
+    _guard_small_side(q, MAX_BROADCAST_QUERY_ROWS, "lsh_bucket_topk")
 
     if probes > 1:
         # expand each query to its bucket + all Hamming-1 neighbors
@@ -1441,6 +1466,7 @@ def pq_fit(
     n_iter: int = 2,
     dim: int | None = None,
     round_to: int = 6,
+    salt: str | None = None,
 ) -> list[list[tuple[int, list[float]]]]:
     """Train PQ codebooks with per-subspace squared-L2 Lloyd iterations
     — the production counterpart of the :func:`pq_codebooks` seed
@@ -1453,16 +1479,30 @@ def pq_fit(
     :func:`pq_codes` expression), the update shuffles only
     ``(subspace, code, dim_pos)`` partial means (``m x n_centroids x
     sub_dim`` cells — KBs), and the new centroids collect to the driver
-    between rounds, the kmeans_fit driver-coordination idiom.  Empty
-    codes drop out of their subspace's codebook (kmeans_fit's per-round
-    semantics); centroid components round to ``round_to`` so a refit on
-    identical data is bit-identical.
+    between rounds, the kmeans_fit driver-coordination idiom.  A code
+    that goes empty in a round is RE-SEEDED from that round's farthest
+    assigned subvector in its subspace (standard Lloyd practice;
+    deterministic: max assigned distance, md5-of-subvector tie-break) —
+    the round-9 dropout semantics shrank exactly the codebooks a
+    skewed corpus needs full resolution from, monotonically.  The
+    re-seed pass is a rank-limited window (WindowGroupLimit-pruned)
+    run only on rounds that actually lost a code.  Centroid components
+    round to ``round_to`` so a refit on identical data is
+    bit-identical.
+
+    ``salt`` perturbs the deterministic seed-sample order
+    (:func:`pq_codebooks`) — pass it when training on RESIDUAL frames
+    (``PersistentIVFIndex.residual_training_frame``), where the
+    unsalted sample can hand back the cell codebook's own seeds whose
+    residuals are exactly zero.
 
     Returns codebooks in the :func:`pq_codes`/:func:`pq_topk` shape —
     train once, pass the SAME object to encode and search."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
-    cbs = pq_codebooks(emb, id_col, vec_col, m=m, n_centroids=n_centroids, dim=dim)
+    cbs = pq_codebooks(
+        emb, id_col, vec_col, m=m, n_centroids=n_centroids, dim=dim, salt=salt
+    )
     vec = F.col(vec_col).cast("array<double>")
     v = (
         emb.select(vec.alias("v"))
@@ -1497,6 +1537,7 @@ def pq_fit(
                     F.struct(
                         F.lit(j).cast("long").alias("subspace"),
                         best.getField("code").cast("long").alias("code"),
+                        best.getField("d").alias("d"),
                         subv.alias("sv"),
                     )
                 )
@@ -1514,17 +1555,61 @@ def pq_fit(
                 means.setdefault((int(r["subspace"]), int(r["code"])), {})[
                     int(r["pos"])
                 ] = float(r["c"])
+            empties: dict[int, list[int]] = {}
+            for j, cb in enumerate(cbs):
+                lost = [ci for ci, _old in cb if means.get((j, ci)) is None]
+                if lost:
+                    empties[j] = lost
+            reseeds: dict[int, list[list[float]]] = {}
+            if empties:
+                # farthest-assigned subvectors per affected subspace —
+                # the standard Lloyd empty-cluster re-seed.  Rank-limit
+                # window (rk <= need) so the sort prunes map-side; runs
+                # only on rounds that actually lost a code.
+                need = max(len(v_) for v_ in empties.values())
+                far = (
+                    cached.select(F.explode(F.array(*cols)).alias("r"))
+                    .select("r.subspace", "r.d", "r.sv")
+                    .filter(
+                        F.col("subspace").isin([int(j) for j in empties])
+                    )
+                    .withColumn("tb", F.md5(F.to_json("sv")))
+                    .withColumn(
+                        "rk",
+                        F.row_number().over(
+                            Window.partitionBy("subspace").orderBy(
+                                F.col("d").desc(), F.col("tb").asc()
+                            )
+                        ),
+                    )
+                    .filter(F.col("rk") <= need)
+                    .collect()
+                )
+                for r in sorted(far, key=lambda r: (r["subspace"], r["rk"])):
+                    reseeds.setdefault(int(r["subspace"]), []).append(
+                        [float(x) for x in r["sv"]]
+                    )
             nxt = []
             for j, cb in enumerate(cbs):
                 subj = len(cb[0][1])
+                pool = reseeds.get(j, [])
+                taken = 0
                 kept = []
-                for ci, _old in cb:
+                for ci, old in cb:
                     got = means.get((j, ci))
-                    if got is None:
-                        continue  # empty code this round: drops out
-                    kept.append(
-                        (ci, [round(got[p], round_to) for p in range(subj)])
-                    )
+                    if got is not None:
+                        kept.append(
+                            (ci, [round(got[p], round_to) for p in range(subj)])
+                        )
+                    elif taken < len(pool):
+                        kept.append(
+                            (ci, [round(x, round_to) for x in pool[taken]])
+                        )
+                        taken += 1
+                    else:
+                        # fewer distinct subvectors than codes (tiny or
+                        # constant corpus): nothing to re-seed from
+                        continue
                 nxt.append(kept)
             cbs = nxt
     finally:
@@ -1567,17 +1652,29 @@ def pq_codes(
         codebooks = pq_codebooks(
             emb, id_col, vec_col, m=m, n_centroids=n_centroids, dim=dim
         )
-    if dim is None:
-        dim = sum(len(cb[0][1]) for cb in codebooks)
-    sub = dim // m
+    # Explicit codebooks are the source of truth for the geometry: m is
+    # their count and each subspace's width/offset comes from its own
+    # centroid length (the pq_topk idiom).  Deriving from the m PARAMETER
+    # would silently slice wrong-width subvectors whenever the caller
+    # passes pq_fit(..., m=4) codebooks without repeating m=4 — the exact
+    # silently-wrong-distances hazard this module warns about.
+    widths = [len(cb[0][1]) for cb in codebooks]
+    if dim is not None and dim != sum(widths):
+        raise ValueError(
+            f"pq_codes: dim={dim} does not match the codebooks' total "
+            f"width {sum(widths)} (per-subspace widths {widths}) — pass "
+            "the codebooks that encoded this geometry, or drop dim"
+        )
 
     v = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
 
     per_space = []
+    off = 0
     for j, cb in enumerate(codebooks):
-        subv = F.slice(F.col("v"), j * sub + 1, sub)
+        subv = F.slice(F.col("v"), off + 1, widths[j])
+        off += widths[j]
         best = F.array_min(
             F.array(
                 *[
@@ -1645,6 +1742,13 @@ def pq_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    # the broadcast LUT is |queries| x m x n_centroids rows — enforce
+    # the small-by-contract bound in LUT rows, not query rows, so a
+    # fat codebook tightens the cap proportionally
+    lut_per_query = sum(len(cb) for cb in codebooks)
+    _guard_small_side(
+        q, max(1, MAX_BROADCAST_LUT_ROWS // lut_per_query), "pq_topk"
     )
 
     entries = []
@@ -1723,6 +1827,7 @@ def hard_negatives(
         F.col(vec_col).cast("array<double>").alias("cv"),
         F.col(label_col).alias("clabel"),
     )
+    _guard_small_side(qs, MAX_BROADCAST_QUERY_ROWS, "hard_negatives")
     scored = (
         cs.crossJoin(F.broadcast(qs))
         .filter(

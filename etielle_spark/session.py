@@ -117,10 +117,16 @@ def ship_package(spark: SparkSession | DataFrame) -> str | None:
     if isinstance(spark, DataFrame):
         spark = spark.sparkSession
     sc = spark.sparkContext
+    # fast path: a Python-side flag on the context object (operators call
+    # this on every invocation; the applicationId lookup is a py4j trip)
+    if getattr(sc, "_etielle_spark_shipped", False):
+        return None
     app_id = sc.applicationId
     if app_id in _SHIPPED_APPS:
+        sc._etielle_spark_shipped = True
         return None
     _SHIPPED_APPS.add(app_id)
+    sc._etielle_spark_shipped = True
     pkg_dir = Path(__file__).resolve().parent
     if not pkg_dir.is_dir():
         # imported from a zip/egg that spark-submit already distributed

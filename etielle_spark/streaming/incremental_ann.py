@@ -159,7 +159,7 @@ class PersistentIVFIndex:
         self._pq_cache = cbs
         return cbs
 
-    def _code_source(self, col):
+    def _code_source(self, col, cents=None):
         """What the PQ codes store: the residual vs the assigned cell's
         centroid (``pq_residual=True``, the IVFADC layout — right for
         real clustered corpora, where within-cell structure is the
@@ -168,13 +168,48 @@ class PersistentIVFIndex:
         an arbitrary seed centroid only doubles the variance the
         codebook must cover; receipts in SCALING.md)."""
         if self.pq_residual:
-            return F.zip_with(col, self._centroid_of_cell(), lambda a, b: a - b)
+            return F.zip_with(
+                col, self._centroid_of_cell(cents), lambda a, b: a - b
+            )
         return col
 
-    def _centroid_of_cell(self):
+    def residual_training_frame(
+        self,
+        corpus: DataFrame,
+        centroids: list[tuple[int, list[float]]],
+    ) -> DataFrame:
+        """The frame ``pq_books`` must be TRAINED on in residual mode:
+        ``(__id, __resid)`` with ``__resid = vec - centroid[cell]``
+        under ``centroids`` (the cell codebook you will pass to
+        :meth:`build`).  In the default ``pq_residual=True`` layout the
+        stored codes quantize residuals, so a codebook trained on raw
+        vectors silently degrades ADC recall — train on this frame:
+
+            cents = kmeans_fit(corpus, ...)
+            frame = idx.residual_training_frame(corpus, cents)
+            books = pq_fit(frame, "__id", "__resid", m=..., salt="ivfpq-residual")
+            idx.build(corpus, centroids=cents, pq_books=books)
+
+        Pass a ``salt`` to ``pq_fit`` (as above): the unsalted seed
+        order can hand back the cell codebook's own sample, whose
+        residuals are exactly zero.  Callable before :meth:`build`
+        (takes the centroids explicitly; nothing is read from or
+        written to the index dir).  In raw mode (``pq_residual=False``)
+        ``__resid`` IS the raw vector, so training on this frame is
+        correct in both modes."""
+        cents = sorted(
+            (int(c), [float(x) for x in vec]) for c, vec in centroids
+        )
+        return self._assign(corpus, cents=cents).select(
+            F.col("__id"),
+            self._code_source(F.col("__vec"), cents=cents).alias("__resid"),
+        )
+
+    def _centroid_of_cell(self, cents=None):
         """Literal cell->centroid map, indexed by the ``cell`` column —
         the codebook is KBs, so this is a constant expression."""
-        cents = self._load_centroids()
+        if cents is None:
+            cents = self._load_centroids()
         return F.map_from_arrays(
             F.array(*[F.lit(int(c)) for c, _ in cents]),
             F.array(
@@ -242,10 +277,11 @@ class PersistentIVFIndex:
 
     # -- assignment (shared with ivf_topk) ---------------------------
 
-    def _assign(self, docs: DataFrame) -> DataFrame:
+    def _assign(self, docs: DataFrame, cents=None) -> DataFrame:
         from ..operators.similarity import _cell_scores
 
-        cents = self._load_centroids()
+        if cents is None:
+            cents = self._load_centroids()
         v = F.col(self.vec_col).cast("array<double>")
         return docs.select(
             F.col(self.id_col).alias("__id"), v.alias("__vec")
@@ -269,7 +305,12 @@ class PersistentIVFIndex:
         the deterministic hash-ordered sample ``ivf_topk`` uses (pass a
         ``kmeans_fit`` codebook for production recall).  In PQ mode,
         ``pq_books`` defaults to the seed-sample codebooks — pass an
-        ``operators.similarity.pq_fit`` result for trained quantizers.
+        ``operators.similarity.pq_fit`` result for trained quantizers,
+        and in the default ``pq_residual=True`` layout train it on the
+        RESIDUAL distribution via :meth:`residual_training_frame` (the
+        stored codes quantize ``vec - centroid[cell]``; a codebook
+        trained on raw vectors silently degrades ADC recall — raw
+        vectors are unit-scale, residuals are not).
         Refuses to overwrite a built index — a new codebook invalidates
         every stored assignment, so that is a new index dir.
 
@@ -378,12 +419,18 @@ class PersistentIVFIndex:
 
     def _probed_queries(self, queries: DataFrame, nprobe: int):
         """(query frame exploded to its probed cells, sorted probed cell
-        ids).  The cell id set is |queries| x nprobe, driver-bounded
-        because the query side is small by contract (the
-        brute_force_topk broadcast contract); applying it as a static
-        partition filter is what keeps the scan at nprobe/nlist of the
-        corpus regardless of size."""
-        from ..operators.similarity import _cell_scores
+        ids, distinct query count).  The cell id set is |queries| x
+        nprobe, driver-bounded because the query side is small by
+        contract (the brute_force_topk broadcast contract) — and the
+        contract is ENFORCED: the same single job that collects the
+        probed cells counts the queries, and an oversized frame raises
+        the shard hint instead of OOMing the broadcast.  Applying the
+        cell set as a static partition filter is what keeps the scan at
+        nprobe/nlist of the corpus regardless of size."""
+        from ..operators.similarity import (
+            MAX_BROADCAST_QUERY_ROWS,
+            _cell_scores,
+        )
 
         cents = self._load_centroids()
         self._check_meta(len(cents[0][1]))
@@ -403,8 +450,20 @@ class PersistentIVFIndex:
         q = q.withColumn("cell", F.explode(probed.getField("nid"))).withColumn(
             "cell", -F.col("cell")
         )
-        cells = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
-        return q, cells
+        row = q.agg(
+            F.collect_set("cell").alias("cells"),
+            F.count_distinct("query_id").alias("nq"),
+        ).head()
+        nq = int(row["nq"])
+        if nq > MAX_BROADCAST_QUERY_ROWS:
+            raise ValueError(
+                f"PersistentIVFIndex: {nq} query vectors exceed the "
+                f"{MAX_BROADCAST_QUERY_ROWS}-row broadcast contract — "
+                "shard your query set (loop over slices and union the "
+                "per-slice top-k)"
+            )
+        cells = sorted(int(c) for c in row["cells"])
+        return q, cells, nq
 
     def query(
         self,
@@ -424,7 +483,7 @@ class PersistentIVFIndex:
             raise ValueError(f"k must be >= 1, got {k}")
         if nprobe < 1:
             raise ValueError(f"nprobe must be >= 1, got {nprobe}")
-        q, cells = self._probed_queries(queries, nprobe)
+        q, cells, nq = self._probed_queries(queries, nprobe)
         vecs = (
             self.spark.read.parquet(self.index_dir + "/vectors")
             .filter(F.col("cell").isin(cells))
@@ -492,14 +551,27 @@ class PersistentIVFIndex:
                 "ADC search needs the PQ codes written at build/add time"
             )
         cbs = self._load_pq()
-        q, cells = self._probed_queries(queries, nprobe)
+        q, cells, nq = self._probed_queries(queries, nprobe)
         quniq = q.select("query_id", "qv").dropDuplicates(["query_id"])
 
         # IVFADC residual LUTs: codes store vec - centroid[cell], so the
         # lookup table is per (query, PROBED CELL) — the query's residual
         # vs that cell's centroid, against every codebook entry.
-        # |queries| x nprobe x m x n_centroids rows, broadcast-sized by
-        # the small-query contract.
+        # |queries| x nprobe x m x n_centroids rows — the
+        # small-query contract, ENFORCED in LUT rows (the nq count comes
+        # free with the probed-cells job) so a fat codebook or deep
+        # nprobe tightens the query cap proportionally.
+        from ..operators.similarity import MAX_BROADCAST_LUT_ROWS
+
+        lut_rows = nq * min(nprobe, self.nlist) * sum(len(cb) for cb in cbs)
+        if lut_rows > MAX_BROADCAST_LUT_ROWS:
+            raise ValueError(
+                f"PersistentIVFIndex.query_adc: the residual LUT would be "
+                f"{lut_rows} rows ({nq} queries x {min(nprobe, self.nlist)} "
+                f"probed cells x {sum(len(cb) for cb in cbs)} codebook "
+                f"entries), past the {MAX_BROADCAST_LUT_ROWS}-row broadcast "
+                "bound — shard your query set or lower nprobe"
+            )
         qr = q.withColumn("__qr", self._code_source(F.col("qv")))
         entries = []
         off = 0

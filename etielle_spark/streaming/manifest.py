@@ -16,12 +16,22 @@ driver, and launches no job.
 
 Layout contract (back-compatible with the Spark-written dirs): a
 manifest at ``<path>`` is a DIRECTORY holding JSON-lines files.  This
-module writes exactly one non-hidden file ``data.json`` (hidden tmp
-file + same-directory rename, so a reader never observes a torn
-manifest), and reads EVERY non-hidden file under the path — old
-``part-*.json`` manifests written by Spark keep reading, and
-``spark.read.json(path)`` still reads the new layout (external tooling
-and a few tests do).
+module writes VERSIONED files ``data-<n>.json`` (hidden tmp file +
+same-directory rename INTO the next version, superseded files deleted
+only AFTER the rename) so every crash point leaves a readable
+manifest: before the rename the previous version is untouched; after
+it, both versions exist and the reader takes the numerically greatest.
+There is no window where the manifest reads as missing.  Directories
+with no versioned file keep the legacy behavior — EVERY non-hidden
+file is read — so old ``part-*.json`` Spark-written manifests and old
+``data.json`` dirs keep reading, and ``spark.read.json(path)`` still
+reads the new layout (external tooling and a few tests do).
+
+Object-store caveat: the two-state guarantee rides on an atomic
+same-directory rename (local FS, HDFS, ABFS).  On stores where rename
+is copy+delete (S3A without a committer), a reader racing the copy can
+observe a partially-written greatest version — there, corruption
+surfaces as the documented ``ValueError``, never as silent "no state".
 
 Error discipline (the ``_path_missing`` contract): a MISSING path reads
 as ``None`` ("never written"); unparseable content RAISES — a torn or
@@ -33,8 +43,13 @@ rewrite the pin and wave mismatched state through).
 from __future__ import annotations
 
 import json
+import re
 
 from pyspark.sql import SparkSession
+
+# versioned manifest files written by write_json_rows (zero-padded so
+# lexical order == numeric order for anyone eyeballing the directory)
+_VERSIONED = re.compile(r"^data-(\d+)\.json$")
 
 
 def _fs_for(spark: SparkSession, path_str: str):
@@ -85,6 +100,33 @@ def _data_files(fs, status, out: list, recursive: bool) -> None:
         out.append(status.getPath())
 
 
+def _pick_versions(files: list) -> list:
+    """Within each directory, if versioned ``data-<n>.json`` files exist,
+    keep ONLY the numerically greatest one — lower versions (and any
+    legacy ``data.json`` / ``part-*``) in that directory are superseded
+    content a crash between rename and cleanup left behind.  Directories
+    with no versioned file pass through untouched (legacy layout)."""
+    by_dir: dict[str, tuple[int, object]] = {}
+    for fp in files:
+        m = _VERSIONED.match(fp.getName())
+        if m:
+            parent = str(fp.getParent())
+            v = int(m.group(1))
+            if parent not in by_dir or v > by_dir[parent][0]:
+                by_dir[parent] = (v, fp)
+    if not by_dir:
+        return files
+    out = []
+    for fp in files:
+        parent = str(fp.getParent())
+        if parent in by_dir:
+            if str(fp) == str(by_dir[parent][1]):
+                out.append(fp)
+        else:
+            out.append(fp)
+    return out
+
+
 def read_json_rows(
     spark: SparkSession, path: str, *, recursive: bool = False
 ) -> list[dict] | None:
@@ -97,6 +139,7 @@ def read_json_rows(
         return None
     files: list = []
     _data_files(fs, fs.getFileStatus(p), files, recursive)
+    files = _pick_versions(files)
     rows: list[dict] = []
     for fp in sorted(files, key=str):
         for line in _read_text(jvm, fs, fp).splitlines():
@@ -115,10 +158,13 @@ def read_json_rows(
 
 def write_json_rows(spark: SparkSession, path: str, rows: list[dict]) -> None:
     """Write ``rows`` as the manifest at ``path`` (driver-side, no Spark
-    job): one JSON-lines file ``<path>/data.json``, via hidden tmp +
-    same-directory rename so a concurrent/crashed reader sees either the
-    previous manifest or the new one, never a torn file.  Replaces any
-    previous content (including an old Spark-written ``part-*`` set)."""
+    job): hidden tmp -> rename into the NEXT ``data-<n>.json`` version,
+    then delete superseded content (lower versions, legacy ``data.json``,
+    old Spark-written ``part-*`` sets).  Because the delete happens only
+    AFTER the rename, a crash or concurrent reader at any point observes
+    either the previous manifest or the new one — never a torn file, and
+    never a falsely-missing one (the round-9 layout deleted before
+    renaming, so a crash in between read as "never written")."""
     jvm, p, fs = _fs_for(spark, path)
     base = path.rstrip("/")
     data = "".join(json.dumps(r, sort_keys=True) + "\n" for r in rows)
@@ -128,13 +174,18 @@ def write_json_rows(spark: SparkSession, path: str, rows: list[dict]) -> None:
         out.write(bytearray(data.encode("utf-8")))
     finally:
         out.close()
-    # drop superseded content (old part files / previous data.json);
-    # hidden names — _SUCCESS, the tmp itself — are never in the read set
+    version = 0
     for st in fs.listStatus(p):
-        name = st.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
-            continue
-        fs.delete(st.getPath(), True)
-    target = jvm.org.apache.hadoop.fs.Path(base + "/data.json")
+        m = _VERSIONED.match(st.getPath().getName())
+        if m:
+            version = max(version, int(m.group(1)))
+    target = jvm.org.apache.hadoop.fs.Path(base + f"/data-{version + 1:010d}.json")
     if not fs.rename(tmp, target):
         raise IOError(f"manifest rename failed: {tmp} -> {target}")
+    # now drop superseded content; hidden names (_SUCCESS, tmp leftovers)
+    # are never in the read set and are left alone
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith(".") or name == target.getName():
+            continue
+        fs.delete(st.getPath(), True)

@@ -71,11 +71,12 @@ def test_torn_manifest_raises_never_silent(spark, tmp_path):
     d = tmp_path / "_meta"
     write_json_rows(spark, str(d), [{"n": 3}])
     assert read_json_rows(spark, str(d)) == [{"n": 3}]
-    (d / "data.json").write_text('{"n": 3')  # torn mid-object
+    data_file = next(d.glob("data-*.json"))
+    data_file.write_text('{"n": 3')  # torn mid-object
     # the local FS also keeps a Hadoop .crc sidecar; drop it so the read
     # reaches the JSON parser (with it, the checksum layer raises first —
     # also a surfaced error, pinned below)
-    (d / ".data.json.crc").unlink()
+    (d / f".{data_file.name}.crc").unlink()
     with pytest.raises(ValueError, match="corrupt"):
         read_json_rows(spark, str(d))
     with pytest.raises(ValueError, match="corrupt"):
@@ -89,7 +90,7 @@ def test_checksum_mismatch_surfaces(spark, tmp_path):
 
     d = tmp_path / "_meta"
     write_json_rows(spark, str(d), [{"n": 3}])
-    (d / "data.json").write_text('{"n": 9}\n')  # stale .crc now mismatches
+    next(d.glob("data-*.json")).write_text('{"n": 9}\n')  # stale .crc now mismatches
     with pytest.raises(Exception, match="Checksum|checksum"):
         read_json_rows(spark, str(d))
 

@@ -16,7 +16,12 @@ scan + a cell-clustered write, probes read nprobe/nlist of the corpus
 (and only m longs per vector on the ADC path), and recall is a measured
 number vs brute force, not an assumption.
 
-    python tools/stress_ann.py [n_vectors] [pq_m] [pq_centroids]
+    python tools/stress_ann.py [n_vectors] [pq_m] [pq_centroids] [pq_residual]
+
+Parallelism follows ``SPARK_GRAFT_CPUS`` (default 8) so the receipts can
+be taken at the driver config (32) for like-for-like comparison with the
+bench record.  ``pq_residual`` (1/0, default 1) selects the encoding so
+the residual-vs-raw recommendation is a measured row, not an assumption.
 """
 
 from __future__ import annotations
@@ -62,9 +67,13 @@ def synth(spark, n: int, id_offset: int = 0):
 
 
 def main() -> None:
+    import os
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     pq_m = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     pq_nc = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    pq_res = bool(int(sys.argv[4])) if len(sys.argv) > 4 else True
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
 
     from pyspark.sql import functions as F
 
@@ -72,10 +81,10 @@ def main() -> None:
     from etielle_spark.session import get_spark
     from etielle_spark.streaming.incremental_ann import PersistentIVFIndex
 
-    spark = get_spark("stress-ann", cpus=8)
+    spark = get_spark("stress-ann", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    corpus = synth(spark, n).repartition(8).cache()
+    corpus = synth(spark, n).repartition(cpus).cache()
     corpus.count()
     extra = synth(spark, n // 10, id_offset=n)
     queries = corpus.filter(F.col("vec_id") < 16).cache()
@@ -98,7 +107,8 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="stress_ann_")
     try:
         idx = PersistentIVFIndex(
-            spark, work + "/ivf", nlist=64, pq_m=pq_m, pq_centroids=pq_nc
+            spark, work + "/ivf", nlist=64, pq_m=pq_m, pq_centroids=pq_nc,
+            pq_residual=pq_res,
         )
         step("build_500k", lambda: idx.build(corpus))
         step("add_50k", lambda: idx.add(extra))
@@ -138,7 +148,9 @@ def main() -> None:
                     "metric": "stress_ann",
                     "n_vectors": n + n // 10,
                     "nlist": 64,
-                    "pq": f"m={pq_m} x {pq_nc}",
+                    "cpus": cpus,
+                    "pq": f"m={pq_m} x {pq_nc} "
+                    + ("residual" if pq_res else "raw"),
                     "timings": timings,
                     "recall_at_10_vs_brute": recalls,
                     "cells": len(fpc),
