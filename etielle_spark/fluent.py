@@ -1286,17 +1286,25 @@ class PipelineBuilder:
     # -- execution ----------------------------------------------------------
 
     def _get_spark(self) -> SparkSession:
-        if self._spark is not None:
-            return self._spark
-        for r in self._roots:
-            if isinstance(r, DataFrame):
-                return r.sparkSession
-        active = SparkSession.getActiveSession()
-        if active is not None:
-            return active
-        from .session import get_spark
+        from .session import get_spark, ship_package
 
-        return get_spark()
+        spark = None
+        if self._spark is not None:
+            spark = self._spark
+        else:
+            for r in self._roots:
+                if isinstance(r, DataFrame):
+                    spark = r.sparkSession
+                    break
+            if spark is None:
+                spark = SparkSession.getActiveSession()
+        if spark is None:
+            spark = get_spark()
+        # user UDFs (`apply`, `@transform`) and error-channel builders
+        # pickle by module reference — workers must be able to import the
+        # package regardless of the driver's cwd (no-op after first call)
+        ship_package(spark)
+        return spark
 
     def _resolve_indices(self, spark: SparkSession, cache: Optional[dict] = None) -> dict[str, dict]:
         indices: dict[str, dict] = {}

@@ -277,6 +277,33 @@ def F_exists_nonzero(col):
     return F.exists(col, lambda x: x != 0)
 
 
+def test_fluent_run_ships_package(spark):
+    """Fluent pipelines carry user UDFs (`apply`/`@transform`) that
+    pickle by module reference — run() must ship the package even when
+    the session was NOT created by get_spark (the driver-gate shape)."""
+    from etielle_spark import Field, etl
+    from etielle_spark import session as sess
+    from etielle_spark.transforms import apply, get
+
+    sess._SHIPPED_APPS.discard(spark.sparkContext.applicationId)
+    spark.sparkContext._etielle_spark_shipped = False
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    res = (
+        etl(df, spark=spark)
+        .map_to(
+            "t",
+            fields=[
+                Field("k", get("k")),
+                Field("u", apply(lambda s: s.upper() if s else None, get("v"))),
+            ],
+            join_on=["k"],
+        )
+        .run()
+    )
+    assert [r["u"] for r in res["t"].collect()] == ["A"]
+    assert spark.sparkContext._etielle_spark_shipped
+
+
 def test_ship_package_idempotent(spark):
     """Second call for the same application is a no-op (set lookup), and
     the zip is content-addressed under the system tempdir."""
