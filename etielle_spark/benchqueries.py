@@ -495,12 +495,14 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Field("ln", get("l_linenumber")),
             ],
             join_on=["ln_key"],
-            # (orderkey, linenumber) is lineitem's primary key, so ln_key
-            # is distinct by construction — but Catalyst can't prove it
-            # on a raw fact scan, and the r9 A/B showed the unprovable
-            # keyed merge IS the ~0.5 s engine-vs-floor premium
-            # (SCALING.md round-9 q11 receipt).  Declare it.
-            assume_distinct=True,
+            # NO assume_distinct here, deliberately: in real TPC-H
+            # (orderkey, linenumber) is the primary key, but THIS
+            # repo's synthetic lineitem carries duplicate pairs (up to
+            # 5x at sf0.001), so the hint would be a false assertion
+            # and the keyed LWW merge is semantically REQUIRED — the
+            # round-10 full-sweep oracle caught exactly that (doubled
+            # backlink rows).  The hint is for data whose keys are
+            # honestly distinct; q11's merge premium is real work.
         )
         .backlink("orders_t", "lines_t", "lines", by={"line_ids": "ln_key"})
         .run()
@@ -11132,3 +11134,59 @@ def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebooks=cbs,
         k=10,
     )
+
+
+@q(
+    "q244_sharded_brute_force",
+    """
+    WITH e AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.v * c.v) AS dot
+      FROM (SELECT * FROM e WHERE vec_id < 8) q
+      JOIN e c USING (i)
+      WHERE c.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+      FROM dots JOIN norms nq ON query_id = nq.vec_id
+                JOIN norms nc ON neighbor_id = nc.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded top-k (operators/similarity.py: topk_sharded): the
+    query set splits into bounded hash shards, each rides its own
+    broadcast through brute_force_topk, and the union is provably
+    identical to the unsharded call (each query's top-k depends only
+    on its own vector) — the API form of the enforced broadcast
+    contract's "shard your query set" hint.  The oracle is the plain
+    unsharded brute-force SQL: shard-union ≡ unsharded is exactly what
+    the comparison checks.  round_cosine=6 rounds BEFORE ranking on
+    both engines so near-tie ranks resolve identically (the q31
+    idiom)."""
+    from .operators.similarity import topk_sharded
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = topk_sharded(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        "vec_id",
+        "embedding",
+        shard_rows=3,
+        k=10,
+        round_cosine=6,
+    )
+    return out.select("query_id", "neighbor_id", "cosine", "rank")

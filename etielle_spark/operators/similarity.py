@@ -138,11 +138,14 @@ def brute_force_topk(
     vec_col: str,
     *,
     k: int = 10,
+    round_cosine: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query vector.
 
     ``queries`` is expected to be small (it is broadcast); the corpus is
-    scanned once.  Ties break on neighbor id for determinism.
+    scanned once.  Ties break on neighbor id for determinism;
+    ``round_cosine`` rounds BEFORE ranking (the ivf_topk idiom) so ties
+    resolve identically across engines/shardings.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
@@ -151,14 +154,13 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
     )
+    cos = cosine(F.col("qv"), F.col("cv"))
+    if round_cosine is not None:
+        cos = F.round(cos, round_cosine)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
-        )
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -168,6 +170,76 @@ def brute_force_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def topk_sharded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    op=None,
+    shard_rows: int | None = None,
+    max_shards: int = 64,
+    **op_kwargs,
+) -> DataFrame:
+    """Driver-paced sharding for a large QUERY set over any broadcast-
+    contract top-k operator — the API form of the guard's "shard your
+    query set" hint.
+
+    The broadcast operators (:func:`brute_force_topk`, :func:`ivf_topk`,
+    :func:`lsh_bucket_topk`) cap their query side at
+    ``MAX_BROADCAST_QUERY_ROWS`` because the query frame rides a
+    broadcast.  When the query set is genuinely large, the scalable
+    shape is a loop of bounded broadcasts: split queries into hash
+    shards of at most ``shard_rows`` (default: the cap), run ``op``
+    per shard, union the per-shard results.  Per-query results are
+    IDENTICAL to the unsharded call (each query's top-k depends only on
+    its own vector), so this is a pure cost/packaging transform — the
+    union'd plan scans the corpus once per shard, which is the honest
+    price of a query set that cannot ride one broadcast.
+
+    ``max_shards`` bounds the driver loop (and the plan size): past it,
+    the query set is no longer "a query set" but a second corpus — use
+    the symmetric pair operators (:func:`cosine_pairs` at test scale,
+    LSH/semdedup at real scale) instead.  Deterministic: shard
+    assignment is ``xxhash64(id)``-based, and results carry no shard
+    artifacts.
+    """
+    if op is None:
+        op = brute_force_topk
+    if shard_rows is None:
+        shard_rows = MAX_BROADCAST_QUERY_ROWS
+    if shard_rows < 1:
+        raise ValueError(f"shard_rows must be >= 1, got {shard_rows}")
+    nq = queries.count()
+    n_shards = max(1, -(-nq // shard_rows))
+    if n_shards > max_shards:
+        raise ValueError(
+            f"topk_sharded: {nq} queries need {n_shards} shards of "
+            f"{shard_rows} (max_shards={max_shards}) — a query set this "
+            "large is a second corpus; use the pair operators "
+            "(lsh_bucket_topk both-sides, semdedup) instead"
+        )
+    if n_shards == 1:
+        return op(corpus, queries, id_col, vec_col, **op_kwargs)
+    sharded = queries.withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    )
+    parts = [
+        op(
+            corpus,
+            sharded.filter(F.col("__shard") == s).drop("__shard"),
+            id_col,
+            vec_col,
+            **op_kwargs,
+        )
+        for s in range(n_shards)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def ann_recall(

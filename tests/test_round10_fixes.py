@@ -277,6 +277,54 @@ def F_exists_nonzero(col):
     return F.exists(col, lambda x: x != 0)
 
 
+def test_topk_sharded_equals_unsharded(spark):
+    """The guard's shard hint as an API: hash-sharded broadcasts union
+    to EXACTLY the unsharded result (each query's top-k depends only on
+    its own vector)."""
+    import pytest as _pytest
+
+    from etielle_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        topk_sharded,
+    )
+
+    emb = spark.read.parquet(EMB)
+    q = emb.filter("vec_id < 20")
+
+    # set-compare via collect, NOT exceptAll: Spark 4.1's exceptAll
+    # rewrite over a union of window'd self-joins trips
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND (engine plans execute fine —
+    # count/collect/oracle all pass; only the exceptAll rewrite breaks)
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    one = brute_force_topk(emb, q, "vec_id", "embedding", k=5, round_cosine=6)
+    many = topk_sharded(
+        emb, q, "vec_id", "embedding", shard_rows=7, k=5, round_cosine=6
+    )
+    assert rows(one) == rows(many)
+
+    # works over other broadcast-contract ops too
+    ivf_one = ivf_topk(emb, q, "vec_id", "embedding", k=5, round_cosine=6)
+    ivf_many = topk_sharded(
+        emb, q, "vec_id", "embedding", op=ivf_topk, shard_rows=7, k=5,
+        round_cosine=6,
+    )
+    assert rows(ivf_one) == rows(ivf_many)
+
+    # single shard short-circuits; absurd shard counts raise the
+    # second-corpus hint
+    assert (
+        topk_sharded(emb, q, "vec_id", "embedding", shard_rows=1000, k=5)
+        .count() > 0
+    )
+    with _pytest.raises(ValueError, match="second corpus"):
+        topk_sharded(
+            emb, q, "vec_id", "embedding", shard_rows=1, max_shards=3, k=5
+        )
+
+
 def test_fluent_run_ships_package(spark):
     """Fluent pipelines carry user UDFs (`apply`/`@transform`) that
     pickle by module reference — run() must ship the package even when

@@ -21,7 +21,11 @@ sys.path.insert(0, "/root/repo")
 
 def floor_program(spark, sf_dir):
     """Hand-written same-semantics plan: doc groupBy + posexplode +
-    merge join + ordered collect + rejoin."""
+    merge join + ordered collect + rejoin.  SAME SEMANTICS includes the
+    per-key merge: this repo's synthetic lineitem has duplicate
+    (orderkey, linenumber) pairs, so the child table must collapse to
+    one row per ln_key exactly as the engine's keyed LWW merge does —
+    a floor without it is faster but WRONG (doubled backlink rows)."""
     from pyspark.sql import functions as F
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
@@ -30,8 +34,10 @@ def floor_program(spark, sf_dir):
     docs = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
         F.sort_array(F.collect_list("ln_key")).alias("line_ids")
     )
-    lines = li.select(
-        F.col("ln_key"), F.col("l_linenumber").alias("ln")
+    lines = (
+        li.select(F.col("ln_key"), F.col("l_linenumber").alias("ln"))
+        .groupBy("ln_key")
+        .agg(F.max("ln").alias("ln"))
     )
     exploded = docs.select(
         "okey", F.posexplode("line_ids").alias("pos", "ln_key")

@@ -68,9 +68,13 @@ def main():
     qs = entry.queries()
     oras = entry.oracle_sql()
     failures = []
+    matched = 0
     for name, fn in qs.items():
-        if only and name not in only:
+        # accept the full registry name OR its qNN prefix ("q11" selects
+        # "q11_backlink_collect" but not "q110_...")
+        if only and name not in only and name.split("_", 1)[0] not in only:
             continue
+        matched += 1
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -108,10 +112,13 @@ def main():
             print(f"[ok] {name}: {len(srows)} rows")
 
     print()
+    if only and not matched:
+        print(f"NO QUERY MATCHED {sorted(only)} — nothing was checked")
+        sys.exit(2)
     if failures:
         print(f"{len(failures)} FAILURES: {[f[0] for f in failures]}")
         sys.exit(1)
-    print("all queries match")
+    print(f"all queries match ({matched or len(qs)} checked)")
 
 
 if __name__ == "__main__":
