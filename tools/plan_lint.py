@@ -63,6 +63,7 @@ ALLOW = {
         "q195_vocab_growth": "both nested-loop build sides are the 6-row checkpoint-marks frame broadcast onto ALREADY-AGGREGATED inputs (per-word first-occurrence docs, per-doc token counts) — 6 range comparisons per aggregated row, the intended plan",
         "q198_stylometric_deviation": "both nested-loop build sides are the 1-row corpus mean/std aggregate broadcast onto the per-doc frequency scan (appears twice because the z frame feeds both the centroid aggregate and the final join) — the intended plan, same class as q169",
         "q241_ann_recall_truncated": "two broadcasts of the 5-row query side (full-dim + truncated brute_force_topk feeding ann_recall) — the q228 contract; recall evaluation is sampled by construction, the production search path stays IVF/LSH",
+        "q244_sharded_brute_force": "the q31 broadcast contract repeated once per bounded hash shard (3 shards here) — topk_sharded's whole point is that each nested-loop build side stays under MAX_BROADCAST_QUERY_ROWS; the scale path for query sets past max_shards is LSH/IVF both-sides",
     },
     "single_partition": {
         "q16_window_topk_per_group": "final presentation sort of an already-reduced frame",
