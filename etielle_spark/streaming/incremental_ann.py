@@ -644,6 +644,57 @@ class PersistentIVFIndex:
             .select("query_id", "neighbor_id", "cosine", "rank")
         )
 
+    def query_sharded(
+        self,
+        queries: DataFrame,
+        *,
+        shard_rows: int | None = None,
+        max_shards: int = 64,
+        adc: bool = False,
+        **query_kwargs,
+    ) -> DataFrame:
+        """Driver-paced sharding of a large query set over
+        :meth:`query` (or :meth:`query_adc` with ``adc=True``) — the
+        index-side twin of ``operators.similarity.topk_sharded``, and
+        the API form of the broadcast guard's "shard your query set"
+        hint.  Queries split into hash shards of at most ``shard_rows``
+        (default: the broadcast cap), each shard runs the normal probed
+        query, and the union is identical to the unsharded call (each
+        query's top-k depends only on its own vector).  Each shard pays
+        its own probed-cells scan — the honest price of a query set
+        that cannot ride one broadcast.  ``max_shards`` bounds the
+        driver loop; a query set past it is a second corpus (join it
+        cell-to-cell instead)."""
+        from ..operators.similarity import MAX_BROADCAST_QUERY_ROWS
+
+        if shard_rows is None:
+            shard_rows = MAX_BROADCAST_QUERY_ROWS
+        if shard_rows < 1:
+            raise ValueError(f"shard_rows must be >= 1, got {shard_rows}")
+        nq = queries.count()
+        n_shards = max(1, -(-nq // shard_rows))
+        if n_shards > max_shards:
+            raise ValueError(
+                f"query_sharded: {nq} queries need {n_shards} shards of "
+                f"{shard_rows} (max_shards={max_shards}) — join the query "
+                "frame against the cell layout directly instead"
+            )
+        op = self.query_adc if adc else self.query
+        if n_shards == 1:
+            return op(queries, **query_kwargs)
+        sharded = queries.withColumn(
+            "__shard",
+            F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(n_shards)),
+        )
+        parts = [
+            op(sharded.filter(F.col("__shard") == s).drop("__shard"), **query_kwargs)
+            for s in range(n_shards)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def attach(self, *, compact_every: int | None = 8) -> "callable":
         """``foreachBatch`` adapter: returns a ``(df, batch_id)``
         callable that ingests each micro-batch under the frozen

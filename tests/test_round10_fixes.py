@@ -325,6 +325,33 @@ def test_topk_sharded_equals_unsharded(spark):
         )
 
 
+def test_index_query_sharded_equals_unsharded(spark, tmp_path):
+    from etielle_spark.streaming.incremental_ann import PersistentIVFIndex
+
+    emb = spark.read.parquet(EMB)
+    idx = PersistentIVFIndex(
+        spark, str(tmp_path / "ivfshard"), nlist=4, pq_m=2, pq_centroids=4
+    )
+    idx.build(emb)
+    q = emb.filter("vec_id < 12")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    one = idx.query(q, k=5, nprobe=2)
+    many = idx.query_sharded(q, shard_rows=5, k=5, nprobe=2)
+    assert rows(one) == rows(many)
+
+    adc_one = idx.query_adc(q, k=5, nprobe=2)
+    adc_many = idx.query_sharded(q, shard_rows=5, adc=True, k=5, nprobe=2)
+    assert rows(adc_one) == rows(adc_many)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="second corpus|cell layout"):
+        idx.query_sharded(q, shard_rows=1, max_shards=3, k=5)
+
+
 def test_fluent_run_ships_package(spark):
     """Fluent pipelines carry user UDFs (`apply`/`@transform`) that
     pickle by module reference — run() must ship the package even when
