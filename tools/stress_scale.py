@@ -18,7 +18,10 @@ sys.path.insert(0, "/root/repo")
 
 
 def main() -> None:
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
 
     from pyspark.sql import functions as F
 
@@ -30,7 +33,7 @@ def main() -> None:
     from etielle_spark.operators.text import lang_id, quality_score, token_stats
     from etielle_spark.session import get_spark
 
-    spark = get_spark("stress-scale", cpus=8)
+    spark = get_spark("stress-scale", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
