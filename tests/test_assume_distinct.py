@@ -139,6 +139,33 @@ def test_hint_does_not_bypass_merge_policies(spark):
     assert rows == {1: ["a"], 2: ["b"]}
 
 
+def test_hint_keeps_schema_validation_and_error_channel(spark):
+    """The skip only removes the merge AGGREGATION — schema casting,
+    the errors channel, and id injection all run downstream and must
+    behave identically with and without the hint."""
+    df = spark.createDataFrame([(1, "12"), (2, "x")], "k long, v string")
+
+    def build(hint):
+        return (
+            etl(df, spark=spark, errors="collect")
+            .map_to(
+                "t",
+                fields=[Field("k", get("k")), Field("v", get("v"))],
+                join_on=["k"],
+                schema="k bigint, v int",
+                assume_distinct=hint,
+            )
+            .run()
+        )
+
+    off, on = build(False), build(True)
+    assert sorted((r["k"], r["v"]) for r in off["t"].collect()) == sorted(
+        (r["k"], r["v"]) for r in on["t"].collect()
+    ) == [(1, 12)]
+    assert off["t"].schema == on["t"].schema
+    assert off.errors["t"].count() == on.errors["t"].count() == 1
+
+
 def test_hint_requires_join_on(spark):
     df = spark.createDataFrame([(1, "a")], "k long, v string")
     with pytest.raises(ValueError, match="assume_distinct requires join_on"):
