@@ -69,9 +69,15 @@ _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _prep(spark)
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, name)
     df = _TABLE_CACHE.get(key)
     if df is None:
+        # evict dead applications' entries so stop/start loops (bench
+        # scale-curve subprocesses, test harnesses) don't retain py4j
+        # handles of stopped sessions for the process lifetime
+        for k in [k for k in _TABLE_CACHE if k[0] != app]:
+            del _TABLE_CACHE[k]
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         _TABLE_CACHE[key] = df
     return df
@@ -103,9 +109,12 @@ def fix_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
-    key = (spark.sparkContext.applicationId, sf_dir, "events@ts-fixed")
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, "events@ts-fixed")
     df = _TABLE_CACHE.get(key)
     if df is None:
+        for k in [k for k in _TABLE_CACHE if k[0] != app]:
+            del _TABLE_CACHE[k]
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = fix_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
         _TABLE_CACHE[key] = df

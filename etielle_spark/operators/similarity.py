@@ -172,6 +172,50 @@ def brute_force_topk(
     )
 
 
+def _shard_loop(
+    queries: DataFrame,
+    id_col: str,
+    shard_rows: int,
+    max_shards: int,
+    run_shard,
+    *,
+    what: str,
+    too_many_hint: str,
+):
+    """Shared driver-paced shard harness (topk_sharded and
+    PersistentIVFIndex.query_sharded): hash-split ``queries`` into
+    shards whose EXPECTED size is ``shard_rows``, run ``run_shard`` per
+    shard, union.  Hash shards are balanced only in expectation, so
+    callers must pass ``shard_rows`` with slack below the hard
+    broadcast cap (the public defaults use cap/2 — a shard would need
+    2x the mean to trip the guard, vanishingly unlikely for distinct
+    ids at these sizes).  The sharded frame is persisted so the
+    n_shards filters (and the per-shard guard probes inside the ops)
+    scan the query lineage once, not n_shards times."""
+    if shard_rows < 1:
+        raise ValueError(f"shard_rows must be >= 1, got {shard_rows}")
+    nq = queries.count()
+    n_shards = max(1, -(-nq // shard_rows))
+    if n_shards > max_shards:
+        raise ValueError(
+            f"{what}: {nq} queries need {n_shards} shards of "
+            f"{shard_rows} (max_shards={max_shards}) — {too_many_hint}"
+        )
+    if n_shards == 1:
+        return run_shard(queries)
+    sharded = queries.withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    ).persist()
+    parts = [
+        run_shard(sharded.filter(F.col("__shard") == s).drop("__shard"))
+        for s in range(n_shards)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def topk_sharded(
     corpus: DataFrame,
     queries: DataFrame,
@@ -203,43 +247,36 @@ def topk_sharded(
     the query set is no longer "a query set" but a second corpus — use
     the symmetric pair operators (:func:`cosine_pairs` at test scale,
     LSH/semdedup at real scale) instead.  Deterministic: shard
-    assignment is ``xxhash64(id)``-based, and results carry no shard
-    artifacts.
+    assignment is ``xxhash64(id)``-based (ids are assumed distinct —
+    they name the output rows), and results carry no shard artifacts.
+
+    The default ``shard_rows`` is HALF the operator's hard cap: hash
+    shards are balanced only in expectation, and the slack keeps the
+    inner guard from tripping at the boundary.  When ``op_kwargs``
+    carries ``codebooks`` (the :func:`pq_topk` shape), the default
+    derives from the LUT cap instead — that is the binding constraint
+    for ADC search.
     """
     if op is None:
         op = brute_force_topk
     if shard_rows is None:
-        shard_rows = MAX_BROADCAST_QUERY_ROWS
-    if shard_rows < 1:
-        raise ValueError(f"shard_rows must be >= 1, got {shard_rows}")
-    nq = queries.count()
-    n_shards = max(1, -(-nq // shard_rows))
-    if n_shards > max_shards:
-        raise ValueError(
-            f"topk_sharded: {nq} queries need {n_shards} shards of "
-            f"{shard_rows} (max_shards={max_shards}) — a query set this "
-            "large is a second corpus; use the pair operators "
-            "(lsh_bucket_topk both-sides, semdedup) instead"
-        )
-    if n_shards == 1:
-        return op(corpus, queries, id_col, vec_col, **op_kwargs)
-    sharded = queries.withColumn(
-        "__shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+        cap = MAX_BROADCAST_QUERY_ROWS
+        if "codebooks" in op_kwargs:
+            lut_per_query = sum(len(cb) for cb in op_kwargs["codebooks"])
+            cap = min(cap, max(1, MAX_BROADCAST_LUT_ROWS // max(1, lut_per_query)))
+        shard_rows = max(1, cap // 2)
+    return _shard_loop(
+        queries,
+        id_col,
+        shard_rows,
+        max_shards,
+        lambda q: op(corpus, q, id_col, vec_col, **op_kwargs),
+        what="topk_sharded",
+        too_many_hint=(
+            "a query set this large is a second corpus; use the pair "
+            "operators (lsh_bucket_topk both-sides, semdedup) instead"
+        ),
     )
-    parts = [
-        op(
-            corpus,
-            sharded.filter(F.col("__shard") == s).drop("__shard"),
-            id_col,
-            vec_col,
-            **op_kwargs,
-        )
-        for s in range(n_shards)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
 
 
 def ann_recall(

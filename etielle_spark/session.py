@@ -125,12 +125,17 @@ def ship_package(spark: SparkSession | DataFrame) -> str | None:
     if app_id in _SHIPPED_APPS:
         sc._etielle_spark_shipped = True
         return None
-    _SHIPPED_APPS.add(app_id)
-    sc._etielle_spark_shipped = True
     pkg_dir = Path(__file__).resolve().parent
     if not pkg_dir.is_dir():
         # imported from a zip/egg that spark-submit already distributed
+        _SHIPPED_APPS.add(app_id)
+        sc._etielle_spark_shipped = True
         return None
+    # mark shipped only AFTER addPyFile succeeds — a transient failure
+    # (tempdir unwritable, py4j hiccup) must stay retryable, or every
+    # later Arrow-UDF call silently skips shipping and dies worker-side
     zip_path = _package_zip(pkg_dir)
     sc.addPyFile(str(zip_path))
+    _SHIPPED_APPS.add(app_id)
+    sc._etielle_spark_shipped = True
     return str(zip_path)

@@ -664,36 +664,42 @@ class PersistentIVFIndex:
         its own probed-cells scan — the honest price of a query set
         that cannot ride one broadcast.  ``max_shards`` bounds the
         driver loop; a query set past it is a second corpus (join it
-        cell-to-cell instead)."""
-        from ..operators.similarity import MAX_BROADCAST_QUERY_ROWS
+        cell-to-cell instead).
+
+        The default ``shard_rows`` is half the binding cap (hash
+        shards balance only in expectation — the slack keeps the inner
+        guard from tripping at the boundary): the broadcast row cap
+        for raw queries, the much tighter LUT-row cap in ADC mode
+        (``nprobe x pq_m x pq_centroids`` LUT rows per query)."""
+        from ..operators.similarity import (
+            MAX_BROADCAST_LUT_ROWS,
+            MAX_BROADCAST_QUERY_ROWS,
+            _shard_loop,
+        )
 
         if shard_rows is None:
-            shard_rows = MAX_BROADCAST_QUERY_ROWS
-        if shard_rows < 1:
-            raise ValueError(f"shard_rows must be >= 1, got {shard_rows}")
-        nq = queries.count()
-        n_shards = max(1, -(-nq // shard_rows))
-        if n_shards > max_shards:
-            raise ValueError(
-                f"query_sharded: {nq} queries need {n_shards} shards of "
-                f"{shard_rows} (max_shards={max_shards}) — join the query "
-                "frame against the cell layout directly instead"
-            )
+            cap = MAX_BROADCAST_QUERY_ROWS
+            if adc:
+                lut_per_query = min(
+                    int(query_kwargs.get("nprobe", 3)), self.nlist
+                ) * sum(len(cb) for cb in self._load_pq())
+                cap = min(
+                    cap, max(1, MAX_BROADCAST_LUT_ROWS // max(1, lut_per_query))
+                )
+            shard_rows = max(1, cap // 2)
         op = self.query_adc if adc else self.query
-        if n_shards == 1:
-            return op(queries, **query_kwargs)
-        sharded = queries.withColumn(
-            "__shard",
-            F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(n_shards)),
+        return _shard_loop(
+            queries,
+            self.id_col,
+            shard_rows,
+            max_shards,
+            lambda q: op(q, **query_kwargs),
+            what="query_sharded",
+            too_many_hint=(
+                "join the query frame against the cell layout directly "
+                "instead"
+            ),
         )
-        parts = [
-            op(sharded.filter(F.col("__shard") == s).drop("__shard"), **query_kwargs)
-            for s in range(n_shards)
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
 
     def attach(self, *, compact_every: int | None = 8) -> "callable":
         """``foreachBatch`` adapter: returns a ``(df, batch_id)``

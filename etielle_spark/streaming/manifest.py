@@ -135,25 +135,45 @@ def read_json_rows(
     holds no data file / no line); raises ``ValueError`` on unparseable
     content — a torn manifest must surface, never read as 'no state'."""
     jvm, p, fs = _fs_for(spark, path)
-    if not fs.exists(p):
-        return None
-    files: list = []
-    _data_files(fs, fs.getFileStatus(p), files, recursive)
-    files = _pick_versions(files)
-    rows: list[dict] = []
-    for fp in sorted(files, key=str):
-        for line in _read_text(jvm, fs, fp).splitlines():
-            line = line.strip()
-            if not line:
-                continue
-            try:
-                rows.append(json.loads(line))
-            except ValueError as e:
-                raise ValueError(
-                    f"corrupt JSON manifest file {fp} under {path}: {e} — "
-                    "restore the manifest or start a fresh state dir"
-                ) from e
-    return rows or None
+    # Bounded retry: a reader can list version N, then race the single
+    # writer's post-rename cleanup (which deletes N after N+1 lands) and
+    # find the listed file gone.  Re-listing picks up N+1 — the
+    # previous-or-new contract, just one listing later.  Three strikes
+    # means the path is being deleted outright; surface that.
+    last_exc: Exception | None = None
+    for _ in range(3):
+        if not fs.exists(p):
+            return None
+        files: list = []
+        _data_files(fs, fs.getFileStatus(p), files, recursive)
+        files = _pick_versions(files)
+        rows: list[dict] = []
+        try:
+            for fp in sorted(files, key=str):
+                for line in _read_text(jvm, fs, fp).splitlines():
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        rows.append(json.loads(line))
+                    except ValueError as e:
+                        raise ValueError(
+                            f"corrupt JSON manifest file {fp} under {path}: "
+                            f"{e} — restore the manifest or start a fresh "
+                            "state dir"
+                        ) from e
+        except ValueError:
+            raise
+        except Exception as e:  # py4j FileNotFoundException et al.
+            if "FileNotFoundException" not in str(e):
+                raise
+            last_exc = e
+            continue
+        return rows or None
+    raise IOError(
+        f"manifest at {path} kept vanishing mid-read (3 attempts) — "
+        "is something deleting the state dir?"
+    ) from last_exc
 
 
 def write_json_rows(spark: SparkSession, path: str, rows: list[dict]) -> None:

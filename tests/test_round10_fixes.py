@@ -325,6 +325,38 @@ def test_topk_sharded_equals_unsharded(spark):
         )
 
 
+def test_sharded_defaults_carry_slack_below_the_caps(spark):
+    """Hash shards balance only in expectation: the DEFAULT shard size
+    must sit at half the binding cap so the inner guard never trips at
+    the boundary (the round-10 review catch).  With the row cap
+    monkeypatched to 10 and 30 queries, the default harness must split
+    into small shards and complete rather than raise."""
+    from etielle_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(EMB)
+    q = emb.filter("vec_id < 30")
+    old_q = sim.MAX_BROADCAST_QUERY_ROWS
+    sim.MAX_BROADCAST_QUERY_ROWS = 10
+    try:
+        out = sim.topk_sharded(emb, q, "vec_id", "embedding", k=3, round_cosine=6)
+        assert out.select("query_id").distinct().count() == 30
+    finally:
+        sim.MAX_BROADCAST_QUERY_ROWS = old_q
+
+    # pq shape: the default derives from the LUT cap, not the row cap
+    cbs = sim.pq_codebooks(emb, "vec_id", "embedding", m=2, n_centroids=4)
+    codes = sim.pq_codes(emb, "vec_id", "embedding", codebooks=cbs)
+    old_l = sim.MAX_BROADCAST_LUT_ROWS
+    sim.MAX_BROADCAST_LUT_ROWS = 80  # 8 entries/query -> cap 10 -> shards of 5
+    try:
+        out = sim.topk_sharded(
+            codes, q, "vec_id", "embedding", op=sim.pq_topk, codebooks=cbs, k=3
+        )
+        assert out.select("query_id").distinct().count() == 30
+    finally:
+        sim.MAX_BROADCAST_LUT_ROWS = old_l
+
+
 def test_index_query_sharded_equals_unsharded(spark, tmp_path):
     from etielle_spark.streaming.incremental_ann import PersistentIVFIndex
 

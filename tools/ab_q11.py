@@ -3,8 +3,11 @@ same-semantics DataFrame floor, same session, alternating runs.
 
 The round-9 receipt (SCALING.md) put the engine at 2.053 s vs a 1.521 s
 floor, the premium being the lines_t keyed LWW merge Catalyst cannot
-prove away on raw lineitem.  Round 10 adds ``assume_distinct=True`` on
-that emission (benchqueries.q11) — this harness re-measures the gap.
+prove away on raw lineitem.  Round 10 adjudicated that the merge is
+REQUIRED on this data (the synthetic lineitem has duplicate
+(orderkey, linenumber) pairs, so ``assume_distinct`` would be a false
+assertion — it is deliberately NOT used in q11); this harness measures
+the engine against a floor that performs the same per-key merge.
 
     SPARK_GRAFT_CPUS=32 python tools/ab_q11.py [sf_dir] [rounds]
 """
