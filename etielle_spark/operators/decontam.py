@@ -110,7 +110,7 @@ def embedding_contamination(
     Returns ``(id_col, max_cosine, matched_eval_id, n_eval_hits)`` for
     flagged corpus rows only; anti-join it back on the id to drop them.
     """
-    from .similarity import _dot, _hyperplane, cosine
+    from .similarity import _bucket_bits, cosine
 
     if dim is None:
         first = corpus.select(vec_col).head(1)
@@ -120,23 +120,14 @@ def embedding_contamination(
             )
         dim = len(first[0][0])
 
-    def bucket(vec):
-        bits = [
-            F.when(_dot(vec, _hyperplane(p, dim)) >= 0, F.lit("1")).otherwise(
-                F.lit("0")
-            )
-            for p in range(planes)
-        ]
-        return F.concat(*bits)
-
     c = corpus.select(
         F.col(id_col).alias("__cid"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
-    ).withColumn("bucket", bucket(F.col("__cv")))
+    ).withColumn("bucket", _bucket_bits("__cv", planes, dim))
     e = eval_set.select(
         F.col(id_col).alias("__eid"),
         F.col(vec_col).cast("array<double>").alias("__ev"),
-    ).withColumn("bucket", bucket(F.col("__ev")))
+    ).withColumn("bucket", _bucket_bits("__ev", planes, dim))
 
     if probes > 1:
         def flip(b, i):

@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql import types as T
@@ -53,6 +54,142 @@ def _dot(a: Column, b: Column) -> Column:
 
 def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+# -- SQL-text expression builders --------------------------------------------
+#
+# Codebook-literal expressions (one cosine per centroid, each with its own
+# literal array) built through the Column API cost thousands of py4j round
+# trips PER PLAN — measured 6.4 s of pure driver-side plan construction for
+# one nlist=16 x dim=64 cell assignment, re-paid on EVERY add()/query()
+# micro-batch.  Rendering the identical expression as one SQL string and
+# parsing it JVM-side (`F.expr`) is a single round trip.  `_dlit` renders a
+# bit-exact double literal: Python `repr` of a float round-trips, and so
+# does Spark's string->double cast, so the parsed literal is the same IEEE
+# value `F.lit` would have produced (the cast folds to a plain literal at
+# analysis time).
+
+
+_DLIT_RE = re.compile(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
+
+
+def _dlit(x: float) -> str:
+    r = repr(float(x))
+    if _DLIT_RE.match(r):
+        # direct double literal ('1.5D', '1e-05D'): one parse node; the
+        # lexed value is the same IEEE double repr() round-trips to
+        return r + "D"
+    return f"CAST('{r}' AS DOUBLE)"  # inf/nan and any odd rendering
+
+
+def _darr(vals: list[float]) -> str:
+    return "array(" + ", ".join(_dlit(v) for v in vals) + ")"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"{_dlit(0.0)}, (acc, v) -> acc + v)"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return f"sqrt(aggregate({a}, {_dlit(0.0)}, (acc, v) -> acc + v * v))"
+
+
+def _sql_sq_l2(a: str, b: str, round_to: int = 6) -> str:
+    return (
+        f"round(aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"{_dlit(0.0)}, (acc, x) -> acc + x), {int(round_to)})"
+    )
+
+
+def _sql_pq_lut(
+    codebooks: list[list[tuple[int, list[float]]]], vec: str, round_to: int = 6
+) -> str:
+    """Flat ``array<struct<subspace:bigint, code:bigint, d>>``: rounded
+    squared-L2 of ``vec``'s j-th slice to every centroid of subspace j —
+    the ADC lookup table rendered as one SQL-text expression (m lambdas
+    total instead of m x n_centroids literal subtrees)."""
+    parts = []
+    off = 0
+    for j, cb in enumerate(codebooks):
+        w = len(cb[0][1])
+        cbarr = (
+            "array("
+            + ", ".join(
+                f"named_struct('code', {int(ci)}L, 'cv', {_darr(cvec)})"
+                for ci, cvec in cb
+            )
+            + ")"
+        )
+        d = _sql_sq_l2(f"slice(`{vec}`, {off + 1}, {w})", "e.cv", round_to)
+        parts.append(
+            f"transform({cbarr}, e -> named_struct("
+            f"'subspace', {j}L, 'code', e.code, 'd', {d}))"
+        )
+        off += w
+    return "flatten(array(" + ", ".join(parts) + "))"
+
+
+def _sql_pq_best(
+    codebooks: list[list[tuple[int, list[float]]]], vec: str, round_to: int = 6
+) -> str:
+    """``array<struct<j:bigint, b:struct<d, code:int>>>`` (length m): the
+    per-subspace nearest centroid of ``vec``'s slices — argmin by
+    ``(d, code)``, the :func:`pq_codes` tie-break."""
+    parts = []
+    off = 0
+    for j, cb in enumerate(codebooks):
+        w = len(cb[0][1])
+        cbarr = (
+            "array("
+            + ", ".join(
+                f"named_struct('code', {int(ci)}, 'cv', {_darr(cvec)})"
+                for ci, cvec in cb
+            )
+            + ")"
+        )
+        d = _sql_sq_l2(f"slice(`{vec}`, {off + 1}, {w})", "e.cv", round_to)
+        best = (
+            f"array_min(transform({cbarr}, "
+            f"e -> named_struct('d', {d}, 'code', e.code)))"
+        )
+        parts.append(f"named_struct('j', {j}L, 'b', {best})")
+        off += w
+    return "array(" + ", ".join(parts) + ")"
+
+
+def _hyperplane_vals(plane: int, dim: int) -> list[float]:
+    """The md5-parity ±1 components :func:`_hyperplane` embeds as
+    literals, as a Python list (for SQL-text rendering)."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"{plane}|{d}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1.0
+        for d in range(dim)
+    ]
+
+
+def _sql_hyperplanes(planes: int, dim: int) -> str:
+    """Literal array of the first ``planes`` hyperplane vectors."""
+    return (
+        "array("
+        + ", ".join(_darr(_hyperplane_vals(p, dim)) for p in range(planes))
+        + ")"
+    )
+
+
+def _bucket_bits(vec: str, planes: int, dim: int) -> Column:
+    """Sign-random-projection bucket string ('1'/'0' per plane) as one
+    SQL-text expression — same bits as the per-plane
+    ``concat(when(dot >= 0, ...))`` construction, built in one py4j
+    round trip instead of ``planes * dim`` literal calls."""
+    hp = _sql_hyperplanes(planes, dim)
+    bit = f"CASE WHEN {_sql_dot(f'`{vec}`', 'h')} >= 0 THEN '1' ELSE '0' END"
+    return F.expr(f"array_join(transform({hp}, h -> {bit}), '')")
 
 
 def _seed_vectors(
@@ -331,21 +468,42 @@ def ann_recall(
 
 
 def _cell_scores(
-    vec: Column,
+    vec: Column | str,
     centroids: list[tuple[int, list[float]]],
     round_cosine: int | None,
 ) -> Column:
     """array<struct<c: cosine, nid: -cell_id>> against a literal
     codebook — struct ordering makes ``array_max`` pick highest cosine,
     then smallest cell id.  Shared by :func:`ivf_topk` and the
-    persistent IVF index so both assign cells identically."""
-    entries = []
-    for cid, cvec in centroids:
-        cos = cosine(vec, F.array(*[F.lit(float(x)) for x in cvec]))
-        if round_cosine is not None:
-            cos = F.round(cos, round_cosine)
-        entries.append(F.struct(cos.alias("c"), F.lit(-cid).alias("nid")))
-    return F.array(*entries)
+    persistent IVF index so both assign cells identically.
+
+    Pass the vector column NAME (fast path: the whole codebook renders
+    as one SQL string, one py4j round trip); a ``Column`` falls back to
+    the per-literal Column-API construction with identical semantics.
+    """
+    if not isinstance(vec, str):
+        entries = []
+        for cid, cvec in centroids:
+            cos = cosine(vec, F.array(*[F.lit(float(x)) for x in cvec]))
+            if round_cosine is not None:
+                cos = F.round(cos, round_cosine)
+            entries.append(F.struct(cos.alias("c"), F.lit(-cid).alias("nid")))
+        return F.array(*entries)
+    v = f"`{vec}`"
+    # one literal array<struct<cv,nid>> + one transform lambda: the
+    # expression tree holds a single cosine subtree instead of one per
+    # centroid (16x smaller analysis; values and order are unchanged —
+    # same ops on the same floats per element)
+    book = "array(" + ", ".join(
+        f"named_struct('cv', {_darr(cvec)}, 'nid', {-int(cid)})"
+        for cid, cvec in centroids
+    ) + ")"
+    cos = f"{_sql_dot(v, 'e.cv')} / ({_sql_norm(v)} * {_sql_norm('e.cv')})"
+    if round_cosine is not None:
+        cos = f"round({cos}, {int(round_cosine)})"
+    return F.expr(
+        f"transform({book}, e -> named_struct('c', {cos}, 'nid', e.nid))"
+    )
 
 
 def ivf_topk(
@@ -383,14 +541,14 @@ def ivf_topk(
     if not centroids:
         raise ValueError("ivf_topk: no centroids (empty corpus?)")
 
-    def cell_scores(vec: Column) -> Column:
+    def cell_scores(vec: Column | str) -> Column:
         return _cell_scores(vec, centroids, round_cosine)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    c = c.withColumn("cell", -F.array_max(cell_scores(F.col("cv"))).getField("nid"))
+    c = c.withColumn("cell", -F.array_max(cell_scores("cv")).getField("nid"))
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -399,7 +557,7 @@ def ivf_topk(
     _guard_small_side(q, MAX_BROADCAST_QUERY_ROWS, "ivf_topk")
     # nprobe closest cells per query: sort desc by (cosine, -cell_id), slice
     probed = F.slice(
-        F.reverse(F.array_sort(cell_scores(F.col("qv")))), 1, nprobe
+        F.reverse(F.array_sort(cell_scores("qv"))), 1, nprobe
     )
     q = q.withColumn("cell", F.explode(probed.getField("nid"))).withColumn(
         "cell", -F.col("cell")
@@ -470,21 +628,14 @@ def lsh_bucket_topk(
             )
         dim = len(first[0][0])
 
-    def bucket(vec: Column) -> Column:
-        bits = [
-            F.when(_dot(vec, _hyperplane(p, dim)) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for p in range(planes)
-        ]
-        return F.concat(*bits)
-
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("bucket", bucket(F.col("cv")))
+    ).withColumn("bucket", _bucket_bits("cv", planes, dim))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("bucket", bucket(F.col("qv")))
+    ).withColumn("bucket", _bucket_bits("qv", planes, dim))
     _guard_small_side(q, MAX_BROADCAST_QUERY_ROWS, "lsh_bucket_topk")
 
     if probes > 1:
@@ -550,20 +701,14 @@ def kmeans_iteration(
     if not centroids:
         raise ValueError("kmeans_iteration: no centroids (empty corpus?)")
 
-    def cell_scores(vec: Column) -> Column:
-        entries = []
-        for cid, cvec in centroids:
-            cos = cosine(vec, F.array(*[F.lit(float(x)) for x in cvec]))
-            if round_cosine is not None:
-                cos = F.round(cos, round_cosine)
-            entries.append(F.struct(cos.alias("c"), F.lit(-cid).alias("nid")))
-        return F.array(*entries)
-
     assigned = corpus.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__cv"),
     ).withColumn(
-        "cell", -F.array_max(cell_scores(F.col("__cv"))).getField("nid")
+        "cell",
+        -F.array_max(
+            _cell_scores("__cv", centroids, round_cosine)
+        ).getField("nid"),
     )
 
     dims = assigned.select(
@@ -675,23 +820,26 @@ def silhouette_centroid(
     if len(centroids) < 2:
         raise ValueError("silhouette needs >= 2 centroids")
 
-    def dists(vec: Column) -> Column:
-        entries = []
-        for cid, cvec in centroids:
-            cos = cosine(vec, F.array(*[F.lit(float(x)) for x in cvec]))
-            if round_cosine is not None:
-                cos = F.round(cos, round_cosine)
-            entries.append(
-                F.struct(
-                    (F.lit(1.0) - cos).alias("d"), F.lit(int(cid)).alias("cell")
-                )
-            )
-        return F.array_sort(F.array(*entries))
-
+    book = (
+        "array("
+        + ", ".join(
+            f"named_struct('cv', {_darr(cvec)}, 'cell', {int(cid)})"
+            for cid, cvec in centroids
+        )
+        + ")"
+    )
+    v = "`__sil_v`"
+    cos = f"{_sql_dot(v, 'e.cv')} / ({_sql_norm(v)} * {_sql_norm('e.cv')})"
+    if round_cosine is not None:
+        cos = f"round({cos}, {int(round_cosine)})"
+    dists = F.expr(
+        f"array_sort(transform({book}, e -> named_struct("
+        f"'d', {_dlit(1.0)} - {cos}, 'cell', e.cell)))"
+    )
     top2 = corpus.select(
         F.col(id_col),
-        F.slice(dists(F.col(vec_col).cast("array<double>")), 1, 2).alias("__t"),
-    )
+        F.col(vec_col).cast("array<double>").alias("__sil_v"),
+    ).select(F.col(id_col), F.slice(dists, 1, 2).alias("__t"))
     d1 = F.element_at("__t", 1).getField("d")
     d2 = F.element_at("__t", 2).getField("d")
     return top2.select(
@@ -1024,21 +1172,26 @@ def pca_project(
     mean first — pass the means from the same pass that fit the PCA to
     get true principal scores.
     """
-    vec = F.col(vec_col).cast("array<double>")
+    v = "`__pca_v`"
     if center_means is not None:
-        mean_arr = F.array(*[F.lit(float(m)) for m in center_means])
-        vec = F.zip_with(vec, mean_arr, lambda a, b: a - b)
-    outs = []
-    for cid, cvec in components:
-        comp_arr = F.array(*[F.lit(float(x)) for x in cvec])
-        outs.append(
-            F.struct(
-                F.lit(int(cid)).alias("comp"),
-                F.round(_dot(vec, comp_arr), round_to).alias("score"),
-            )
+        v = f"zip_with({v}, {_darr(center_means)}, (a, b) -> a - b)"
+    book = (
+        "array("
+        + ", ".join(
+            f"named_struct('comp', {int(cid)}, 'cv', {_darr(cvec)})"
+            for cid, cvec in components
         )
+        + ")"
+    )
+    outs = F.expr(
+        f"transform({book}, e -> named_struct('comp', e.comp, "
+        f"'score', round({_sql_dot(v, 'e.cv')}, {int(round_to)})))"
+    )
     return emb.select(
-        F.col(id_col), F.explode(F.array(*outs)).alias("__s")
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__pca_v"),
+    ).select(
+        F.col(id_col), F.explode(outs).alias("__s")
     ).select(
         id_col,
         F.col("__s.comp").cast("long").alias("comp"),
@@ -1341,14 +1494,23 @@ def semdedup(
         nrm = math.sqrt(sum(x * x for x in vec))
         return [x / nrm for x in vec] if nrm > 0 else list(vec)
 
-    def cell_scores(vec: Column) -> Column:
-        entries = []
-        for cid, cvec in centroids:
-            cos = _dot(vec, F.array(*[F.lit(x) for x in _unit(cvec)]))
-            if round_cosine is not None:
-                cos = F.round(cos, round_cosine)
-            entries.append(F.struct(cos.alias("c"), F.lit(-cid).alias("nid")))
-        return F.array(*entries)
+    def cell_scores(vec: str) -> Column:
+        # unit-centroid codebook as ONE SQL-text transform (same dots,
+        # same order; see _cell_scores for the py4j-cost rationale)
+        book = (
+            "array("
+            + ", ".join(
+                f"named_struct('cv', {_darr(_unit(cvec))}, 'nid', {-int(cid)})"
+                for cid, cvec in centroids
+            )
+            + ")"
+        )
+        cos = _sql_dot(f"`{vec}`", "e.cv")
+        if round_cosine is not None:
+            cos = f"round({cos}, {int(round_cosine)})"
+        return F.expr(
+            f"transform({book}, e -> named_struct('c', {cos}, 'nid', e.nid))"
+        )
 
     if engine == "arrow":
         import numpy as np
@@ -1480,7 +1642,7 @@ def semdedup(
             ).otherwise(F.col("__raw")),
         )
         .drop("__raw")
-        .withColumn("cell", -F.array_max(cell_scores(F.col("v"))).getField("nid"))
+        .withColumn("cell", -F.array_max(cell_scores("v")).getField("nid"))
     )
     # assigned feeds both self-join sides AND the final keep/drop join;
     # persist so the nlist-dot cell assignment runs once per row, not 3x
@@ -1779,28 +1941,13 @@ def pq_codes(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
 
-    per_space = []
-    off = 0
-    for j, cb in enumerate(codebooks):
-        subv = F.slice(F.col("v"), off + 1, widths[j])
-        off += widths[j]
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(_sq_l2(subv, cvec).alias("d"), F.lit(ci).alias("code"))
-                    for ci, cvec in cb
-                ]
-            )
-        )
-        per_space.append(
-            F.struct(
-                F.lit(j).cast("bigint").alias("subspace"),
-                best.getField("code").cast("bigint").alias("code"),
-                best.getField("d").alias("dist"),
-            )
-        )
+    best = _sql_pq_best(codebooks, "v")
+    per_space = F.expr(
+        f"transform({best}, s -> named_struct("
+        "'subspace', s.j, 'code', CAST(s.b.code AS BIGINT), 'dist', s.b.d))"
+    )
     return (
-        v.select("id", F.explode(F.array(*per_space)).alias("r"))
+        v.select("id", F.explode(per_space).alias("r"))
         .select("id", "r.subspace", "r.code", "r.dist")
     )
 
@@ -1860,23 +2007,10 @@ def pq_topk(
         q, max(1, MAX_BROADCAST_LUT_ROWS // lut_per_query), "pq_topk"
     )
 
-    entries = []
-    off = 0
-    for j, cb in enumerate(codebooks):
-        subj = len(cb[0][1])
-        subv = F.slice(F.col("qv"), off + 1, subj)
-        for ci, cvec in cb:
-            entries.append(
-                F.struct(
-                    F.lit(j).cast("bigint").alias("subspace"),
-                    F.lit(int(ci)).cast("bigint").alias("code"),
-                    _sq_l2(subv, cvec, round_to).alias("d"),
-                )
-            )
-        off += subj
-    lut = q.select("query_id", F.explode(F.array(*entries)).alias("r")).select(
-        "query_id", "r.subspace", "r.code", "r.d"
-    )
+    lut = q.select(
+        "query_id",
+        F.explode(F.expr(_sql_pq_lut(codebooks, "qv", round_to))).alias("r"),
+    ).select("query_id", "r.subspace", "r.code", "r.d")
 
     scored = (
         codes.select(F.col("id").alias("neighbor_id"), "subspace", "code")
@@ -2031,13 +2165,17 @@ def random_projection(
         if not first:
             raise ValueError("random_projection: empty input and no explicit dim=")
         dim = len(first[0][0])
-    vec = F.col(vec_col).cast("array<double>")
     denom = math.sqrt(out_dim) if scale else 1.0
-    comps = [
-        F.round(_dot(vec, _hyperplane(p, dim)) / F.lit(denom), round_to)
-        for p in range(out_dim)
-    ]
-    return emb.select(F.col(id_col).alias("id"), F.array(*comps).alias("proj"))
+    hp = _sql_hyperplanes(out_dim, dim)
+    comp = (
+        f"round({_sql_dot('`__rp_v`', 'h')} / {_dlit(denom)}, {int(round_to)})"
+    )
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("__rp_v"),
+    ).select(
+        "id", F.expr(f"transform({hp}, h -> {comp})").alias("proj")
+    )
 
 
 def pool_embeddings(

@@ -1033,16 +1033,25 @@ def _logreg_train_loop(
         )
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
         resid = src.select((p - F.col("__y")).alias("__r"), "__x")
-        # one job per step: a constant-1 virtual feature at dim D makes
-        # the bias gradient (sum of residuals) ride the same aggregation
-        sums = resid.select(
-            F.col("__r"),
-            F.posexplode(
-                F.concat(F.col("__x"), F.array(F.lit(1.0)))
-            ).alias("dim", "v"),
-        ).groupBy("dim").agg(F.sum(F.col("__r") * F.col("v")).alias("g"))
-        gmap = {int(r["dim"]): float(r["g"]) for r in sums.collect()}
-        rsum = gmap.pop(dim, 0.0)
+        # one job per step, NO explode and NO keyed exchange: the D + 1
+        # gradient components (bias = plain residual sum) are D + 1
+        # column aggregates in one keyless HashAggregate — partial sums
+        # combine map-side and a single row reaches the driver, vs the
+        # old posexplode (a D+1 x row multiplication) -> groupBy(dim)
+        # shuffle (guide §2.3: aggregate before you shuffle)
+        grad_row = resid.agg(
+            *[
+                F.sum(F.col("__r") * F.col("__x")[j]).alias(f"g{j}")
+                for j in range(dim)
+            ],
+            F.sum("__r").alias("gb"),
+        ).first()
+        gmap = {
+            j: float(grad_row[j])
+            for j in range(dim)
+            if grad_row[j] is not None
+        }
+        rsum = float(grad_row[dim]) if grad_row[dim] is not None else 0.0
 
         def rnd(x: float) -> float:
             # half-away-from-zero, matching SQL round() (Python's built-in

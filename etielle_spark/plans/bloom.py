@@ -103,8 +103,20 @@ def bloom_filter_col(
         return w - (1 << 64) if w >= (1 << 63) else w
 
     n_bits = len(words) * 64
-    lit_words = F.array(*[F.lit(signed(w)).cast("long") for w in words])
-    masks = F.array(*[F.lit(signed(1 << b)).cast("long") for b in range(64)])
+    # one SQL-text literal array per table (a 64 KiB filter is 1024
+    # words = 1024 py4j literal calls the Column API way — ~1 s of
+    # driver time per plan); CAST from string parses the full signed
+    # long range including -2^63, and folds to a plain literal
+    lit_words = F.expr(
+        "array("
+        + ", ".join(f"CAST('{signed(w)}' AS BIGINT)" for w in words)
+        + ")"
+    )
+    masks = F.expr(
+        "array("
+        + ", ".join(f"CAST('{signed(1 << b)}' AS BIGINT)" for b in range(64))
+        + ")"
+    )
     cond = F.lit(True)
     for p in _positions(key, n_bits, k):
         word = F.element_at(lit_words, (p / 64).cast("int") + 1)

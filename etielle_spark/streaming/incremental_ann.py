@@ -208,17 +208,15 @@ class PersistentIVFIndex:
     def _centroid_of_cell(self, cents=None):
         """Literal cell->centroid map, indexed by the ``cell`` column —
         the codebook is KBs, so this is a constant expression."""
+        from ..operators.similarity import _darr
+
         if cents is None:
             cents = self._load_centroids()
-        return F.map_from_arrays(
-            F.array(*[F.lit(int(c)) for c, _ in cents]),
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in vec])
-                    for _, vec in cents
-                ]
-            ),
-        )[F.col("cell")]
+        keys = ", ".join(str(int(c)) for c, _ in cents)
+        vals = ", ".join(_darr(vec) for _, vec in cents)
+        return F.expr(
+            f"map_from_arrays(array({keys}), array({vals}))[`cell`]"
+        )
 
     def _with_codes(self, assigned: DataFrame) -> DataFrame:
         """Append the ``__codes`` column: PQ codes of the RESIDUAL
@@ -229,31 +227,17 @@ class PersistentIVFIndex:
         ADC recall 0.05 on 550k vectors in 256 tight clusters) while
         their residuals spread across the codebook.  Same map-only
         literal-codebook projection as ``pq_codes``."""
-        from ..operators.similarity import _sq_l2
+        from ..operators.similarity import _sql_pq_best
 
         cbs = self._load_pq()
         tagged = assigned.withColumn(
             "__resid", self._code_source(F.col("__vec"))
         )
-        per_space = []
-        off = 0
-        for cb in cbs:
-            subj = len(cb[0][1])
-            subv = F.slice(F.col("__resid"), off + 1, subj)
-            best = F.array_min(
-                F.array(
-                    *[
-                        F.struct(
-                            _sq_l2(subv, cvec).alias("d"),
-                            F.lit(int(ci)).alias("code"),
-                        )
-                        for ci, cvec in cb
-                    ]
-                )
-            )
-            per_space.append(best.getField("code").cast("long"))
-            off += subj
-        return tagged.withColumn("__codes", F.array(*per_space)).drop("__resid")
+        best = _sql_pq_best(cbs, "__resid")
+        return tagged.withColumn(
+            "__codes",
+            F.expr(f"transform({best}, s -> CAST(s.b.code AS BIGINT))"),
+        ).drop("__resid")
 
     def _check_meta(self, dim: int) -> None:
         # checked once per instance (the IncrementalLSHDedup idiom):
@@ -288,7 +272,7 @@ class PersistentIVFIndex:
         ).withColumn(
             "cell",
             -F.array_max(
-                _cell_scores(F.col("__vec"), cents, self.round_cosine)
+                _cell_scores("__vec", cents, self.round_cosine)
             ).getField("nid"),
         )
 
@@ -441,7 +425,7 @@ class PersistentIVFIndex:
         probed = F.slice(
             F.reverse(
                 F.array_sort(
-                    _cell_scores(F.col("qv"), cents, self.round_cosine)
+                    _cell_scores("qv", cents, self.round_cosine)
                 )
             ),
             1,
@@ -537,7 +521,7 @@ class PersistentIVFIndex:
         Replay-exact like :meth:`query`: duplicate appended rows are
         deduplicated per (query, neighbor, subspace) before the ADC sum
         and per (query, neighbor) before the refine rank."""
-        from ..operators.similarity import _sq_l2, cosine
+        from ..operators.similarity import cosine
 
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
@@ -572,23 +556,13 @@ class PersistentIVFIndex:
                 f"entries), past the {MAX_BROADCAST_LUT_ROWS}-row broadcast "
                 "bound — shard your query set or lower nprobe"
             )
+        from ..operators.similarity import _sql_pq_lut
+
         qr = q.withColumn("__qr", self._code_source(F.col("qv")))
-        entries = []
-        off = 0
-        for j, cb in enumerate(cbs):
-            subj = len(cb[0][1])
-            subv = F.slice(F.col("__qr"), off + 1, subj)
-            for ci, cvec in cb:
-                entries.append(
-                    F.struct(
-                        F.lit(j).cast("long").alias("subspace"),
-                        F.lit(int(ci)).cast("long").alias("code"),
-                        _sq_l2(subv, cvec).alias("d"),
-                    )
-                )
-            off += subj
         lut = qr.select(
-            "query_id", "cell", F.explode(F.array(*entries)).alias("r")
+            "query_id",
+            "cell",
+            F.explode(F.expr(_sql_pq_lut(cbs, "__qr"))).alias("r"),
         ).select("query_id", "cell", "r.subspace", "r.code", "r.d")
 
         codes = (

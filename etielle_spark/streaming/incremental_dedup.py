@@ -107,8 +107,13 @@ class IncrementalLSHDedup:
         doesn't)."""
         l, r = new.alias("l"), new.alias("r")
         id_c = self.id_col
+        # the batch side is micro by the streaming contract — broadcast
+        # it EXPLICITLY so the strategy holds at any history size (an
+        # estimate-driven plan broadcasts whichever side looks small,
+        # and at corpus scale that degrades to a full-history shuffle
+        # per batch; guide §3.1)
         within = l.join(
-            r,
+            F.broadcast(r),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.band_digest") == F.col("r.band_digest"))
             & (F.col(f"l.{id_c}") < F.col(f"r.{id_c}")),
@@ -129,8 +134,11 @@ class IncrementalLSHDedup:
                     .select("band", "band_digest")
                 )
                 hist = hist.join(ok, ["band", "band_digest"], "left_semi")
+            # stream the (arbitrarily large) history through a broadcast
+            # hash join against the micro-batch: the history is never
+            # shuffled and never broadcast, whatever its size
             h = hist.alias("h")
-            cross = new.alias("n").join(
+            cross = F.broadcast(new.alias("n")).join(
                 h,
                 (F.col("n.band") == F.col("h.band"))
                 & (F.col("n.band_digest") == F.col("h.band_digest")),
@@ -163,27 +171,39 @@ class IncrementalLSHDedup:
         ``(id_a, id_b)`` with ``id_a < id_b``, deduplicated across bands;
         then appends the batch's digests to the index.
 
-        The returned frame is materialized (the pair join must run
-        against the PRE-append index), so calling this is an action.
+        The pair plan is built against the PRE-append index snapshot —
+        ``_candidate_pairs`` pins the history to the file list as of
+        now, so the append below cannot leak into it — which means the
+        returned frame can stay LAZY: the only job this method runs is
+        the index append (which also fills the batch's digest cache).
+        The digest cache is released on the next ``process_batch`` /
+        ``release_batch_cache()`` / ``attach``'s per-batch cleanup.
         """
         self._check_meta()
+        self.release_batch_cache()
         new = band_digests(
             docs, self.id_col, self.text_col,
             n=self.n, num_hashes=self.num_hashes, bands=self.bands,
         ).persist()
-        new.count()
 
-        out = self._candidate_pairs(new)
-        # Pin the pair frame BEFORE appending to the index: the join must
-        # run against the pre-append snapshot.  persist (not collect) —
-        # the pairs never funnel through the driver; a sink downstream
-        # writes them wherever they go.
-        out = out.persist()
-        out.count()
+        # plan (and pin the pre-append file list) BEFORE the append
+        out = self._candidate_pairs(new).persist()
 
+        # one job: materializes `new` into its cache and appends it; the
+        # caller's first action on `out` reads the cached digests
         new.write.mode("append").parquet(self.index_dir)
-        new.unpersist()
+        self._batch_cache = new
         return out
+
+    def release_batch_cache(self) -> None:
+        """Free the current batch's digest cache (kept so the lazy pair
+        frame reads cached signatures, not a recompute).  Safe once the
+        batch's pairs have been consumed; the pair frame stays usable
+        (Spark recomputes from lineage)."""
+        cache = getattr(self, "_batch_cache", None)
+        if cache is not None:
+            cache.unpersist()
+            self._batch_cache = None
 
     def compact(self, *, min_files: int = 16, target_files: int = 1) -> bool:
         """Rewrite the per-batch band-digest files as ``target_files``
@@ -220,9 +240,11 @@ class IncrementalLSHDedup:
                     # the caller chose the cadence: fold whatever is there
                     self.compact(min_files=2)
                 # `out` IS the frame process_batch persisted — releasing
-                # it here keeps a long-running stream from accumulating
-                # one pair cache per micro-batch
+                # it (and the batch digest cache) here keeps a
+                # long-running stream from accumulating one pair cache
+                # per micro-batch
                 out.unpersist()
+                self.release_batch_cache()
 
         return _fn
 
@@ -464,7 +486,10 @@ class IncrementalExactDedup:
             flagged = None
             survivors = first_in_batch
         survivors = survivors.persist()
-        survivors.count()
+        # the append is the materializing action: it computes `survivors`
+        # into its cache while writing the digests (history is pinned to
+        # `idx_files` above, so the append can't leak into the plan) —
+        # no separate count() pass needed
         survivors.select(F.col("__digest").alias("digest")).write.mode(
             "append"
         ).parquet(self.index_dir)
