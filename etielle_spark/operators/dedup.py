@@ -232,6 +232,16 @@ def minhash_signatures(
     # permuted value, so it is the identity).  let_ builds the shingle
     # array once per row; the zero-shingle filter tests the (cheaper)
     # token array, which is empty exactly when the shingle array is.
+    # the (a, b) permutation constants ship as ONE SQL-text literal
+    # array of structs; the permuted values are a transform over it so
+    # the expression holds a single multiply-mod subtree instead of one
+    # per permutation (int-vs-long literal widths don't matter: a * base
+    # promotes to bigint either way, values identical)
+    consts_arr = F.expr(
+        "array("
+        + ", ".join(f"named_struct('a', {a}L, 'b', {b}L)" for a, b in consts)
+        + ")"
+    )
     sig = let_(
         shingles_col(F.col(text_col), n),
         lambda sh: F.aggregate(
@@ -241,11 +251,9 @@ def minhash_signatures(
                 base_of(s),
                 lambda base: F.zip_with(
                     acc,
-                    F.array(
-                        *[
-                            (F.lit(a) * base + F.lit(b)) % F.lit(MINHASH_P)
-                            for a, b in consts
-                        ]
+                    F.transform(
+                        consts_arr,
+                        lambda c: (c["a"] * base + c["b"]) % F.lit(MINHASH_P),
                     ),
                     lambda x, y: F.least(x, y),
                 ),
@@ -455,22 +463,25 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32) -> Dat
     per_tok = df.select(F.col(id_col), F.explode(toks).alias("__tok")).select(
         id_col, v.alias("__v")
     )
+    # SQL-text per-bit aggregates: one parsed expression per bit column
+    # instead of ~6 py4j round trips each (same shift/mask arithmetic,
+    # exact integer sums)
     sums = per_tok.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.shiftrightunsigned(F.col("__v"), bits - 1 - b)
-                .bitwiseAND(F.lit(1))
-                * 2
-                - 1
+            F.expr(
+                f"sum((shiftrightunsigned(__v, {bits - 1 - b}) & 1) * 2 - 1)"
             ).alias(f"__s{b}")
             for b in range(bits)
         ]
     )
-    bit_chars = [
-        F.when(F.col(f"__s{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
-        for b in range(bits)
-    ]
-    return sums.select(F.col(id_col), F.concat(*bit_chars).alias("simhash"))
+    bit_concat = F.expr(
+        "concat("
+        + ", ".join(
+            f"CASE WHEN __s{b} > 0 THEN '1' ELSE '0' END" for b in range(bits)
+        )
+        + ")"
+    )
+    return sums.select(F.col(id_col), bit_concat.alias("simhash"))
 
 
 def minhash_jaccard_estimate(

@@ -13,13 +13,22 @@ from pyspark.sql import DataFrame
 
 
 class Sink:
+    #: flush-order contract: True (default) = tables must be written
+    #: parents-first (relational FK sinks); False = writes are
+    #: order-independent (path-per-table sinks) and MAY be overlapped
+    ordered = True
+
     def write(self, table: str, df: DataFrame) -> None:  # pragma: no cover
         raise NotImplementedError
 
 
 class ParquetSink(Sink):
     """One parquet dataset per table under ``root``; ``mode='append'`` for
-    streaming flushes, 'overwrite' for batch runs."""
+    streaming flushes, 'overwrite' for batch runs.  Table dirs are
+    independent paths, so flush order is unobservable (``ordered =
+    False``: ``for_each_batch`` may overlap the per-table write jobs)."""
+
+    ordered = False
 
     def __init__(self, root: str, mode: str = "overwrite", partition_by: Optional[list[str]] = None):
         self.root = root

@@ -88,6 +88,14 @@ def for_each_batch(
     is written through ``sink.write(name, df)`` — the exactly-once seam
     (reference FlushStrategy protocol, chunking.py:235-277).
 
+    Sinks that declare ``ordered = False`` (path-per-table sinks like
+    ``ParquetSink``, where flush order has no observable effect) get
+    their table writes submitted from a small thread pool so the next
+    table's job back-fills executors freed by the current job's tail —
+    per-table jobs in a micro-batch are short and mostly scheduler
+    overhead.  Relational sinks keep the default ``ordered = True``
+    (parents-first topological flush, the FK contract).
+
     Example::
 
         q = (events.writeStream
@@ -96,7 +104,19 @@ def for_each_batch(
     """
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        for name, df in build(batch_df, batch_id).items():
-            sink.write(name, df)
+        tables = build(batch_df, batch_id)
+        if getattr(sink, "ordered", True) or len(tables) < 2:
+            for name, df in tables.items():
+                sink.write(name, df)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(tables))) as pool:
+            futs = [
+                pool.submit(sink.write, name, df)
+                for name, df in tables.items()
+            ]
+            for f in futs:
+                f.result()
 
     return fn
