@@ -1490,6 +1490,13 @@ def cross_group_overlap(
         )
         .distinct()
     )
+    # digests feeds THREE consumers (both self-join sides + the size
+    # probe); without materialization each re-scans and re-hashes the
+    # raw corpus.  One eager localCheckpoint pins the (group, digest)
+    # table — 32-byte digests, tiny next to the bodies — so the input
+    # is scanned once; blocks are GC-reaped with the returned frame
+    # (same contract as the CC loop, operators/graph.py)
+    digests = digests.localCheckpoint(eager=True)
     a = digests.select(F.col("__g").alias("group_a"), "__d")
     b = digests.select(F.col("__g").alias("group_b"), "__d")
     shared = (

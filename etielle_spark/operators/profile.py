@@ -665,6 +665,15 @@ def ks_drift(
         .groupBy("__g", "__v")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
+    # counts feeds SIX consumers (two driver probes, both CDF join
+    # sides, and the per-pair value union twice); without materialization
+    # every consumer re-scans and re-aggregates the RAW frame — eight
+    # full input scans in one plan.  One eager localCheckpoint pins the
+    # distinct (group, value) table — bounded by the value domain, tiny
+    # next to the raw corpus — so the input is scanned exactly once;
+    # blocks are GC-reaped once the returned frame dies (same contract
+    # as the CC loop, operators/graph.py)
+    counts = counts.localCheckpoint(eager=True)
     # group list is dimension-sized by definition: build the pair table
     # driver-side (KB probe) so the plan is equi-joins only — no
     # nested-loop cross join for pair enumeration
