@@ -232,16 +232,11 @@ def minhash_signatures(
     # permuted value, so it is the identity).  let_ builds the shingle
     # array once per row; the zero-shingle filter tests the (cheaper)
     # token array, which is empty exactly when the shingle array is.
-    # the (a, b) permutation constants ship as ONE SQL-text literal
-    # array of structs; the permuted values are a transform over it so
-    # the expression holds a single multiply-mod subtree instead of one
-    # per permutation (int-vs-long literal widths don't matter: a * base
-    # promotes to bigint either way, values identical)
-    consts_arr = F.expr(
-        "array("
-        + ", ".join(f"named_struct('a', {a}L, 'b', {b}L)" for a, b in consts)
-        + ")"
-    )
+    # the permuted values stay as num_hashes INLINE arithmetic
+    # expressions: a transform over a struct-array of (a, b) constants
+    # parses faster driver-side but pays per-shingle lambda binding +
+    # struct field extraction in the (interpreted) HOF path — measured
+    # +53% on q27's 100x scale curve, so the per-permutation form wins
     sig = let_(
         shingles_col(F.col(text_col), n),
         lambda sh: F.aggregate(
@@ -251,9 +246,11 @@ def minhash_signatures(
                 base_of(s),
                 lambda base: F.zip_with(
                     acc,
-                    F.transform(
-                        consts_arr,
-                        lambda c: (c["a"] * base + c["b"]) % F.lit(MINHASH_P),
+                    F.array(
+                        *[
+                            (F.lit(a) * base + F.lit(b)) % F.lit(MINHASH_P)
+                            for a, b in consts
+                        ]
                     ),
                     lambda x, y: F.least(x, y),
                 ),
