@@ -31,9 +31,9 @@ def exact_dedup_by_content(df: DataFrame, id_col: str, text_col: str) -> DataFra
     """Keep the smallest-id row per exact content digest.
 
     Grouping on md5(text) instead of the raw text keeps the shuffle key at
-    32 bytes regardless of document size.
+    16 bytes (binary digest) regardless of document size.
     """
-    digest = F.md5(F.col(text_col)).alias("__digest")
+    digest = F.unhex(F.md5(F.col(text_col))).alias("__digest")
     return (
         df.select("*", digest)
         .groupBy("__digest")
@@ -585,7 +585,7 @@ def gram_duplication_stats(
     toks = df.select(F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t"))
     grams = toks.select(
         "id", F.explode(grams_of(F.col("t"), n)).alias("gram")
-    ).select("id", F.md5(F.col("gram")).alias("g"))
+    ).select("id", F.unhex(F.md5(F.col("gram"))).alias("g"))
     # the persisted postings outlive this call (the returned frame is
     # lazy); registered with the cache registry so long-lived sessions
     # can release between stages — see caches.release_operator_caches
@@ -789,7 +789,7 @@ def segment_dedup(
 
     Scale shape (the 100 TB path):
     - segments are exploded once; the global frequency pass groups on a
-      32-byte ``md5`` of the segment, never shipping segment bodies
+      16-byte binary ``md5`` of the segment, never shipping segment bodies
       through the shuffle twice;
     - the removal is a LEFT ANTI join against the hot-digest list; the
       join strategy is deliberately left to AQE, which broadcasts the
@@ -827,7 +827,7 @@ def segment_dedup(
         F.posexplode_outer(seg_arr).alias("seg_idx", "seg"),
     )
     seg_rows = segs.filter(F.col("seg").isNotNull()).withColumn(
-        "digest", F.md5(F.col("seg"))
+        "digest", F.unhex(F.md5(F.col("seg")))
     )
     hot = (
         seg_rows.groupBy("digest")
@@ -1100,7 +1100,7 @@ def duplicate_spans(
             F.slice(gram, 1, F.size("__toks") - (n - 1))
         ).alias("pos", "g"),
     )
-    spine = grams.select(F.col(id_col), "pos", F.md5("g").alias("d"))
+    spine = grams.select(F.col(id_col), "pos", F.unhex(F.md5("g")).alias("d"))
 
     dup = (
         spine.groupBy("d")
@@ -1235,7 +1235,7 @@ def dedup_against(
     streaming/incremental_dedup).
 
     - ``exact_dup``: the new document's content digest exists in the
-      reference (join on md5, 32-byte keys).
+      reference (join on binary md5, 16-byte keys).
     - ``near_dup``: the new document shares at least one LSH band bucket
       with a reference document (equi-join on (band, band digest); the
       reference side honors ``max_bucket_size`` as the boilerplate
@@ -1247,10 +1247,10 @@ def dedup_against(
     provenance.
     """
     ref_digests = (
-        reference.select(F.md5(F.col(text_col)).alias("__d")).distinct()
+        reference.select(F.unhex(F.md5(F.col(text_col))).alias("__d")).distinct()
     )
     new_digests = new.select(
-        F.col(id_col), F.md5(F.col(text_col)).alias("__d")
+        F.col(id_col), F.unhex(F.md5(F.col(text_col))).alias("__d")
     )
     exact = (
         new_digests.join(ref_digests.withColumn("__hit", F.lit(True)), "__d", "left")
@@ -1402,7 +1402,7 @@ def line_dedup(
         F.posexplode(F.split(F.col("__t"), _re.escape(sep), -1)).alias(
             "__pos", "__line"
         ),
-    ).withColumn("__dgst", F.md5(F.col("__line")))
+    ).withColumn("__dgst", F.unhex(F.md5(F.col("__line"))))
     dup_digests = (
         lines.groupBy(F.col("__dgst").alias("__d"))
         .count()
@@ -1466,7 +1466,7 @@ def cross_group_overlap(
     source A", run before mixture weighting double-counts it.
 
     One corpus pass to (group, md5 digest) distinct rows, a self-join
-    on digest (32-byte keys, never bodies), and a count per group pair
+    on digest (16-byte binary keys, never bodies), and a count per group pair
     — the pair table is ``groups^2``-bounded, the join is digest-keyed
     and linear in shared content.  NULL groups/texts are dropped.
 
@@ -1483,14 +1483,14 @@ def cross_group_overlap(
         df.filter(F.col(group_col).isNotNull() & F.col(text_col).isNotNull())
         .select(
             F.col(group_col).cast("string").alias("__g"),
-            F.md5(F.col(text_col)).alias("__d"),
+            F.unhex(F.md5(F.col(text_col))).alias("__d"),
         )
         .distinct()
     )
     # digests feeds THREE consumers (both self-join sides + the size
     # probe); without materialization each re-scans and re-hashes the
     # raw corpus.  One eager localCheckpoint pins the (group, digest)
-    # table — 32-byte digests, tiny next to the bodies — so the input
+    # table — 16-byte binary digests, tiny next to the bodies — so the input
     # is scanned once; blocks are GC-reaped with the returned frame
     # (same contract as the CC loop, operators/graph.py)
     digests = digests.localCheckpoint(eager=True)
