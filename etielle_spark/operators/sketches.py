@@ -141,9 +141,11 @@ def cms_bucket(j: int, col, width: int):
 
 
 def _cms_cells_of(frame: DataFrame, groups: list[str], depth: int, width: int):
+    # keeps every input column (callers pass (*groups, __item) plus an
+    # optional pre-aggregated count) and appends the depth exploded
+    # (j, b) bucket structs
     return frame.select(
-        *groups,
-        "__item",
+        "*",
         F.explode(
             F.array(
                 *[
@@ -165,12 +167,23 @@ def cms_cells(
     ``(*groups, j, b, cnt)`` — at most ``|groups| * depth * width`` rows
     regardless of input size.  Counts are ADDITIVE, so sum-merging the
     sketches of disjoint slices equals the sketch of their union (what
-    the streaming monitor's register merge relies on)."""
+    the streaming monitor's register merge relies on).
+
+    Occurrences are pre-aggregated to ``(*groups, __item, count)`` BEFORE
+    the depth-way bucket explode: the md5 bucket hash and the exploded
+    rows then cost ``depth × distinct items`` instead of ``depth ×
+    occurrences`` (token streams repeat items heavily), and the per-item
+    partial aggregation combines map-side.  ``sum`` of per-item counts
+    per cell equals the per-occurrence ``count`` exactly — same sketch,
+    bit for bit."""
+    counts = occurrences.groupBy(*groups, "__item").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
     return (
-        _cms_cells_of(occurrences, groups, depth, width)
-        .select(*groups, "c.j", "c.b")
+        _cms_cells_of(counts, groups, depth, width)
+        .select(*groups, "c.j", "c.b", "__c")
         .groupBy(*groups, "j", "b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("__c").alias("cnt"))
     )
 
 

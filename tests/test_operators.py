@@ -542,6 +542,42 @@ def test_cms_never_underestimates(spark):
         assert r["est_count"] >= 1
 
 
+def test_cms_cells_preagg_equals_per_occurrence(spark):
+    """cms_cells pre-aggregates occurrences to per-item counts before the
+    depth-way bucket explode (round 10); the sketch must equal the
+    per-occurrence definition CELL FOR CELL on a heavily duplicated
+    frame — sum(per-item count) per (group, j, b) == count(occurrences)."""
+    from pyspark.sql import functions as F
+
+    from etielle_spark.operators.sketches import _cms_cells_of, cms_cells
+
+    # 3 groups x duplicated items (item i repeated i+1 times per group)
+    occ = (
+        spark.range(60)
+        .select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            F.explode(
+                F.array_repeat(
+                    F.concat(F.lit("tok"), (F.col("id") % 7)),
+                    (F.col("id") % 5 + 1).cast("int"),
+                )
+            ).alias("__item"),
+        )
+    )
+    fast = cms_cells(occ, ["g"], depth=4, width=16)
+    # the pre-round-10 definition: explode per OCCURRENCE, count rows
+    slow = (
+        _cms_cells_of(occ, ["g"], 4, 16)
+        .select("g", "c.j", "c.b")
+        .groupBy("g", "j", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+    # bounded: at most |groups| * depth * width rows
+    assert fast.count() <= 3 * 4 * 16
+
+
 def test_kmeans_iteration_converges_and_partitions(spark, emb):
     from etielle_spark.operators.similarity import kmeans_iteration
 
