@@ -175,7 +175,15 @@ def cms_cells(
     occurrences`` (token streams repeat items heavily), and the per-item
     partial aggregation combines map-side.  ``sum`` of per-item counts
     per cell equals the per-occurrence ``count`` exactly — same sketch,
-    bit for bit."""
+    bit for bit.
+
+    Trade-off, stated honestly: the pre-aggregation is one
+    wordcount-shaped shuffle of the distinct ``(groups, item)`` set.  On
+    repeat-heavy streams (tokens, domains — what a heavy-hitters sketch
+    exists for) that set is vocabulary-sized and the md5 savings
+    dominate; on a near-unique item stream it shuffles ~every row where
+    the old per-occurrence form shuffled only bounded partial cells.
+    CMS callers are the former by construction."""
     counts = occurrences.groupBy(*groups, "__item").agg(
         F.count(F.lit(1)).alias("__c")
     )
