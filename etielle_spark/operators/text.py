@@ -1351,18 +1351,24 @@ def pmi_collocations(
     c2))`` over corpus bigram/unigram counts (Church & Hanks 1990), the
     multi-word-expression signal of a vocabulary pipeline.
 
-    Three aggregations on word-shaped keys (bigram counts, unigram
-    counts, one scalar total), then two equi-joins to attach the member
-    word counts — partial aggregation applies everywhere, nothing is
-    collected, no text rides a shuffle.  ``min_count`` suppresses the
-    unstable low-frequency tail; output is the ``top_n`` by PMI with a
-    deterministic (pmi desc, w1, w2) order.  Returns
+    ONE tokenize pass over the corpus (round 10; previously three):
+    ``zip_with`` pads the shorter array with NULLs, so exploding the
+    UNFILTERED token/next-token zip yields exactly one ``(w1, w2)`` row
+    per token with ``w2`` NULL at each document's last position — the
+    pair-count aggregation then carries everything at once: unigram
+    counts are ``sum(c)`` per ``w1`` (every token is ``w1`` exactly
+    once), bigram counts are the non-NULL-``w2`` rows, and the scalar
+    bigram total is their sum.  The vocabulary-sized pair-count frame is
+    eagerly ``localCheckpoint``-ed (the ks_drift multi-consumer pattern)
+    so its three consumers never re-scan the raw text.  ``min_count``
+    suppresses the unstable low-frequency tail; output is the ``top_n``
+    by PMI with a deterministic (pmi desc, w1, w2) order.  Returns
     ``(w1, w2, c12, c1, c2, pmi)``.
     """
     toks = df.select(tokens_col(F.col(text_col)).alias("__t")).filter(
-        F.size("__t") >= 2
+        F.size("__t") >= 1
     )
-    bigrams = toks.select(
+    pairs = toks.select(
         F.explode(
             F.zip_with(
                 F.col("__t"),
@@ -1370,18 +1376,23 @@ def pmi_collocations(
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("bg")
-    ).filter(F.col("bg.w2").isNotNull())
+    )
+    pair_counts = (
+        pairs.groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     bg_counts = (
-        bigrams.groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-        .agg(F.count(F.lit(1)).alias("c12"))
+        pair_counts.filter(F.col("w2").isNotNull())
+        .select("w1", "w2", F.col("c").alias("c12"))
         .filter(F.col("c12") >= min_count)
     )
-    uni = (
-        df.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
+    uni = pair_counts.groupBy(F.col("w1").alias("w")).agg(
+        F.sum("c").alias("c")
     )
-    n_bigrams = bigrams.agg(F.count(F.lit(1)).alias("n"))
+    n_bigrams = pair_counts.filter(F.col("w2").isNotNull()).agg(
+        F.sum("c").alias("n")
+    )
     scored = (
         bg_counts.join(
             uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1"
@@ -1503,22 +1514,28 @@ def keyness_g2(
     ``G2 = 2 * (a*ln(a/E1) + b*ln(b/E2))`` with expected counts from the
     pooled distribution; zero cells contribute zero.  One word-keyed
     aggregation carrying the two per-group counts (a conditional sum —
-    no second pass), plus a broadcast 1-row total.  Signed output:
-    positive G2 means over-represented in the target.  Returns
-    ``(word, a, b, g2)`` top ``top_n`` by |G2| with deterministic ties.
+    no second pass), plus a broadcast 1-row total.  The corpus is
+    tokenized ONCE (round 10; previously twice): the totals are the
+    column sums of the UNFILTERED vocabulary-sized count frame, which is
+    eagerly ``localCheckpoint``-ed (the ks_drift multi-consumer pattern)
+    so both consumers read it instead of re-scanning the raw text.
+    Signed output: positive G2 means over-represented in the target.
+    Returns ``(word, a, b, g2)`` top ``top_n`` by |G2| with
+    deterministic ties.
     """
     flag = F.col(group_col) if isinstance(group_col, str) else group_col
     words = df.select(
         F.explode(tokens_col(F.col(text_col))).alias("w"),
         flag.cast("boolean").alias("__t"),
     )
-    counts = words.groupBy("w").agg(
+    counts0 = words.groupBy("w").agg(
         F.sum(F.col("__t").cast("long")).alias("a"),
         F.sum((~F.col("__t")).cast("long")).alias("b"),
-    ).filter(F.col("a") + F.col("b") >= min_count)
-    totals = words.agg(
-        F.sum(F.col("__t").cast("long")).alias("na"),
-        F.sum((~F.col("__t")).cast("long")).alias("nb"),
+    ).localCheckpoint(eager=True)
+    counts = counts0.filter(F.col("a") + F.col("b") >= min_count)
+    totals = counts0.agg(
+        F.sum("a").alias("na"),
+        F.sum("b").alias("nb"),
     )
     j = counts.crossJoin(F.broadcast(totals))
     e1 = F.col("na") * (F.col("a") + F.col("b")) / (F.col("na") + F.col("nb"))

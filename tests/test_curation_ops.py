@@ -470,6 +470,28 @@ def test_pmi_collocations_hand_computed(spark):
     assert rows[0].pmi >= rows[-1].pmi
 
 
+def test_pmi_single_pass_unigram_edges(spark):
+    """Round-10 single-pass PMI pins the zip-with-NULL subtlety: unigram
+    counts come from the pair frame's w1 column, so single-token docs
+    and each doc's LAST token must still be counted — c1/c2 match the
+    plain per-token truth exactly, and the bigram total excludes the
+    NULL-next terminals."""
+    from math import log
+
+    from etielle_spark.operators.text import pmi_collocations
+
+    # 'york' appears as a LAST token twice and once mid-doc; 'solo' is a
+    # single-token doc (contributes to unigrams, no bigrams)
+    docs = [("new york",), ("new york",), ("new york again",), ("solo",)]
+    df = spark.createDataFrame(docs, ["text"])
+    out = {(r.w1, r.w2): r for r in
+           pmi_collocations(df, "text", min_count=2, top_n=10).collect()}
+    ny = out[("new", "york")]
+    # unigrams: new=3, york=3 (two of them doc-final); N bigrams = 1+1+2 = 4
+    assert ny.c12 == 3 and ny.c1 == 3 and ny.c2 == 3
+    assert abs(ny.pmi - round(log(3 * 4 / (3 * 3)), 6)) < 1e-9
+
+
 def test_rake_keyphrases_hand_computed(spark):
     """RAKE on a tiny corpus: 'machine learning' (always together, no
     stopwords inside) outranks single words; degree/freq arithmetic
