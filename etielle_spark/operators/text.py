@@ -581,36 +581,52 @@ def interpolated_nll(
     real KenLM: the unigram backoff keeps the estimate finite for rare
     contexts and is the form actually used for perplexity filtering.
 
-    Shape: bigram explode -> bigram-TYPE vocabulary (one shuffle row per
-    type), context totals folded from it; token explode -> unigram
-    vocabulary; joins back on bigram and second word, per-document
-    average.  All shuffles are counts-level (types, not occurrences).
-    Documents with fewer than two tokens are absent.
+    Shape (round 10 — ONE tokenize pass, previously three): the corpus
+    explodes once to a ``(id, w1, w2-or-NULL)`` token/next-token pair
+    frame (``zip_with`` pads the shorter array, so every token appears
+    exactly once as ``w1`` with NULL ``w2`` at document ends), persisted
+    for its consumers — unigram counts are ``w1`` counts, bigram
+    occurrences are the non-NULL rows, the bigram-TYPE vocabulary and
+    the context totals fold from those, and the scoring joins key on
+    the pair columns directly (no re-split of the bigram string).  All
+    shuffles are counts-level (types, not occurrences).  Documents with
+    fewer than two tokens are absent.
 
     Returns ``(id, n_bigrams, nll)``.
     """
     if not 0.0 < lam <= 1.0:
         raise ValueError("lam must be in (0, 1]")
+    from pyspark import StorageLevel
+
+    from ..caches import track_cache
     from .dedup import tokens_col
 
     toks_arr = tokens_col(F.col(text_col))
-    grams = df.select(
-        F.col(id_col), F.explode(ngrams_all(toks_arr, 2)).alias("bg")
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                toks_arr,
+                F.slice(toks_arr, 2, F.greatest(F.size(toks_arr) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("pr"),
+    ).select(F.col(id_col), F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    pairs = track_cache(pairs.persist(StorageLevel.MEMORY_AND_DISK))
+    grams = pairs.filter(F.col("w2").isNotNull())
+    vocab2 = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = vocab2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    uni = pairs.groupBy(F.col("w1").alias("tok")).agg(
+        F.count(F.lit(1)).alias("cu")
     )
-    vocab2 = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
-    ctx = vocab2.groupBy(
-        F.split(F.col("bg"), " ").getItem(0).alias("w1")
-    ).agg(F.sum("c2").alias("c1"))
-    toks = df.select(F.col(id_col), F.explode(toks_arr).alias("tok"))
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
     total = uni.agg(F.sum("cu").alias("total"))
     p = F.lit(float(lam)) * F.col("c2").cast("double") / F.col("c1") + F.lit(
         1.0 - float(lam)
     ) * F.col("cu").cast("double") / F.col("total")
     return (
-        grams.join(vocab2, "bg")
-        .join(ctx, F.split(F.col("bg"), " ").getItem(0) == F.col("w1"))
-        .join(uni, F.split(F.col("bg"), " ").getItem(1) == F.col("tok"))
+        grams.join(vocab2, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uni, grams["w2"] == F.col("tok"))
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(
