@@ -485,13 +485,26 @@ def scale_curve(spark, base_times: dict[str, float]) -> dict:
     report per-query scaling factors vs the sf0.1 medians.  A factor
     well under SCALE_FACTOR means the sf0.1 number is overhead-
     dominated; a factor well over it means the plan has a superlinear
-    term — both are what this section exists to expose."""
+    term — both are what this section exists to expose.
+
+    SPARK_GRAFT_SCALE_SUBSET (comma-separated query names) restricts the
+    pass — used by the low-core scaling probe, which re-runs the heavy
+    curve rows at cpus/4 where parallelism can actually show (the sf0.1
+    headline rows are driver/overhead-bound and tell nothing about
+    core-scaling; round-11 VERDICT item 3)."""
     from etielle_spark.benchqueries import QUERIES
 
     import statistics
 
     big_dir = ensure_scaled(spark)
     runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
+    subset = os.environ.get("SPARK_GRAFT_SCALE_SUBSET", "")
+    global SCALE_QUERIES
+    if subset:
+        names = {s.strip() for s in subset.split(",") if s.strip()}
+        SCALE_QUERIES = {
+            k: v for k, v in SCALE_QUERIES.items() if k in names
+        }
     big_times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     factors: dict[str, float] = {}
@@ -730,9 +743,60 @@ def main() -> None:
                 text=True,
                 timeout=3600,
             )
-            os.unlink(base_path)
             last = proc.stdout.strip().rsplit("\n", 1)[-1]
             curve = json.loads(last)
+            # core-scaling probe (round-11 VERDICT item 3): the heavy
+            # curve rows once more at cpus/4, fresh JVM — at the 100x
+            # corpus these rows run seconds of real compute, so the
+            # low-core/main-core ratio measures parallel speedup instead
+            # of the driver overhead that drowned it at sf0.1.  Skipped
+            # when the main run already uses <= 4 cores (nothing to
+            # contrast) or via SPARK_GRAFT_CORE_SCALING=0.
+            low = max(4, cpus // 4)
+            if (
+                os.environ.get("SPARK_GRAFT_CORE_SCALING", "1") != "0"
+                and low < cpus
+                and isinstance(curve, dict)
+                and "queries" in curve
+            ):
+                try:
+                    env = dict(os.environ)
+                    env["SPARK_GRAFT_CPUS"] = str(low)
+                    env["SPARK_GRAFT_SCALE_RUNS"] = os.environ.get(
+                        "SPARK_GRAFT_SCALE_RUNS_LOW", "2"
+                    )
+                    env["SPARK_GRAFT_SCALE_SUBSET"] = (
+                        "q27_minhash_signatures,q100_gram_duplication,"
+                        "q237_ks_drift,q239_cluster_canonicalize"
+                    )
+                    lproc = subprocess.run(
+                        [
+                            sys.executable,
+                            os.path.abspath(__file__),
+                            "--scale-curve",
+                            base_path,
+                        ],
+                        capture_output=True,
+                        text=True,
+                        timeout=3600,
+                        env=env,
+                    )
+                    lcurve = json.loads(lproc.stdout.strip().rsplit("\n", 1)[-1])
+                    ratios = {
+                        n: round(t / curve["queries"][n], 2)
+                        for n, t in lcurve.get("queries", {}).items()
+                        if curve["queries"].get(n)
+                    }
+                    curve["core_scaling"] = {
+                        "cpus_low": low,
+                        "cpus_main": cpus,
+                        "queries_low": lcurve.get("queries", {}),
+                        "spread_low": lcurve.get("spread", {}),
+                        "ratio_low_over_main": ratios,
+                    }
+                except Exception as e:
+                    curve["core_scaling"] = {"error": str(e)[:200]}
+            os.unlink(base_path)
         except Exception as e:  # keep the bench line robust
             curve = {"error": str(e)[:200]}
 

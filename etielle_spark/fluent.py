@@ -40,6 +40,7 @@ from .core import (
     resolve_path,
     strip_marker_fields,
 )
+from .colcache import bq, cexpr, is_plain
 from .models import is_model_class, spark_schema_of, table_name_of
 from .policies import LastWriteWinsPolicy, MergePolicy
 from .telemetry import (
@@ -351,13 +352,33 @@ def _root_env(
     if cache is not None and key in cache:
         df, dtype = cache[key]
     elif isinstance(root, DataFrame):
-        row_ord = F.col(order_col).cast("long") if order_col else F.lit(0).cast("long")
         # the order column is arrival metadata, not part of the document
         node_cols = [c for c in root.columns if c != order_col]
-        df = root.select(
-            F.struct(*[F.col(c) for c in node_cols]).alias("__n0"),
-            row_ord.alias("__roword"),
-        )
+        if node_cols and all(is_plain(c) for c in node_cols) and (
+            order_col is None or is_plain(order_col)
+        ):
+            # memoized SQL text: 2 cached expressions instead of
+            # ~(2 x n_cols + 6) py4j trips, re-used across micro-batch
+            # compiles of the same schema (round 11, guide §7.3)
+            ord_text = (
+                f"CAST({bq(order_col)} AS BIGINT) AS __roword"
+                if order_col
+                else "CAST(0 AS BIGINT) AS __roword"
+            )
+            df = root.select(
+                cexpr(
+                    "struct(" + ", ".join(bq(c) for c in node_cols) + ") AS __n0"
+                ),
+                cexpr(ord_text),
+            )
+        else:
+            row_ord = (
+                F.col(order_col).cast("long") if order_col else F.lit(0).cast("long")
+            )
+            df = root.select(
+                F.struct(*[F.col(c) for c in node_cols]).alias("__n0"),
+                row_ord.alias("__roword"),
+            )
         dtype = T.StructType([f for f in root.schema.fields if f.name != order_col])
         if cache is not None:
             cache[key] = (df, dtype)
@@ -438,6 +459,7 @@ def _explode_level(
                 key=F.col(k),
                 pos=F.col(p),
                 variant=True,
+                pos_sql=bq(p),
             )
         )
         return df2, env
@@ -453,7 +475,12 @@ def _explode_level(
     if isinstance(dtype, T.ArrayType):
         df2 = df.select("*", F.posexplode(nav).alias(p, n))
         env.levels.append(
-            LevelEnv(node=F.col(n), dtype=dtype.elementType, pos=F.col(p).cast("long"))
+            LevelEnv(
+                node=F.col(n),
+                dtype=dtype.elementType,
+                pos=F.col(p).cast("long"),
+                pos_sql=f"CAST({bq(p)} AS BIGINT)",
+            )
         )
         return df2, env
 
@@ -471,6 +498,7 @@ def _explode_level(
                 dtype=dtype.valueType,
                 key=F.col(k),
                 pos=F.col(p).cast("long"),
+                pos_sql=f"CAST({bq(p)} AS BIGINT)",
             )
         )
         return df2, env
@@ -1323,10 +1351,10 @@ class PipelineBuilder:
             vcol, vtype = spec.value.compile_typed(env)
             if vtype is not None:
                 vcol, _ = strip_marker_fields(vcol, vtype)
-            pos_cols = [lv.pos for lv in env.levels if lv.pos is not None]
+            n_pos = sum(1 for lv in env.levels if lv.pos is not None)
             # arrival order includes the root-row order so last-write-wins
             # on duplicate keys is deterministic for DataFrame roots too
-            ordc = _ord_struct([F.lit(0)], pos_cols, len(pos_cols), row_ord)
+            ordc = _ord_struct(0, env.levels, n_pos)
             sel = df.select(kcol.alias("k"), vcol.alias("v"), ordc.alias(_ORD))
             if isinstance(sel.schema["k"].dataType, T.VariantType):
                 # string/number-mixed key field: variant isn't groupable —
@@ -1381,8 +1409,7 @@ class PipelineBuilder:
                 # serialization markers never leak into output values
                 col, _ = strip_marker_fields(col, ftype)
             sel.append(col.alias(f.name))
-        pos_cols = [lv.pos for lv in env.levels if lv.pos is not None]
-        ordc = _ord_struct([F.lit(em.root_index)], pos_cols, max_pos, row_ord, em.seq)
+        ordc = _ord_struct(em.root_index, env.levels, max_pos, em.seq)
         return df.select(*sel, ordc.alias(_ORD))
 
     def run(
@@ -1565,19 +1592,38 @@ class PipelineBuilder:
 
 
 def _ord_struct(
-    prefix: list[Column],
-    pos_cols: list[Column],
+    root_index: int,
+    levels: list,
     max_pos: int,
-    row_ord: Column,
     seq: int | None = None,
 ) -> Column:
     """Synthesized arrival-order key: (root, row, emission, pos...) — the
     distributed stand-in for the reference's single-threaded traversal order
-    (SURVEY.md §7 hard part #1).  Structs compare lexicographically."""
-    fields = [prefix[0].cast("long").alias("r"), row_ord.cast("long").alias("w")]
-    fields.append(F.lit(seq if seq is not None else 0).cast("long").alias("e"))
+    (SURVEY.md §7 hard part #1).  Structs compare lexicographically.
+
+    The row-order column is always ``__roword`` (every caller's frame
+    comes through ``_root_env``).  When every pos-bearing level carries a
+    SQL-text twin the struct builds as ONE memoized parsed expression
+    (zero py4j trips on re-compiles) instead of ~4 trips per field."""
+    pos = [(lv.pos, lv.pos_sql) for lv in levels if lv.pos is not None]
+    e = int(seq) if seq is not None else 0
+    if all(s is not None for _, s in pos):
+        fields = [
+            f"CAST({int(root_index)} AS BIGINT) AS r",
+            "CAST(`__roword` AS BIGINT) AS w",
+            f"CAST({e} AS BIGINT) AS e",
+        ]
+        for i in range(max_pos):
+            s = pos[i][1] if i < len(pos) else "0"
+            fields.append(f"CAST({s} AS BIGINT) AS p{i}")
+        return cexpr("struct(" + ", ".join(fields) + ")")
+    fields = [
+        F.lit(root_index).cast("long").alias("r"),
+        F.col("__roword").cast("long").alias("w"),
+        F.lit(e).cast("long").alias("e"),
+    ]
     for i in range(max_pos):
-        c = pos_cols[i] if i < len(pos_cols) else F.lit(0)
+        c = pos[i][0] if i < len(pos) else F.lit(0)
         fields.append(c.cast("long").alias(f"p{i}"))
     return F.struct(*fields)
 
@@ -1587,6 +1633,21 @@ def _null_empty_key_filter(df: DataFrame, keys: list[str]) -> DataFrame:
     Variant-typed keys (string/number-mixed fields) test emptiness on
     their JSON form — ``""`` is the empty STRING key; numeric 0 and
     ``"0"`` are valid keys."""
+    # SQL-text predicate when every key is a plain identifier: ONE py4j
+    # round trip instead of ~6 per key (the fluent compile is
+    # driver-latency-bound; round 11, guide §7.3)
+    if all(is_plain(k) for k in keys):
+        parts = []
+        for k in keys:
+            if isinstance(df.schema[k].dataType, T.VariantType):
+                parts.append(
+                    f"({bq(k)} IS NOT NULL AND to_json({bq(k)}) <> '\"\"')"
+                )
+            else:
+                parts.append(
+                    f"({bq(k)} IS NOT NULL AND CAST({bq(k)} AS STRING) <> '')"
+                )
+        return df.filter(" AND ".join(parts)) if parts else df
     cond = F.lit(True)
     for k in keys:
         c = F.col(k)
@@ -1769,7 +1830,10 @@ def _assemble_table(
                 )
         if skip_merge:
             parts.append(
-                df.select(*[F.col(n) for n in field_order], F.col(_ORD))
+                df.select(
+                    *[n if is_plain(n) else F.col(n) for n in field_order],
+                    _ORD,
+                )
             )
     if keyed and fast_single and not skip_merge:
         # With one emission and no nesting positions, _ORD is
@@ -1783,6 +1847,7 @@ def _assemble_table(
             f.name for f in ord_t.fields
         ] == ["r", "w", "e"]
         ord_col = F.col(_ORD).getField("w") if slim else F.col(_ORD)
+        ord_text = f"{bq(_ORD)}.w" if slim else bq(_ORD)
         # all-atomic LWW fields aggregate PER FIELD: a scalar
         # max_by(col, ord) buffer is hash-mutable, so the whole merge
         # plans as a codegen'd HashAggregate; the whole-row
@@ -1798,8 +1863,15 @@ def _assemble_table(
         )
         aggs = []
         if lww_fields and atomic_lww:
+            # memoized SQL-text aggregates: one cached expression instead
+            # of ~5 py4j trips per field, re-used by every later compile
+            # of the same pipeline shape (per-micro-batch foreachBatch
+            # compiles pay this every batch; round 11, guide §7.3)
             aggs.extend(
-                F.max_by(F.col(n), ord_col).alias(n) for n in lww_fields
+                cexpr(f"max_by({bq(n)}, {ord_text}) AS {bq(n)}")
+                if is_plain(n)
+                else F.max_by(F.col(n), ord_col).alias(n)
+                for n in lww_fields
             )
         elif lww_fields:
             aggs.append(
@@ -1815,15 +1887,17 @@ def _assemble_table(
                     .agg(F.col(name), ord_col, df.schema[name].dataType)
                     .alias(name)
                 )
-        aggs.append(F.min(F.col(_ORD)).alias(_ORD))
-        grouped = df.groupBy(*[F.col(k) for k in join_on]).agg(*aggs)
+        aggs.append(cexpr(f"min({bq(_ORD)}) AS {bq(_ORD)}"))
+        # groupBy/select take NAME STRINGS (same resolution as F.col,
+        # zero py4j trips per column)
+        grouped = df.groupBy(*join_on).agg(*aggs)
         sel = [
             F.col("__row").getField(n).alias(n)
             if n in lww_fields and not atomic_lww
-            else F.col(n)
+            else n
             for n in field_order
         ]
-        parts.append(grouped.select(*sel, F.col(_ORD)))
+        parts.append(grouped.select(*sel, _ORD))
     elif keyed and not skip_merge:
         marked = []
         for em, df in keyed:
@@ -1895,8 +1969,13 @@ def _assemble_table(
         supplied = {f.name for f in em.fields}
         cols = []
         for name in field_order:
-            cols.append(F.col(name) if name in supplied else F.lit(None).alias(name))
-        cols.append(F.col(_ORD))
+            if name in supplied:
+                cols.append(name if is_plain(name) else F.col(name))
+            elif is_plain(name):
+                cols.append(cexpr(f"NULL AS {bq(name)}"))
+            else:
+                cols.append(F.lit(None).alias(name))
+        cols.append(_ORD)
         parts.append(df.select(*cols))
 
     out = parts[0]
@@ -1908,21 +1987,30 @@ def _assemble_table(
     # injected id can coexist with a TempField('id') (whose internal
     # column relationships still need — reference shadow-store priority).
     public_pairs = [(n, n) for n in field_order if n not in temp_names]
-    inj: list[Column] = []
+    inj: list = []
     if join_on and len(join_on) == 1 and "id" not in [p for p, _ in public_pairs]:
+        key0 = join_on[0]
         if "id" in temp_names:
-            inj = [F.col(join_on[0]).alias("__inj_id")]
+            inj = [
+                cexpr(f"{bq(key0)} AS __inj_id")
+                if is_plain(key0)
+                else F.col(key0).alias("__inj_id")
+            ]
             public_pairs = [("id", "__inj_id")] + public_pairs
         else:
-            inj = [F.col(join_on[0]).alias("id")]
+            inj = [
+                cexpr(f"{bq(key0)} AS id")
+                if is_plain(key0)
+                else F.col(key0).alias("id")
+            ]
             public_pairs = [("id", "id")] + public_pairs
 
     # id injection + the _ORD -> _SEQ rename in ONE select (py4j/analysis
     # latency; see the grouped-select fusion above)
     out = out.select(
-        *[F.col(c) for c in out.columns if c != _ORD],
+        *[c if is_plain(c) else F.col(c) for c in out.columns if c != _ORD],
         *inj,
-        F.col(_ORD).alias(_SEQ),
+        cexpr(f"{bq(_ORD)} AS {bq(_SEQ)}"),
     )
 
     # typed validation, two stages like the reference (instances.py:189-224):
@@ -2035,6 +2123,11 @@ def _assemble_table(
 
 
 def _select_public(internal_df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    if all(is_plain(i) and is_plain(p) for p, i in pairs):
+        # memoized rename expressions: ~0 py4j trips on re-compiles
+        return internal_df.select(
+            *[cexpr(f"{bq(i)} AS {bq(p)}") for p, i in pairs]
+        )
     return internal_df.select(*[F.col(i).alias(p) for p, i in pairs])
 
 
@@ -2423,10 +2516,8 @@ def compile_emission(
             col, _ = strip_marker_fields(col, ftype)
         sel.append(col.alias(f.name))
     if with_order:
-        pos_cols = [lv.pos for lv in env.levels if lv.pos is not None]
-        sel.append(
-            _ord_struct([F.lit(0)], pos_cols, len(pos_cols), row_ord).alias(_SEQ)
-        )
+        n_pos = sum(1 for lv in env.levels if lv.pos is not None)
+        sel.append(_ord_struct(0, env.levels, n_pos).alias(_SEQ))
     return df.select(*sel)
 
 

@@ -1519,9 +1519,12 @@ def cross_group_overlap(
     # digests feeds THREE consumers (both self-join sides + the size
     # probe); without materialization each re-scans and re-hashes the
     # raw corpus.  One eager localCheckpoint pins the (group, digest)
-    # table — 16-byte binary digests, tiny next to the bodies — so the input
-    # is scanned once; blocks are GC-reaped with the returned frame
-    # (same contract as the CC loop, operators/graph.py)
+    # table so the input is scanned once; blocks are GC-reaped with the
+    # returned frame (same contract as the CC loop, operators/graph.py).
+    # BOUND of the pinned frame: <= one 16-byte digest row per distinct
+    # (group, text) — ~17 bytes/doc where the bodies are KBs, so it stays
+    # executor-memory-friendly at any corpus scale (worst case it is
+    # row-scale metadata, never body-scale; it degrades, never dies)
     digests = digests.localCheckpoint(eager=True)
     a = digests.select(F.col("__g").alias("group_a"), "__d")
     b = digests.select(F.col("__g").alias("group_b"), "__d")

@@ -629,6 +629,7 @@ def ks_drift(
     round_to: int = 6,
     cdf_buckets: int = 64,
     max_groups: int = 1000,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic for every unordered
     group pair — the numeric-feature drift monitor (document lengths,
@@ -653,14 +654,33 @@ def ks_drift(
     and order-independent; ``cdf_buckets=1`` degenerates to the single
     window.  Exact integer arithmetic until the final division.
 
+    Memory bound of the pinned intermediate: the eagerly materialized
+    ``(group, value, count)`` frame is bounded by the DISTINCT value
+    domain per group, not the row count — tiny for the intended inputs
+    (lengths, scores, bucketed timestamps).  On a NEAR-CONTINUOUS value
+    column (e.g. raw float measurements, every value distinct) it
+    approaches corpus scale; it stays executor-distributed (never
+    collected), so the operator degrades to shuffling row-scale counts
+    rather than failing — but for such inputs set ``quantize``.
+
+    ``quantize`` (opt-in escape hatch) rounds values to that many
+    decimal places BEFORE counting, collapsing a near-continuous domain
+    to at most ``(max-min) * 10^quantize`` distinct values.  The result
+    is then the exact KS statistic OF THE QUANTIZED distributions — a
+    documented approximation whose CDF evaluation points move by at
+    most half a quantum; the default (``None``) stays exact.
+
     Returns ``(group_a, group_b, n_a, n_b, ks_stat)``, lexically
     ordered pairs; NULL groups/values are dropped.
     """
+    val = F.col(value_col).cast("double")
+    if quantize is not None:
+        val = F.round(val, int(quantize))
     counts = (
         df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
         .select(
             F.col(group_col).cast("string").alias("__g"),
-            F.col(value_col).cast("double").alias("__v"),
+            val.alias("__v"),
         )
         .groupBy("__g", "__v")
         .agg(F.count(F.lit(1)).alias("__c"))

@@ -206,7 +206,19 @@ def cms_estimate_topk(
 ) -> DataFrame:
     """Top-``k`` of a candidate ``(*groups, __item)`` frame by CMS
     estimate (min counter across the ``depth`` rows) against a
-    ``(*groups, j, b, cnt)`` sketch; ties broken by item ascending."""
+    ``(*groups, j, b, cnt)`` sketch; ties broken by item ascending.
+
+    Candidate schema contract: extra candidate columns pass through the
+    sketch join, so the names ``cnt``, ``__j``, ``__b`` and ``__g_<g>``
+    for each group column are RESERVED — a candidates frame carrying one
+    collides at the join or the min aggregation and raises."""
+    reserved = {"cnt", "__j", "__b"} | {f"__g_{g}" for g in groups}
+    clash = reserved.intersection(candidates.columns)
+    if clash:
+        raise ValueError(
+            f"cms_estimate_topk: candidate column(s) {sorted(clash)} collide "
+            "with reserved sketch-join names; rename them before the call"
+        )
     skt = sketch.select(
         *[F.col(g).alias(f"__g_{g}") for g in groups],
         F.col("j").alias("__j"),

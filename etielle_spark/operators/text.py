@@ -589,8 +589,13 @@ def interpolated_nll(
     occurrences are the non-NULL rows, the bigram-TYPE vocabulary and
     the context totals fold from those, and the scoring joins key on
     the pair columns directly (no re-split of the bigram string).  All
-    shuffles are counts-level (types, not occurrences).  Documents with
-    fewer than two tokens are absent.
+    SHUFFLES are counts-level (types, not occurrences), but the pinned
+    CACHE is the occurrence-scale ``(id, w1, w2)`` pair frame itself —
+    it grows linearly with corpus tokens (unlike the vocabulary-sized
+    count caches in pmi/keyness), spills to disk at MEMORY_AND_DISK,
+    and is held until ``release_operator_caches()`` in a long-lived
+    driver; size cache plans accordingly.  Documents with fewer than
+    two tokens are absent.
 
     Returns ``(id, n_bigrams, nll)``.
     """
@@ -1374,9 +1379,11 @@ def pmi_collocations(
     pair-count aggregation then carries everything at once: unigram
     counts are ``sum(c)`` per ``w1`` (every token is ``w1`` exactly
     once), bigram counts are the non-NULL-``w2`` rows, and the scalar
-    bigram total is their sum.  The vocabulary-sized pair-count frame is
-    eagerly ``localCheckpoint``-ed (the ks_drift multi-consumer pattern)
-    so its three consumers never re-scan the raw text.  ``min_count``
+    bigram total is their sum.  The bigram-vocabulary-sized pair-count
+    frame is persisted and eagerly materialized (one Spark job runs at
+    operator-call time) so its three consumers never re-scan the raw
+    text; the cache is registered for ``release_operator_caches()`` and
+    recomputes from lineage if blocks are lost.  ``min_count``
     suppresses the unstable low-frequency tail; output is the ``top_n``
     by PMI with a deterministic (pmi desc, w1, w2) order.  Returns
     ``(w1, w2, c12, c1, c2, pmi)``.
@@ -1393,11 +1400,24 @@ def pmi_collocations(
             )
         ).alias("bg")
     )
-    pair_counts = (
+    from pyspark import StorageLevel
+
+    from ..caches import track_cache
+
+    # persist + count, not localCheckpoint (round 11, ADVICE r10): the
+    # lineage survives, so an executor-decommission block loss RECOMPUTES
+    # instead of failing the job, and release_operator_caches() can free
+    # the blocks in a long-lived driver.  The eager count() keeps the
+    # single-tokenize guarantee — the three consumers are independent
+    # join sides that would otherwise race to fill the cache.  BOUND:
+    # the pinned frame is vocabulary-squared-sized (distinct bigram
+    # types), not corpus-sized; Zipf keeps that far below token count.
+    pair_counts = track_cache(
         pairs.groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pair_counts.count()
     bg_counts = (
         pair_counts.filter(F.col("w2").isNotNull())
         .select("w1", "w2", F.col("c").alias("c12"))
@@ -1533,8 +1553,9 @@ def keyness_g2(
     no second pass), plus a broadcast 1-row total.  The corpus is
     tokenized ONCE (round 10; previously twice): the totals are the
     column sums of the UNFILTERED vocabulary-sized count frame, which is
-    eagerly ``localCheckpoint``-ed (the ks_drift multi-consumer pattern)
-    so both consumers read it instead of re-scanning the raw text.
+    persisted and eagerly materialized (one Spark job at operator-call
+    time; released via ``release_operator_caches()``) so both consumers
+    read it instead of re-scanning the raw text.
     Signed output: positive G2 means over-represented in the target.
     Returns ``(word, a, b, g2)`` top ``top_n`` by |G2| with
     deterministic ties.
@@ -1544,10 +1565,22 @@ def keyness_g2(
         F.explode(tokens_col(F.col(text_col))).alias("w"),
         flag.cast("boolean").alias("__t"),
     )
-    counts0 = words.groupBy("w").agg(
-        F.sum(F.col("__t").cast("long")).alias("a"),
-        F.sum((~F.col("__t")).cast("long")).alias("b"),
-    ).localCheckpoint(eager=True)
+    from pyspark import StorageLevel
+
+    from ..caches import track_cache
+
+    # persist + count, not localCheckpoint — same recoverable/releasable
+    # rationale as pmi_collocations above; the pinned frame is
+    # vocabulary-sized (one row per distinct word)
+    counts0 = track_cache(
+        words.groupBy("w")
+        .agg(
+            F.sum(F.col("__t").cast("long")).alias("a"),
+            F.sum((~F.col("__t")).cast("long")).alias("b"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts0.count()
     counts = counts0.filter(F.col("a") + F.col("b") >= min_count)
     totals = counts0.agg(
         F.sum("a").alias("na"),
