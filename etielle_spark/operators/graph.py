@@ -202,17 +202,49 @@ def connected_components_df(
     Returns ``(id, component)`` with ``component`` = the smallest id in
     the vertex's component, one row per vertex that appears in any edge.
     """
+    import os
+
     from pyspark import StorageLevel
 
     e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
-    # pre-partition the persisted edge frame on the per-round join key:
-    # the cached partitioning satisfies the join's distribution
-    # requirement every round, so only the (one-row-per-vertex) label
-    # side shuffles per iteration — the standard iterative-join layout
-    sym = sym.repartition(F.col("d")).persist(StorageLevel.MEMORY_AND_DISK)
+    base = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    spark = e.sparkSession
+    cur_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # round-11 loop shape (A/B gate: ETIELLE_CC_LOOP=base restores the
+    # r10 form for cold-JVM adjudication via tools/ab_cold.py):
+    #
+    # scale-adaptive LOOP partition count (guide §2.2): each round
+    # shuffles one ~16-byte row per vertex/edge, so at the session
+    # default (= core count locally, cluster-sized on a cluster) a
+    # small graph pays tens of near-empty tasks per stage, times 3-5
+    # stages, times O(log diameter) rounds — measured ~1.2 s/round of
+    # pure scheduling at 375k labels on local[32].  Partitions derive
+    # from the measured symmetrized edge count (~50k rows/task),
+    # never EXCEED the session setting (big graphs keep full
+    # parallelism), and the session conf is restored after the loop.
+    # NOTE: spark.sql.shuffle.partitions is session-scoped —
+    # concurrent queries submitted from other threads during the loop
+    # would plan under the reduced value.
+    #
+    # A DOUBLE pointer jump per round (ETIELLE_CC_LOOP=jump2/fast) was
+    # prototyped alongside: bit-identical labels and a win in warm
+    # same-session A/Bs (rounds 5 -> 3), but REFUTED under driver
+    # conditions — cold-JVM interleaved through the real q239 path it
+    # LOST 2 of 3 pairs (med-of-meds 11.48 vs 10.40 s): the extra
+    # label-frame self-join per round costs more in per-round plan
+    # construction, codegen and stage count than the dropped rounds
+    # save at this scale.  The gate values stay so the refutation is
+    # reproducible; the default runs a single jump.
+    mode = os.environ.get("ETIELLE_CC_LOOP", "parts")
+    adaptive_parts = mode in ("fast", "parts")
+    jumps = 2 if mode in ("fast", "jump2") else 1
+    if adaptive_parts:
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        n_sym = base.count()
+        loop_parts = min(cur_parts, max(4, -(-n_sym // 50_000)))
+    else:
+        loop_parts = cur_parts
 
-    spark = sym.sparkSession
     reliable = spark.sparkContext.getCheckpointDir() is not None
 
     def _truncate(df: DataFrame) -> DataFrame:
@@ -244,72 +276,95 @@ def connected_components_df(
             # reaps anything this misses
             pass
 
-    labels = _truncate(
-        sym.select(F.col("s").alias("id")).distinct().withColumn("component", F.col("id"))
-    )
+    if loop_parts < cur_parts:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        # pre-partition the persisted edge frame on the per-round join
+        # key: the cached partitioning satisfies the join's distribution
+        # requirement every round, so only the (one-row-per-vertex)
+        # label side shuffles per iteration — the standard
+        # iterative-join layout.  Explicit partition count so the cached
+        # layout matches the loop's conf regardless of when the frame is
+        # first materialized.
+        sym = base.repartition(loop_parts, F.col("d")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
 
-    from pyspark.sql import Observation
+        labels = _truncate(
+            sym.select(F.col("s").alias("id")).distinct().withColumn("component", F.col("id"))
+        )
+        if adaptive_parts:
+            # the labels action materialized sym; the pre-repartition
+            # frame's cache is now redundant
+            base.unpersist()
 
-    comp_t = labels.schema["component"].dataType
-    for _ in range(max_iter):
-        prop = sym.join(labels, sym["d"] == labels["id"]).select(
-            F.col("s").alias("id"),
-            F.col("component"),
-            F.lit(None).cast(comp_t).alias("__old"),
-        )
-        # each vertex's PRE-round label rides the union as __old (one
-        # non-null value per id, so max() recovers it through the
-        # min-label aggregation): the convergence check then computes
-        # inside the round's own checkpoint action via observe() —
-        # round 8 removed the separate new-vs-old join + count job that
-        # previously ran per round
-        cand = (
-            labels.select(
-                "id", "component", F.col("component").alias("__old")
+        from pyspark.sql import Observation
+
+        comp_t = labels.schema["component"].dataType
+        for _ in range(max_iter):
+            prop = sym.join(labels, sym["d"] == labels["id"]).select(
+                F.col("s").alias("id"),
+                F.col("component"),
+                F.lit(None).cast(comp_t).alias("__old"),
             )
-            .unionByName(prop)
-            .groupBy("id")
-            .agg(
-                F.min("component").alias("component"),
-                F.max("__old").alias("__old"),
+            # each vertex's PRE-round label rides the union as __old (one
+            # non-null value per id, so max() recovers it through the
+            # min-label aggregation): the convergence check then computes
+            # inside the round's own checkpoint action via observe() —
+            # round 8 removed the separate new-vs-old join + count job that
+            # previously ran per round
+            cand = (
+                labels.select(
+                    "id", "component", F.col("component").alias("__old")
+                )
+                .unionByName(prop)
+                .groupBy("id")
+                .agg(
+                    F.min("component").alias("component"),
+                    F.max("__old").alias("__old"),
+                )
             )
-        )
-        # pointer jump: labels are vertex ids, so l(l(v)) is one
-        # self-join of the candidate labels
-        parent = cand.select(
-            F.col("id").alias("__pid"), F.col("component").alias("__pc")
-        )
-        obs = Observation()
-        new_labels = _truncate(
-            cand.join(parent, cand["component"] == parent["__pid"], "left")
-            .select(
-                cand["id"],
-                F.least(
-                    cand["component"],
-                    F.coalesce(F.col("__pc"), cand["component"]),
-                ).alias("component"),
-                cand["__old"],
+            # pointer jump(s): labels are vertex ids, so l(l(v)) is one
+            # self-join of the candidate labels per hop
+            for _j in range(jumps):
+                parent = cand.select(
+                    F.col("id").alias("__pid"), F.col("component").alias("__pc")
+                )
+                cand = cand.join(
+                    parent, cand["component"] == parent["__pid"], "left"
+                ).select(
+                    cand["id"],
+                    F.least(
+                        cand["component"],
+                        F.coalesce(F.col("__pc"), cand["component"]),
+                    ).alias("component"),
+                    cand["__old"],
+                )
+            obs = Observation()
+            new_labels = _truncate(
+                cand.observe(
+                    obs,
+                    F.sum(
+                        (F.col("component") != F.col("__old")).cast("long")
+                    ).alias("changed"),
+                )
+                .select("id", "component")
             )
-            .observe(
-                obs,
-                F.sum(
-                    (F.col("component") != F.col("__old")).cast("long")
-                ).alias("changed"),
-            )
-            .select("id", "component")
+            changed = int(obs.get["changed"] or 0)
+            # round N is materialized and the convergence count rode its
+            # checkpoint action: round N-1's checkpoint files are garbage
+            # NOW — delete them so the dir holds O(1) rounds
+            superseded = _ckpt_path(labels)
+            labels = new_labels
+            _drop_ckpt(superseded)
+            if changed == 0:
+                sym.unpersist()
+                return labels
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components_df: not converged after {max_iter} rounds — "
+            "raise max_iter (component diameter exceeds it)"
         )
-        changed = int(obs.get["changed"] or 0)
-        # round N is materialized and the convergence count rode its
-        # checkpoint action: round N-1's checkpoint files are garbage
-        # NOW — delete them so the dir holds O(1) rounds
-        superseded = _ckpt_path(labels)
-        labels = new_labels
-        _drop_ckpt(superseded)
-        if changed == 0:
-            sym.unpersist()
-            return labels
-    sym.unpersist()
-    raise RuntimeError(
-        f"connected_components_df: not converged after {max_iter} rounds — "
-        "raise max_iter (component diameter exceeds it)"
-    )
+    finally:
+        if loop_parts < cur_parts:
+            spark.conf.set("spark.sql.shuffle.partitions", str(cur_parts))

@@ -9,7 +9,9 @@ monotone box drift cancels instead of biasing one side.
 Targets (variant env var -> values):
   simhash      ETIELLE_SIMHASH_FORM   sqltext | columnapi   (q30, sf0.1)
   sink_overlap ETIELLE_SINK_OVERLAP   1 | 0                 (streaming_ref)
+  events_parts ETIELLE_STREAM_PARTS   derived | session     (streaming_events)
   q100_digest  ETIELLE_GRAM_DIGEST    bin | hex             (q100, curve corpus)
+  q239_cc      ETIELLE_CC_LOOP        fast | base           (q239, curve corpus)
   q27_curve    (no variant -- repeated cold-JVM samples of the curve row)
 
 Usage:
@@ -35,7 +37,11 @@ BIG_DIR = os.path.join(REPO, ".benchdata", "sf1synth")
 TARGETS: dict[str, tuple[str, list[str]]] = {
     "simhash": ("ETIELLE_SIMHASH_FORM", ["sqltext", "columnapi"]),
     "sink_overlap": ("ETIELLE_SINK_OVERLAP", ["1", "0"]),
+    "events_parts": ("ETIELLE_STREAM_PARTS", ["derived", "session"]),
     "q100_digest": ("ETIELLE_GRAM_DIGEST", ["bin", "hex"]),
+    "q239_cc": ("ETIELLE_CC_LOOP", ["fast", "base"]),
+    "q239_parts": ("ETIELLE_CC_LOOP", ["parts", "base"]),
+    "q239_jump": ("ETIELLE_CC_LOOP", ["jump2", "base"]),
     "q27_curve": ("", ["base"]),
 }
 
@@ -74,16 +80,22 @@ def child(target: str, variant: str) -> None:
         import bench
 
         med = _timed(lambda: bench.streaming_reference_workload(spark))
-    elif target in ("q100_digest", "q27_curve"):
+    elif target == "events_parts":
+        import bench
+
+        med = _timed(lambda: bench.streaming_events_windows(spark))
+    elif target in ("q100_digest", "q27_curve", "q239_cc", "q239_parts", "q239_jump"):
         from etielle_spark import release_operator_caches
         from etielle_spark.benchqueries import QUERIES
 
         assert os.path.exists(os.path.join(BIG_DIR, "_DONE")), "run bench.py first"
-        qname = (
-            "q100_gram_duplication"
-            if target == "q100_digest"
-            else "q27_minhash_signatures"
-        )
+        qname = {
+            "q100_digest": "q100_gram_duplication",
+            "q27_curve": "q27_minhash_signatures",
+            "q239_cc": "q239_cluster_canonicalize",
+            "q239_parts": "q239_cluster_canonicalize",
+            "q239_jump": "q239_cluster_canonicalize",
+        }[target]
         fn, _ = QUERIES[qname]
 
         def between():

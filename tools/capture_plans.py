@@ -1,4 +1,5 @@
-"""Capture .explain("formatted") for headline queries into plans/r10/.
+"""Capture .explain("formatted") for headline queries into plans/<round>/
+(round from $SPARK_GRAFT_PLANS_ROUND, default r11).
 
 Usage:
     python tools/capture_plans.py before [query ...]
@@ -57,7 +58,9 @@ def main() -> None:
     from etielle_spark.session import get_spark
 
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
